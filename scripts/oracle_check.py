@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, then compares row count, column-name set, and
+order-insensitive values. Stricter than the driver (exact equality after
+the engine's own rounding rules) — if this passes, any reasonable
+value-hash passes.
+
+Usage: python scripts/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from tf_idf_mapreduce_spark.session import get_spark
+from tf_idf_mapreduce_spark.sources.io import TABLES
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k in "iu":
+            df[c] = df[c].astype("int64")
+        elif k == "f":
+            df[c] = df[c].astype("float64")
+        elif k == "M":
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif k == "O":
+            # decimals / lists → canonical string
+            df[c] = df[c].map(lambda v: repr(v))
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"schema spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        if s[c].dtype.kind == "f":
+            eq = (s[c].isna() & d[c].isna()) | (s[c] == d[c])
+            if not eq.all():
+                bad = (~eq).idxmax()
+                problems.append(
+                    f"float col {c}: {(~eq).sum()} mismatches, first at row {bad}: "
+                    f"spark={s[c][bad]!r} duck={d[c][bad]!r}"
+                )
+        else:
+            eq = s[c].eq(d[c]) | (s[c].isna() & d[c].isna())
+            if not eq.all():
+                bad = (~eq).idxmax()
+                problems.append(
+                    f"col {c}: {(~eq).sum()} mismatches, first at row {bad}: "
+                    f"spark={s[c][bad]!r} duck={d[c][bad]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        t1 = time.time()
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(spark_pdf)} rows, {t1-t0:.1f}s)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({len(spark_pdf)} rows, spark {t1-t0:.1f}s):")
+            for p in problems:
+                print(f"   - {p}")
+        else:
+            print(f"OK   {name} ({len(spark_pdf)} rows, spark {t1-t0:.1f}s)")
+    print("RESULT:", "FAIL" if failures else "PASS", f"({failures} failing)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,109 @@
+"""TF-IDF pipeline against the hand-computed golden micro-corpus
+(FIXTURES.md §3) plus the reference's invariants (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_idf_mapreduce_spark.operators.tfidf import (
+    doc_freq,
+    doc_totals,
+    tfidf_pipeline,
+    tfidf_sorted,
+    word_count,
+)
+from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+from tf_idf_mapreduce_spark.plans.pipeline import flagship_tfidf
+
+GOLDEN_CORPUS = [
+    ("d1.txt", "Hello, hello world"),
+    ("d2.txt", "world of <b>data</b> &amp; code123"),
+    ("d3.txt", "Data&nbsp;data pipelines"),
+]
+
+# (word, doc, count, doc_total, df, tfidf) — hand-computed, ln IDF
+GOLDEN = [
+    ("hello", "d1.txt", 2, 3, 1, 2 / 3 * math.log(3)),
+    ("of", "d2.txt", 1, 3, 1, 1 / 3 * math.log(3)),
+    ("pipelines", "d3.txt", 1, 3, 1, 1 / 3 * math.log(3)),
+    ("data", "d3.txt", 2, 3, 2, 2 / 3 * math.log(3 / 2)),
+    ("data", "d2.txt", 1, 3, 2, 1 / 3 * math.log(3 / 2)),
+    ("world", "d1.txt", 1, 3, 2, 1 / 3 * math.log(3 / 2)),
+    ("world", "d2.txt", 1, 3, 2, 1 / 3 * math.log(3 / 2)),
+]
+
+
+@pytest.fixture(scope="module")
+def golden_scored(spark):
+    corpus = spark.createDataFrame(GOLDEN_CORPUS, "doc string, text string")
+    return tfidf_sorted(tfidf_pipeline(corpus)).collect()
+
+
+def test_golden_values_exact(golden_scored):
+    got = [
+        (r.word, r.doc, r["count"], r.doc_total, r.df, r.tfidf)
+        for r in golden_scored
+    ]
+    # same sort the engine defines: tfidf desc, word asc, doc asc
+    want = sorted(GOLDEN, key=lambda t: (-t[5], t[0], t[1]))
+    assert [g[:5] for g in got] == [w[:5] for w in want]
+    for g, w in zip(got, want):
+        # Spark's F.log is StrictMath.log (deterministic across executors);
+        # the reference uses Math.log — they differ by ≤2 ulp, so compare
+        # with a tight tolerance rather than bit-exact.
+        assert g[5] == pytest.approx(w[5], rel=1e-12)
+
+
+def test_sorted_non_increasing(golden_scored):
+    scores = [r.tfidf for r in golden_scored]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_invariants_on_fixture_docs(spark, sf_dir):
+    scored = flagship_tfidf(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "cast(doc_id as string) as doc", "text"
+    )
+    full = tfidf_pipeline(corpus)
+    stats = full.agg(
+        F.min("df").alias("df_min"),
+        F.max("df").alias("df_max"),
+        F.count("*").alias("rows"),
+        F.countDistinct("word", "doc").alias("distinct_pairs"),
+    ).head()
+    assert 1 <= stats.df_min <= stats.df_max <= n_docs
+    assert stats.rows == stats.distinct_pairs
+    # per-doc sum(tf) == 1 (CountTF.java:107 + CalcTFIDF.java:130)
+    bad = (
+        full.groupBy("doc")
+        .agg(F.sum(F.col("count") / F.col("doc_total")).alias("tf_sum"))
+        .where(F.abs(F.col("tf_sum") - 1) > 1e-9)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_idf_zero_rows_kept(spark):
+    # a word present in every doc → idf=0, row still emitted
+    # (CalcTFIDF.java:124-132)
+    corpus = spark.createDataFrame(
+        [("a", "common x"), ("b", "common y")], "doc string, text string"
+    )
+    rows = tfidf_pipeline(corpus).where(F.col("word") == "common").collect()
+    assert len(rows) == 2
+    assert all(r.tfidf == 0.0 for r in rows)
+
+
+def test_total_docs_counts_empty_docs(spark):
+    # directory-listing semantics (TfidfMapReduce.java:51): an empty doc
+    # still raises total_docs
+    corpus = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "")], "doc string, text string"
+    )
+    r = tfidf_pipeline(corpus).where(F.col("word") == "x").head()
+    assert r.df == 2
+    assert r.idf == pytest.approx(math.log(3 / 2))

@@ -1,0 +1,113 @@
+"""The four reference MR jobs as composable DataFrame transforms.
+
+Reference pipeline (TfidfMapReduce.java:63-97): WordCount → CountTF →
+CalcTFIDF → SortByValue, each materialized to HDFS between jobs. Here each
+stage is a lazy transform; composed they form ONE Catalyst plan with three
+hash exchanges — on (word,doc), doc, word — plus a final range-partitioned
+sort. No disk round-trips, and every stage gets map-side partial
+aggregation the reference never configured (no combiner in
+WordCount.java:149-159).
+
+Scale notes (100 TB posture):
+- A2/A3 use unbounded partition windows, not agg+join: one exchange each,
+  and Spark's window operator spills — unlike the reference reducers that
+  buffer whole groups in an in-memory List/HashMap (CountTF.java:92-99,
+  CalcTFIDF.java:111-120), an OOM at scale.
+- The global sort is range-partitioned with sampling (orderBy), not the
+  reference's single reducer (SortByValue.java:111-126, default 1 reduce).
+- ``total_docs`` enters the plan as a broadcast 1-row aggregate, mirroring
+  the reference's Configuration broadcast (CalcTFIDF.java:150,105) without
+  a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.tokenize import tokenize
+
+
+def word_count(words: DataFrame) -> DataFrame:
+    """Job 1 (A1): occurrences per (word, doc).
+
+    Reference: map to ``word|filename → 1`` then reduce-sum
+    (WordCount.java:97,125-138). Catalyst plans partial+final HashAggregate
+    automatically — the map-side combine the reference lacks.
+    Schema: (word, doc, count).
+    """
+    return words.groupBy("word", "doc").agg(F.count("*").alias("count"))
+
+
+def doc_totals(wc: DataFrame) -> DataFrame:
+    """Job 2 (A2): annotate each row with its document's total word count.
+
+    Reference: reducer buffers all of a doc's rows in a List, sums, re-emits
+    (CountTF.java:87-109). Spark-first: an unbounded window sum — one
+    exchange on doc, spillable, no OOM hazard.
+    Schema: + doc_total.
+    """
+    w = Window.partitionBy("doc")
+    return wc.withColumn("doc_total", F.sum("count").over(w))
+
+
+def doc_freq(wtc: DataFrame) -> DataFrame:
+    """Job 3a (A3): document frequency — distinct docs containing each word.
+
+    Reference: reducer collects the per-word posting list into a HashMap and
+    counts it (CalcTFIDF.java:111-123). Input rows are already distinct per
+    (word, doc) (Job 1's group-by), so ``count(*) over (partition by word)``
+    is exact — one exchange, no buffering.
+    Schema: + df.
+    """
+    w = Window.partitionBy("word")
+    return wtc.withColumn("df", F.count("*").over(w))
+
+
+def tfidf(with_df: DataFrame, total_docs: Column) -> DataFrame:
+    """Job 3b (M1-M3): tf = count/doc_total; idf = ln(total_docs/df).
+
+    Natural log, double math, and idf=0 rows (word in every doc) are kept —
+    all per CalcTFIDF.java:124-132. ``F.log`` is ln, matching ``Math.log``.
+    Schema: (word, doc, count, doc_total, df, tf, idf, tfidf).
+    """
+    return (
+        with_df.withColumn("tf", F.col("count") / F.col("doc_total"))
+        .withColumn("idf", F.log(total_docs.cast("double") / F.col("df")))
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+    )
+
+
+def tfidf_sorted(scored: DataFrame) -> DataFrame:
+    """Job 4 (O2-O3): global descending sort by score.
+
+    Reference: swap-to-key + inverted comparator + single reducer
+    (SortByValue.java:42-69,111-126); within equal scores the order is
+    arrival order — nondeterministic. Spark-first: range-partitioned
+    sampling sort that scales past one node, with (word, doc) as an explicit
+    deterministic tiebreak (our addition, SURVEY.md §6).
+    """
+    return scored.orderBy(F.desc("tfidf"), F.asc("word"), F.asc("doc"))
+
+
+def tfidf_pipeline(
+    corpus: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc",
+    total_docs: int | None = None,
+) -> DataFrame:
+    """The full 4-job chain as one lazy plan: corpus → scored (word, doc, ...).
+
+    ``total_docs`` defaults to ``count(*)`` of the corpus — the reference's
+    directory-listing semantics (every doc counts, even ones producing no
+    words). Pass an int to pin it (the per-stage CLI lets the reference do
+    the same, CalcTFIDF.java:174-183).
+    """
+    words = tokenize(corpus, text_col=text_col, doc_col=doc_col)
+    with_df = doc_freq(doc_totals(word_count(words)))
+    if total_docs is None:
+        n = corpus.agg(F.count("*").alias("total_docs"))
+        scored = with_df.crossJoin(F.broadcast(n))
+        return tfidf(scored, F.col("total_docs")).drop("total_docs")
+    return tfidf(with_df, F.lit(total_docs))

@@ -1,0 +1,118 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S6).
+
+The reference's only source is a directory of plain-text files read
+line-by-line with the doc id taken from the file name (WordCount.java:89,
+TextInputFormat via WordCount.java:156); its only sink is TAB-separated
+``key TAB value`` text (TextOutputFormat, WordCount.java:157 etc.).
+
+Spark-first mapping:
+
+- S1 text-line scan      → ``spark.read.text(dir)`` (splittable, columnar batch)
+- S2 doc-id attach       → ``input_file_name()`` + basename, one expression
+- S4 KV re-scan          → unnecessary: stages pipeline in memory; provided
+                           anyway for reading reference-format output
+- S5 KV text sink        → ``concat_ws('\\t', ...)`` + ``write.text`` (kept only
+                           for byte-compat runs; parquet is the real sink)
+- S6 overwrite           → ``mode("overwrite")`` (no interactive confirm —
+                           that is a CLI artifact, TfidfMapReduce.java:55-60)
+
+Plus loaders for the driver's parquet fixture tables (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The fixture star schema + text/embedding/event tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst pushes filters/projections into it."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-shaped corpus scan: one row per line, doc = file basename.
+
+    Matches S1+S2: TextInputFormat line scan (WordCount.java:90) and
+    ``((FileSplit) ...).getPath().getName()`` doc identity (WordCount.java:89).
+    Returns ``(doc string, text string)``.
+    """
+    return spark.read.text(path).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("doc"),
+        F.col("value").alias("text"),
+    )
+
+
+def documents_as_corpus(documents: DataFrame) -> DataFrame:
+    """Adapt the fixture ``documents`` table to the corpus shape (doc, text).
+
+    The reference's doc identity is the file name; the fixture's is
+    ``doc_id`` (FIXTURES.md §1) — cast to string to play the same role.
+    """
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc"), F.col("text")
+    )
+
+
+def write_kv_text(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    value_col: str,
+    key_sep: str = "|",
+) -> None:
+    """Reference-format sink: ``key1|key2 TAB value`` per line (S5).
+
+    Packed strings are an MR artifact (WordCount.java:97); the engine keeps
+    real columns everywhere and only packs at this final sink for
+    byte-compatibility with the reference's output files.
+    """
+    line = F.concat_ws(
+        "\t", F.concat_ws(key_sep, *[F.col(c) for c in key_cols]), F.col(value_col)
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
+    """S4: re-read reference-format output, splitting at the first TAB.
+
+    (KeyValueTextInputFormat semantics, CountTF.java:126.) Rarely needed —
+    Spark pipelines stages in memory — but closes the loop for mixed
+    reference/engine deployments.
+    """
+    value = F.col("value")
+    tab = F.instr(value, "\t")
+    return spark.read.text(path).select(
+        F.when(tab > 0, F.substring_index(value, "\t", 1)).otherwise(value).alias("key"),
+        F.when(tab > 0, F.expr("substring(value, instr(value, '\t') + 1)"))
+        .otherwise(F.lit(""))
+        .alias("val"),
+    )
