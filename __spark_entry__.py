@@ -28,6 +28,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tf_idf_mapreduce_spark.operators import events as ev
+from tf_idf_mapreduce_spark.operators import relational as rel
 from tf_idf_mapreduce_spark.operators.tfidf import (
     doc_freq,
     doc_totals,
@@ -169,18 +171,259 @@ scored AS (
 # registry
 # --------------------------------------------------------------------------
 
+_RELATIONAL_ORACLE: dict[str, str] = {
+    "rel_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "rel_distinct_agg": """
+        SELECT n_name,
+          CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+          count(*) AS n_customers,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "rel_conditional_agg": """
+        SELECT o_orderpriority,
+          count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+          count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+          count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+          CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice
+                             ELSE 0.0 END AS DECIMAL(38,2))) AS DOUBLE) AS open_value
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "rel_rollup_sales": """
+        SELECT r_name, n_name,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_sales,
+          count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "rel_cube_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "rel_revenue_by_nation": """
+        SELECT r_name, n_name,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "rel_brand_revenue": """
+        SELECT p_brand,
+          CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS total_qty,
+          count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "rel_semi_join": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        GROUP BY c_mktsegment
+    """,
+    "rel_anti_join": """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        GROUP BY c_mktsegment
+    """,
+    "rel_outer_join": """
+        SELECT coalesce(c_mktsegment, 'UNMATCHED') AS segment,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+        FROM orders
+        LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+          ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    "rel_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+    """,
+    "rel_window_running": """
+        SELECT o_custkey, o_orderkey,
+          CAST(row_number() OVER w AS BIGINT) AS order_seq,
+          lag(o_totalprice, 1) OVER w AS prev_price,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(38,2)))
+               OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cum_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    "rel_top10_global": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "rel_setops": """
+        WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000),
+        open_cust AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                      WHERE o_orderstatus = 'O')
+        SELECT c_custkey, 'rich_and_open' AS branch
+          FROM (SELECT * FROM rich INTERSECT SELECT * FROM open_cust)
+        UNION ALL
+        SELECT c_custkey, 'rich_only' AS branch
+          FROM (SELECT * FROM rich EXCEPT ALL SELECT * FROM open_cust)
+    """,
+    "rel_string_funcs": """
+        SELECT p_partkey,
+          upper(p_name) AS name_upper,
+          CAST(length(p_name) AS BIGINT) AS name_len,
+          substring(p_type, 1, 5) AS type_prefix,
+          concat_ws('/', p_brand, p_type) AS brand_type,
+          replace(p_name, ' ', '_') AS name_snake,
+          CAST(length(string_split(p_name, ' ')) AS BIGINT) AS name_words,
+          lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+        FROM part
+    """,
+    "rel_date_funcs": """
+        SELECT o_orderkey,
+          CAST(year(o_orderdate) AS BIGINT) AS order_year,
+          CAST(month(o_orderdate) AS BIGINT) AS order_month,
+          CAST(day(o_orderdate) AS BIGINT) AS order_day,
+          CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS order_month_start,
+          CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_before_2002
+        FROM orders
+    """,
+    "rel_having_subquery": """
+        WITH g AS (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE)
+                 / count(*) AS global_avg
+          FROM customer
+        )
+        SELECT n_name,
+          CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) / count(*) AS nation_avg,
+          count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING CAST(sum(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) / count(*)
+               > (SELECT global_avg FROM g)
+    """,
+}
+
+# Events: Spark reads the NANOS parquet as raw longs, DuckDB truncates to
+# micros — integer epoch-seconds (`epoch_ns // 1e9`, exact integer division
+# on both sides) are the portable representation; no timestamps in outputs.
+_EVENTS_ORACLE: dict[str, str] = {
+    "events_sessionize": """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+            epoch_ns(ts) // 1000000000 AS ts_sec,
+            CASE WHEN epoch_ns(ts) // 1000000000
+                      - lag(epoch_ns(ts) // 1000000000, 1)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        with_ids AS (
+          SELECT user_id, ts_sec,
+            CAST(sum(new_session)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq,
+          min(ts_sec) AS session_start_sec,
+          max(ts_sec) AS session_end_sec,
+          count(*) AS n_events,
+          max(ts_sec) - min(ts_sec) AS duration_sec
+        FROM with_ids GROUP BY user_id, session_seq
+    """,
+    "events_session_stats": None,  # filled below from events_sessionize
+    "events_tumbling_hourly": """
+        SELECT ts_sec - ts_sec % 3600 AS hour_start_sec, event_type,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total_value
+        FROM (SELECT epoch_ns(ts) // 1000000000 AS ts_sec, event_type, value
+              FROM events)
+        GROUP BY 1, 2
+    """,
+    "events_json_payload": """
+        SELECT event_type,
+          min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+}
+
+_EVENTS_ORACLE["events_session_stats"] = (
+    "WITH sessions AS ("
+    + _EVENTS_ORACLE["events_sessionize"]
+    + """)
+    SELECT user_id,
+      count(*) AS n_sessions,
+      CAST(sum(n_events) AS BIGINT) AS n_events,
+      max(duration_sec) AS max_duration_sec
+    FROM sessions GROUP BY user_id
+    """
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- the reference's own pipeline (SURVEY.md §2.2-2.6) ---
         "tfidf_word_count": q_tfidf_word_count,
         "tfidf_doc_totals": q_tfidf_doc_totals,
         "tfidf_doc_freq": q_tfidf_doc_freq,
         "tfidf_full": q_tfidf_full,
         "tfidf_top30": q_tfidf_top30,
+        # --- relational surface (SURVEY.md §2.5-2.7 gaps) ---
+        "rel_pricing_summary": rel.pricing_summary,
+        "rel_distinct_agg": rel.distinct_agg_by_nation,
+        "rel_conditional_agg": rel.conditional_agg_pivot,
+        "rel_rollup_sales": rel.rollup_sales,
+        "rel_cube_orders": rel.cube_order_counts,
+        "rel_revenue_by_nation": rel.revenue_by_nation,
+        "rel_brand_revenue": rel.brand_revenue,
+        "rel_semi_join": rel.customers_with_open_orders,
+        "rel_anti_join": rel.customers_without_open_orders,
+        "rel_outer_join": rel.orders_with_customer_outer,
+        "rel_topk_per_group": rel.top_orders_per_customer,
+        "rel_window_running": rel.customer_order_running_stats,
+        "rel_top10_global": rel.top10_orders_global,
+        "rel_setops": rel.segment_key_setops,
+        "rel_string_funcs": rel.part_string_functions,
+        "rel_date_funcs": rel.orders_date_functions,
+        "rel_having_subquery": rel.nations_above_avg_balance,
+        # --- event/time-series surface ---
+        "events_sessionize": ev.q_sessionize,
+        "events_session_stats": ev.q_session_stats,
+        "events_tumbling_hourly": ev.q_tumbling_hourly,
+        "events_json_payload": ev.q_json_payload,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "tfidf_word_count": _TOKENS_CTE + 'SELECT word, doc, "count" FROM wc',
         "tfidf_doc_totals": _TOKENS_CTE
         + 'SELECT word, doc, "count", doc_total FROM wc_tot',
@@ -192,3 +435,6 @@ def oracle_sql() -> dict[str, str]:
         + 'SELECT word, doc, "count", doc_total, df, tfidf FROM scored '
         + "ORDER BY tfidf DESC, word ASC, doc ASC LIMIT 30",
     }
+    out.update(_RELATIONAL_ORACLE)
+    out.update(_EVENTS_ORACLE)
+    return out

@@ -1,0 +1,49 @@
+"""Sessionization and window semantics on hand-built event streams."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tf_idf_mapreduce_spark.operators.events import sessionize
+
+
+def _events(spark, rows):
+    # rows: (user_id, ts_sec, event_id)
+    return spark.createDataFrame(
+        [(u, s * 1_000_000_000, s, e) for (u, s, e) in rows],
+        "user_id long, ts_ns long, ts_sec long, event_id long",
+    )
+
+
+def test_sessionize_gap_splits(spark):
+    base = 1_700_000_000
+    ev = _events(
+        spark,
+        [
+            (1, base, 1),
+            (1, base + 100, 2),        # same session (gap 100s)
+            (1, base + 100 + 1801, 3),  # gap 1801 > 1800 → new session
+            (2, base, 4),               # other user: own session
+        ],
+    )
+    got = {
+        (r.user_id, r.session_seq): (r.n_events, r.duration_sec)
+        for r in sessionize(ev).collect()
+    }
+    assert got == {(1, 0): (2, 100), (1, 1): (1, 0), (2, 0): (1, 0)}
+
+
+def test_sessionize_boundary_gap_exactly_1800_continues(spark):
+    base = 1_700_000_000
+    ev = _events(spark, [(1, base, 1), (1, base + 1800, 2)])
+    rows = sessionize(ev).collect()
+    assert len(rows) == 1 and rows[0].n_events == 2
+
+
+def test_fixture_sessions_cover_all_events(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import q_sessionize
+    from tf_idf_mapreduce_spark.sources.io import load_events
+
+    total = load_events(spark, sf_dir).count()
+    in_sessions = q_sessionize(spark, sf_dir).agg(F.sum("n_events")).head()[0]
+    assert in_sessions == total

@@ -1,0 +1,63 @@
+"""Relational operator semantics on hand-computable micro-fixtures.
+
+The sf0.01 oracle gate (scripts/oracle_check.py) is the bulk verifier;
+these pin the operator semantics independently of the fixture data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tf_idf_mapreduce_spark.operators.relational import dsum, top_k_per_group
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "grp string, id long, score double",
+    )
+    got = top_k_per_group(df, ["grp"], [F.desc("score"), F.asc("id")], 2)
+    rows = {(r.grp, r.id) for r in got.collect()}
+    assert rows == {("a", 2), ("a", 3), ("b", 4)}
+
+
+def test_dsum_exact_under_any_order(spark):
+    # 0.1 summed 100 times: double sum drifts, decimal sum is exactly 10.00
+    df = spark.createDataFrame([(0.1,)] * 100, "x double").repartition(7)
+    got = df.agg(dsum("x", "s")).head().s
+    assert got == 10.0
+
+
+def test_dsum_scale_handles_halfcent_products(spark):
+    # 2dp*2dp product ending in exactly .005 — scale-4 keeps it exact
+    df = spark.createDataFrame([(10.01, 0.5)], "p double, d double")
+    got = df.agg(dsum(F.col("p") * F.col("d"), "s", 4)).head().s
+    assert got == 5.005
+
+
+def test_rollup_includes_grand_total(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.relational import rollup_sales
+
+    rows = rollup_sales(spark, sf_dir).collect()
+    grand = [r for r in rows if r.r_name is None and r.n_name is None]
+    per_region = [r for r in rows if r.r_name is not None and r.n_name is None]
+    assert len(grand) == 1
+    assert grand[0].n_orders == sum(r.n_orders for r in per_region)
+
+
+def test_semi_plus_anti_partition_customers(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.relational import (
+        customers_with_open_orders,
+        customers_without_open_orders,
+    )
+
+    n_semi = (
+        customers_with_open_orders(spark, sf_dir).agg(F.sum("n_customers")).head()[0]
+    )
+    n_anti = (
+        customers_without_open_orders(spark, sf_dir)
+        .agg(F.sum("n_customers"))
+        .head()[0]
+    ) or 0
+    n_total = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert n_semi + n_anti == n_total

@@ -1,0 +1,103 @@
+"""Event-stream operators (batch form) over the ``events`` fixture table.
+
+The reference is batch-only (SURVEY.md §2.7); these give the engine the
+time-series surface a pipeline needs — sessionization, tumbling windows,
+JSON payload extraction. ``streaming/`` hosts the Structured Streaming
+variants of the same semantics.
+
+Scale posture: everything partitions by ``user_id`` or a time bucket —
+high-cardinality keys, no global windows; sessionization is the classic
+lag+cumsum pattern (two window passes sharing one exchange on user_id).
+
+Determinism: outputs use exact integer epoch-seconds (``ts_sec``) instead of
+timestamps — the fixture's NANOS parquet type round-trips differently
+through Spark (full nanos) and DuckDB (micro truncation), but integer
+seconds derived by integer division are identical. Ordering keys keep full
+``ts_ns`` resolution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.io import load_events
+
+SESSION_GAP_SEC = 30 * 60
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_sec``. Both window passes share one exchange on
+    user_id (same partitioning, same ordering).
+
+    Returns one row per session: (user_id, session_seq, session_start_sec,
+    session_end_sec, n_events, duration_sec).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        "ts_sec",
+        F.when(
+            F.col("ts_sec") - F.lag("ts_sec", 1).over(w) > gap_sec, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    with_ids = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_ids.groupBy("user_id", "session_seq").agg(
+        F.min("ts_sec").alias("session_start_sec"),
+        F.max("ts_sec").alias("session_end_sec"),
+        F.count("*").alias("n_events"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_events(spark, sf_dir))
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session summary on top of sessionize — stacked aggregation."""
+    s = q_sessionize(spark, sf_dir)
+    return s.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_sec").alias("max_duration_sec"),
+    )
+
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: integer bucket arithmetic
+    (``ts_sec - ts_sec % 3600``) — portable, and at scale cheaper than
+    timestamp truncation."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(
+        (F.col("ts_sec") - F.col("ts_sec") % 3600).alias("hour_start_sec"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def q_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props payload + aggregates over it."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )

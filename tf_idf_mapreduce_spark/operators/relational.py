@@ -1,0 +1,370 @@
+"""The general relational operator surface (SURVEY.md §2.5-2.7 gaps).
+
+The reference hardcodes every dataflow it needs (reduce-side annotate-joins,
+in-memory cogroups — CountTF.java:94-108, CalcTFIDF.java:111-133) and has no
+join/set-op/window/rollup surface at all. This module provides that surface
+as idiomatic DataFrame queries over the fixture star schema, each one a
+named driver query verified against DuckDB.
+
+Scale posture (100 TB / 1000 executors):
+- Dimension tables (region, nation; customer when it fits) join via
+  ``F.broadcast`` — no shuffle of the fact side. Larger dims fall back to
+  shuffle hash/sort-merge chosen by Catalyst + AQE.
+- Additive money aggregates go through DECIMAL(38,2): exact, shuffle-order
+  independent (double sums are not), identical across engines, and still
+  whole-stage-codegen'd JVM-side.
+- Windows partition on high-cardinality keys (custkey, user_id) — no
+  single-partition global windows anywhere.
+- Global top-k uses orderBy+limit: Spark plans TakeOrderedAndProject —
+  per-partition heaps + driver merge of k rows, no full sort at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.io import load_table
+
+
+def dsum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Exact additive money aggregate: per-row decimal quantization →
+    DECIMAL(38,scale) sum → double.
+
+    Why: double sums are shuffle-order dependent; decimal sums are exact and
+    associative. ``scale`` must equal the exact decimal width of the input:
+    2 for raw money columns, 4 for price*(1-disc) products of two 2dp
+    values, 6 with a third 2dp factor. At that scale the cast is exact in
+    both engines; a finer scale (e.g. 38,10 on an arbitrary double) would
+    round the value's shortest decimal repr in Spark but its exact binary
+    expansion in DuckDB — disagreeing with probability ~half-ulp/granularity
+    per row — and a coarser one hits exact .5 boundaries (2dp*2dp products
+    end in x.xx50 1% of the time), where HALF_UP on the shortest repr and
+    round-nearest on the binary expansion systematically diverge.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double").alias(alias)
+
+
+def top_k_per_group(
+    df: DataFrame, partition_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Grouped top-k via ranking window (O4 extension, SURVEY.md §2.6).
+
+    ``order_cols`` must define a total order within each partition for
+    deterministic results.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation / scan queries
+# --------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+filter+aggregate on the fact table.
+
+    Exercises: predicate pushdown to parquet (shipdate filter), partial+final
+    hash aggregation on a low-cardinality key, exact decimal money sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price", 4),
+            dsum(charge, "sum_charge", 6),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def distinct_agg_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase in Spark) + plain counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "sum_acctbal"),
+        )
+    )
+
+
+def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation (sum(case when ...)) — the
+    shuffle-free way to pivot a known small domain."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        dsum(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(
+                F.lit(0.0)
+            ),
+            "open_value",
+        ),
+    )
+
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (region → nation) with subtotals and grand total."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        dsum("o_totalprice", "total_sales"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims — all 4 grouping sets."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "total_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Join queries
+# --------------------------------------------------------------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact ⋈ fact ⋈ 3 dims (TPC-H Q5 shape).
+
+    lineitem⋈orders is the big shuffle join (AQE may pick broadcast at low
+    SF); customer/nation/region broadcast — zero extra shuffles of the fact
+    stream at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue, "revenue", 4), F.count("*").alias("n_items"))
+    )
+
+
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ mid-size dim on partkey; AQE chooses broadcast vs shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(revenue, "revenue", 4),
+            dsum("l_quantity", "total_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): no payload columns from the right side,
+    right side reduced to the join key before shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — the dual of the semi join."""
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def orders_with_customer_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + null-handling aggregate (coalesce over the gap)."""
+    orders = load_table(spark, sf_dir, "orders")
+    big_cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > 5000
+    )
+    return (
+        orders.join(big_cust, orders.o_custkey == big_cust.c_custkey, "left")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("UNMATCHED")).alias("segment"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window / sort / top-k queries
+# --------------------------------------------------------------------------
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: row_number over (custkey, price desc) — partitions on
+    a high-cardinality key, scales linearly."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+    )
+
+
+def customer_order_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: rank, lag, and a cumulative frame per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_order = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w_order).cast("long").alias("order_seq"),
+        F.lag("o_totalprice", 1).over(w_order).alias("prev_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .over(cum)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+def top10_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject (heap per partition + driver
+    merge of k) — not a full sort (contrast SortByValue.java:111-126)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+def segment_key_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one query, tagged by branch."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.where(F.col("c_acctbal") > 8000).select("c_custkey")
+    open_cust = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = rich.intersect(open_cust).withColumn("branch", F.lit("rich_and_open"))
+    only_rich = rich.exceptAll(open_cust).withColumn("branch", F.lit("rich_only"))
+    return both.unionByName(only_rich)
+
+
+# --------------------------------------------------------------------------
+# Scalar function inventory / subqueries
+# --------------------------------------------------------------------------
+
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar inventory (T2-T7 analogue over relational data):
+    case, substring, length, concat, replace, trim-family, split."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.size(F.split("p_name", " ")).cast("long").alias("name_words"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar inventory: trunc, extract, diff, formatting."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("order_month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_before_2002"),
+    )
+
+
+def nations_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over a scalar subquery (global average) — the uncorrelated
+    scalar broadcast pattern (A4 analogue, CalcTFIDF.java:150)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    # avg as exact-decimal-sum / count: both factors deterministic across
+    # engines, so the quotient (one IEEE division) is too — no rounding.
+    global_avg = cust.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double")
+            / F.count("*")
+        ).alias("global_avg")
+    )
+    per_nation = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double")
+                / F.count("*")
+            ).alias("nation_avg"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(global_avg))
+        .where(F.col("nation_avg") > F.col("global_avg"))
+        .select("n_name", "nation_avg", "n_customers")
+    )

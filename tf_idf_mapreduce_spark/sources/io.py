@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 #: The fixture star schema + text/embedding/event tables (TESTDATA.md).
 TABLES = (
@@ -56,6 +57,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, normalizing its NANOS timestamp.
+
+    The fixture's ``ts`` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw
+    nanosecond longs (``legacy.parquet.nanosAsLong`` — runtime-settable) and
+    derive: ``ts_ns`` (exact ordering key), ``ts_sec`` (exact integer epoch
+    seconds via integer division — double division would lose precision past
+    2^53), and ``ts`` (a second-precision timestamp for humans/windows).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = load_table(spark, sf_dir, "events")
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return (
+            raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+            .withColumn("ts", F.timestamp_seconds(F.col("ts_sec")))
+        )
+    # future-proof: micros-typed fixture
+    return raw.withColumn("ts_sec", F.unix_timestamp("ts")).withColumn(
+        "ts_ns", F.col("ts_sec") * F.lit(1_000_000_000)
+    )
 
 
 def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
