@@ -28,8 +28,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tf_idf_mapreduce_spark.operators import dedup as dd
 from tf_idf_mapreduce_spark.operators import events as ev
+from tf_idf_mapreduce_spark.operators import multimodal as mm
 from tf_idf_mapreduce_spark.operators import relational as rel
+from tf_idf_mapreduce_spark.operators import similarity as sim
+from tf_idf_mapreduce_spark.operators import textstats as ts
+from tf_idf_mapreduce_spark.operators.similarity import EMBED_DIM, N_PLANES, hyperplanes
+from tf_idf_mapreduce_spark.operators.textstats import LANG_LEXICONS, STOPWORDS_EN, BPE_ISH_PATTERN
 from tf_idf_mapreduce_spark.operators.tfidf import (
     doc_freq,
     doc_totals,
@@ -375,6 +381,281 @@ _EVENTS_ORACLE: dict[str, str] = {
     """,
 }
 
+# --------------------------------------------------------------------------
+# LLM-data-pipeline oracles (dedup / similarity / text analysis / multimodal)
+# --------------------------------------------------------------------------
+
+def _hex_to_int_sql(hexpr: str, ndigits: int) -> str:
+    """SQL that parses the first ``ndigits`` hex chars of ``hexpr`` into a
+    BIGINT — DuckDB twin of Spark's ``conv(x, 16, 10)``."""
+    terms = [
+        f"(CAST(strpos('0123456789abcdef', substr({hexpr}, {p + 1}, 1)) - 1 "
+        f"AS BIGINT) << {4 * (ndigits - 1 - p)})"
+        for p in range(ndigits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'), "
+    "w -> w <> '')"
+)
+
+# Shared CTE chain: normalized words → 3-gram shingles → k=12 minhash →
+# r=2 LSH bands → candidate pairs + signature agreement.
+_DEDUP_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+),
+sh_list AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(words)-2, 1)),
+                                i -> array_to_string(words[i:i+2], ' ')) AS sh
+  FROM docs
+),
+shingle_rows AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_list),
+mh AS (
+  SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS mhv
+  FROM shingle_rows, (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 2 AS band, md5(string_agg(mhv, '|' ORDER BY seed)) AS key
+  FROM mh GROUP BY doc_id, seed // 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_shared
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+agree AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_agree
+  FROM mh x JOIN mh y ON x.seed = y.seed AND x.mhv = y.mhv AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+_SIMHASH_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+),
+wh AS (
+  SELECT doc_id, {_hex_to_int_sql("substr(md5(w), 1, 8)", 8)} AS hv
+  FROM (SELECT doc_id, unnest(words) AS w FROM docs)
+),
+bits AS (
+  SELECT doc_id, b,
+    CASE WHEN sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END AS bitval
+  FROM wh, generate_series(0, 31) t(b)
+  GROUP BY doc_id, b
+),
+sv AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+sv_all AS (
+  SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash,
+         CAST(len(d.words) AS BIGINT) AS n_words
+  FROM docs d LEFT JOIN sv s ON d.doc_id = s.doc_id
+)
+"""
+
+
+def _dot_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+def _lsh_sig_sql(emb: str) -> str:
+    terms = []
+    for p, row in enumerate(hyperplanes()):
+        lst = "[" + ",".join(repr(v) for v in row) + "]::DOUBLE[]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN (CAST(1 AS BIGINT) << {p}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lang_id_sql() -> str:
+    hit_cols = ", ".join(
+        f"CAST(len(list_filter(words, w -> w IN "
+        f"({', '.join(repr(w) for w in lex)}))) AS BIGINT) AS hits_{code}"
+        for code, lex in LANG_LEXICONS.items()
+    )
+    g = "greatest(" + ", ".join(f"hits_{c}" for c in LANG_LEXICONS) + ")"
+    whens = " ".join(
+        f"WHEN hits_{c} = {g} THEN '{c}'" for c in sorted(LANG_LEXICONS)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents),
+    h AS (SELECT doc_id, lang AS labeled_lang, {hit_cols} FROM docs)
+    SELECT doc_id, labeled_lang,
+           {', '.join(f'hits_{c}' for c in LANG_LEXICONS)},
+           CASE WHEN {g} > 0 THEN (CASE {whens} END) ELSE 'und' END AS pred_lang
+    FROM h
+    """
+
+
+_STOP_IN = ", ".join(repr(w) for w in STOPWORDS_EN)
+
+_LLMDATA_ORACLE: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, count(*) AS n_docs,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash_pairs": _DEDUP_CTE
+    + """
+        SELECT c.doc_a, c.doc_b, c.n_bands_shared,
+          CAST(coalesce(g.n_agree, 0) AS BIGINT) AS n_minhash_agree,
+          coalesce(g.n_agree, 0) / 12.0 AS est_jaccard
+        FROM cand c LEFT JOIN agree g
+          ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b
+    """,
+    "dedup_jaccard_pairs": _DEDUP_CTE
+    + """
+        , ds AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN ds sa ON sa.doc_id = c.doc_a
+          JOIN ds sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b, i.n_common,
+               i.n_common / (za.sz + zb.sz - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+    """,
+    "dedup_simhash": _SIMHASH_CTE
+    + "SELECT doc_id, simhash, n_words FROM sv_all",
+    "dedup_simhash_pairs": _SIMHASH_CTE
+    + """
+        , sb AS (
+          SELECT doc_id, simhash, i AS band_idx,
+                 (simhash >> (8*i)) & 255 AS band_byte
+          FROM sv_all, generate_series(0, 3) g(i)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sb a JOIN sb b
+          ON a.band_idx = b.band_idx AND a.band_byte = b.band_byte
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "dedup_embedding_pairs": f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.45
+    """,
+    "sim_cosine_topk": f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, round({_cos_sql('embedding', 'qe')}, 6) AS cos_sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "sim_lsh_histogram": f"""
+        WITH sigs AS (
+          SELECT vec_id, {_lsh_sig_sql('embedding')} AS lsh_sig FROM embeddings
+        ),
+        bands AS (
+          SELECT vec_id, b AS band_idx, (lsh_sig >> (4*b)) & 15 AS band_val
+          FROM sigs, generate_series(0, 5) t(b)
+        )
+        SELECT band_idx, band_val, count(*) AS n_vectors
+        FROM bands GROUP BY 1, 2
+    """,
+    "sim_lsh_topk": f"""
+        WITH sigs AS (
+          SELECT vec_id, {_lsh_sig_sql('embedding')} AS lsh_sig FROM embeddings
+        ),
+        bands AS (
+          SELECT vec_id, b AS band_idx, (lsh_sig >> (4*b)) & 15 AS band_val
+          FROM sigs, generate_series(0, 5) t(b)
+        ),
+        qb AS (SELECT band_idx, band_val FROM bands WHERE vec_id = 0),
+        cand AS (
+          SELECT DISTINCT s.vec_id FROM bands s
+          JOIN qb ON s.band_idx = qb.band_idx AND s.band_val = qb.band_val
+          WHERE s.vec_id <> 0
+        ),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
+        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+        ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
+    """,
+    "text_lang_id": _lang_id_sql(),
+    "text_quality": f"""
+        WITH docs AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents)
+        SELECT doc_id,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(length(text) - length(regexp_replace(text, '\\pP', '', 'g'))
+               AS BIGINT) AS n_punct,
+          CAST(len(list_filter(words, w -> w IN ({_STOP_IN}))) AS BIGINT)
+               AS n_stopwords,
+          CASE WHEN len(words) > 0
+               THEN CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT)
+                    / CAST(len(words) AS BIGINT)
+               ELSE 0.0 END AS mean_word_len,
+          CASE WHEN length(text) > 0
+               THEN (length(text) - length(regexp_replace(text, '\\pP', '', 'g')))
+                    / length(text)
+               ELSE 0.0 END AS punct_ratio,
+          CASE WHEN len(words) > 0
+               THEN len(list_filter(words, w -> w IN ({_STOP_IN}))) / len(words)
+               ELSE 0.0 END AS stopword_ratio,
+          (len(words) >= 10 AND
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(text, '\\pP', '', 'g')))
+                     / length(text) < 0.3
+                ELSE FALSE END) AS keep
+        FROM docs
+    """,
+    "text_token_counts": f"""
+        SELECT doc_id,
+          CAST(len({_WORDS_SQL}) AS BIGINT) AS n_ws_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS BIGINT) AS n_bpe_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    "text_fingerprints": f"""
+        WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+        SELECT doc_id,
+          md5(array_to_string(words, ' ')) AS fingerprint,
+          {_hex_to_int_sql("substr(md5(array_to_string(words, ' ')), 1, 15)", 15)}
+            AS fingerprint60
+        FROM docs
+    """,
+    "mm_media_stats": """
+        SELECT doc_id,
+          'text/plain' AS media_format,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          md5(text) AS content_md5,
+          upper(hex(encode(substring(text, 1, 8)))) AS head_hex
+        FROM documents
+    """,
+}
+
+
 _EVENTS_ORACLE["events_session_stats"] = (
     "WITH sessions AS ("
     + _EVENTS_ORACLE["events_sessionize"]
@@ -419,6 +700,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": ev.q_session_stats,
         "events_tumbling_hourly": ev.q_tumbling_hourly,
         "events_json_payload": ev.q_json_payload,
+        # --- LLM-data pipeline: dedup ---
+        "dedup_exact": dd.exact_dedup_groups,
+        "dedup_minhash_pairs": dd.minhash_candidate_pairs,
+        "dedup_jaccard_pairs": dd.jaccard_verified_pairs,
+        "dedup_simhash": dd.simhash_values,
+        "dedup_simhash_pairs": dd.simhash_near_pairs,
+        "dedup_embedding_pairs": dd.embedding_near_pairs,
+        # --- LLM-data pipeline: similarity search ---
+        "sim_cosine_topk": sim.cosine_topk,
+        "sim_lsh_histogram": sim.lsh_bucket_histogram,
+        "sim_lsh_topk": sim.lsh_topk,
+        # --- LLM-data pipeline: text analysis ---
+        "text_lang_id": ts.lang_id,
+        "text_quality": ts.quality_scores,
+        "text_token_counts": ts.token_counts,
+        "text_fingerprints": ts.fingerprints,
+        # --- LLM-data pipeline: multimodal plumbing ---
+        "mm_media_stats": mm.media_stats,
     }
 
 
@@ -437,4 +736,5 @@ def oracle_sql() -> dict[str, str]:
     }
     out.update(_RELATIONAL_ORACLE)
     out.update(_EVENTS_ORACLE)
+    out.update(_LLMDATA_ORACLE)
     return out

@@ -1,0 +1,85 @@
+"""Dedup operators on corpora with planted duplicates — the fixture data
+has no real dups, so these prove detection actually works."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_idf_mapreduce_spark.functions.hashing import (
+    MINHASH_K,
+    band_keys,
+    minhash_signature,
+    norm_words,
+    shingles,
+    simhash32,
+    word_hash32,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "in the warm afternoon sun near the old garden wall"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # 1-word change → high jaccard
+FAR = "completely different content about spark engines and parquet files here"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, FAR)], "doc_id long, text string"
+    )
+
+
+def test_minhash_identical_docs_full_agreement(spark, planted):
+    sigs = planted.select(
+        "doc_id", minhash_signature(shingles(norm_words(F.col("text")))).alias("sig")
+    ).collect()
+    by_id = {r.doc_id: r.sig for r in sigs}
+    assert by_id[1] == by_id[2]  # exact dup → identical signature
+    agree_near = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    agree_far = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert agree_near > agree_far  # near-dup agrees more than unrelated
+    assert agree_near >= MINHASH_K // 2
+
+
+def test_band_join_finds_planted_pair(spark, planted):
+    sigs = planted.select(
+        "doc_id", minhash_signature(shingles(norm_words(F.col("text")))).alias("sig")
+    )
+    bands = sigs.select("doc_id", F.explode(band_keys(F.col("sig"))).alias("bk"))
+    a = bands.select(F.col("doc_id").alias("a"), "bk")
+    b = bands.select(F.col("doc_id").alias("b"), "bk")
+    pairs = {
+        (r.a, r.b)
+        for r in a.join(b, "bk").where(F.col("a") < F.col("b")).distinct().collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup lands in a band
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_hamming_orders_similarity(spark, planted):
+    sv = planted.select(
+        "doc_id",
+        simhash32(F.transform(norm_words(F.col("text")), word_hash32)).alias("sh"),
+    ).collect()
+    by_id = {r.doc_id: r.sh for r in sv}
+    assert by_id[1] == by_id[2]
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(by_id[1], by_id[3]) < ham(by_id[1], by_id[4])
+    assert all(0 <= v < 2**32 for v in by_id.values())
+
+
+def test_simhash_empty_doc_is_zero(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = df.select(
+        simhash32(F.transform(norm_words(F.col("text")), word_hash32)).alias("sh")
+    ).head()
+    assert r.sh == 0
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    got = df.select(shingles(norm_words(F.col("text"))).alias("s")).head().s
+    assert got == ["a b"]

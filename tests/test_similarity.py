@@ -1,0 +1,50 @@
+"""Similarity search: exactness of the brute-force baseline and recall of
+the LSH path against it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tf_idf_mapreduce_spark.functions.vectors import cosine, dot
+from tf_idf_mapreduce_spark.operators.similarity import (
+    cosine_topk,
+    hyperplanes,
+    lsh_topk,
+)
+
+
+def test_dot_and_cosine_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+        "a array<float>, b array<float>",
+    )
+    r = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        cosine(F.col("a"), F.col("a")).alias("self"),
+    ).head()
+    assert r.d == 32.0
+    assert r.self == pytest.approx(1.0, rel=1e-12)
+
+
+def test_hyperplanes_deterministic_and_balanced():
+    p1, p2 = hyperplanes(), hyperplanes()
+    assert p1 == p2
+    flat = [v for row in p1 for v in row]
+    assert set(flat) == {1.0, -1.0}
+    # md5-derived bits shouldn't be wildly skewed
+    assert 0.3 < sum(v == 1.0 for v in flat) / len(flat) < 0.7
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    exact = [r.vec_id for r in cosine_topk(spark, sf_dir, 0, 10).collect()]
+    approx = [r.vec_id for r in lsh_topk(spark, sf_dir, 0, 10).collect()]
+    # multi-probe LSH on 500 vecs should recover a good chunk of the true
+    # top-10; exactness is not expected — that's the tradeoff being tested
+    assert len(approx) > 0
+    assert len(set(exact) & set(approx)) >= 3
+    # approx results are a subset of legal scores: every returned cos_sim
+    # must match the brute-force score for that vec_id
+    bf = {r.vec_id: r.cos_sim for r in cosine_topk(spark, sf_dir, 0, 500).collect()}
+    for r in lsh_topk(spark, sf_dir, 0, 10).collect():
+        assert bf[r.vec_id] == r.cos_sim

@@ -1,0 +1,116 @@
+"""Portable content-hashing primitives for dedup (MinHash, SimHash).
+
+Everything here is built on ``md5`` — the one hash both Spark (JVM) and any
+SQL oracle compute bit-identically on UTF-8 strings — composed with pure
+Column expressions. No Python UDFs: every operator stays inside
+whole-stage codegen and is Arrow/driver-transfer-free.
+
+Scale notes: signatures are fixed-size arrays per document (k strings /
+one int64), so memory is O(docs), not O(tokens); band keys are re-hashed
+to fixed 32-hex strings so shuffle keys stay small regardless of r.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: MinHash configuration: k hash functions in b bands of r rows each.
+MINHASH_K = 12
+MINHASH_R = 2
+MINHASH_B = MINHASH_K // MINHASH_R
+
+_WS = "[ \t\n\r\f]+"
+
+
+def norm_words(text: Column) -> Column:
+    """Dedup-normalization: lowercase, whitespace-split, drop empties.
+
+    (Deliberately simpler than the reference tokenizer — dedup wants raw
+    content identity, not search-normalized terms.)
+    """
+    return F.filter(F.split(F.lower(text), _WS), lambda w: w != "")
+
+
+def shingles(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingles; a doc shorter than n words is one shingle.
+
+    ``slice`` clamps at the array end, and the index sequence stops at
+    size-n+1, so every shingle has exactly n words (or the whole short doc).
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def minhash_signature(shingle_arr: Column, k: int = MINHASH_K) -> Column:
+    """k-permutation MinHash: sig[i] = min over shingles of md5(i ':' s).
+
+    The min is lexicographic over 32-hex strings — a valid uniform order,
+    identical in any engine. Empty shingle set → md5 of the empty marker.
+    """
+    def one_hash(seed: int) -> Column:
+        # NB: the seed must be bound via closure, not a lambda default —
+        # a 2-parameter lambda would make transform() pass the array INDEX
+        # as the second argument, silently corrupting the prefix.
+        prefix = F.lit(f"{seed}:")
+        return F.coalesce(
+            F.array_min(F.transform(shingle_arr, lambda s: F.md5(F.concat(prefix, s)))),
+            F.md5(prefix),
+        )
+
+    return F.array(*[one_hash(i) for i in range(k)])
+
+
+def band_keys(signature: Column, r: int = MINHASH_R, b: int = MINHASH_B) -> Column:
+    """LSH banding: b keys, each md5 over r consecutive signature entries.
+
+    Docs sharing any band key are candidate near-duplicates
+    (P[match] = 1-(1-J^r)^b). Returns array<struct<band:int, key:string>>.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(F.concat_ws("|", F.slice(signature, i * r + 1, r))).alias("key"),
+            )
+            for i in range(b)
+        ]
+    )
+
+
+def hex32_to_long(hex8: Column) -> Column:
+    """First-8-hex-chars → uint32 as int64 (portable: conv is JVM-side;
+    the oracle recomputes with explicit per-digit arithmetic)."""
+    return F.conv(hex8, 16, 10).cast("long")
+
+
+def word_hash32(word: Column) -> Column:
+    """32-bit content hash of a word: first 8 hex chars of md5."""
+    return hex32_to_long(F.substring(F.md5(word), 1, 8))
+
+
+def simhash32(word_hashes: Column) -> Column:
+    """32-bit SimHash over an array of 32-bit word hashes (``word_hash32``).
+
+    For each bit b: sum +/-1 over words by bit b of the word's hash;
+    simhash bit b = 1 iff the sum > 0 (ties → 0, integer-deterministic).
+    The bit loop is unrolled in Python (shift amounts must be literals), so
+    the whole thing is one JVM expression: O(32·words) per doc, no UDF.
+    Pass a materialized hash-array column, not a fresh ``transform``, so the
+    32 folds share one array.
+    """
+    def bit_contrib(b: int) -> Column:
+        # seed bound via closure — see minhash_signature for why not a
+        # lambda default (aggregate's merge lambda must stay 2-parameter)
+        return F.aggregate(
+            word_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    total = F.lit(0).cast("long")
+    for b in range(32):
+        total = total + F.when(
+            bit_contrib(b) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return total

@@ -1,0 +1,225 @@
+"""Deduplication operators over the ``documents`` table — the LLM-data
+pipeline surface (BASELINE.json north star): exact, MinHash+LSH banding,
+n-gram Jaccard verification, SimHash, and embedding-cosine near-dup.
+
+Scale design (the whole point at 100 TB):
+- Exact dedup: hash-groupBy on md5(text) — one shuffle keyed on a 32-byte
+  digest, never on the text itself.
+- MinHash: per-doc signature is k=12 strings computed in one scan (no
+  shuffle); LSH banding turns the O(n²) pair problem into an equi-join on
+  (band, key) — only docs sharing a band key ever meet. Band keys are
+  re-hashed to fixed 32-hex strings so shuffle width is constant.
+- Jaccard verification runs only on LSH candidates, not all pairs.
+- SimHash: one int64 per doc; near-dup candidates via 8-bit band equi-join
+  (a hamming-≤3 pair must agree on ≥1 of 4 bands by pigeonhole).
+- Embedding near-dup at sf scale uses the brute-force cross join (exact);
+  the LSH-bucketed variant in similarity.py is the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MINHASH_K,
+    band_keys,
+    minhash_signature,
+    norm_words,
+    shingles,
+    simhash32,
+    word_hash32,
+)
+from ..functions.vectors import cosine
+from ..sources.io import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: content hash → group size + canonical keeper.
+
+    ``n_docs > 1`` rows are the duplicates; emitting all groups keeps the
+    result a total content inventory. One shuffle on the digest.
+    """
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct — shared base for jaccard/minhash."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", shingles(norm_words(F.col("text"))).alias("sh")
+    )
+    return d.select("doc_id", F.explode("sh").alias("shingle")).distinct()
+
+
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates.
+
+    Pipeline: signature (map-only) → explode b band keys → self-join on
+    (band, key) → distinct pairs + signature-agreement estimate of Jaccard.
+    Returns (doc_a, doc_b, n_bands_shared, est_jaccard).
+    """
+    sigs = _docs(spark, sf_dir).select(
+        "doc_id",
+        minhash_signature(shingles(norm_words(F.col("text")))).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id", "sig", F.explode(band_keys(F.col("sig"))).alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    pairs = a.join(b, ["band", "key"]).where(F.col("doc_a") < F.col("doc_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_bands_shared"),
+            F.first(agree).alias("n_minhash_agree"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands_shared",
+            F.col("n_minhash_agree").cast("long").alias("n_minhash_agree"),
+            (F.col("n_minhash_agree") / MINHASH_K).alias("est_jaccard"),
+        )
+    )
+
+
+def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for the LSH candidates only (the verify stage
+    of the dedup pipeline — never all-pairs).
+
+    Returns (doc_a, doc_b, n_common, jaccard).
+    """
+    cand = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash (+ token count) — map-only, one int per doc."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.transform(norm_words(F.col("text")), word_hash32).alias("wh"),
+    )
+    return d.select(
+        "doc_id",
+        simhash32(F.col("wh")).alias("simhash"),
+        F.size("wh").cast("long").alias("n_words"),
+    )
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via banded equi-join.
+
+    Pigeonhole: a pair with hamming ≤ 3 over 32 bits agrees exactly on at
+    least one of the 4 disjoint 8-bit bands, so the candidate join is an
+    equi-join on (band_idx, band_byte) — never a cross join. Exact hamming
+    (bit_count of xor) filters candidates.
+    """
+    sv = simhash_values(spark, sf_dir).select("doc_id", "simhash")
+    bands = sv.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_byte"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band_idx", "bk.band_byte")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_idx",
+        "band_byte",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_idx",
+        "band_byte",
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
+    return (
+        a.join(b, ["band_idx", "band_byte"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_pairs(
+    spark: SparkSession, sf_dir: str, min_cosine: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    Correctness baseline: an O(n²) cross join — fine at fixture scale and
+    the exactness oracle for the LSH-bucketed scale path
+    (similarity.lsh_bucket_pairs). Cosine rounded @6dp (summation-order
+    differences across engines are ~1e-15).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= min_cosine)
+    )

@@ -1,0 +1,152 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline and
+  still the right plan when the query set is small (broadcast query side,
+  one scan of the corpus, TakeOrderedAndProject for the top-k).
+- ``lsh_*``: random-hyperplane LSH with banded OR-amplification — the
+  100 TB scale path. 24 hyperplanes grouped into 6 bands of 4 bits; two
+  vectors are candidates iff they agree on ALL bits of ANY band
+  (P[candidate] = 1-(1-p^4)^6 where p = 1 - angle/π). AND-within-band
+  prunes, OR-across-bands recovers recall — the same amplification
+  structure as MinHash banding, tuned here for moderately-similar data.
+  Hyperplanes are deterministic ±1 vectors derived from md5 in the driver —
+  plain data, shared verbatim with any oracle.
+
+No UDFs anywhere: dot products are zip_with+aggregate folds (JVM, exact
+left-to-right order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+from ..sources.io import load_table
+
+EMBED_DIM = 64
+BAND_BITS = 4
+N_BANDS = 6
+N_PLANES = BAND_BITS * N_BANDS
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: component (p, d) = parity of a bit of
+    md5(f"{p}:{d}"). Pure data — embeddable as literals in Spark and SQL."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            digest = hashlib.md5(f"{p}:{d}".encode()).digest()
+            row.append(1.0 if digest[0] & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _query_vector(e: DataFrame, query_vec_id: int) -> DataFrame:
+    return e.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+
+
+def cosine_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine against one stored query vector.
+
+    The 1-row query side is broadcast (scalar-broadcast pattern, A4
+    analogue); the corpus is scanned once; orderBy+limit plans as
+    TakeOrderedAndProject. Cosine rounded @6dp, vec_id tiebreak.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _query_vector(e, query_vec_id)
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_sig_column(embedding: Column) -> Column:
+    """24-bit LSH signature: bit p = [dot(emb, plane_p) >= 0]. Map-only;
+    hyperplane literals fold into the plan — single scan, no joins."""
+    sig = F.lit(0).cast("long")
+    for p, row in enumerate(hyperplanes()):
+        plane = F.array(*[F.lit(v) for v in row])
+        sig = sig + F.when(
+            dot(embedding, plane) >= 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.select("vec_id", lsh_sig_column(F.col("embedding")).alias("lsh_sig"))
+
+
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(vec_id, band_idx, band_val) — one row per band for the equi-join."""
+    return sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band_idx"),
+                        F.shiftright(F.col("lsh_sig"), b * BAND_BITS)
+                        .bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band_idx", "bk.band_val")
+
+
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band bucket occupancy — the operational health check for LSH
+    (a skewed band → too-coarse hyperplanes → add bits or re-seed)."""
+    return (
+        _band_rows(lsh_signatures(spark, sf_dir))
+        .groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def lsh_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Approximate top-k: exact cosine, computed only for vectors sharing
+    at least one LSH band with the query.
+
+    At 100 TB the band join replaces the full-corpus scan: candidates are
+    an equi-join on (band_idx, band_val) against the (tiny, broadcast)
+    query band set, then one exact-cosine pass over the pruned set.
+    """
+    sigs = lsh_signatures(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_bands = _band_rows(sigs.where(F.col("vec_id") == query_vec_id)).select(
+        "band_idx", "band_val"
+    )
+    cand = (
+        _band_rows(sigs)
+        .join(F.broadcast(q_bands), ["band_idx", "band_val"])
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .distinct()
+    )
+    q = _query_vector(e, query_vec_id)
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        cand.join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, fingerprinting. All pure Column expressions
+(JVM regex + md5); deterministic integer/ratio outputs.
+
+These are the per-document map-only passes of a training-data pipeline:
+no shuffles at all except the optional corpus-level aggregations — at
+100 TB they run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import norm_words
+from ..sources.io import load_table
+
+#: Tiny per-language function-word lexicons for the n-gram-free heuristic
+#: language ID. Deliberately small and public-knowledge (closed-class
+#: words); real pipelines plug in fastText-style models via the same shape.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es": ("el", "la", "los", "las", "es", "y", "que", "en", "un", "una"),
+    "fr": ("le", "la", "les", "et", "est", "que", "dans", "un", "une", "pour"),
+}
+
+#: BPE-ish pre-tokenization: letter runs, digit runs, single punctuation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = LANG_LEXICONS["en"]
+
+
+def _hits(words: Column, lexicon: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*lexicon))).cast("long")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: function-word hits per language, argmax with
+    lexicographic tiebreak. Emits the per-language evidence columns so the
+    decision is auditable (and oracle-checkable)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", norm_words(F.col("text")).alias("words")
+    )
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            _hits(F.col("words"), lex).alias(f"hits_{code}")
+            for code, lex in LANG_LEXICONS.items()
+        ],
+    )
+    # argmax via greatest + first-match-wins over sorted codes
+    best = F.greatest(*[F.col(f"hits_{c}") for c in LANG_LEXICONS])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"hits_{c}") == best, F.lit(c))
+            for c in sorted(LANG_LEXICONS)
+        ]
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"hits_{c}" for c in LANG_LEXICONS],
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals: token counts, length stats, punctuation and
+    stopword ratios, plus a composite keep/drop flag (the C4-style filter
+    shape). Ratios are exact int/int divisions — engine-portable."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", norm_words(F.col("text")).alias("words")
+    )
+    n_chars = F.length("text").cast("long")
+    n_words = F.size("words").cast("long")
+    n_punct = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"\p{P}", ""))
+    ).cast("long")
+    n_stop = _hits(F.col("words"), STOPWORDS_EN)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            F.col("words"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        mean_word_len.alias("mean_word_len"),
+        F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)).alias(
+            "punct_ratio"
+        ),
+        F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)).alias(
+            "stopword_ratio"
+        ),
+        (
+            (n_words >= 10)
+            & F.when(n_chars > 0, n_punct / n_chars < 0.3).otherwise(F.lit(False))
+        ).alias("keep"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting: whitespace words vs BPE-ish pre-tokens (letter
+    runs / digit runs / punctuation singles) — the cost model for
+    training-data budgeting."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(norm_words(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of the whitespace-normalized text (exact
+    content identity modulo spacing) + first-64-bit prefix as int for
+    compact storage/joins."""
+    d = load_table(spark, sf_dir, "documents")
+    normalized = F.concat_ws(" ", norm_words(F.col("text")))
+    fp = F.md5(normalized)
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint60"),
+    )
