@@ -46,6 +46,7 @@ from tf_idf_mapreduce_spark.operators.tfidf import (
 from tf_idf_mapreduce_spark.functions.tokenize import tokenize
 from tf_idf_mapreduce_spark.plans.pipeline import flagship_tfidf
 from tf_idf_mapreduce_spark.sources.io import documents_as_corpus, load_table
+from tf_idf_mapreduce_spark.streaming import queries as st
 
 
 # --------------------------------------------------------------------------
@@ -656,6 +657,74 @@ _LLMDATA_ORACLE: dict[str, str] = {
 }
 
 
+# --------------------------------------------------------------------------
+# Structured Streaming oracles — a finite stream run to completion must give
+# exactly the batch answer, so each streaming query gets a plain SQL oracle.
+# --------------------------------------------------------------------------
+
+def _session_cte(new_session_cond: str) -> str:
+    """Gap-sessionization CTE parameterized by the new-session condition.
+
+    The batch lag-based operator starts a new session when the gap is
+    STRICTLY greater than 1800 s; Spark's native ``session_window`` merges
+    events whose ranges [ts, ts+gap) overlap, so a gap of exactly 1800 s
+    starts a new session there (condition ``>= 1800``).
+    """
+    return f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+            epoch_ns(ts) // 1000000000 AS ts_sec,
+            CASE WHEN epoch_ns(ts) // 1000000000
+                      - lag(epoch_ns(ts) // 1000000000, 1)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      {new_session_cond}
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        with_ids AS (
+          SELECT user_id, ts_sec,
+            CAST(sum(new_session)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_seq
+          FROM flagged
+        ),
+        sessions AS (
+          SELECT user_id, session_seq,
+            min(ts_sec) AS session_start_sec,
+            max(ts_sec) AS session_end_sec,
+            count(*) AS n_events
+          FROM with_ids GROUP BY user_id, session_seq
+        )
+    """
+
+
+_STREAMING_ORACLE: dict[str, str] = {
+    "stream_wordcount": f"""
+        SELECT w AS word, count(*) AS n
+        FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+        GROUP BY 1
+    """,
+    # identical semantics to the batch tumbling query (filled below)
+    "stream_tumbling_hourly": None,  # type: ignore[dict-item]
+    "stream_session_window": _session_cte(">= 1800")
+    + """
+        SELECT user_id, session_start_sec, session_end_sec, n_events,
+               session_end_sec - session_start_sec AS duration_sec
+        FROM sessions
+    """,
+    # closed sessions only: each user's final session is still open when the
+    # finite stream ends, so it stays in state and is not emitted
+    "stream_stateful_sessions": _session_cte("> 1800")
+    + """
+        SELECT user_id, session_start_sec, session_end_sec, n_events
+        FROM sessions
+        QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+    """,
+}
+_STREAMING_ORACLE["stream_tumbling_hourly"] = _EVENTS_ORACLE["events_tumbling_hourly"]
+
+
 _EVENTS_ORACLE["events_session_stats"] = (
     "WITH sessions AS ("
     + _EVENTS_ORACLE["events_sessionize"]
@@ -718,6 +787,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": ts.fingerprints,
         # --- LLM-data pipeline: multimodal plumbing ---
         "mm_media_stats": mm.media_stats,
+        # --- Structured Streaming (each runs availableNow to completion;
+        #     streaming answer must equal the batch/oracle answer) ---
+        "stream_wordcount": st.q_stream_wordcount,
+        "stream_tumbling_hourly": st.q_stream_tumbling_hourly,
+        "stream_session_window": st.q_stream_session_window,
+        "stream_stateful_sessions": st.q_stream_stateful_sessions,
     }
 
 
@@ -737,4 +812,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(_RELATIONAL_ORACLE)
     out.update(_EVENTS_ORACLE)
     out.update(_LLMDATA_ORACLE)
+    out.update(_STREAMING_ORACLE)
     return out

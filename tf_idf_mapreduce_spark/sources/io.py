@@ -59,18 +59,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, normalizing its NANOS timestamp.
+def normalize_events(raw: DataFrame) -> DataFrame:
+    """Normalize the events table's NANOS timestamp (batch or streaming DF).
 
-    The fixture's ``ts`` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw
-    nanosecond longs (``legacy.parquet.nanosAsLong`` — runtime-settable) and
-    derive: ``ts_ns`` (exact ordering key), ``ts_sec`` (exact integer epoch
+    Derives: ``ts_ns`` (exact ordering key), ``ts_sec`` (exact integer epoch
     seconds via integer division — double division would lose precision past
     2^53), and ``ts`` (a second-precision timestamp for humans/windows).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = load_table(spark, sf_dir, "events")
     if isinstance(raw.schema["ts"].dataType, LongType):
         return (
             raw.withColumnRenamed("ts", "ts_ns")
@@ -81,6 +76,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts_sec", F.unix_timestamp("ts")).withColumn(
         "ts_ns", F.col("ts_sec") * F.lit(1_000_000_000)
     )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, normalizing its NANOS timestamp.
+
+    The fixture's ``ts`` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw
+    nanosecond longs (``legacy.parquet.nanosAsLong`` — runtime-settable), then
+    ``normalize_events`` derives ts_ns / ts_sec / ts.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_events(load_table(spark, sf_dir, "events"))
 
 
 def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:

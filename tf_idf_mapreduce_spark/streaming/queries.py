@@ -1,0 +1,176 @@
+"""Streaming query graphs + driver-contract entries.
+
+Each ``q_*`` function executes its streaming graph to completion
+(``availableNow`` trigger) and returns the result as a batch DataFrame, so
+the driver's correctness harness can diff it against a SQL oracle — the
+streaming engine's answer must equal the batch answer on a finite input.
+
+Semantics notes (scale-relevant):
+- Word count in complete mode: state = one row per distinct word.
+  At 100 TB feed rates you'd switch to update mode + an idempotent upsert
+  sink so state stays bounded per trigger, same graph otherwise.
+- ``session_window`` merges events whose gap is strictly less than the
+  configured 30 min (event ranges ``[ts, ts+gap)`` must overlap), i.e. a
+  gap of exactly 1800 s starts a NEW session — one second tighter than the
+  batch lag-based sessionizer (operators.events), whose convention is
+  ``diff > gap``. Both oracles encode their own convention.
+- The ``applyInPandasWithState`` sessionizer emits CLOSED sessions only and
+  carries the open session per user in state across micro-batches — the
+  correct unbounded-stream design (an open session is unemittable until its
+  gap passes). On a finite run, each user's final session stays open, so
+  the oracle is "batch sessions minus each user's last".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..functions.hashing import norm_words
+from ..operators.events import SESSION_GAP_SEC
+from .runner import run_to_memory
+from .sources import stream_documents, stream_events
+
+
+def q_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental word count over the documents stream (complete mode)."""
+    docs = stream_documents(spark, sf_dir)
+    words = docs.select(F.explode(norm_words(F.col("text"))).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    return run_to_memory(counts, "stream_wordcount", output_mode="complete")
+
+
+def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event type — the streaming
+    twin of operators.events.q_tumbling_hourly (same output schema)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start_sec"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "stream_tumbling", output_mode="complete")
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` gap-based sessions per user (30 min gap)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts_sec").alias("session_start_sec"),
+            F.max("ts_sec").alias("session_end_sec"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "session_start_sec",
+            "session_end_sec",
+            "n_events",
+            (F.col("session_end_sec") - F.col("session_start_sec")).alias(
+                "duration_sec"
+            ),
+        )
+    )
+    return run_to_memory(agg, "stream_session_window", output_mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState sessionizer
+# ---------------------------------------------------------------------------
+
+SESSIONS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_sec", LongType()),
+        StructField("session_end_sec", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+#: Open-session carry: (start_sec, end_sec, n_events).
+SESSIONS_STATE_SCHEMA = StructType(
+    [
+        StructField("start_sec", LongType()),
+        StructField("end_sec", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user stateful sessionizer.
+
+    Arrow-batched input; state holds the one open session. Closed sessions
+    (gap > SESSION_GAP_SEC, matching the batch lag-based convention) are
+    emitted; the still-open tail session is written back to state.
+    """
+    ts_parts = [pdf["ts_sec"] for pdf in pdfs]
+    ts = pd.concat(ts_parts).sort_values().astype("int64").to_numpy()
+
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start = end = n = None
+
+    closed: list[tuple[int, int, int]] = []
+    for t in ts:
+        t = int(t)
+        if start is None:
+            start, end, n = t, t, 1
+        elif t - end > SESSION_GAP_SEC:
+            closed.append((start, end, n))
+            start, end, n = t, t, 1
+        else:
+            end, n = t, n + 1
+    if start is not None:
+        state.update((start, end, n))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(closed),
+                "session_start_sec": [c[0] for c in closed],
+                "session_end_sec": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def stateful_sessions(events: DataFrame) -> DataFrame:
+    """Streaming DF of closed sessions via applyInPandasWithState."""
+    return events.select("user_id", "ts_sec").groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSIONS_OUT_SCHEMA,
+        stateStructType=SESSIONS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(
+        stateful_sessions(ev), "stream_stateful_sessions", output_mode="append"
+    )

@@ -1,0 +1,45 @@
+"""Run a finite streaming query to completion and hand back a batch result.
+
+``trigger(availableNow=True)`` processes everything currently in the source
+as micro-batches and then stops — the standard pattern for batch-over-
+streaming-graph execution (and for draining a backlog at scale). The memory
+sink keeps results queryable as a temp view.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame
+
+_SEQ = itertools.count()
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute a streaming DataFrame to a memory sink; return the result as
+    a batch DataFrame. ``name`` is suffixed with a sequence number so
+    repeated runs in one session never collide."""
+    table = f"{name}_{next(_SEQ)}"
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"spark_ckpt_{table}_"),
+        )
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):
+            raise TimeoutError(f"streaming query {table} still running after {timeout_sec}s")
+    finally:
+        query.stop()
+    return sdf.sparkSession.table(table)
