@@ -43,6 +43,7 @@ from tf_idf_mapreduce_spark.operators.tfidf import (
     tfidf_sorted,
     word_count,
 )
+from tf_idf_mapreduce_spark.functions.hashing import MINHASH_P, MINHASH_PERMS
 from tf_idf_mapreduce_spark.functions.tokenize import tokenize
 from tf_idf_mapreduce_spark.plans.pipeline import flagship_tfidf
 from tf_idf_mapreduce_spark.sources.io import documents_as_corpus, load_table
@@ -402,6 +403,11 @@ _WORDS_SQL = (
     "w -> w <> '')"
 )
 
+#: MinHash affine-permutation coefficients as SQL VALUES rows.
+_MINHASH_PERM_ROWS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS)
+)
+
 # Shared CTE chain: normalized words → 3-gram shingles → k=12 minhash →
 # r=2 LSH bands → candidate pairs + signature agreement.
 _DEDUP_CTE = f"""
@@ -414,13 +420,18 @@ sh_list AS (
   FROM docs
 ),
 shingle_rows AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_list),
+hashed AS (
+  SELECT doc_id, {_hex_to_int_sql("substr(md5(shingle), 1, 8)", 8)} AS h
+  FROM shingle_rows
+),
 mh AS (
-  SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS mhv
-  FROM shingle_rows, (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+  SELECT doc_id, seed, min((h * a + b) % {MINHASH_P}) AS mhv
+  FROM hashed CROSS JOIN (VALUES {_MINHASH_PERM_ROWS}) seeds(seed, a, b)
   GROUP BY doc_id, seed
 ),
 bands AS (
-  SELECT doc_id, seed // 2 AS band, md5(string_agg(mhv, '|' ORDER BY seed)) AS key
+  SELECT doc_id, seed // 2 AS band,
+         md5(string_agg(CAST(mhv AS VARCHAR), '|' ORDER BY seed)) AS key
   FROM mh GROUP BY doc_id, seed // 2
 ),
 cand AS (

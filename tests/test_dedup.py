@@ -11,10 +11,22 @@ from tf_idf_mapreduce_spark.functions.hashing import (
     band_keys,
     minhash_signature,
     norm_words,
+    shingle_hashes,
     shingles,
     simhash32,
     word_hash32,
 )
+
+
+def _sig(text_df):
+    """Column-level MinHash signature: md5-hash each shingle once, then the
+    k affine permutations."""
+    return text_df.select(
+        "doc_id",
+        minhash_signature(shingle_hashes(shingles(norm_words(F.col("text"))))).alias(
+            "sig"
+        ),
+    )
 
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat sleeps "
@@ -32,9 +44,7 @@ def planted(spark):
 
 
 def test_minhash_identical_docs_full_agreement(spark, planted):
-    sigs = planted.select(
-        "doc_id", minhash_signature(shingles(norm_words(F.col("text")))).alias("sig")
-    ).collect()
+    sigs = _sig(planted).collect()
     by_id = {r.doc_id: r.sig for r in sigs}
     assert by_id[1] == by_id[2]  # exact dup → identical signature
     agree_near = sum(a == b for a, b in zip(by_id[1], by_id[3]))
@@ -44,9 +54,7 @@ def test_minhash_identical_docs_full_agreement(spark, planted):
 
 
 def test_band_join_finds_planted_pair(spark, planted):
-    sigs = planted.select(
-        "doc_id", minhash_signature(shingles(norm_words(F.col("text")))).alias("sig")
-    )
+    sigs = _sig(planted)
     bands = sigs.select("doc_id", F.explode(band_keys(F.col("sig"))).alias("bk"))
     a = bands.select(F.col("doc_id").alias("a"), "bk")
     b = bands.select(F.col("doc_id").alias("b"), "bk")
@@ -77,6 +85,27 @@ def test_simhash_empty_doc_is_zero(spark):
         simhash32(F.transform(norm_words(F.col("text")), word_hash32)).alias("sh")
     ).head()
     assert r.sh == 0
+
+
+def test_groupby_formulation_matches_column_formulation(spark, planted):
+    """The codegen explode+groupBy signature used by the operator must be
+    value-identical to the column-level array formulation."""
+    from tf_idf_mapreduce_spark.functions.hashing import MINHASH_P, MINHASH_PERMS
+
+    sh = planted.select(
+        "doc_id", F.explode(shingles(norm_words(F.col("text")))).alias("s")
+    ).select("doc_id", word_hash32(F.col("s")).alias("h"))
+    grouped = sh.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P)
+                for a, b in MINHASH_PERMS
+            ]
+        ).alias("sig")
+    )
+    want = {r.doc_id: r.sig for r in _sig(planted).collect()}
+    got = {r.doc_id: r.sig for r in grouped.collect()}
+    assert got == want
 
 
 def test_shingles_short_doc(spark):

@@ -20,6 +20,17 @@ MINHASH_K = 12
 MINHASH_R = 2
 MINHASH_B = MINHASH_K // MINHASH_R
 
+#: Universal-hash modulus: smallest prime > 2^32.
+MINHASH_P = 4_294_967_311
+
+#: k deterministic affine permutations (a, b): h_i(x) = (a_i*x + b_i) mod P.
+#: Multipliers are odd and < 2^30, so a*x < 2^62 — no int64 overflow in any
+#: engine (DuckDB BIGINT overflow is a hard error, not a wrap).
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (((0x9E3779B1 * (i + 1)) & 0x3FFFFFFF) | 1, (0x85EBCA77 * (i + 1)) % MINHASH_P)
+    for i in range(MINHASH_K)
+]
+
 _WS = "[ \t\n\r\f]+"
 
 
@@ -42,27 +53,41 @@ def shingles(words: Column, n: int = 3) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
 
 
-def minhash_signature(shingle_arr: Column, k: int = MINHASH_K) -> Column:
-    """k-permutation MinHash: sig[i] = min over shingles of md5(i ':' s).
+def shingle_hashes(shingle_arr: Column) -> Column:
+    """array<long>: one 32-bit content hash per shingle (first 8 hex chars
+    of md5). Materialize this ONCE per doc — it is the only expensive hash;
+    the k MinHash permutations below are integer multiply-adds over it."""
+    return F.transform(
+        shingle_arr, lambda s: hex32_to_long(F.substring(F.md5(s), 1, 8))
+    )
 
-    The min is lexicographic over 32-hex strings — a valid uniform order,
-    identical in any engine. Empty shingle set → md5 of the empty marker.
+
+def minhash_signature(hash_arr: Column, k: int = MINHASH_K) -> Column:
+    """k-permutation MinHash over pre-hashed shingles (``shingle_hashes``):
+    sig[i] = min over shingles of (a_i*h + b_i) mod P — the classic
+    universal-hash family. One md5 per shingle total (not per seed), so the
+    signature costs O(S) hashes + O(k·S) integer ops per doc.
+
+    Empty hash array → sentinel P (can't occur via ``shingles``, which
+    always yields ≥1 shingle — defensive only).
     """
-    def one_hash(seed: int) -> Column:
-        # NB: the seed must be bound via closure, not a lambda default —
-        # a 2-parameter lambda would make transform() pass the array INDEX
-        # as the second argument, silently corrupting the prefix.
-        prefix = F.lit(f"{seed}:")
+    def one_perm(i: int) -> Column:
+        a, b = MINHASH_PERMS[i]
+        # coeffs bound via closure — a 2-param lambda would receive the
+        # array INDEX as its second argument and corrupt the hash
         return F.coalesce(
-            F.array_min(F.transform(shingle_arr, lambda s: F.md5(F.concat(prefix, s)))),
-            F.md5(prefix),
+            F.array_min(
+                F.transform(hash_arr, lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P)
+            ),
+            F.lit(MINHASH_P).cast("long"),
         )
 
-    return F.array(*[one_hash(i) for i in range(k)])
+    return F.array(*[one_perm(i) for i in range(k)])
 
 
 def band_keys(signature: Column, r: int = MINHASH_R, b: int = MINHASH_B) -> Column:
-    """LSH banding: b keys, each md5 over r consecutive signature entries.
+    """LSH banding: b keys, each md5 over r consecutive signature entries
+    (rendered as '|'-joined decimal strings — engine-portable).
 
     Docs sharing any band key are candidate near-duplicates
     (P[match] = 1-(1-J^r)^b). Returns array<struct<band:int, key:string>>.
@@ -71,7 +96,15 @@ def band_keys(signature: Column, r: int = MINHASH_R, b: int = MINHASH_B) -> Colu
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.md5(F.concat_ws("|", F.slice(signature, i * r + 1, r))).alias("key"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice(signature, i * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("key"),
             )
             for i in range(b)
         ]

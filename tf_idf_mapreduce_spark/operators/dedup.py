@@ -23,14 +23,14 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     MINHASH_K,
+    MINHASH_P,
+    MINHASH_PERMS,
     band_keys,
-    minhash_signature,
     norm_words,
     shingles,
-    simhash32,
     word_hash32,
 )
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine_pd
 from ..sources.io import load_table
 
 
@@ -69,9 +69,21 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, key) → distinct pairs + signature-agreement estimate of Jaccard.
     Returns (doc_a, doc_b, n_bands_shared, est_jaccard).
     """
-    sigs = _docs(spark, sf_dir).select(
-        "doc_id",
-        minhash_signature(shingles(norm_words(F.col("text")))).alias("sig"),
+    # explode → 12 plain min() aggregates: stays inside whole-stage codegen
+    # (an array-transform formulation would run ~12x slower through
+    # interpreted lambda evaluation) and partial-aggregates map-side, so the
+    # shuffle carries one 12-int row per doc regardless of doc length.
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(shingles(norm_words(F.col("text")))).alias("shingle")
+    )
+    hashed = sh.select("doc_id", word_hash32(F.col("shingle")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P)
+                for a, b in MINHASH_PERMS
+            ]
+        ).alias("sig")
     )
     bands = sigs.select(
         "doc_id", "sig", F.explode(band_keys(F.col("sig"))).alias("bk")
@@ -141,15 +153,35 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 32-bit SimHash (+ token count) — map-only, one int per doc."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.transform(norm_words(F.col("text")), word_hash32).alias("wh"),
+    """Per-doc 32-bit SimHash (+ token count), one int per doc.
+
+    explode_outer → 32 conditional sums → bit reassembly: all whole-stage
+    codegen (the array-fold formulation pays 32 interpreted lambda passes
+    per doc). explode_outer keeps zero-word docs (simhash 0, n_words 0),
+    matching the oracle's LEFT JOIN. Map-side partial aggregation means the
+    shuffle is one 33-int row per doc.
+    """
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.explode_outer(norm_words(F.col("text"))).alias("w")
     )
-    return d.select(
-        "doc_id",
-        simhash32(F.col("wh")).alias("simhash"),
-        F.size("wh").cast("long").alias("n_words"),
+    h = words.select("doc_id", word_hash32(F.col("w")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").isNull(), F.lit(0)).otherwise(
+                F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums, F.count("h").alias("n_words"))
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return agg.select(
+        "doc_id", simhash.alias("simhash"), F.col("n_words").cast("long").alias("n_words")
     )
 
 
@@ -210,13 +242,15 @@ def embedding_near_pairs(
 
     Correctness baseline: an O(n²) cross join — fine at fixture scale and
     the exactness oracle for the LSH-bucketed scale path
-    (similarity.lsh_bucket_pairs). Cosine rounded @6dp (summation-order
-    differences across engines are ~1e-15).
+    (similarity.lsh_bucket_pairs). The per-pair cosine is an Arrow-batched
+    pandas UDF (numpy) — interpreted higher-order-function folds cost ~20x
+    more on an O(n²) surface. Rounded @6dp (summation-order differences
+    across engines are ~1e-15).
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
+    cos = F.round(cosine_pd(F.col("emb_a"), F.col("emb_b")), 6)
     return (
         a.crossJoin(b)
         .where(F.col("vec_a") < F.col("vec_b"))
