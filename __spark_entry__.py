@@ -665,6 +665,44 @@ _LLMDATA_ORACLE: dict[str, str] = {
           upper(hex(encode(substring(text, 1, 8)))) AS head_hex
         FROM documents
     """,
+    "mm_frame_sample": """
+        WITH m AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, h,
+                 unnest(generate_series(0,
+                        CAST(ceil(n_bytes / 256.0) AS BIGINT) - 1)) AS frame_idx
+          FROM m
+        )
+        SELECT doc_id, frame_idx,
+          CAST(length(substr(h, CAST(frame_idx * 512 + 1 AS INT), 512)) // 2
+               AS BIGINT) AS frame_bytes,
+          md5(substr(h, CAST(frame_idx * 512 + 1 AS INT), 512)) AS frame_md5
+        FROM f WHERE frame_idx % 2 = 0
+    """,
+    "mm_features": """
+        WITH m AS (
+          SELECT doc_id, hex(encode(text)) AS h,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents
+        ),
+        bytes AS (
+          SELECT doc_id, n_bytes,
+            (strpos('0123456789ABCDEF', substr(h, CAST(2*i - 1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1) AS b
+          FROM m, LATERAL unnest(generate_series(1, n_bytes)) t(i)
+        )
+        SELECT doc_id,
+          CAST(any_value(n_bytes) AS BIGINT) AS n_bytes,
+          bucket,
+          round(count(*) FILTER (b % 16 = bucket)
+                / greatest(any_value(n_bytes), 1), 6) AS share
+        FROM bytes, (SELECT unnest(generate_series(0, 15)) AS bucket) bk
+        GROUP BY doc_id, bucket
+    """,
 }
 
 
@@ -798,6 +836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": ts.fingerprints,
         # --- LLM-data pipeline: multimodal plumbing ---
         "mm_media_stats": mm.media_stats,
+        "mm_frame_sample": mm.frame_sample,
+        "mm_features": mm.media_features,
+        # rows-only (stride-sampling thumbnail via mapInPandas; the stub
+        # bitmap interpretation has no SQL twin)
+        "mm_resize": mm.media_resize,
         # --- Structured Streaming (each runs availableNow to completion;
         #     streaming answer must equal the batch/oracle answer) ---
         "stream_wordcount": st.q_stream_wordcount,

@@ -13,6 +13,7 @@ and the JVM-only stats queries don't deserialize into Python at all.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -70,7 +71,9 @@ def decode_media(payload: bytes, media_format: str, *, fake: bool = True) -> lis
     for byte in payload:
         buckets[byte % N_FEATURES] += 1
     total = max(len(payload), 1)
-    return [round(b / total, 6) for b in buckets]
+    # round half-AWAY-from-zero (SQL convention), not Python's banker's
+    # rounding: power-of-two payload sizes produce exact .5 ties at 6dp
+    return [math.floor(b / total * 1e6 + 0.5) / 1e6 for b in buckets]
 
 
 def extract_media_features(media_df: DataFrame) -> DataFrame:
@@ -96,6 +99,138 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(run, MEDIA_FEATURES_SCHEMA)
+
+
+FRAME_SIZE = 256
+FRAME_EVERY_K = 2
+
+
+def frame_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    frame_size: int = FRAME_SIZE,
+    every_k: int = FRAME_EVERY_K,
+) -> DataFrame:
+    """Video-style frame sampling, entirely JVM-side: treat the binary as a
+    stream of fixed-size frames, keep every k-th, digest each.
+
+    No Python touches the bytes — ``substring`` on binary is byte-addressed
+    and ``md5`` digests frames inside codegen, so at 100 TB this is a scan +
+    a narrow explode, no Arrow transfer. A real video decoder replaces the
+    fixed-size split with codec framing via ``extract_media_features``'s
+    mapInPandas path; the downstream plumbing (explode, per-frame rows,
+    digest columns) is identical.
+    """
+    # n_bytes > 0 guard: Spark's sequence(0, -1) counts DOWN ([0, -1]),
+    # it is not empty like generate_series — an empty payload would
+    # otherwise emit phantom frames
+    m = media_from_documents(load_table(spark, sf_dir, "documents")).where(
+        F.col("n_bytes") > 0
+    )
+    n_frames = F.ceil(F.col("n_bytes") / F.lit(frame_size)).cast("int")
+    frames = m.select(
+        "doc_id",
+        "n_bytes",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.col("media"),
+    ).where(F.col("frame_idx") % every_k == 0)
+    frame = F.expr(f"substring(media, frame_idx * {frame_size} + 1, {frame_size})")
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length(frame).cast("long").alias("frame_bytes"),
+        # digest of the frame's (uppercase) hex rendering, not the raw
+        # bytes: SQL engines commonly can't md5/slice BLOBs, and the hex
+        # domain is a bijection, so the digest identifies frames equally
+        F.md5(F.hex(frame)).alias("frame_md5"),
+    )
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing shape of ``extract_media_features``: the Arrow-batched
+    mapInPandas extractor, exploded to one row per (doc, feature bucket).
+
+    The stub 'decode' is a byte histogram — real arithmetic over the real
+    bytes — so the whole Pandas-UDF path is verifiable against a SQL oracle
+    computing the same histogram, proving the plumbing end-to-end.
+    """
+    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_media_features(m)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("features").alias("bucket", "share"),
+    ).select(
+        "doc_id",
+        "n_bytes",
+        F.col("bucket").cast("long").alias("bucket"),
+        # features are float32; the stub rounds to 6dp, which is <7 sig
+        # digits for shares in [0,1] — re-rounding after the double cast
+        # recovers the exact decimal the oracle computes
+        F.round(F.col("share").cast("double"), 6).alias("share"),
+    )
+
+
+THUMB_SIDE = 8
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_side", LongType()),
+        StructField("thumb_side", LongType()),
+        StructField("thumb_md5", StringType()),
+    ]
+)
+
+
+def resize_thumbnails(
+    media_df: DataFrame, side: int = THUMB_SIDE, *, fake: bool = True
+) -> DataFrame:
+    """Image-resize plumbing (STUB decode): interpret the payload as a
+    square grayscale bitmap of side floor(sqrt(n_bytes)) and stride-sample
+    it down to ``side``x``side``. The sampling arithmetic and digests are
+    real; only the bitmap interpretation is fake — a real codec decode
+    slots into ``_thumb`` unchanged. ``fake=False`` raises, marking the
+    codec seam.
+    """
+
+    def _thumb(payload: bytes) -> tuple[int, bytes]:
+        if not fake:
+            raise NotImplementedError("no image codec in this container")
+        src = int(len(payload) ** 0.5)
+        if src == 0:
+            return 0, b""
+        out = bytearray()
+        for r in range(side):
+            for c in range(side):
+                sr, sc = r * src // side, c * src // side
+                out.append(payload[sr * src + sc])
+        return src, bytes(out)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            sides, digests = [], []
+            for payload in pdf["media"]:
+                src, thumb = _thumb(bytes(payload))
+                sides.append(src)
+                digests.append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_side": pd.Series(sides, dtype="int64"),
+                    "thumb_side": side,
+                    "thumb_md5": digests,
+                }
+            )
+
+    return media_df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return resize_thumbnails(m)
 
 
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
