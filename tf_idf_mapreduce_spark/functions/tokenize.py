@@ -88,8 +88,18 @@ def tokenize(df: DataFrame, text_col: str = "text", doc_col: str = "doc") -> Dat
     The reference emits ``word|filename → 1`` (WordCount.java:97-98); real
     columns replace the packed key (SURVEY.md §1 hazard: tokens containing
     ``|`` corrupt packed keys — they can't corrupt a real column).
+
+    Row-level formulation — explode the outer split, run the normalization
+    chain on a string column, explode the inner split — identical semantics
+    to ``tokenize_text``, but every step compiles into whole-stage codegen;
+    the array formulation pays interpreted lambda evaluation per token
+    (~3x slower at sf0.1). Hot path for the TF-IDF pipeline.
     """
-    return df.select(
+    outer = df.select(
         F.col(doc_col).alias("doc"),
-        F.explode(tokenize_text(F.col(text_col))).alias("word"),
-    )
+        F.explode(F.split(F.col(text_col), _WS)).alias("tok"),
+    ).where(F.col("tok") != "")
+    std = outer.select("doc", standardize_token(F.col("tok")).alias("norm"))
+    return std.select(
+        "doc", F.explode(F.split(F.col("norm"), _WS)).alias("word")
+    ).where(F.col("word") != "")
