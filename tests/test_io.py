@@ -1,0 +1,54 @@
+"""Sources/sinks round trip (SURVEY.md §2.1): text-dir corpus in,
+reference-format ``key TAB value`` out, and back."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tf_idf_mapreduce_spark.operators.tfidf import tfidf_pipeline, tfidf_sorted
+from tf_idf_mapreduce_spark.sources.io import (
+    read_kv_text,
+    read_text_corpus,
+    write_kv_text,
+)
+
+DOCS = {
+    "a.txt": "spark spark engine\ncatalyst plans",
+    "b.txt": "engine of record",
+    "c.txt": "tungsten codegen",
+}
+
+
+def test_text_dir_corpus_to_kv_sink_roundtrip(spark, tmp_path):
+    corpus_dir = tmp_path / "input"
+    corpus_dir.mkdir()
+    for name, body in DOCS.items():
+        (corpus_dir / name).write_text(body)
+
+    # S1+S2: line scan + doc-id-from-filename (WordCount.java:89-90)
+    corpus = read_text_corpus(spark, str(corpus_dir))
+    rows = corpus.collect()
+    assert {r.doc for r in rows} == set(DOCS)
+    assert len(rows) == 4  # a.txt contributes two lines
+
+    # doc identity is the FILE, so total_docs must be 3 even though a.txt
+    # has 2 line-rows: aggregate lines per doc before the pipeline
+    docs = corpus.groupBy("doc").agg(F.concat_ws("\n", F.collect_list("text")).alias("text"))
+    scored = tfidf_sorted(tfidf_pipeline(docs))
+    got = {(r.word, r.doc): r for r in scored.collect()}
+    assert got[("spark", "a.txt")].df == 1
+    assert got[("engine", "a.txt")].df == 2
+    assert got[("spark", "a.txt")]["count"] == 2
+
+    # S5: reference-format sink (word|doc TAB tfidf), S4: re-scan
+    out = tmp_path / "out"
+    write_kv_text(scored, str(out), ["word", "doc"], "tfidf")
+    back = read_kv_text(spark, str(out))
+    parsed = back.select(
+        F.split("key", r"\|")[0].alias("word"),
+        F.split("key", r"\|")[1].alias("doc"),
+        F.col("val").cast("double").alias("tfidf"),
+    )
+    want = {(r.word, r.doc): r.tfidf for r in scored.collect()}
+    got_back = {(r.word, r.doc): r.tfidf for r in parsed.collect()}
+    assert got_back == want
