@@ -33,6 +33,7 @@ from tf_idf_mapreduce_spark.operators import events as ev
 from tf_idf_mapreduce_spark.operators import multimodal as mm
 from tf_idf_mapreduce_spark.operators import relational as rel
 from tf_idf_mapreduce_spark.operators import similarity as sim
+from tf_idf_mapreduce_spark.operators import temporal as tmp
 from tf_idf_mapreduce_spark.operators import textstats as ts
 from tf_idf_mapreduce_spark.operators.similarity import EMBED_DIM, N_PLANES, hyperplanes
 from tf_idf_mapreduce_spark.operators.textstats import LANG_LEXICONS, STOPWORDS_EN, BPE_ISH_PATTERN
@@ -706,6 +707,58 @@ _LLMDATA_ORACLE: dict[str, str] = {
 }
 
 
+_RELATIONAL_ORACLE["rel_pivot"] = """
+    SELECT l_returnflag,
+      CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) FILTER (l_linestatus = 'F')
+           AS DOUBLE) AS qty_f,
+      CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) FILTER (l_linestatus = 'O')
+           AS DOUBLE) AS qty_o
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+_RELATIONAL_ORACLE["rel_percentiles"] = """
+    SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+      round(min(l_extendedprice), 6) AS p_min,
+      round(max(l_extendedprice), 6) AS p_max
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+# --------------------------------------------------------------------------
+# Temporal join oracles — DuckDB has a native ASOF JOIN and executes
+# inequality range joins directly; the Spark side must reproduce both with
+# shuffle-friendly formulations (union+window, bucketed equi-join).
+# --------------------------------------------------------------------------
+
+_TEMPORAL_ORACLE: dict[str, str] = {
+    "temporal_asof_join": """
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        p AS (SELECT event_id, user_id, ts_sec FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts_sec FROM e WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts_sec,
+               c.ts_sec AS asof_click_sec,
+               p.ts_sec - c.ts_sec AS gap_sec
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
+    """,
+    "temporal_range_join": """
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        err AS (SELECT event_id AS err_id, user_id, ts_sec AS err_sec
+                FROM e WHERE event_type = 'error'),
+        clk AS (SELECT event_id AS click_id, user_id, ts_sec AS click_sec
+                FROM e WHERE event_type = 'click')
+        SELECT err_id, click_id, err.user_id AS user_id,
+               err_sec - click_sec AS dt_sec
+        FROM err JOIN clk ON err.user_id = clk.user_id
+         AND abs(err_sec - click_sec) <= 3600
+    """,
+}
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming oracles — a finite stream run to completion must give
 # exactly the batch answer, so each streaming query gets a plain SQL oracle.
@@ -813,6 +866,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_string_funcs": rel.part_string_functions,
         "rel_date_funcs": rel.orders_date_functions,
         "rel_having_subquery": rel.nations_above_avg_balance,
+        "rel_pivot": rel.native_pivot,
+        "rel_percentiles": rel.price_percentiles,
+        # --- temporal joins (operators Spark lacks built-in) ---
+        "temporal_asof_join": tmp.q_asof_purchase_click,
+        "temporal_range_join": tmp.q_range_error_click,
         # --- event/time-series surface ---
         "events_sessionize": ev.q_sessionize,
         "events_session_stats": ev.q_session_stats,
@@ -866,5 +924,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(_RELATIONAL_ORACLE)
     out.update(_EVENTS_ORACLE)
     out.update(_LLMDATA_ORACLE)
+    out.update(_TEMPORAL_ORACLE)
     out.update(_STREAMING_ORACLE)
     return out

@@ -1,0 +1,60 @@
+"""As-of join and banded range join semantics on hand-built edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tf_idf_mapreduce_spark.operators.temporal import (
+    asof_join,
+    q_range_error_click,
+    range_join_banded,
+)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 100, 5), (4, 200, 10)],
+        "id long, user_id long, ts long",
+    ).select("id", "user_id", F.col("ts").alias("ts_sec"))
+    right = spark.createDataFrame(
+        [(100, 8), (100, 10), (100, 20), (100, 30), (300, 1)],
+        "user_id long, ts long",
+    ).select("user_id", F.col("ts").alias("ts_sec"))
+    out = asof_join(left, right, on="user_id", ts="ts_sec", right_cols=["ts_sec"])
+    got = {r.id: r.ts_sec_asof for r in out.collect()}
+    assert got[1] == 10  # equal timestamp matches (>= semantics)
+    assert got[2] == 20  # latest at-or-before 25
+    assert got[3] is None  # ts 5 precedes every right row (earliest is 8)
+    assert got[4] is None  # user 200 has no right rows at all
+
+
+def test_asof_join_keeps_all_left_rows(spark):
+    left = spark.range(5).select(
+        F.col("id"), F.lit(1).alias("user_id"), (F.col("id") * 10).alias("ts_sec")
+    )
+    right = spark.createDataFrame([(1, 15)], "user_id long, ts_sec long")
+    out = asof_join(left, right, on="user_id", ts="ts_sec", right_cols=["ts_sec"])
+    assert out.count() == 5
+    got = {r.id: r.ts_sec_asof for r in out.collect()}
+    assert got[0] is None and got[1] is None  # ts 0, 10 precede the right row
+    assert got[2] == 15 and got[4] == 15
+
+
+def test_range_join_band_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 7, 1000)], "err_id long, user_id long, err_sec long"
+    )
+    right = spark.createDataFrame(
+        [(10, 7, 940), (11, 7, 939), (12, 7, 1060), (13, 7, 1061), (14, 8, 1000)],
+        "click_id long, user_id long, click_sec long",
+    )
+    out = range_join_banded(
+        left, right, on="user_id", left_ts="err_sec", right_ts="click_sec", band=60
+    )
+    got = sorted(r.click_id for r in out.collect())
+    assert got == [10, 12]  # inclusive band; 939/1061 out; other user out
+
+
+def test_range_join_no_duplicate_pairs(spark, sf_dir):
+    out = q_range_error_click(spark, sf_dir)
+    assert out.count() == out.select("err_id", "click_id").distinct().count()

@@ -122,6 +122,39 @@ def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``.pivot()`` with an explicit value list: quantity totals per
+    returnflag x linestatus. Pinning the pivot values avoids the extra
+    distinct-scan job Spark otherwise runs to discover them — at 100 TB
+    that discovery pass costs a full shuffle of the pivot column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")))
+        .select(
+            "l_returnflag",
+            F.col("F").cast("double").alias("qty_f"),
+            F.col("O").cast("double").alias("qty_o"),
+        )
+    )
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (``percentile`` is Spark's
+    exact sort-based aggregate; ``approx_percentile`` is the sketch-based
+    scale path when a bounded error is acceptable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = lambda p: F.round(F.percentile("l_extendedprice", F.lit(p)), 6)
+    return li.groupBy("l_returnflag").agg(
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
+        F.round(F.min("l_extendedprice"), 6).alias("p_min"),
+        F.round(F.max("l_extendedprice"), 6).alias("p_max"),
+    )
+
+
 def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy (region → nation) with subtotals and grand total."""
     cust = load_table(spark, sf_dir, "customer")

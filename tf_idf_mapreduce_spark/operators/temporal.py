@@ -1,0 +1,150 @@
+"""Temporal join operators Spark has no built-in for: as-of join and
+banded range join — composed from exchanges Spark DOES have, never from a
+nested-loop.
+
+Scale design:
+- As-of join: the classic union + tagged-sort + last-non-null window. ONE
+  hash exchange on the key (both inputs share it) + a per-partition sort —
+  the same cost as a single groupBy, regardless of how many right rows
+  precede each left row. A join-based formulation (left.ts >= right.ts)
+  would be a BroadcastNestedLoopJoin — quadratic per key.
+- Range join (|a.ts - b.ts| <= band): bucketize both sides to band-width
+  buckets, explode the probe side to its 3 candidate buckets, equi-join on
+  (key, bucket), filter the exact band. Each qualifying pair meets in
+  EXACTLY one bucket (the build row's own), so no dedup pass is needed.
+  Cost: a 3x fan-out of one side + a hash join — no inequality join, which
+  Catalyst can only execute as nested-loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.io import load_events
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (per ``on`` key); unmatched left rows keep
+    nulls. Equal timestamps match (>= semantics, right-before-left).
+
+    Returns all left columns + ``<c><suffix>`` for each requested right
+    column.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        on,
+        ts,
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("_side", F.lit(0))
+    combined = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left at equal ts (_side 0 < 1), so a left row
+    # sees a right row with the same timestamp
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = combined.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        carried.where(F.col("_side") == 1)
+        .drop("_side", *[f"{c}{suffix}" for c in right_cols])
+        .select(
+            *left.columns,
+            *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
+
+
+def range_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    band: int,
+) -> DataFrame:
+    """All (left, right) pairs per key with ``|left_ts - right_ts| <= band``
+    — via bucketed equi-join (see module docstring). Returns left ⨯ right
+    matched columns; callers project."""
+    lb = left.withColumn("_bucket", (F.col(left_ts) / band).cast("long"))
+    rb = right.withColumn(
+        "_rb", (F.col(right_ts) / band).cast("long")
+    ).withColumn(
+        "_bucket",
+        F.explode(F.array(F.col("_rb") - 1, F.col("_rb"), F.col("_rb") + 1)),
+    ).drop("_rb")
+    joined = lb.join(rb, [on, "_bucket"])
+    return joined.where(
+        F.abs(F.col(left_ts) - F.col(right_ts)) <= band
+    ).drop("_bucket")
+
+
+# ---------------------------------------------------------------------------
+# Driver queries over the events fixture
+# ---------------------------------------------------------------------------
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase with its user's most recent click at-or-before it."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_sec").alias("click_sec")
+    )
+    out = asof_join(
+        purchases,
+        clicks.withColumnRenamed("click_sec", "ts_sec"),
+        on="user_id",
+        ts="ts_sec",
+        right_cols=["ts_sec"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.col("ts_sec_asof").alias("asof_click_sec"),
+        (F.col("ts_sec") - F.col("ts_sec_asof")).alias("gap_sec"),
+    )
+
+
+RANGE_BAND_SEC = 3600
+
+
+def q_range_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(error, click) pairs for the same user within ±1 hour."""
+    ev = load_events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts_sec").alias("err_sec")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_sec").alias("click_sec")
+    )
+    pairs = range_join_banded(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="err_sec",
+        right_ts="click_sec",
+        band=RANGE_BAND_SEC,
+    )
+    return pairs.select(
+        "err_id", "click_id", "user_id", (F.col("err_sec") - F.col("click_sec")).alias("dt_sec")
+    )
