@@ -30,7 +30,6 @@ from ..functions.hashing import (
     shingles,
     word_hash32,
 )
-from ..functions.vectors import cosine_pd
 from ..sources.io import load_table
 
 
@@ -235,25 +234,59 @@ def simhash_near_pairs(
     )
 
 
+EMBED_BLOCK = 256
+
+
 def embedding_near_pairs(
     spark: SparkSession, sf_dir: str, min_cosine: float = 0.45
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs) via blocked
+    matrix multiply.
 
-    Correctness baseline: an O(n²) cross join — fine at fixture scale and
-    the exactness oracle for the LSH-bucketed scale path
-    (similarity.lsh_bucket_pairs). The per-pair cosine is an Arrow-batched
-    pandas UDF (numpy) — interpreted higher-order-function folds cost ~20x
-    more on an O(n²) surface. Rounded @6dp (summation-order differences
-    across engines are ~1e-15).
+    Naive all-pairs ships O(n²) duplicated vectors through the shuffle; the
+    blocked form groups vectors into fixed-size blocks, cross-joins the
+    O((n/B)²) ordered block pairs, and computes each B x B cosine tile with
+    one numpy matmul inside ``mapInPandas`` — data transfer drops from
+    O(n²·d) to O((n/B)²·B·d) = O(n²·d/B), and the kernel is BLAS instead of
+    per-pair folds. Exactness is unchanged — this is the verification
+    baseline for the LSH-bucketed scale path (similarity.lsh_bucket_pairs).
+    Rounded @6dp (summation-order differences across engines are ~1e-15).
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = F.round(cosine_pd(F.col("emb_a"), F.col("emb_b")), 6)
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= min_cosine)
+    blocks = (
+        e.groupBy((F.col("vec_id") / EMBED_BLOCK).cast("long").alias("blk"))
+        .agg(
+            F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"),
+        )
     )
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
+    tiles = a.crossJoin(b).where(F.col("blk_a") <= F.col("blk_b"))
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+
+    def tile_cosines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def unpack(cell):
+            ids = np.array([v["vec_id"] for v in cell], dtype="int64")
+            mat = np.stack([v["embedding"] for v in cell]).astype("float64")
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            return ids, mat
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a, mat_a = unpack(row["vecs_a"])
+                ids_b, mat_b = unpack(row["vecs_b"])
+                sims = np.round(mat_a @ mat_b.T, 6)
+                ia, ib = np.nonzero(sims >= min_cosine)
+                va, vb = ids_a[ia], ids_b[ib]
+                keep = va < vb  # dedup within the diagonal tile, order pairs
+                yield pd.DataFrame(
+                    {"vec_a": va[keep], "vec_b": vb[keep], "cos_sim": sims[ia[keep], ib[keep]]}
+                )
+
+    return tiles.mapInPandas(tile_cosines, out_schema)
