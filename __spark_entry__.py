@@ -826,6 +826,19 @@ _STREAMING_ORACLE: dict[str, str] = {
 }
 _STREAMING_ORACLE["stream_tumbling_hourly"] = _EVENTS_ORACLE["events_tumbling_hourly"]
 
+_STREAMING_ORACLE["stream_sliding_counts"] = """
+    SELECT ts_sec - ts_sec % 1800 - 1800 * k AS win_start_sec, event_type,
+           count(*) AS n_events
+    FROM (SELECT epoch_ns(ts) // 1000000000 AS ts_sec, event_type FROM events),
+         (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1, 2
+"""
+
+_STREAMING_ORACLE["stream_dedup"] = """
+    SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec
+    FROM events
+"""
+
 
 _EVENTS_ORACLE["events_session_stats"] = (
     "WITH sessions AS ("
@@ -905,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tumbling_hourly": st.q_stream_tumbling_hourly,
         "stream_session_window": st.q_stream_session_window,
         "stream_stateful_sessions": st.q_stream_stateful_sessions,
+        "stream_sliding_counts": st.q_stream_sliding_counts,
+        "stream_dedup": st.q_stream_dedup,
     }
 
 

@@ -57,12 +57,18 @@ def doc_freq(wtc: DataFrame) -> DataFrame:
 
     Reference: reducer collects the per-word posting list into a HashMap and
     counts it (CalcTFIDF.java:111-123). Input rows are already distinct per
-    (word, doc) (Job 1's group-by), so ``count(*) over (partition by word)``
-    is exact — one exchange, no buffering.
+    (word, doc) (Job 1's group-by), so counting rows per word is exact.
+
+    Skew posture: two-phase aggregate + equi-join, NOT a partition window.
+    ``count(*) over (partition by word)`` puts every posting of a word in
+    ONE window task — a stopword at 100 TB is billions of rows on a single
+    core. The aggregate gets map-side partial combine (skew neutralized
+    before the shuffle), and AQE's skew-join splitting handles the probe
+    side of the join back.
     Schema: + df.
     """
-    w = Window.partitionBy("word")
-    return wtc.withColumn("df", F.count("*").over(w))
+    counts = wtc.groupBy("word").agg(F.count("*").alias("df"))
+    return wtc.join(counts, "word")
 
 
 def tfidf(with_df: DataFrame, total_docs: Column) -> DataFrame:

@@ -92,6 +92,31 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "stream_session_window", output_mode="complete")
 
 
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows hopping every 30 min — each event lands in
+    exactly length/slide = 2 windows, epoch-aligned."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start_sec"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return run_to_memory(agg, "stream_sliding", output_mode="complete")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` keeps one row per key in
+    state across micro-batches (pair with a watermark on the key's event
+    time to bound state at 100 TB feed rates)."""
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "ts_sec")
+    deduped = ev.dropDuplicates(["event_id"])
+    return run_to_memory(deduped, "stream_dedup", output_mode="append")
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: applyInPandasWithState sessionizer
 # ---------------------------------------------------------------------------
