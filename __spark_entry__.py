@@ -726,6 +726,29 @@ _RELATIONAL_ORACLE["rel_percentiles"] = """
     FROM lineitem GROUP BY l_returnflag
 """
 
+# Connected components over the MinHash candidate graph: recursive-CTE
+# transitive closure (the Spark side iterates min-label propagation).
+_LLMDATA_ORACLE["dedup_clusters"] = _DEDUP_CTE.replace(
+    "WITH docs AS", "WITH RECURSIVE docs AS", 1
+) + """
+    , edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+      CAST(coalesce(min(r.b), d.doc_id) AS BIGINT) AS cluster_id,
+      coalesce(min(r.b), d.doc_id) = d.doc_id AS is_keeper
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+"""
+
 # --------------------------------------------------------------------------
 # Temporal join oracles — DuckDB has a native ASOF JOIN and executes
 # inequality range joins directly; the Spark side must reproduce both with
@@ -896,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dd.simhash_values,
         "dedup_simhash_pairs": dd.simhash_near_pairs,
         "dedup_embedding_pairs": dd.embedding_near_pairs,
+        "dedup_clusters": dd.duplicate_clusters,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,

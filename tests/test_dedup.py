@@ -108,6 +108,18 @@ def test_groupby_formulation_matches_column_formulation(spark, planted):
     assert got == want
 
 
+def test_connected_components_transitive_chain(spark):
+    from tf_idf_mapreduce_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # chain 1-2-3-4 (propagation needs multiple rounds), pair 5-6, singleton 7
+    edges = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.label for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
 def test_shingles_short_doc(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     got = df.select(shingles(norm_words(F.col("text"))).alias("s")).head().s

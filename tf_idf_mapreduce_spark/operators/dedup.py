@@ -234,6 +234,65 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation: each round, every node takes the min label
+    among itself and its neighbors; converges in O(component diameter)
+    rounds. ``nodes``: (doc_id); ``edges``: (doc_a, doc_b) undirected.
+    Returns (doc_id, label) where label = component's min doc_id.
+
+    This is the engine's iterative-algorithm surface: a driver loop over
+    DISTRIBUTED steps (the driver only sees a 1-row convergence count per
+    round, never data), with ``localCheckpoint`` truncating lineage so
+    plans don't grow per round.
+    """
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("nlabel") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the MinHash candidate graph: every doc
+    labeled with its cluster's minimum doc_id (singletons label themselves);
+    ``is_keeper`` marks the one row per cluster a dedup pass would keep —
+    the end-to-end shape of a corpus dedup: sketch → candidates → clusters
+    → keepers.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(docs, edges, max_iter=max_iter)
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
 EMBED_BLOCK = 256
 
 
