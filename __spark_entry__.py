@@ -114,6 +114,32 @@ def q_tfidf_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance search on the scored relation: take the corpus's 5 most
+    frequent words as the query, score each doc by the sum of their tfidf,
+    return the top 20 docs. The term list is data-derived (deterministic
+    tiebreaks), so the query is self-contained; the terms side is tiny and
+    broadcast."""
+    scored = q_tfidf_full(spark, sf_dir)
+    terms = (
+        scored.groupBy("word")
+        .agg(F.sum("count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(5)
+        .select("word")
+    )
+    return (
+        scored.join(F.broadcast(terms), "word")
+        .groupBy("doc")
+        .agg(
+            F.round(F.sum("tfidf"), 6).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(20)
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
@@ -884,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_doc_freq": q_tfidf_doc_freq,
         "tfidf_full": q_tfidf_full,
         "tfidf_top30": q_tfidf_top30,
+        "tfidf_search": q_tfidf_search,
         # --- relational surface (SURVEY.md §2.5-2.7 gaps) ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_distinct_agg": rel.distinct_agg_by_nation,
@@ -959,6 +986,18 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top30": _TOKENS_CTE
         + 'SELECT word, doc, "count", doc_total, df, tfidf FROM scored '
         + "ORDER BY tfidf DESC, word ASC, doc ASC LIMIT 30",
+        "tfidf_search": _TOKENS_CTE
+        + """
+        , term_counts AS (
+          SELECT word, sum("count") AS n FROM wc GROUP BY word
+        ),
+        top_terms AS (SELECT word FROM term_counts ORDER BY n DESC, word ASC LIMIT 5)
+        SELECT doc, round(sum(tfidf), 6) AS score,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM scored JOIN top_terms USING (word)
+        GROUP BY doc
+        ORDER BY score DESC, doc ASC LIMIT 20
+        """,
     }
     out.update(_RELATIONAL_ORACLE)
     out.update(_EVENTS_ORACLE)
