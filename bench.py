@@ -34,6 +34,15 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warmup: JVM/codegen/Python-worker startup lands here, not on
+    # whichever query happens to run first
+    try:
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         try:
