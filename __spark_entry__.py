@@ -888,6 +888,16 @@ _STREAMING_ORACLE["stream_dedup"] = """
     FROM events
 """
 
+_STREAMING_ORACLE["stream_static_join"] = """
+    WITH stats AS (
+      SELECT user_id, count(*) AS user_total_events FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           epoch_ns(e.ts) // 1000000000 AS ts_sec,
+           CAST(s.user_total_events AS BIGINT) AS user_total_events
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+"""
+
 
 _EVENTS_ORACLE["events_session_stats"] = (
     "WITH sessions AS ("
@@ -951,6 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,
         "sim_lsh_topk": sim.lsh_topk,
+        # rows-only (k-means training is iterative — no SQL twin; recall vs
+        # the exact top-k is asserted in tests/test_similarity.py)
+        "sim_ivf_topk": sim.ivf_topk,
         # --- LLM-data pipeline: text analysis ---
         "text_lang_id": ts.lang_id,
         "text_quality": ts.quality_scores,
@@ -971,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_sessions": st.q_stream_stateful_sessions,
         "stream_sliding_counts": st.q_stream_sliding_counts,
         "stream_dedup": st.q_stream_dedup,
+        "stream_static_join": st.q_stream_static_join,
     }
 
 

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tf_idf_mapreduce_spark.functions.vectors import cosine, dot
+from tf_idf_mapreduce_spark.operators import similarity as sim
 from tf_idf_mapreduce_spark.operators.similarity import (
     cosine_topk,
     hyperplanes,
@@ -48,3 +49,21 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     bf = {r.vec_id: r.cos_sim for r in cosine_topk(spark, sf_dir, 0, 500).collect()}
     for r in lsh_topk(spark, sf_dir, 0, 10).collect():
         assert bf[r.vec_id] == r.cos_sim
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    exact = {r.vec_id for r in sim.cosine_topk(spark, sf_dir, k=10).collect()}
+    ivf = {r.vec_id for r in sim.ivf_topk(spark, sf_dir, k=10).collect()}
+    assert len(ivf) == 10
+    # probing 4 of 16 cells must still find most true neighbors
+    assert len(exact & ivf) >= 5
+
+
+def test_kmeans_fit_deterministic_and_shaped(spark, sf_dir):
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c1 = sim.kmeans_fit(e, k=4, iters=3)
+    c2 = sim.kmeans_fit(e, k=4, iters=3)
+    assert c1 == c2
+    assert len(c1) == 4 and len(c1[0]) == sim.EMBED_DIM

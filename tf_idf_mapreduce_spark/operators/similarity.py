@@ -119,6 +119,124 @@ def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF: k-means coarse quantizer + cluster-probed search
+# ---------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_ITERS = 5
+IVF_NPROBE = 4
+
+
+def kmeans_fit(
+    e: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
+) -> list[list[float]]:
+    """Euclidean k-means over the embedding column, pure DataFrame steps.
+
+    Deterministic init (vectors with vec_id < k). Each iteration: assign
+    every vector to its nearest centroid with an Arrow-batched argmin UDF,
+    then recompute means via posexplode + groupBy — both distributed. Only
+    the k x d centroid MATRIX (model state, a few KB) ever reaches the
+    driver, once per iteration — the same driver/executor split MLlib's
+    k-means uses; the n x d data never moves.
+    """
+    import numpy as np
+
+    cents = np.stack(
+        [
+            np.array(r.embedding, dtype="float64")
+            for r in e.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+        ]
+    )
+    for _ in range(iters):
+        assigned = e.select(
+            "vec_id", "embedding", _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid")
+        )
+        dims = assigned.select(
+            "cid", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
+        )
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(F.avg("val").alias("mu"))
+            .collect()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.cid, {})[r.dim] = r.mu
+        for cid, dvals in by_cid.items():
+            for dim, mu in dvals.items():
+                new[cid][dim] = mu
+        if np.allclose(new, cents, atol=1e-12):
+            break
+        cents = new
+    return cents.tolist()
+
+
+def _nearest_centroid_udf(cents):
+    """argmin_c ||x - c||² as an Arrow-batched pandas UDF; the centroid
+    matrix rides the closure (broadcast to workers with the task)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    cmat = np.asarray(cents, dtype="float64")
+    cnorm2 = (cmat**2).sum(axis=1)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark can't resolve the function-local `pd` name; hint-less
+    # pandas_udf defaults to the scalar eval type
+    @pandas_udf(LongType())
+    def nearest(emb):
+        x = np.stack(emb.to_numpy()).astype("float64")
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d2 = -2.0 * (x @ cmat.T) + cnorm2
+        return pd.Series(np.argmin(d2, axis=1).astype("int64"))
+
+    return nearest
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to k-means cells once, probe
+    only the ``nprobe`` cells nearest the query, exact cosine within them.
+
+    The scan-side filter is an IN over nprobe cell ids — at 100 TB the
+    index table is partitioned by cid, so probing is partition pruning, not
+    a filter over the full corpus.
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(e)
+    cmat = np.asarray(cents)
+    qvec = np.array(
+        e.where(F.col("vec_id") == query_vec_id).head().embedding, dtype="float64"
+    )
+    d2 = ((cmat - qvec) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d2)[:nprobe]]
+
+    assigned = e.select(
+        "vec_id", "embedding", _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid")
+    )
+    q = _query_vector(e, query_vec_id)
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        assigned.where(F.col("cid").isin(probe))
+        .where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "cid", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:

@@ -108,6 +108,24 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "stream_sliding", output_mode="complete")
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each streaming event picks up its
+    user's all-time stats from a batch-side table. The static side is
+    re-planned per micro-batch (picking up dim updates) and broadcast when
+    small — the canonical pattern for dimension enrichment at scale."""
+    from ..sources.io import load_events
+
+    stream = stream_events(spark, sf_dir).select("event_id", "user_id", "ts_sec")
+    static = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total_events"))
+    )
+    joined = stream.join(F.broadcast(static), "user_id")
+    out = joined.select("event_id", "user_id", "ts_sec", "user_total_events")
+    return run_to_memory(out, "stream_static_join", output_mode="append")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicates`` keeps one row per key in
     state across micro-batches (pair with a watermark on the key's event
