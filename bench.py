@@ -35,11 +35,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # untimed warmup: JVM/codegen/Python-worker startup lands here, not on
-    # whichever query happens to run first
+    # whichever query happens to run first; tokenizing 100 docs compiles the
+    # flagship expression chain
     try:
-        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(100)
+            .selectExpr("cast(doc_id as string) as doc", "text")
+        )
+        tokenize(docs).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 
