@@ -733,6 +733,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
 }
 
 
+# the salted two-stage top-k must equal the single-window top-k exactly
+_RELATIONAL_ORACLE["rel_salted_topk"] = _RELATIONAL_ORACLE["rel_topk_per_group"]
+
 _RELATIONAL_ORACLE["rel_pivot"] = """
     SELECT l_returnflag,
       CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) FILTER (l_linestatus = 'F')
@@ -933,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_anti_join": rel.customers_without_open_orders,
         "rel_outer_join": rel.orders_with_customer_outer,
         "rel_topk_per_group": rel.top_orders_per_customer,
+        "rel_salted_topk": rel.salted_top_orders_per_customer,
         "rel_window_running": rel.customer_order_running_stats,
         "rel_top10_global": rel.top10_orders_global,
         "rel_setops": rel.segment_key_setops,

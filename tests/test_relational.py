@@ -45,6 +45,37 @@ def test_rollup_includes_grand_total(spark, sf_dir):
     assert grand[0].n_orders == sum(r.n_orders for r in per_region)
 
 
+def test_salted_topk_equals_window_topk(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.relational import (
+        salted_top_orders_per_customer,
+        top_orders_per_customer,
+    )
+
+    cols = ["o_custkey", "o_orderkey", "o_totalprice"]
+    salted = sorted(tuple(r) for r in salted_top_orders_per_customer(spark, sf_dir).select(*cols).collect())
+    plain = sorted(tuple(r) for r in top_orders_per_customer(spark, sf_dir).select(*cols).collect())
+    assert salted == plain
+
+
+def test_sql_api_surface_matches_dataframe(spark, sf_dir):
+    """Users can run plain SQL over the registered views — the spark.sql
+    entry point is part of the engine surface."""
+    from tf_idf_mapreduce_spark.operators.relational import top10_orders_global
+    from tf_idf_mapreduce_spark.sources.io import register_views
+
+    register_views(spark, sf_dir)
+    via_sql = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ).collect()
+    via_df = (
+        top10_orders_global(spark, sf_dir)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
+
+
 def test_semi_plus_anti_partition_customers(spark, sf_dir):
     from tf_idf_mapreduce_spark.operators.relational import (
         customers_with_open_orders,

@@ -122,6 +122,52 @@ def conditional_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_topk_per_group(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    k: int,
+    n_salts: int = 8,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew-proof grouped top-k: two-stage rank with a salt.
+
+    A plain ``row_number() over (partition by key)`` puts a hot key's
+    entire partition in ONE task. Stage 1 ranks within (key, salt) — the
+    hot key spreads across ``n_salts`` tasks — and keeps k rows per salt;
+    stage 2 ranks the ≤ k·n_salts survivors per key. Top-k distributes over
+    any partition of the input, so the result is exactly the unsalted
+    top-k. The salt is a hash of the full row's tiebreak column —
+    deterministic, no rand().
+    """
+    tb = tiebreak or order_col
+    salt = (F.abs(F.hash(F.col(tb))) % n_salts).alias("_salt")
+    w1 = Window.partitionBy(key, "_salt").orderBy(F.desc(order_col), F.asc(tb))
+    stage1 = (
+        df.select("*", salt)
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_salt", "_r")
+    )
+    w2 = Window.partitionBy(key).orderBy(F.desc(order_col), F.asc(tb))
+    return stage1.withColumn("_r", F.row_number().over(w2)).where(
+        F.col("_r") <= k
+    ).drop("_r")
+
+
+def salted_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rel_topk_per_group query through the salted two-stage path —
+    must produce exactly the same rows as the single-window formulation."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    out = salted_topk_per_group(
+        orders, key="o_custkey", order_col="o_totalprice", k=3,
+        tiebreak="o_orderkey",
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
 def native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``.pivot()`` with an explicit value list: quantity totals per
     returnflag x linestatus. Pinning the pivot values avoids the extra

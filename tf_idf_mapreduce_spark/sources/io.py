@@ -54,9 +54,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql queries."""
+    """Register every fixture table as a temp view for spark.sql queries.
+
+    ``events`` goes through the NANOS-normalizing loader (the raw parquet
+    type is rejected by the vectorized reader) — SQL users see the derived
+    ts_ns/ts_sec/ts columns.
+    """
     for name in TABLES:
-        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = (
+            load_events(spark, sf_dir)
+            if name == "events"
+            else load_table(spark, sf_dir, name)
+        )
+        df.createOrReplaceTempView(name)
 
 
 def normalize_events(raw: DataFrame) -> DataFrame:
