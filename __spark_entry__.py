@@ -733,6 +733,15 @@ _LLMDATA_ORACLE: dict[str, str] = {
 }
 
 
+_RELATIONAL_ORACLE["rel_grouping_sets"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+             AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
 # the salted two-stage top-k must equal the single-window top-k exactly
 _RELATIONAL_ORACLE["rel_salted_topk"] = _RELATIONAL_ORACLE["rel_topk_per_group"]
 
@@ -945,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_having_subquery": rel.nations_above_avg_balance,
         "rel_pivot": rel.native_pivot,
         "rel_percentiles": rel.price_percentiles,
+        "rel_grouping_sets": rel.grouping_sets_orders,
         # --- temporal joins (operators Spark lacks built-in) ---
         "temporal_asof_join": tmp.q_asof_purchase_click,
         "temporal_range_join": tmp.q_range_error_click,

@@ -168,6 +168,25 @@ def salted_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select("o_custkey", "o_orderkey", "o_totalprice")
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS via the engine's SQL entry point (the
+    DataFrame API only exposes the rollup/cube special cases). Also
+    demonstrates that every fixture table is queryable as a SQL view."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                 AS total_value
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 def native_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``.pivot()`` with an explicit value list: quantity totals per
     returnflag x linestatus. Pinning the pivot values avoids the extra
