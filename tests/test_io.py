@@ -52,3 +52,51 @@ def test_text_dir_corpus_to_kv_sink_roundtrip(spark, tmp_path):
     want = {(r.word, r.doc): r.tfidf for r in scored.collect()}
     got_back = {(r.word, r.doc): r.tfidf for r in parsed.collect()}
     assert got_back == want
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from tf_idf_mapreduce_spark.sources.io import load_table, write_partitioned
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["o_orderstatus"])
+
+    back = spark.read.parquet(path).where("o_orderstatus = 'O'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    want = orders.where("o_orderstatus = 'O'").count()
+    assert back.count() == want
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.sources.io import load_table, write_bucketed
+
+    # (warehouse dir is a static conf — bucketed tables land in the default
+    # ./spark-warehouse, dropped at the end and gitignored)
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "orders_b", "o_orderkey", 8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", "o_orderkey", 8
+    )
+    a = spark.table("orders_b")
+    b = spark.table("lineitem_b")
+    # disable broadcast so the join must pick a shuffle-or-bucket strategy
+    joined = a.hint("merge").join(b, "o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # buckets pre-partitioned
+    n = joined.count()
+    assert n == li.count()  # every lineitem has its order
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")

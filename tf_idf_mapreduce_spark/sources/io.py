@@ -124,6 +124,27 @@ def documents_as_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Hive-style partitioned parquet sink. At scale, partition columns are
+    the coarse pruning axis (date, tenant, language): a reader filtering on
+    them scans only matching directories (PartitionFilters in the plan),
+    which is the difference between a 100 TB scan and a 100 GB one."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int
+) -> None:
+    """Bucketed managed table: rows are hash-distributed into fixed buckets
+    on disk, so two tables bucketed the same way join WITHOUT a shuffle —
+    the exchange that dominates large equi-joins simply disappears from the
+    plan. (Requires a session catalog; buckets survive across jobs, unlike
+    a transient repartition.)"""
+    df.write.mode("overwrite").bucketBy(n_buckets, bucket_col).sortBy(
+        bucket_col
+    ).saveAsTable(table)
+
+
 def write_kv_text(
     df: DataFrame,
     path: str,
