@@ -1,0 +1,23 @@
+"""Driver-contract consistency guards."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_every_oracle_key_has_a_query():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert o <= q, f"orphan oracles: {o - q}"
+
+
+def test_rows_only_queries_are_the_documented_ones():
+    q = set(entrymod.queries())
+    o = set(entrymod.oracle_sql())
+    assert q - o == {"sim_ivf_topk", "mm_resize"}
+
+
+def test_entry_runs_and_has_stable_schema(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == ["word", "doc", "tfidf"]
+    assert df.count() > 0
