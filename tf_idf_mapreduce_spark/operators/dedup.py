@@ -84,6 +84,10 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("sig")
     )
+    # NB: measured — a localCheckpoint barrier here to dedupe the
+    # self-join's two subtree computations costs MORE than the recompute
+    # (serialization + lost plan fusion); at 100 TB persist the signature
+    # table explicitly instead
     bands = sigs.select(
         "doc_id", "sig", F.explode(band_keys(F.col("sig"))).alias("bk")
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -128,8 +132,13 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # candidates (and their shingle lists) are SMALL by LSH construction —
+    # broadcasting them keeps the full shingle table shuffle-free: without
+    # the hints, both intersection joins exchange every doc's shingles on
+    # (doc, shingle). If a corpus ever yields a candidate set too large to
+    # broadcast, the LSH parameters (r, b) are wrong before this join is.
     inter = (
-        cand.join(sh_a, "doc_a")
+        F.broadcast(F.broadcast(cand).join(sh_a, "doc_a"))
         .join(sh_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
