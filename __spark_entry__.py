@@ -28,8 +28,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tf_idf_mapreduce_spark.operators import curation as cur
 from tf_idf_mapreduce_spark.operators import dedup as dd
 from tf_idf_mapreduce_spark.operators import events as ev
+from tf_idf_mapreduce_spark.operators import retrieval as rtv
 from tf_idf_mapreduce_spark.operators import multimodal as mm
 from tf_idf_mapreduce_spark.operators import relational as rel
 from tf_idf_mapreduce_spark.operators import similarity as sim
@@ -924,6 +926,119 @@ _EVENTS_ORACLE["events_session_stats"] = (
 )
 
 
+# --- retrieval + curation oracles (operators/retrieval.py, curation.py) ---
+
+_RETRIEVAL_ORACLE: dict[str, str] = {
+    # BM25 (Lucene/ATIRE idf form), k1=1.2 b=0.75 — constants inlined below
+    # must match retrieval.BM25_K1/BM25_B.
+    "tfidf_bm25": _TOKENS_CTE
+    + """
+    , ndocs AS (SELECT count(*) AS n_docs FROM documents),
+    avgdl AS (
+      SELECT avg(doc_total) AS avgdl
+      FROM (SELECT DISTINCT doc, doc_total FROM wc_tot)
+    ),
+    term_counts AS (SELECT word, sum("count") AS n FROM wc GROUP BY word),
+    top_terms AS (
+      SELECT word FROM term_counts ORDER BY n DESC, word ASC LIMIT 5
+    ),
+    contribs AS (
+      SELECT doc,
+        round(
+          ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+          * ("count" * (1.2 + 1)) /
+            ("count" + 1.2 * (1 - 0.75 + 0.75 * doc_total / avgdl)),
+        6) AS contrib
+      FROM wc_df JOIN top_terms USING (word), ndocs, avgdl
+    )
+    SELECT doc, round(sum(contrib), 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM contribs GROUP BY doc
+    ORDER BY bm25 DESC, doc ASC LIMIT 20
+    """,
+    "tfidf_postings": _TOKENS_CTE
+    + """
+    SELECT word, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum("count") AS BIGINT) AS total_tf,
+           string_agg(doc || ':' || "count", ' ' ORDER BY doc) AS postings
+    FROM wc GROUP BY word
+    """,
+}
+
+_PII_COUNTS_SQL = ",\n".join(
+    f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{name}"
+    for name, p in cur.PII_PATTERNS.items()
+)
+_PII_SUM_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{p}'))" for p in cur.PII_PATTERNS.values()
+)
+
+_PROFILE_UNION_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"""
+    for c in cur.PROFILE_COLUMNS
+)
+
+_NG = cur.CONTAM_NGRAM
+_BM = cur.CONTAM_BENCH_MOD
+
+_CURATION_ORACLE: dict[str, str] = {
+    "text_pii_scan": f"""
+        SELECT doc_id, {_PII_COUNTS_SQL}, ({_PII_SUM_SQL}) > 0 AS has_pii
+        FROM documents
+    """,
+    "text_repetition": f"""
+        WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+        wr AS (SELECT doc_id, unnest(words) AS w FROM docs),
+        wc2 AS (SELECT doc_id, w, count(*) AS n FROM wr GROUP BY doc_id, w),
+        st AS (
+          SELECT doc_id, w, n,
+            CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_words,
+            CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_distinct,
+            row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, w ASC) AS rn
+          FROM wc2
+        )
+        SELECT doc_id, n_words, n_distinct,
+               round(n_distinct / n_words, 6) AS distinct_ratio,
+               w AS top_word, CAST(n AS BIGINT) AS top_word_n
+        FROM st WHERE rn = 1
+    """,
+    "curate_contamination": f"""
+        WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+        gr AS (
+          SELECT DISTINCT doc_id, md5(g) AS h FROM (
+            SELECT doc_id,
+              unnest(list_transform(
+                generate_series(1, greatest(len(words) - {_NG - 1}, 1)),
+                i -> array_to_string(words[i:i+{_NG - 1}], ' '))) AS g
+            FROM docs)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY doc_id),
+        bench AS (
+          SELECT doc_id AS bench_doc, h FROM gr WHERE doc_id % {_BM} = 0
+        ),
+        hits AS (
+          SELECT g.doc_id, b.bench_doc, CAST(count(*) AS BIGINT) AS n_shared
+          FROM gr g JOIN bench b USING (h)
+          WHERE g.doc_id % {_BM} <> 0
+          GROUP BY g.doc_id, b.bench_doc
+        )
+        SELECT h.doc_id, h.bench_doc, h.n_shared,
+               round(h.n_shared / s.n_grams, 6) AS overlap_frac
+        FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    """,
+    "curate_hash_sample": f"""
+        SELECT doc_id, source,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) AS bucket
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2)
+              <= '{cur.SAMPLE_BUCKET_MAX}'
+    """,
+    "curate_profile": _PROFILE_UNION_SQL,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- the reference's own pipeline (SURVEY.md §2.2-2.6) ---
@@ -933,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_full": q_tfidf_full,
         "tfidf_top30": q_tfidf_top30,
         "tfidf_search": q_tfidf_search,
+        "tfidf_bm25": rtv.bm25_search,
+        "tfidf_postings": rtv.inverted_index,
         # --- relational surface (SURVEY.md §2.5-2.7 gaps) ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_distinct_agg": rel.distinct_agg_by_nation,
@@ -983,6 +1100,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": ts.quality_scores,
         "text_token_counts": ts.token_counts,
         "text_fingerprints": ts.fingerprints,
+        "text_pii_scan": cur.pii_scan,
+        "text_repetition": cur.repetition_scores,
+        # --- LLM-data pipeline: corpus curation ---
+        "curate_contamination": cur.contamination_check,
+        "curate_hash_sample": cur.hash_sample,
+        "curate_profile": cur.profile_table,
         # --- LLM-data pipeline: multimodal plumbing ---
         "mm_media_stats": mm.media_stats,
         "mm_frame_sample": mm.frame_sample,
@@ -1027,6 +1150,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY score DESC, doc ASC LIMIT 20
         """,
     }
+    out.update(_RETRIEVAL_ORACLE)
+    out.update(_CURATION_ORACLE)
     out.update(_RELATIONAL_ORACLE)
     out.update(_EVENTS_ORACLE)
     out.update(_LLMDATA_ORACLE)

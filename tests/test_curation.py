@@ -1,0 +1,102 @@
+"""Curation operators on a planted corpus with known ground truth — the
+fixture tables carry no PII/contamination, so these prove detection,
+sampling, and scoring actually work."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from tf_idf_mapreduce_spark.operators.curation import (
+    PROFILE_COLUMNS,
+    SAMPLE_BUCKET_MAX,
+    contamination_check,
+    hash_sample,
+    pii_scan,
+    profile_table,
+    repetition_scores,
+)
+
+#: doc 0 is a "benchmark" doc (0 % 23 == 0); doc 1 overlaps it in 5 of its
+#: 6 5-grams; doc 2 carries one of each PII kind; doc 3 is 80% one word.
+DOCS = [
+    (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src0"),
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "src0"),
+    (
+        2,
+        "contact alice@example.com or 555-867-5309 via https://ex.com at 10.0.0.1",
+        "en",
+        "src1",
+    ),
+    (3, "spam spam spam spam ham", "en", "src1"),
+]
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("curation")
+    df = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pii_scan_finds_each_kind_once(spark, planted_dir):
+    rows = {r.doc_id: r for r in pii_scan(spark, planted_dir).collect()}
+    assert len(rows) == 4
+    hit = rows[2]
+    assert (hit.n_email, hit.n_ipv4, hit.n_url, hit.n_phone) == (1, 1, 1, 1)
+    assert hit.has_pii
+    for clean in (0, 1, 3):
+        r = rows[clean]
+        assert (r.n_email, r.n_ipv4, r.n_url, r.n_phone) == (0, 0, 0, 0)
+        assert not r.has_pii
+
+
+def test_contamination_flags_only_the_overlapping_doc(spark, planted_dir):
+    rows = contamination_check(spark, planted_dir).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    # doc 1 shares the 5 five-gram windows not covering its changed last word
+    assert (r.doc_id, r.bench_doc, r.n_shared) == (1, 0, 5)
+    assert r.overlap_frac == round(5 / 6, 6)
+
+
+def test_hash_sample_matches_python_md5_and_nests(spark, planted_dir):
+    got = {
+        (r.doc_id, r.bucket) for r in hash_sample(spark, planted_dir).collect()
+    }
+    expect = set()
+    for i, t, _, _ in DOCS:
+        b = hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:2]
+        if b <= SAMPLE_BUCKET_MAX:
+            expect.add((i, b))
+    assert got == expect
+    # sub-sampling by a tighter bound is a strict subset — the property that
+    # makes hash sampling composable across pipeline stages
+    tighter = {p for p in got if p[1] <= "0c"}
+    assert tighter <= got
+
+
+def test_profile_covers_every_column_exactly(spark, sf_dir):
+    rows = {r.col_name: r for r in profile_table(spark, sf_dir).collect()}
+    assert set(rows) == set(PROFILE_COLUMNS)
+    n_rows = {r.n_rows for r in rows.values()}
+    assert len(n_rows) == 1 and n_rows.pop() > 0
+    key = rows["o_orderkey"]
+    assert key.n_distinct == key.n_rows - key.n_nulls  # key column is unique
+    assert rows["o_orderstatus"].n_distinct <= 5
+
+
+def test_repetition_scores_planted(spark, planted_dir):
+    rows = {r.doc_id: r for r in repetition_scores(spark, planted_dir).collect()}
+    spammy = rows[3]
+    assert (spammy.n_words, spammy.n_distinct) == (5, 2)
+    assert (spammy.top_word, spammy.top_word_n) == ("spam", 4)
+    assert spammy.distinct_ratio == 0.4
+    diverse = rows[0]
+    assert diverse.distinct_ratio == 1.0
+    assert diverse.top_word == "alpha"  # all-ones tie breaks lexicographically

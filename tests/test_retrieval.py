@@ -1,0 +1,74 @@
+"""Retrieval surface: BM25 ranking sanity and inverted-index integrity
+against an independently computed term relation. Exact values are gated by
+the DuckDB oracle (scripts/oracle_check.py) — these tests pin structure
+and ranking laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+from tf_idf_mapreduce_spark.operators.retrieval import bm25_search, inverted_index
+from tf_idf_mapreduce_spark.operators.tfidf import word_count
+from tf_idf_mapreduce_spark.sources.io import documents_as_corpus, load_table
+
+
+def _wc(spark, sf_dir):
+    return word_count(
+        tokenize(documents_as_corpus(load_table(spark, sf_dir, "documents")))
+    )
+
+
+def test_bm25_top20_is_ranked_and_positive(spark, sf_dir):
+    rows = bm25_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)  # Lucene idf form can't go negative
+    assert all(1 <= r.n_terms <= 5 for r in rows)
+
+
+def test_bm25_prefers_the_term_heavy_doc(spark, tmp_path_factory):
+    # Shared 4-word vocabulary pins the query's tie terms; "engine" (n=6)
+    # dominates the top-5. Doc 10 repeats it in a short doc, doc 11 mentions
+    # it once buried in filler, doc 12 never does — 10 must rank first.
+    common = "aaa bbb ccc ddd"
+    docs = [
+        (10, "engine engine engine engine engine " + common, "en", "s"),
+        (
+            11,
+            "engine " + " ".join(f"filler{i}" for i in range(30)) + " " + common,
+            "en",
+            "s",
+        ),
+        (12, common, "en", "s"),
+    ]
+    d = tmp_path_factory.mktemp("bm25")
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = bm25_search(spark, str(d)).collect()
+    got = {r.doc: r.bm25 for r in rows}
+    assert rows[0].doc == "10"  # tf-heavy short doc wins outright
+    assert got["10"] > got["11"] and got["10"] > got["12"]
+
+
+def test_inverted_index_agrees_with_word_count(spark, sf_dir):
+    wc = _wc(spark, sf_dir)
+    idx = {r.word: r for r in inverted_index(spark, sf_dir).collect()}
+    truth = {
+        r.word: (r.df, r.total)
+        for r in wc.groupBy("word")
+        .agg(F.count("*").alias("df"), F.sum("count").alias("total"))
+        .collect()
+    }
+    assert set(idx) == set(truth)
+    for w, (df, total) in truth.items():
+        row = idx[w]
+        assert (row.df, row.total_tf) == (df, total)
+        entries = row.postings.split(" ")
+        assert len(entries) == df
+        docs = [e.rsplit(":", 1)[0] for e in entries]
+        assert docs == sorted(docs)  # posting list is doc-ordered
+        assert sum(int(e.rsplit(":", 1)[1]) for e in entries) == total

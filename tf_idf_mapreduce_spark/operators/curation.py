@@ -1,0 +1,203 @@
+"""Corpus-curation operators — the filter/sample/audit passes of a
+training-data pipeline: PII scanning, benchmark-contamination checks,
+deterministic sampling, table profiling, and repetition scoring.
+
+All scan-speed map-only passes or single-shuffle aggregations; no Python
+UDFs anywhere — every operator is pure Column expressions (JVM regex +
+md5), so at 100 TB they run inside whole-stage codegen at parquet-scan
+throughput.
+
+Scale design highlights:
+- PII scan / hash sample: zero shuffles (pure per-row projections —
+  a filter pass over the corpus).
+- Contamination: n-gram hashes of the benchmark side are tiny by
+  construction (benchmarks are small) — broadcast them; the corpus side
+  never shuffles.
+- Repetition: one shuffle on (doc, word), then the per-doc pass reuses
+  that exchange (window over doc).
+- Profile: exact per-column distincts expand to one pass per column at
+  scale; the shape (long-format metric rows) is what matters — swap in
+  approx_count_distinct for the 100 TB run if exactness isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import norm_words, shingles
+from ..sources.io import load_table
+
+#: PII regexes, written in the common Java-regex ∩ RE2 dialect so Spark and
+#: any RE2-based oracle (DuckDB) agree: no backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "url": r"https?://[^ \t\n\r\f]+",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+#: Contamination check: docs whose id ≡ 0 (mod this) act as the held-out
+#: benchmark set; n-gram order for overlap.
+CONTAM_BENCH_MOD = 23
+CONTAM_NGRAM = 5
+
+#: Deterministic sample: keep a doc iff the first byte of
+#: md5(doc_id:text) is below this (hex) bound — 0x00..0x19 ≈ 10.2%.
+SAMPLE_BUCKET_MAX = "19"
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc PII signal counts (emails, IPv4s, URLs, phone-shaped) and a
+    redaction flag. Map-only: regex counting inside codegen, no shuffle —
+    the shape of a 100 TB pre-training privacy filter."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    d = load_table(spark, sf_dir, "documents").select("doc_id", *counts)
+    any_pii = (
+        sum((F.col(f"n_{n}") for n in PII_PATTERNS), F.lit(0).cast("long")) > 0
+    )
+    return d.select("doc_id", *[f"n_{n}" for n in PII_PATTERNS], any_pii.alias("has_pii"))
+
+
+def _doc_ngram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, md5(5-gram)) — the overlap unit for contamination."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", norm_words(F.col("text")).alias("words")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode(shingles(F.col("words"), CONTAM_NGRAM)).alias("g"),
+        )
+        .select("doc_id", F.md5("g").alias("h"))
+        .distinct()
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: for every corpus doc, its 5-gram
+    overlap against each "benchmark" doc (stand-in: doc_id ≡ 0 mod 23).
+
+    Returns (doc_id, bench_doc, n_shared, overlap_frac) for overlapping
+    pairs only. The benchmark side is small by construction (real
+    benchmarks are a few thousand rows) and is broadcast — the 100 TB
+    corpus side joins map-side and never shuffles on n-grams; the only
+    exchange is the per-(doc, bench) count.
+    """
+    grams = _doc_ngram_hashes(spark, sf_dir)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    bench = (
+        grams.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select(F.col("doc_id").alias("bench_doc"), "h")
+    )
+    hits = (
+        grams.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "bench_doc",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("overlap_frac"),
+    )
+
+
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample: keep a doc iff the first md5 byte
+    of ``doc_id:text`` falls under the bucket bound.
+
+    Content-hash sampling is the reproducible way to sample at 100 TB — no
+    RNG state, no seed coordination across executors, stable under
+    re-partitioning and re-runs, and the bucket column lets downstream
+    stages sub-sample consistently (bucket < '0c' is a strict subset)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))), 1, 2
+    )
+    return (
+        d.select("doc_id", "source", bucket.alias("bucket"))
+        .where(F.col("bucket") <= SAMPLE_BUCKET_MAX)
+    )
+
+
+#: Columns profiled by ``profile_table`` (the orders fixture's full schema).
+PROFILE_COLUMNS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format data profile of ``orders``: one row per column with
+    row/null/distinct counts — the schema-audit pass before a big pipeline
+    run. Exact distincts here (the fixture gate needs exact values); the
+    100 TB variant swaps in approx_count_distinct, same output shape."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count(c).alias(f"nn_{c}") for c in PROFILE_COLUMNS],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in PROFILE_COLUMNS],
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in PROFILE_COLUMNS
+        ]
+    )
+    return (
+        agg.select(F.explode(per_col).alias("m"))
+        .select("m.col_name", "m.n_rows", "m.n_nulls", "m.n_distinct")
+    )
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals: word count, distinct-word count, the
+    distinct ratio, and the dominant word with its frequency (ties break
+    lexicographically). Docs with ≥1 word appear (empty docs have no
+    repetition signal).
+
+    One shuffle on (doc_id, word); the per-doc windows reuse that exchange
+    (doc_id is a prefix of the grouping key), so the dominant-word pick
+    and the totals cost no extra shuffle beyond AQE coalescing.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(norm_words(F.col("text"))).alias("w")
+    )
+    wc = d.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    win = Window.partitionBy("doc_id")
+    ordered = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("w"))
+    return (
+        wc.select(
+            "doc_id",
+            "w",
+            "n",
+            F.sum("n").over(win).alias("n_words"),
+            F.count("*").over(win).alias("n_distinct"),
+            F.row_number().over(ordered).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_words"), 6).alias("distinct_ratio"),
+            F.col("w").alias("top_word"),
+            F.col("n").alias("top_word_n"),
+        )
+    )
