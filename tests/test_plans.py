@@ -62,3 +62,32 @@ def test_partial_aggregation_planned(spark):
     # (the map-side combine the reference never configured)
     plan = _plan(spark, "tfidf_word_count")
     assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["text_pii_scan", "curate_hash_sample"])
+def test_curation_scans_are_shuffle_free(spark, name):
+    # map-only passes: zero exchanges, and the scan reads only the columns
+    # the operator touches (a 100 TB filter pass runs at scan speed)
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert schemas
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text", "source"}
+
+
+def test_contamination_broadcasts_small_sides(spark):
+    # the benchmark n-gram set and the per-pair hit counts are both
+    # candidate-sized — the corpus-wide tables must never sort-merge
+    plan = _plan(spark, "curate_contamination")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_postings_and_repetition_partial_aggregate(spark):
+    # both shuffle only post-partial-agg rows, never raw tokens
+    for name in ("tfidf_postings", "text_repetition"):
+        plan = _plan(spark, name)
+        assert plan.count("HashAggregate") >= 2, name

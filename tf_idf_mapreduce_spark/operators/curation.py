@@ -101,7 +101,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bench_doc")
         .agg(F.count("*").alias("n_shared"))
     )
-    return hits.join(sizes, "doc_id").select(
+    # hits is candidate-sized (tiny); broadcasting it lets the per-doc
+    # sizes table (one row per corpus doc — huge at scale) stay map-side
+    return sizes.join(F.broadcast(hits), "doc_id").select(
         "doc_id",
         "bench_doc",
         "n_shared",
@@ -172,9 +174,11 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically). Docs with ≥1 word appear (empty docs have no
     repetition signal).
 
-    One shuffle on (doc_id, word); the per-doc windows reuse that exchange
-    (doc_id is a prefix of the grouping key), so the dominant-word pick
-    and the totals cost no extra shuffle beyond AQE coalescing.
+    Two exchanges, both of compressed rows: the (doc_id, word) count
+    partial-aggregates map-side (raw token rows never cross the wire), and
+    the per-doc window re-clusters those already-distinct (doc, word, n)
+    rows by doc_id. That beats the single-exchange alternative
+    (pre-repartition by doc_id), which would shuffle every RAW token.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(norm_words(F.col("text"))).alias("w")
