@@ -124,3 +124,32 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     got = df.select(shingles(norm_words(F.col("text"))).alias("s")).head().s
     assert got == ["a b"]
+
+
+def test_shingle_rows_matches_array_formulation_on_edges(spark):
+    # the codegen row-level build must be bit-identical to the array
+    # transform, including the clamp/pad edge cases: empty doc -> one ''
+    # shingle, short docs -> one whole-doc shingle
+    from tf_idf_mapreduce_spark.functions.hashing import shingle_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   "),
+            (3, "one"),
+            (4, "one two"),
+            (5, "one two three"),
+            (6, "one two three four five six"),
+            (7, "a  b\tc\nd"),
+        ],
+        "doc_id long, text string",
+    )
+    for n in (3, 5):
+        via_array = docs.select(
+            "doc_id",
+            F.explode(shingles(norm_words(F.col("text")), n)).alias("shingle"),
+        )
+        via_rows = shingle_rows(docs, ["doc_id"], n=n)
+        a = sorted((r.doc_id, r.shingle) for r in via_array.collect())
+        b = sorted((r.doc_id, r.shingle) for r in via_rows.collect())
+        assert a == b, f"n={n}"

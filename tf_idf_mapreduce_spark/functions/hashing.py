@@ -12,7 +12,7 @@ to fixed 32-hex strings so shuffle keys stay small regardless of r.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: MinHash configuration: k hash functions in b bands of r rows each.
@@ -51,6 +51,47 @@ def shingles(words: Column, n: int = 3) -> Column:
     """
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def shingle_rows(
+    df: DataFrame,
+    keys: list[str],
+    text: Column | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """One row per word-n-gram shingle: the row-level, codegen-only twin of
+    ``explode(shingles(norm_words(text)))``.
+
+    The array formulation runs the shingle ``transform`` lambda
+    interpreted (~3µs/element — measured 12× slower at sf0.1, 3.0s vs
+    0.25s); this one builds ``arrays_zip`` of n shifted ``slice`` views and
+    ``posexplode``s it, so the whole pass stays inside whole-stage codegen.
+    Output and edge semantics are bit-identical to ``shingles``: a doc
+    shorter than n words yields exactly one (possibly truncated) shingle,
+    and a zero-word doc yields one empty-string shingle (the '' pad below —
+    ``posexplode`` of an empty zip would otherwise drop the doc).
+
+    Returns ``df.select(*keys, "shingle")``-shaped rows.
+    """
+    text = F.col("text") if text is None else text
+    w0 = norm_words(text)
+    padded = F.when(F.size(w0) == 0, F.array(F.lit(""))).otherwise(w0)
+    base = df.select(*keys, padded.alias("__w")).select(
+        *keys, "__w", F.size("__w").alias("__L")
+    )
+    zipped = F.arrays_zip(
+        F.col("__w"),
+        *[
+            F.slice("__w", i + 1, F.greatest(F.col("__L"), F.lit(1))).alias(f"__s{i}")
+            for i in range(1, n)
+        ],
+    )
+    parts = [F.col("__t.__w")] + [F.col(f"__t.__s{i}") for i in range(1, n)]
+    return (
+        base.select(*keys, "__L", F.posexplode(zipped).alias("__pos", "__t"))
+        .where(F.col("__pos") <= F.greatest(F.col("__L") - n, F.lit(0)))
+        .select(*keys, F.concat_ws(" ", *parts).alias("shingle"))
+    )
 
 
 def shingle_hashes(shingle_arr: Column) -> Column:

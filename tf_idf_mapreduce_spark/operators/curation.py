@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import norm_words, shingles
+from ..functions.hashing import norm_words, shingle_rows
 from ..sources.io import load_table
 
 #: PII regexes, written in the common Java-regex ∩ RE2 dialect so Spark and
@@ -65,16 +65,12 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_ngram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, md5(5-gram)) — the overlap unit for contamination."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", norm_words(F.col("text")).alias("words")
-    )
+    """Distinct (doc_id, md5(5-gram)) — the overlap unit for contamination.
+    Row-level n-gram build (``shingle_rows``) keeps the pass in codegen."""
+    d = load_table(spark, sf_dir, "documents")
     return (
-        d.select(
-            "doc_id",
-            F.explode(shingles(F.col("words"), CONTAM_NGRAM)).alias("g"),
-        )
-        .select("doc_id", F.md5("g").alias("h"))
+        shingle_rows(d, ["doc_id"], n=CONTAM_NGRAM)
+        .select("doc_id", F.md5("shingle").alias("h"))
         .distinct()
     )
 

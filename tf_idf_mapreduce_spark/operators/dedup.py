@@ -27,7 +27,7 @@ from ..functions.hashing import (
     MINHASH_PERMS,
     band_keys,
     norm_words,
-    shingles,
+    shingle_rows,
     word_hash32,
 )
 from ..sources.io import load_table
@@ -54,11 +54,9 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct — shared base for jaccard/minhash."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", shingles(norm_words(F.col("text"))).alias("sh")
-    )
-    return d.select("doc_id", F.explode("sh").alias("shingle")).distinct()
+    """(doc_id, shingle) distinct — shared base for jaccard/minhash.
+    Row-level shingle build (``shingle_rows``) keeps it whole-stage codegen."""
+    return shingle_rows(_docs(spark, sf_dir), ["doc_id"]).distinct()
 
 
 def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,13 +66,12 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, key) → distinct pairs + signature-agreement estimate of Jaccard.
     Returns (doc_a, doc_b, n_bands_shared, est_jaccard).
     """
-    # explode → 12 plain min() aggregates: stays inside whole-stage codegen
-    # (an array-transform formulation would run ~12x slower through
-    # interpreted lambda evaluation) and partial-aggregates map-side, so the
-    # shuffle carries one 12-int row per doc regardless of doc length.
-    sh = _docs(spark, sf_dir).select(
-        "doc_id", F.explode(shingles(norm_words(F.col("text")))).alias("shingle")
-    )
+    # row-level shingles → 12 plain min() aggregates: stays inside
+    # whole-stage codegen end to end (both the shingle transform and the
+    # signature fold run ~12x slower interpreted) and partial-aggregates
+    # map-side, so the shuffle carries one 12-int row per doc regardless of
+    # doc length.
+    sh = shingle_rows(_docs(spark, sf_dir), ["doc_id"])
     hashed = sh.select("doc_id", word_hash32(F.col("shingle")).alias("h"))
     sigs = hashed.groupBy("doc_id").agg(
         F.array(
