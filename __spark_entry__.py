@@ -1036,6 +1036,18 @@ _CURATION_ORACLE: dict[str, str] = {
               <= '{cur.SAMPLE_BUCKET_MAX}'
     """,
     "curate_profile": _PROFILE_UNION_SQL,
+    "curate_stratified_sample": f"""
+        WITH b AS (
+          SELECT doc_id, lang,
+            substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 2) AS bucket,
+            CASE {' '.join(
+                f"WHEN lang = '{lang}' THEN '{mx}'"
+                for lang, mx in cur.STRATA_BUCKET_MAX.items()
+            )} ELSE '{cur.STRATA_DEFAULT_MAX}' END AS bound
+          FROM documents
+        )
+        SELECT doc_id, lang, bucket FROM b WHERE bucket <= bound
+    """,
 }
 
 
@@ -1105,7 +1117,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-data pipeline: corpus curation ---
         "curate_contamination": cur.contamination_check,
         "curate_hash_sample": cur.hash_sample,
+        "curate_stratified_sample": cur.stratified_sample,
         "curate_profile": cur.profile_table,
+        # rows-only (HLL++/KLL sketch internals are engine-specific — no SQL
+        # twin; accuracy vs exact is pinned in tests/test_curation.py)
+        "curate_profile_sketch": cur.profile_table_sketch,
         # --- LLM-data pipeline: multimodal plumbing ---
         "mm_media_stats": mm.media_stats,
         "mm_frame_sample": mm.frame_sample,

