@@ -887,6 +887,9 @@ _STREAMING_ORACLE: dict[str, str] = {
         QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
     """,
 }
+_STREAMING_ORACLE["stream_incremental_wordcount"] = _STREAMING_ORACLE[
+    "stream_wordcount"
+]
 _STREAMING_ORACLE["stream_tumbling_hourly"] = _EVENTS_ORACLE["events_tumbling_hourly"]
 
 _STREAMING_ORACLE["stream_sliding_counts"] = """
@@ -1132,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Structured Streaming (each runs availableNow to completion;
         #     streaming answer must equal the batch/oracle answer) ---
         "stream_wordcount": st.q_stream_wordcount,
+        "stream_incremental_wordcount": st.q_stream_incremental_wordcount,
         "stream_tumbling_hourly": st.q_stream_tumbling_hourly,
         "stream_session_window": st.q_stream_session_window,
         "stream_stateful_sessions": st.q_stream_stateful_sessions,

@@ -59,3 +59,51 @@ def test_stateful_sessions_are_batch_minus_open_tail(spark, sf_dir):
     assert _rows(got, cols) == _rows(want, cols)
     # every emitted session is closed: gap to the next session's start > 30 min
     assert got.count() > 0
+
+
+def test_incremental_wordcount_runs_multiple_microbatches(spark, sf_dir, tmp_path):
+    # replicate the query's split-source manually so the StreamingQuery
+    # handle is inspectable: 4 files + maxFilesPerTrigger=1 must yield 4
+    # state-accumulating triggers, and the final answer must equal batch
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = str(tmp_path / "split")
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(split)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split)
+    )
+    counts = (
+        src.select(F.explode(norm_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("inc_wc_probe")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_inc_wc_"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 4  # one per file — state carried across
+    got = sorted(tuple(r) for r in spark.table("inc_wc_probe").collect())
+    want = sorted(
+        tuple(r)
+        for r in docs.select(F.explode(norm_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_incremental_wordcount_query_matches_plain_stream(spark, sf_dir):
+    got = st.q_stream_incremental_wordcount(spark, sf_dir)
+    want = st.q_stream_wordcount(spark, sf_dir)
+    assert _rows(got, ["word", "n"]) == _rows(want, ["word", "n"])

@@ -47,6 +47,32 @@ def q_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counts, "stream_wordcount", output_mode="complete")
 
 
+def q_stream_incremental_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count drained over FOUR micro-batches (``maxFilesPerTrigger=1``
+    against a 4-file split of the corpus) — proves the aggregation state
+    actually accumulates across triggers rather than the run degenerating
+    into one batch job. The final answer must equal the batch word count.
+
+    This is the shape of a real backlog drain at scale: a landing
+    directory of many files, bounded ingest per trigger, state carried in
+    the store between triggers.
+    """
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_dir = tempfile.mkdtemp(prefix="stream_split_wc_")
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(split_dir)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split_dir)
+    )
+    words = src.select(F.explode(norm_words(F.col("text"))).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    return run_to_memory(counts, "stream_inc_wordcount", output_mode="complete")
+
+
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked 1-hour tumbling windows per event type — the streaming
     twin of operators.events.q_tumbling_hourly (same output schema)."""
