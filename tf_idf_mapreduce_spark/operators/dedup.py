@@ -319,8 +319,29 @@ def duplicate_clusters(
     → keepers.
     """
     docs = _docs(spark, sf_dir).select("doc_id")
-    edges = minhash_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(docs, edges, max_iter=max_iter)
+    # materialize the candidate edges ONCE: both the symmetrized edge list
+    # and the connected-node set derive from them, and without the barrier
+    # each branch re-runs the whole MinHash pipeline
+    edges = (
+        minhash_candidate_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    # iterate only over the connected subgraph: candidate pairs are a tiny
+    # fraction of the corpus by LSH construction, so every propagation
+    # round shuffles candidate-sized tables, not the whole corpus; the
+    # (huge) singleton remainder is labeled by a final broadcast join.
+    conn_nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    conn_labels = connected_components(conn_nodes, edges, max_iter=max_iter)
+    labels = docs.join(
+        F.broadcast(conn_labels.withColumnRenamed("label", "conn_label")),
+        "doc_id",
+        "left",
+    ).select("doc_id", F.coalesce("conn_label", "doc_id").alias("label"))
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
