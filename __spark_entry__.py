@@ -735,6 +735,55 @@ _LLMDATA_ORACLE: dict[str, str] = {
 }
 
 
+_RELATIONAL_ORACLE["rel_window_frames"] = """
+    SELECT o_custkey, o_orderkey,
+      CAST(epoch(o_orderdate) AS BIGINT) AS ts_sec,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER w AS DOUBLE)
+        AS spend_30d,
+      CAST(count(*) OVER w AS BIGINT) AS n_orders_30d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+    )
+"""
+
+_RELATIONAL_ORACLE["rel_window_ranks"] = """
+    SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
+      CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      round(percent_rank() OVER w, 6) AS pct_rank,
+      round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+_ZORDER_TERMS = " + ".join(
+    f"((x >> {b}) & 1) * {1 << (2 * b)} + ((y >> {b}) & 1) * {1 << (2 * b + 1)}"
+    for b in range(rel.ZORDER_BITS)
+)
+_RELATIONAL_ORACLE["rel_zorder"] = f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS ts_sec
+      FROM orders
+    ),
+    bounds AS (
+      SELECT min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+             min(ts_sec) AS mn_ts, max(ts_sec) AS mx_ts
+      FROM o
+    ),
+    base AS (
+      SELECT o_orderkey, o_custkey, ts_sec,
+             ((o_custkey - mn_ck) * 65535) // greatest(mx_ck - mn_ck, 1) AS x,
+             ((ts_sec - mn_ts) * 65535) // greatest(mx_ts - mn_ts, 1) AS y
+      FROM o, bounds
+    )
+    SELECT o_orderkey, o_custkey, ts_sec,
+           CAST({_ZORDER_TERMS} AS BIGINT) AS zkey
+    FROM base
+"""
+
 _RELATIONAL_ORACLE["rel_grouping_sets"] = """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
@@ -1079,6 +1128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_topk_per_group": rel.top_orders_per_customer,
         "rel_salted_topk": rel.salted_top_orders_per_customer,
         "rel_window_running": rel.customer_order_running_stats,
+        "rel_window_frames": rel.rolling_month_spend,
+        "rel_window_ranks": rel.customer_balance_ranks,
+        "rel_zorder": rel.zorder_order_keys,
         "rel_top10_global": rel.top10_orders_global,
         "rel_setops": rel.segment_key_setops,
         "rel_string_funcs": rel.part_string_functions,

@@ -92,3 +92,50 @@ def test_semi_plus_anti_partition_customers(spark, sf_dir):
     ) or 0
     n_total = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert n_semi + n_anti == n_total
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    # Writing the table clustered by zkey must give every file a bounded
+    # min/max envelope in BOTH dimensions — the property min/max-pruned
+    # scans rely on. A custkey-only sort leaves the date dimension at
+    # nearly full width in every file; z-order must beat it decisively.
+    import glob
+
+    from tf_idf_mapreduce_spark.operators.relational import zorder_order_keys
+
+    zk = zorder_order_keys(spark, sf_dir)
+    n_files = 8
+
+    def file_ranges(df, order_col, out):
+        (
+            df.repartitionByRange(n_files, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .write.mode("overwrite")
+            .parquet(str(out))
+        )
+        widths = []
+        for f in glob.glob(f"{out}/part-*.parquet"):
+            part = spark.read.parquet(f).agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+                (F.max("ts_sec") - F.min("ts_sec")).alias("ts"),
+            ).collect()[0]
+            widths.append((part.ck, part.ts))
+        return widths
+
+    z_widths = file_ranges(zk, "zkey", tmp_path / "z")
+    c_widths = file_ranges(zk, "o_custkey", tmp_path / "c")
+
+    full = zk.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("ts"),
+    ).collect()[0]
+
+    avg = lambda xs: sum(xs) / len(xs)
+    z_ck, z_ts = avg([w[0] for w in z_widths]), avg([w[1] for w in z_widths])
+    c_ck, c_ts = avg([w[0] for w in c_widths]), avg([w[1] for w in c_widths])
+    # custkey-sorted: near-perfect custkey locality, no date locality
+    assert c_ck < full.ck / 4
+    assert c_ts > full.ts * 0.8
+    # z-order: BOTH dimensions bounded well below full width
+    assert z_ck < full.ck * 0.6
+    assert z_ts < full.ts * 0.6

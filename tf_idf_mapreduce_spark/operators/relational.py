@@ -383,6 +383,100 @@ def customer_order_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_month_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per customer, total spend over the trailing 30
+    days of each order (event-time frame, not row count — the frame the
+    ROWS variant can't express when order density varies).
+
+    Ordering by epoch seconds makes the numeric range frame engine-portable
+    (interval frames differ subtly across engines). Same single exchange
+    on o_custkey as every other per-customer window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.unix_timestamp("o_orderdate").alias("ts_sec")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts_sec")
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return orders.select("o_custkey", "o_orderkey", ts, "o_totalprice").select(
+        "o_custkey",
+        "o_orderkey",
+        "ts_sec",
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )
+
+
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function family in one pass: dense_rank, ntile quartiles,
+    percent_rank and cume_dist per nation by account balance. The custkey
+    tiebreak in the ORDER BY eliminates peer groups, so the distribution
+    functions are exactly deterministic (and @6dp-portable)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+#: Bits per dimension in the Z-order key (two 16-bit dims → 32-bit key).
+ZORDER_BITS = 16
+
+
+def zorder_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, order epoch-day):
+    interleaving the two dimensions' bits makes lexicographic order on the
+    key preserve locality in BOTH dimensions, so a table rewritten in this
+    order serves min/max-pruned scans for either predicate — the data-
+    layout optimization behind Delta/Iceberg OPTIMIZE ZORDER, expressed as
+    pure Column arithmetic (32 unrolled shift/mask terms, whole-stage
+    codegen). Returns each order's key; the companion sink test writes the
+    re-clustered table and asserts per-file min/max tightness.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.unix_timestamp("o_orderdate").alias("ts_sec")
+    )
+    # min-max scale BOTH dimensions to the full 16-bit range first —
+    # interleaving raw values lets the wider dimension's high bits dominate
+    # the key and the narrower one gets no locality at all. Bounds enter
+    # the plan as a broadcast 1-row aggregate; `div` keeps the scaling in
+    # exact integer arithmetic (portable across engines).
+    bounds = o.agg(
+        F.min("o_custkey").alias("mn_ck"),
+        F.max("o_custkey").alias("mx_ck"),
+        F.min("ts_sec").alias("mn_ts"),
+        F.max("ts_sec").alias("mx_ts"),
+    )
+    top = (1 << ZORDER_BITS) - 1
+    scaled = o.crossJoin(F.broadcast(bounds)).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "ts_sec",
+        f"((o_custkey - mn_ck) * {top}) div greatest(mx_ck - mn_ck, 1L) AS x",
+        f"((ts_sec - mn_ts) * {top}) div greatest(mx_ts - mn_ts, 1L) AS y",
+    )
+    z = F.lit(0).cast("long")
+    for b in range(ZORDER_BITS):
+        z = (
+            z
+            + (F.shiftright("x", b).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * b)))
+            + (F.shiftright("y", b).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * b + 1)))
+        )
+    return scaled.select("o_orderkey", "o_custkey", "ts_sec", z.alias("zkey"))
+
+
 def top10_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k: TakeOrderedAndProject (heap per partition + driver
     merge of k) — not a full sort (contrast SortByValue.java:111-126)."""
