@@ -642,6 +642,30 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
         ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
     """,
+    "sim_label_centroids": f"""
+        SELECT label, i - 1 AS dim,
+               round(avg(embedding[i]), 6) AS centroid,
+               count(*) AS n_vecs
+        FROM embeddings, generate_series(1, {EMBED_DIM}) t(i)
+        GROUP BY label, i
+    """,
+    "text_bigrams": f"""
+        WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+        bg AS (
+          SELECT array_to_string(words[i:i+1], ' ') AS bigram
+          FROM docs, LATERAL unnest(generate_series(1, len(words) - 1)) t(i)
+          WHERE len(words) >= 2
+        ),
+        bgc AS (SELECT bigram, count(*) AS n_bigram FROM bg GROUP BY bigram),
+        uni AS (
+          SELECT w, count(*) AS n_w1
+          FROM (SELECT unnest(words) AS w FROM docs) GROUP BY w
+        )
+        SELECT bigram, bgc.n_bigram, uni.n_w1,
+               round(bgc.n_bigram / uni.n_w1, 6) AS p_cond
+        FROM bgc JOIN uni ON uni.w = split_part(bigram, ' ', 1)
+        ORDER BY n_bigram DESC, bigram ASC LIMIT 50
+    """,
     "text_lang_id": _lang_id_sql(),
     "text_quality": f"""
         WITH docs AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents)
@@ -965,6 +989,36 @@ _STREAMING_ORACLE["stream_static_join"] = """
 """
 
 
+_EVENTS_ORACLE["events_funnel"] = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, min(ts_sec) AS view_sec
+      FROM e WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts_sec) AS click_sec
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND e.ts_sec > v.view_sec AND e.ts_sec <= v.view_sec + 86400
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts_sec) AS purchase_sec
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.ts_sec > c.click_sec AND e.ts_sec <= c.click_sec + 86400
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.view_sec, c.click_sec, p.purchase_sec,
+           CAST(1 + (c.click_sec IS NOT NULL)::INT
+                  + (p.purchase_sec IS NOT NULL)::INT AS BIGINT)
+             AS steps_completed
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
 _EVENTS_ORACLE["events_session_stats"] = (
     "WITH sessions AS ("
     + _EVENTS_ORACLE["events_sessionize"]
@@ -1147,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": ev.q_session_stats,
         "events_tumbling_hourly": ev.q_tumbling_hourly,
         "events_json_payload": ev.q_json_payload,
+        "events_funnel": ev.q_funnel,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,
@@ -1162,11 +1217,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (k-means training is iterative — no SQL twin; recall vs
         # the exact top-k is asserted in tests/test_similarity.py)
         "sim_ivf_topk": sim.ivf_topk,
+        "sim_label_centroids": sim.label_centroids,
         # --- LLM-data pipeline: text analysis ---
         "text_lang_id": ts.lang_id,
         "text_quality": ts.quality_scores,
         "text_token_counts": ts.token_counts,
         "text_fingerprints": ts.fingerprints,
+        "text_bigrams": ts.bigram_stats,
         "text_pii_scan": cur.pii_scan,
         "text_repetition": cur.repetition_scores,
         # --- LLM-data pipeline: corpus curation ---

@@ -47,3 +47,23 @@ def test_fixture_sessions_cover_all_events(spark, sf_dir):
     total = load_events(spark, sf_dir).count()
     in_sessions = q_sessionize(spark, sf_dir).agg(F.sum("n_events")).head()[0]
     assert in_sessions == total
+
+
+def test_funnel_steps_are_ordered_and_windowed(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import FUNNEL_STEP_WINDOW_SEC, q_funnel
+
+    rows = q_funnel(spark, sf_dir).collect()
+    assert rows
+    seen_steps = {r.steps_completed for r in rows}
+    for r in rows:
+        assert r.view_sec is not None
+        if r.click_sec is not None:
+            assert r.view_sec < r.click_sec <= r.view_sec + FUNNEL_STEP_WINDOW_SEC
+        else:
+            assert r.purchase_sec is None  # funnel is ordered — no skipping
+        if r.purchase_sec is not None:
+            assert r.click_sec < r.purchase_sec <= r.click_sec + FUNNEL_STEP_WINDOW_SEC
+        assert r.steps_completed == 1 + (r.click_sec is not None) + (
+            r.purchase_sec is not None
+        )
+    assert 3 in seen_steps  # fixture has full conversions

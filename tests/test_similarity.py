@@ -67,3 +67,25 @@ def test_kmeans_fit_deterministic_and_shaped(spark, sf_dir):
     c2 = sim.kmeans_fit(e, k=4, iters=3)
     assert c1 == c2
     assert len(c1) == 4 and len(c1[0]) == sim.EMBED_DIM
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import label_centroids
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    got = {
+        (r.label, r.dim): (r.centroid, r.n_vecs)
+        for r in label_centroids(spark, sf_dir).collect()
+    }
+    raw = load_table(spark, sf_dir, "embeddings").collect()
+    by_label = {}
+    for r in raw:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype="float64"))
+    for label, vecs in by_label.items():
+        mean = np.mean(np.stack(vecs), axis=0)
+        for d in range(len(mean)):
+            c, n = got[(label, d)]
+            assert n == len(vecs)
+            assert abs(c - mean[d]) < 1e-5

@@ -81,3 +81,22 @@ def test_tokenize_df_shape(spark):
         ("d1.txt", "hello"),
         ("d1.txt", "world"),
     ]
+
+
+def test_bigram_stats_planted_conditionals(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators.textstats import bigram_stats
+
+    # words: a b a c a b x -> c('a')=3, bigrams "a b"x2 "a c"x1, so
+    # P(b|a)=2/3, P(c|a)=1/3; c('b')=2 with "b a"x1 -> P(a|b)=1/2
+    docs = [(1, "a b a c a b x", "en", "s")]
+    d = tmp_path_factory.mktemp("bigrams")
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    got = {r.bigram: (r.n_bigram, r.n_w1, r.p_cond) for r in bigram_stats(spark, str(d)).collect()}
+    assert got["a b"] == (2, 3, round(2 / 3, 6))
+    assert got["a c"] == (1, 3, round(1 / 3, 6))
+    assert got["b a"] == (1, 2, 0.5)

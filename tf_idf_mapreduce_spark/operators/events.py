@@ -101,3 +101,69 @@ def q_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count("*").alias("n_events"),
     )
+
+
+FUNNEL_STEP_WINDOW_SEC = 24 * 3600
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first view, the first click
+    AFTER that view, and the first purchase AFTER that click — each within
+    24 h of the previous step.
+
+    Three chained window passes over the same user_id partition (one
+    exchange; each step's min is conditional on the previous step's
+    result), then one distinct-per-user aggregate that reuses the
+    clustering. Only users with at least a view appear.
+    Returns (user_id, view_sec, click_sec, purchase_sec, steps_completed).
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_sec")
+    w = Window.partitionBy("user_id")
+    step1 = ev.withColumn(
+        "view_sec",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_sec"))).over(w),
+    )
+    step2 = step1.withColumn(
+        "click_sec",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_sec") > F.col("view_sec"))
+                & (F.col("ts_sec") <= F.col("view_sec") + FUNNEL_STEP_WINDOW_SEC),
+                F.col("ts_sec"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "purchase_sec",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_sec") > F.col("click_sec"))
+                & (F.col("ts_sec") <= F.col("click_sec") + FUNNEL_STEP_WINDOW_SEC),
+                F.col("ts_sec"),
+            )
+        ).over(w),
+    )
+    return (
+        step3.where(F.col("view_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min("view_sec").alias("view_sec"),
+            F.min("click_sec").alias("click_sec"),
+            F.min("purchase_sec").alias("purchase_sec"),
+        )
+        .select(
+            "user_id",
+            "view_sec",
+            "click_sec",
+            "purchase_sec",
+            (
+                F.lit(1)
+                + F.col("click_sec").isNotNull().cast("int")
+                + F.col("purchase_sec").isNotNull().cast("int")
+            )
+            .cast("long")
+            .alias("steps_completed"),
+        )
+    )

@@ -268,3 +268,23 @@ def lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long format (label, dim,
+    centroid, n_vecs) — the vector aggregation behind k-means, class
+    prototypes, and IVF coarse quantizers.
+
+    posexplode → groupBy (label, dim) → avg: the shuffle carries partial
+    (sum, count) pairs per (label, dim) — 100 TB of vectors reduces to
+    |labels|·d rows, all map-side combined, no UDFs. Centroids @6dp.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    return rows.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )

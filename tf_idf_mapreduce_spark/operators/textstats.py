@@ -134,3 +134,41 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint60"),
     )
+
+
+def bigram_stats(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Corpus bigram language-model stats: the top-k bigrams by frequency
+    with conditional probability P(w2 | w1) = c(w1 w2) / c(w1), where
+    c(w1) is w1's corpus unigram count.
+
+    Bigrams come from the codegen shingle builder (n=2); the unigram side
+    is a standard word count broadcast into the division (vocabulary ≪
+    corpus). Deterministic ties: count desc, bigram asc.
+    """
+    from ..functions.hashing import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        shingle_rows(d, ["doc_id"], n=2)
+        .where(F.instr("shingle", " ") > 0)  # single-word docs yield no bigram
+        .groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count("*").alias("n_bigram"))
+    )
+    uni = (
+        d.select(F.explode(norm_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w1"))
+    )
+    w1 = F.substring_index("bigram", " ", 1)
+    return (
+        bg.withColumn("w1", w1)
+        .join(F.broadcast(uni), F.col("w1") == F.col("w"))
+        .select(
+            "bigram",
+            "n_bigram",
+            "n_w1",
+            F.round(F.col("n_bigram") / F.col("n_w1"), 6).alias("p_cond"),
+        )
+        .orderBy(F.desc("n_bigram"), F.asc("bigram"))
+        .limit(k)
+    )
