@@ -14,7 +14,7 @@ def test_every_oracle_key_has_a_query():
 def test_rows_only_queries_are_the_documented_ones():
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
-    assert q - o == {"sim_ivf_topk", "mm_resize"}
+    assert q - o == {"sim_ivf_topk", "mm_resize", "curate_profile_sketch"}
 
 
 def test_entry_runs_and_has_stable_schema(spark):
