@@ -869,6 +869,17 @@ _LLMDATA_ORACLE["dedup_clusters"] = _DEDUP_CTE.replace(
 # --------------------------------------------------------------------------
 
 _TEMPORAL_ORACLE: dict[str, str] = {
+    "temporal_latest_snapshot": """
+        SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec,
+               event_type, round(value, 2) AS value
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC
+          ) AS rn
+          FROM events
+        )
+        WHERE rn = 1
+    """,
     "temporal_asof_join": """
         WITH e AS (SELECT event_id, user_id, event_type,
                           epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
@@ -988,6 +999,19 @@ _STREAMING_ORACLE["stream_static_join"] = """
     FROM events e JOIN stats s ON e.user_id = s.user_id
 """
 
+
+_EVENTS_ORACLE["events_retention"] = """
+    WITH e AS (
+      SELECT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS week
+      FROM events
+    ),
+    first AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM e)
+    SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active JOIN first USING (user_id)
+    GROUP BY 1, 2
+"""
 
 _EVENTS_ORACLE["events_funnel"] = """
     WITH e AS (
@@ -1196,12 +1220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- temporal joins (operators Spark lacks built-in) ---
         "temporal_asof_join": tmp.q_asof_purchase_click,
         "temporal_range_join": tmp.q_range_error_click,
+        "temporal_latest_snapshot": tmp.q_latest_snapshot,
         # --- event/time-series surface ---
         "events_sessionize": ev.q_sessionize,
         "events_session_stats": ev.q_session_stats,
         "events_tumbling_hourly": ev.q_tumbling_hourly,
         "events_json_payload": ev.q_json_payload,
         "events_funnel": ev.q_funnel,
+        "events_retention": ev.q_retention,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,

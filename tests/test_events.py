@@ -67,3 +67,19 @@ def test_funnel_steps_are_ordered_and_windowed(spark, sf_dir):
             r.purchase_sec is not None
         )
     assert 3 in seen_steps  # fixture has full conversions
+
+
+def test_retention_cohort_laws(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import q_retention
+    from tf_idf_mapreduce_spark.sources.io import load_events
+
+    rows = q_retention(spark, sf_dir).collect()
+    assert rows
+    assert all(r.week_offset >= 0 for r in rows)
+    # offset-0 cell counts every cohort member; later offsets can't exceed it
+    base = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    total_users = load_events(spark, sf_dir).select("user_id").distinct().count()
+    assert sum(base.values()) == total_users
+    for r in rows:
+        assert r.cohort_week in base
+        assert r.n_users <= base[r.cohort_week]

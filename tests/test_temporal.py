@@ -58,3 +58,23 @@ def test_range_join_band_boundaries(spark):
 def test_range_join_no_duplicate_pairs(spark, sf_dir):
     out = q_range_error_click(spark, sf_dir)
     assert out.count() == out.select("err_id", "click_id").distinct().count()
+
+
+def test_latest_snapshot_one_row_per_user_and_is_max_ts(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.temporal import q_latest_snapshot
+    from tf_idf_mapreduce_spark.sources.io import load_events
+
+    snap = q_latest_snapshot(spark, sf_dir)
+    rows = snap.collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))  # exactly one row per key
+    max_ts = {
+        r.user_id: r.mx
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("ts_sec").alias("mx"))
+        .collect()
+    }
+    assert len(rows) == len(max_ts)
+    for r in rows:
+        assert r.ts_sec == max_ts[r.user_id]

@@ -167,3 +167,32 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("steps_completed"),
         )
     )
+
+
+WEEK_SEC = 7 * 24 * 3600
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by their first-activity week,
+    counted distinct in each subsequent week offset — the
+    (cohort_week, week_offset, n_users) matrix behind every retention
+    curve.
+
+    Two aggregations sharing the user_id exchange: first-week per user,
+    then distinct (user, week) activity joined back (broadcast — one row
+    per user ≪ events) and counted per cell. Weeks are integer epoch-week
+    buckets (portable; no calendar dependence).
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", (F.col("ts_sec") / WEEK_SEC).cast("long").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

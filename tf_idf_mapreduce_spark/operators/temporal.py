@@ -148,3 +148,28 @@ def q_range_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "err_id", "click_id", "user_id", (F.col("err_sec") - F.col("click_sec")).alias("dt_sec")
     )
+
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/SCD "current view" compaction: the single latest event per user
+    (ts_ns ordering, event_id tiebreak) — the keep-last-version pass every
+    change-capture pipeline runs before serving a snapshot.
+
+    One exchange on the key; at scale this is the compaction of a
+    billions-of-rows changelog down to one row per key, and the window
+    formulation lets AQE split any hot key's sort.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_ns"), F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts_sec",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
