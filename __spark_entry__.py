@@ -862,6 +862,31 @@ _LLMDATA_ORACLE["dedup_clusters"] = _DEDUP_CTE.replace(
     GROUP BY d.doc_id
 """
 
+# keeper-by-quality composes the clusters oracle: rewrap its final SELECT
+# as a CTE, rank members by word count within each cluster
+_CLUSTERS_HEAD, _CLUSTERS_FINAL = _LLMDATA_ORACLE["dedup_clusters"].rsplit(
+    "SELECT d.doc_id", 1
+)
+_LLMDATA_ORACLE["dedup_keeper_quality"] = (
+    _CLUSTERS_HEAD
+    + ", clusters AS (\nSELECT d.doc_id"
+    + _CLUSTERS_FINAL
+    + """),
+    qual AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words FROM docs),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.n_words,
+             row_number() OVER (
+               PARTITION BY c.cluster_id ORDER BY q.n_words DESC, c.doc_id ASC
+             ) AS rn,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+      FROM clusters c JOIN qual q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, n_words AS keep_n_words,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+"""
+)
+
 # --------------------------------------------------------------------------
 # Temporal join oracles — DuckDB has a native ASOF JOIN and executes
 # inequality range joins directly; the Spark side must reproduce both with
@@ -1236,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dd.simhash_near_pairs,
         "dedup_embedding_pairs": dd.embedding_near_pairs,
         "dedup_clusters": dd.duplicate_clusters,
+        "dedup_keeper_quality": dd.keeper_by_quality,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,

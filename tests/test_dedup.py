@@ -153,3 +153,30 @@ def test_shingle_rows_matches_array_formulation_on_edges(spark):
         a = sorted((r.doc_id, r.shingle) for r in via_array.collect())
         b = sorted((r.doc_id, r.shingle) for r in via_rows.collect())
         assert a == b, f"n={n}"
+
+
+def test_keeper_by_quality_laws(spark):
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        duplicate_clusters,
+        keeper_by_quality,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    keepers = keeper_by_quality(spark, sf).collect()
+    clusters = duplicate_clusters(spark, sf).collect()
+    n_words = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", F.size(norm_words(F.col("text"))).alias("n"))
+        .collect()
+    }
+    members = {}
+    for r in clusters:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert {k.cluster_id for k in keepers} == set(members)
+    for k in keepers:
+        docs = members[k.cluster_id]
+        assert k.n_docs == len(docs)
+        best = max(docs, key=lambda d: (n_words[d], -d))
+        assert (k.keep_doc_id, k.keep_n_words) == (best, n_words[best])

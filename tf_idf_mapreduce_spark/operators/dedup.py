@@ -405,3 +405,36 @@ def embedding_near_pairs(
                 )
 
     return tiles.mapInPandas(tile_cosines, out_schema)
+
+
+def keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final act: per duplicate cluster, keep the
+    highest-quality member (most words, doc_id tiebreak) — sketch →
+    candidates → clusters → quality-ranked keeper, composed end to end.
+
+    The cluster labels join the per-doc quality scan on doc_id, then one
+    window per cluster_id picks the keeper; cluster count rides the same
+    window partition. Returns (cluster_id, keep_doc_id, keep_n_words,
+    n_docs) — n_docs > 1 rows are the clusters an actual dedup would
+    collapse.
+    """
+    from pyspark.sql.window import Window
+
+    clusters = duplicate_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    qual = _docs(spark, sf_dir).select(
+        "doc_id", F.size(norm_words(F.col("text"))).cast("long").alias("n_words")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_words"), F.asc("doc_id"))
+    ranked = clusters.join(qual, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        "n_words",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("n_docs"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("n_words").alias("keep_n_words"),
+        "n_docs",
+    )
