@@ -1118,7 +1118,46 @@ _RETRIEVAL_ORACLE: dict[str, str] = {
            string_agg(doc || ':' || "count", ' ' ORDER BY doc) AS postings
     FROM wc GROUP BY word
     """,
+    # sparse cosine over top-K pruned tf-idf vectors; K / result size must
+    # match retrieval.DOCSIM_TOP_TERMS / DOCSIM_TOP_PAIRS. `scored.tfidf`
+    # is already rounded @6dp, matching the Spark side's pre-dot rounding.
+    "tfidf_docsim": _TOKENS_CTE
+    + f"""
+    , vec AS (
+      SELECT doc, word, tfidf AS wt,
+             row_number() OVER (PARTITION BY doc
+                                ORDER BY tfidf DESC, word ASC) AS rn
+      FROM scored
+    ),
+    v AS (SELECT doc, word, wt FROM vec WHERE rn <= {rtv.DOCSIM_TOP_TERMS}),
+    norms AS (SELECT doc, sqrt(sum(wt * wt)) AS nrm FROM v GROUP BY doc),
+    dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, sum(a.wt * b.wt) AS dot
+      FROM v a JOIN v b ON a.word = b.word AND a.doc < b.doc
+      GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.doc = dots.doc_a
+    JOIN norms nb ON nb.doc = dots.doc_b
+    ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+    LIMIT {rtv.DOCSIM_TOP_PAIRS}
+    """,
 }
+
+_RELATIONAL_ORACLE["rel_correlated_exists"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_quantity > 30 AND l.l_discount > 0.05
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
 
 _PII_COUNTS_SQL = ",\n".join(
     f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{name}"
@@ -1217,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search": q_tfidf_search,
         "tfidf_bm25": rtv.bm25_search,
         "tfidf_postings": rtv.inverted_index,
+        "tfidf_docsim": rtv.doc_similarity,
         # --- relational surface (SURVEY.md §2.5-2.7 gaps) ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_distinct_agg": rel.distinct_agg_by_nation,
@@ -1239,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_string_funcs": rel.part_string_functions,
         "rel_date_funcs": rel.orders_date_functions,
         "rel_having_subquery": rel.nations_above_avg_balance,
+        "rel_correlated_exists": rel.priority_counts_with_exists,
         "rel_pivot": rel.native_pivot,
         "rel_percentiles": rel.price_percentiles,
         "rel_grouping_sets": rel.grouping_sets_orders,

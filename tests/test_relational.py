@@ -139,3 +139,34 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
     # z-order: BOTH dimensions bounded well below full width
     assert z_ck < full.ck * 0.6
     assert z_ts < full.ts * 0.6
+
+
+def test_correlated_exists_matches_manual_decorrelation(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.relational import (
+        priority_counts_with_exists,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    got = {
+        r.o_orderpriority: r.order_count
+        for r in priority_counts_with_exists(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = {
+        r.l_orderkey
+        for r in li.where(
+            (F.col("l_quantity") > 30) & (F.col("l_discount") > 0.05)
+        )
+        .select("l_orderkey")
+        .distinct()
+        .collect()
+    }
+    manual: dict[str, int] = {}
+    for r in orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).collect():
+        if r.o_orderkey in keys:
+            manual[r.o_orderpriority] = manual.get(r.o_orderpriority, 0) + 1
+    assert got == manual and got

@@ -72,3 +72,41 @@ def test_inverted_index_agrees_with_word_count(spark, sf_dir):
         docs = [e.rsplit(":", 1)[0] for e in entries]
         assert docs == sorted(docs)  # posting list is doc-ordered
         assert sum(int(e.rsplit(":", 1)[1]) for e in entries) == total
+
+
+def test_doc_similarity_pairs_are_valid_cosines(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.retrieval import (
+        DOCSIM_TOP_PAIRS,
+        doc_similarity,
+    )
+
+    rows = doc_similarity(spark, sf_dir).collect()
+    assert 0 < len(rows) <= DOCSIM_TOP_PAIRS
+    sims = [r.cosine for r in rows]
+    # cosine of non-negative tf-idf vectors: (0, 1]; list is sorted desc
+    assert all(0.0 < s <= 1.0 + 1e-9 for s in sims)
+    assert sims == sorted(sims, reverse=True)
+    # canonical orientation, no self-pairs
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_doc_similarity_identical_docs_score_one(spark, tmp_path_factory):
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.retrieval import doc_similarity
+
+    d = tmp_path_factory.mktemp("docsim")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma delta",
+                "alpha beta gamma delta",
+                "unrelated words entirely different",
+            ],
+            "lang": ["en"] * 3,
+        }
+    ).to_parquet(d / "documents.parquet")
+    top = doc_similarity(spark, str(d)).collect()
+    assert (top[0].doc_a, top[0].doc_b) == ("1", "2")
+    assert abs(top[0].cosine - 1.0) < 1e-6

@@ -574,3 +574,37 @@ def nations_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nation_avg") > F.col("global_avg"))
         .select("n_name", "nation_avg", "n_customers")
     )
+
+
+def priority_counts_with_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS: count orders per priority in a
+    one-quarter window that have at least one large discounted line item.
+
+    (Q4's commit/receipt-date predicate, adapted to this dataset's trimmed
+    lineitem schema.) The EXISTS decorrelates to a LEFT SEMI join — the
+    probe side carries only ``l_orderkey`` into the shuffle, duplicates
+    never materialize, and the quarter filter on orders is pushed to the
+    scan so both shuffle inputs are pre-shrunk. At 100 TB both sides would
+    already be partitioned by order key, making this a co-located join.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    big_lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 30) & (F.col("l_discount") > 0.05))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            big_lines, orders.o_orderkey == big_lines.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -20,16 +20,23 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize
 from ..sources.io import documents_as_corpus, load_table
-from .tfidf import doc_freq, doc_totals, word_count
+from .tfidf import doc_freq, doc_totals, tfidf_pipeline, word_count
 
 #: Standard BM25 free parameters (Robertson et al., TREC-3).
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+#: Terms kept per document vector in ``doc_similarity`` (the standard
+#: sparse-vector pruning: everything below a doc's top-K tf-idf weights
+#: contributes noise, and K bounds the self-join fanout).
+DOCSIM_TOP_TERMS = 10
+#: Result size of ``doc_similarity``.
+DOCSIM_TOP_PAIRS = 20
 
 
 def _scored_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,6 +94,66 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bm25"), F.asc("doc"))
         .limit(20)
+    )
+
+
+def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs document cosine similarity over pruned TF-IDF vectors —
+    top ``DOCSIM_TOP_PAIRS`` most-similar document pairs.
+
+    Each doc keeps its ``DOCSIM_TOP_TERMS`` highest-weighted terms (ties
+    broken by word — deterministic), then pairs meet through a sparse
+    self-join on ``word``: sim(a,b) = Σ w_a·w_b / (‖a‖·‖b‖).
+
+    Scale design: the top-K pruning is what makes this survive 100 TB —
+    the self-join fanout per word is bounded by the number of docs whose
+    top-K contains that word, and near-stopwords (idf→0) prune themselves
+    out, so the hottest join keys disappear instead of exploding
+    quadratically. The join shuffles on ``word`` (K rows per doc, not the
+    full posting list); norms re-enter by a join on ``doc`` AQE can turn
+    into a broadcast. Weights are rounded @6dp *before* the dot product so
+    this and the SQL oracle sum identical values (same convention as
+    ``bm25_search``'s contrib).
+    """
+    docs = documents_as_corpus(load_table(spark, sf_dir, "documents"))
+    scored = tfidf_pipeline(docs)
+    wts = scored.select("word", "doc", F.round("tfidf", 6).alias("wt"))
+    top = Window.partitionBy("doc").orderBy(F.desc("wt"), F.asc("word"))
+    vec = (
+        wts.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") <= DOCSIM_TOP_TERMS)
+        .drop("rn")
+    )
+    norms = vec.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc").alias("doc_a"), F.col("nrm").alias("nrm_a")
+    )
+    nb = norms.select(
+        F.col("doc").alias("doc_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(DOCSIM_TOP_PAIRS)
     )
 
 
