@@ -114,6 +114,12 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a broadcast. Weights are rounded @6dp *before* the dot product so
     this and the SQL oracle sum identical values (same convention as
     ``bm25_search``'s contrib).
+
+    The pruned vector relation is consumed three times (both self-join
+    sides + norms); ``localCheckpoint`` materializes it once — K rows per
+    doc — instead of re-running the tokenize→tf-idf DAG per branch (same
+    pattern as dedup's shared shingle table). At 100 TB you'd persist the
+    pruned-vectors table and build pairs from it incrementally.
     """
     docs = documents_as_corpus(load_table(spark, sf_dir, "documents"))
     scored = tfidf_pipeline(docs)
@@ -123,6 +129,7 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         wts.withColumn("rn", F.row_number().over(top))
         .filter(F.col("rn") <= DOCSIM_TOP_TERMS)
         .drop("rn")
+        .localCheckpoint()
     )
     norms = vec.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
