@@ -1025,6 +1025,23 @@ _STREAMING_ORACLE["stream_static_join"] = """
 """
 
 
+_EVENTS_ORACLE["events_transitions"] = """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+    FROM c ORDER BY src, dst
+"""
+
 _EVENTS_ORACLE["events_retention"] = """
     WITH e AS (
       SELECT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS week
@@ -1294,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_payload": ev.q_json_payload,
         "events_funnel": ev.q_funnel,
         "events_retention": ev.q_retention,
+        "events_transitions": ev.q_transitions,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,

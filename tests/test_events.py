@@ -83,3 +83,21 @@ def test_retention_cohort_laws(spark, sf_dir):
     for r in rows:
         assert r.cohort_week in base
         assert r.n_users <= base[r.cohort_week]
+
+
+def test_transition_probabilities_row_normalize(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import q_transitions
+
+    rows = q_transitions(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert r.n > 0 and 0.0 < r.p <= 1.0
+        by_src.setdefault(r.src, []).append(r)
+    for src, rs in by_src.items():
+        # row-normalized: probabilities per src sum to 1 (6dp rounding)
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-4, src
+        # p proportional to n within the row
+        tot = sum(r.n for r in rs)
+        for r in rs:
+            assert abs(r.p - r.n / tot) < 1e-6

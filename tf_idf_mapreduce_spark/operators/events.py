@@ -196,3 +196,34 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: for every
+    (src, dst) event-type pair, how often dst immediately follows src, and
+    the row-normalized probability — the first-order model behind
+    next-event prediction and anomaly scoring on clickstreams.
+
+    One exchange on ``user_id`` for the ``lead()`` sequence window
+    (``ts_ns`` with ``event_id`` tiebreak — a total order, so results are
+    exactly reproducible); the transition count then partial-aggregates
+    map-side onto a |types|² relation that is tiny at any scale, and the
+    row-normalizing window runs on that tiny relation — at 100 TB the only
+    full-data pass is the one sequence shuffle.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    row_tot = Window.partitionBy("src")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(row_tot), 6)
+        )
+        .orderBy("src", "dst")
+    )
