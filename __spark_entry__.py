@@ -1162,6 +1162,26 @@ _RETRIEVAL_ORACLE: dict[str, str] = {
     """,
 }
 
+_RELATIONAL_ORACLE["rel_scalar_subquery"] = """
+    WITH p AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+    ),
+    f AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+    ),
+    t AS (
+      SELECT l_partkey, avg(l_quantity) AS avg_qty FROM f GROUP BY l_partkey
+    )
+    SELECT round(
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small
+    FROM f JOIN t USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+"""
+
 _RELATIONAL_ORACLE["rel_correlated_exists"] = """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
     FROM orders o
@@ -1297,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_date_funcs": rel.orders_date_functions,
         "rel_having_subquery": rel.nations_above_avg_balance,
         "rel_correlated_exists": rel.priority_counts_with_exists,
+        "rel_scalar_subquery": rel.small_quantity_revenue,
         "rel_pivot": rel.native_pivot,
         "rel_percentiles": rel.price_percentiles,
         "rel_grouping_sets": rel.grouping_sets_orders,

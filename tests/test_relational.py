@@ -170,3 +170,31 @@ def test_correlated_exists_matches_manual_decorrelation(spark, sf_dir):
         if r.o_orderkey in keys:
             manual[r.o_orderpriority] = manual.get(r.o_orderpriority, 0) + 1
     assert got == manual and got
+
+
+def test_scalar_subquery_threshold_filters_correctly(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.relational import (
+        small_quantity_revenue,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    row = small_quantity_revenue(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY")
+    )
+    fact = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgs: dict[int, list[float]] = {}
+    for r in fact.collect():
+        avgs.setdefault(r.l_partkey, []).append(r.l_quantity)
+    total, n = 0.0, 0
+    for r in fact.collect():
+        if r.l_quantity < 0.2 * (
+            sum(avgs[r.l_partkey]) / len(avgs[r.l_partkey])
+        ):
+            total += r.l_extendedprice
+            n += 1
+    assert row.n_small == n
+    assert abs(row.avg_yearly - round(total / 7.0, 6)) < 1e-3

@@ -608,3 +608,49 @@ def priority_counts_with_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped scalar subquery: revenue (per-year equivalent) from
+    line items whose quantity is below 20% of their part's average — the
+    correlated ``(SELECT 0.2*avg(...) WHERE same part)`` decorrelated into
+    a per-key aggregate joined back.
+
+    The brand/type filter broadcasts onto the fact scan first, so BOTH the
+    threshold aggregate and the probe side run over the pre-shrunk subset
+    — and since they share the ``l_partkey`` shuffle key, AQE reuses one
+    exchange instead of re-scanning 100 TB to compute averages for parts
+    the query immediately discards. The quantity average is exact in
+    double (integer-valued quantities, sums < 2^53), so the threshold
+    comparison is engine-portable; revenue goes through the DECIMAL(38,2)
+    sum like every money aggregate here.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "ECONOMY")
+        )
+        .select("p_partkey")
+    )
+    fact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    thresholds = fact.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        fact.join(thresholds, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast(
+                    "double"
+                )
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_small"),
+        )
+    )
