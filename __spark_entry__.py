@@ -667,6 +667,16 @@ _LLMDATA_ORACLE: dict[str, str] = {
         ORDER BY n_bigram DESC, bigram ASC LIMIT 50
     """,
     "text_lang_id": _lang_id_sql(),
+    # bucket width must match textstats.LENGTH_BUCKET
+    "text_length_histogram": f"""
+        SELECT CAST(floor(length(text) / {ts.LENGTH_BUCKET}) AS BIGINT)
+                 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(length(text)) AS BIGINT) AS min_len,
+               CAST(max(length(text)) AS BIGINT) AS max_len
+        FROM documents
+        GROUP BY bucket ORDER BY bucket
+    """,
     "text_quality": f"""
         WITH docs AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents)
         SELECT doc_id,
@@ -1354,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": ts.lang_id,
         "text_quality": ts.quality_scores,
         "text_token_counts": ts.token_counts,
+        "text_length_histogram": ts.length_histogram,
         "text_fingerprints": ts.fingerprints,
         "text_bigrams": ts.bigram_stats,
         "text_pii_scan": cur.pii_scan,

@@ -133,3 +133,18 @@ def test_sketch_profile_tracks_exact_within_tolerance(spark, sf_dir):
         true_nd = e.n_distinct
         assert abs(s.approx_distinct - true_nd) <= max(3, 0.05 * true_nd), c
         assert s.price_p50 <= s.price_p95 <= s.price_p99
+
+
+def test_length_histogram_covers_corpus_and_respects_buckets(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        LENGTH_BUCKET,
+        length_histogram,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = length_histogram(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    for r in rows:
+        lo, hi = r.bucket * LENGTH_BUCKET, (r.bucket + 1) * LENGTH_BUCKET
+        assert lo <= r.min_len <= r.max_len < hi

@@ -172,3 +172,32 @@ def bigram_stats(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
         .orderBy(F.desc("n_bigram"), F.asc("bigram"))
         .limit(k)
     )
+
+
+#: Histogram bucket width (chars) for ``length_histogram``.
+LENGTH_BUCKET = 256
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in fixed 256-char buckets — the
+    shape-of-the-corpus profile every curation run starts with (truncation
+    spikes, boilerplate shoulders, empty-doc mass all show up here).
+
+    A single map-side-combinable aggregate on a derived low-cardinality
+    key: the only exchange carries one row per bucket per task. No UDF,
+    no second pass — at 100 TB this is scan-bound, exactly as cheap as a
+    count(*).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ln = F.length("text")
+    return (
+        docs.groupBy(
+            F.floor(ln / LENGTH_BUCKET).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(ln).cast("bigint").alias("min_len"),
+            F.max(ln).cast("bigint").alias("max_len"),
+        )
+        .orderBy("bucket")
+    )
