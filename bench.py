@@ -57,17 +57,47 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
+
+    # The harness that consumes this line keeps only the LAST 2000 CHARS of
+    # stdout — with 80+ queries a per-query dict overflows that and the line
+    # becomes unparseable (observed round 1). So stdout carries per-CATEGORY
+    # subtotals (query-name prefix) + query count, and the full per-query
+    # breakdown goes to BENCH_DETAIL.json next to this script.
+    cats: dict[str, float] = {}
+    for name, t in timings.items():
+        if t >= 0:
+            cat = name.split("_", 1)[0]
+            cats[cat] = round(cats.get(cat, 0.0) + t, 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            f,
+            indent=1,
         )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": cats,
+            "n_queries": len(timings),
+            "n_errors": sum(1 for t in timings.values() if t < 0),
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"bench line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,9 @@ def _run(tmp_path, extra=()):
     out = tmp_path / "out"
     rc = main([str(inp), str(out), *extra])
     lines = []
-    for part in out.glob("part-*"):
+    # reference driver layout: final job writes <output>/SortedTFIDF/
+    # (TfidfMapReduce.java:66-69)
+    for part in (out / "SortedTFIDF").glob("part-*"):
         lines += [l for l in part.read_text().splitlines() if l]
     return rc, dict(
         (tuple(l.split("\t")[0].split("|")), float(l.split("\t")[1])) for l in lines

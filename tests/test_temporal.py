@@ -40,6 +40,25 @@ def test_asof_join_keeps_all_left_rows(spark):
     assert got[2] == 15 and got[4] == 15
 
 
+def test_asof_join_tie_at_same_ts_is_deterministic(spark):
+    # several right rows share (key, ts): the greatest carried value wins,
+    # every run — not partition arrival order
+    left = spark.createDataFrame([(1, 7, 100)], "id long, user_id long, ts_sec long")
+    right = spark.createDataFrame(
+        [(7, 100, "a"), (7, 100, "c"), (7, 100, "b"), (7, 50, "z")],
+        "user_id long, ts_sec long, tag string",
+    )
+    for _ in range(3):
+        out = asof_join(
+            left.repartition(4),
+            right.repartition(4),
+            on="user_id",
+            ts="ts_sec",
+            right_cols=["tag"],
+        )
+        assert out.head().tag_asof == "c"
+
+
 def test_range_join_band_boundaries(spark):
     left = spark.createDataFrame(
         [(1, 7, 1000)], "err_id long, user_id long, err_sec long"

@@ -98,6 +98,21 @@ def test_idf_zero_rows_kept(spark):
     assert all(r.tfidf == 0.0 for r in rows)
 
 
+def test_pipeline_default_counts_docs_not_lines(spark):
+    # one-row-per-LINE corpus (read_text_corpus shape): the default IDF
+    # denominator must be the number of DOCUMENTS (2), not rows (4) —
+    # count(*) here would silently quadruple the denominator
+    corpus = spark.createDataFrame(
+        [("a", "x y"), ("a", "x z"), ("a", "y"), ("b", "x")],
+        "doc string, text string",
+    )
+    r = tfidf_pipeline(corpus).where(
+        (F.col("word") == "z") & (F.col("doc") == "a")
+    ).head()
+    assert r.df == 1
+    assert r.idf == pytest.approx(math.log(2 / 1))
+
+
 def test_total_docs_counts_empty_docs(spark):
     # directory-listing semantics (TfidfMapReduce.java:51): an empty doc
     # still raises total_docs

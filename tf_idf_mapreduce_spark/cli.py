@@ -8,7 +8,10 @@ Parity choices:
   unreadable files still raise the denominator — overridable with
   ``--total-docs`` (the per-stage CLI parity, CalcTFIDF.java:174-183);
 - output format = ``key TAB value`` text with the ``word|doc`` packed key
-  (TextOutputFormat, SortByValue.java:93,123);
+  (TextOutputFormat, SortByValue.java:93,123), written to
+  ``<output>/SortedTFIDF/`` — the reference driver's final-job directory
+  (TfidfMapReduce.java:66-69), so tooling pointed at its layout finds the
+  result;
 - existing output: refuse unless ``--force`` (the reference interactively
   confirms then deletes, TfidfMapReduce.java:55-60 — a CLI artifact made
   non-interactive here).
@@ -65,7 +68,12 @@ def main(argv: list[str] | None = None) -> int:
     scored = tfidf(
         doc_freq(doc_totals(word_count(tokenize(lines)))), F.lit(total_docs)
     )
-    write_kv_text(tfidf_sorted(scored), args.output, ["word", "doc"], "tfidf")
+    write_kv_text(
+        tfidf_sorted(scored),
+        os.path.join(args.output, "SortedTFIDF"),
+        ["word", "doc"],
+        "tfidf",
+    )
     return 0
 
 

@@ -22,7 +22,7 @@ Scale design highlights:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import norm_words, shingle_rows
@@ -107,6 +107,22 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_bucket() -> Column:
+    """First md5 byte (2 hex chars) of ``doc_id:coalesce(text, '')`` —
+    the shared deterministic sampling bucket."""
+    return F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.coalesce(F.col("text"), F.lit("")),
+            )
+        ),
+        1,
+        2,
+    )
+
+
 def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% corpus sample: keep a doc iff the first md5 byte
     of ``doc_id:text`` falls under the bucket bound.
@@ -114,11 +130,14 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Content-hash sampling is the reproducible way to sample at 100 TB — no
     RNG state, no seed coordination across executors, stable under
     re-partitioning and re-runs, and the bucket column lets downstream
-    stages sub-sample consistently (bucket < '0c' is a strict subset)."""
+    stages sub-sample consistently (bucket < '0c' is a strict subset).
+
+    NULL text is hashed as '' (coalesce) so the keep/drop decision is
+    engine-identical: Spark's concat_ws SKIPS null args while SQL '||'
+    PROPAGATES null — without the coalesce a dirty corpus samples
+    differently under the two engines."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(
-        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))), 1, 2
-    )
+    bucket = _sample_bucket()
     return (
         d.select("doc_id", "source", bucket.alias("bucket"))
         .where(F.col("bucket") <= SAMPLE_BUCKET_MAX)
@@ -177,11 +196,10 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same zero-shuffle, zero-RNG scan as ``hash_sample``; the per-stratum
     rate table is a literal CASE expression, so changing the mixture is a
-    config change, not a new shuffle."""
+    config change, not a new shuffle. NULL text hashes as '' — see
+    ``hash_sample``."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(
-        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))), 1, 2
-    )
+    bucket = _sample_bucket()
     bound = F.lit(STRATA_DEFAULT_MAX)
     for lang, mx in STRATA_BUCKET_MAX.items():
         bound = F.when(F.col("lang") == lang, F.lit(mx)).otherwise(bound)

@@ -27,33 +27,45 @@ from ..sources.io import load_events
 SESSION_GAP_SEC = 30 * 60
 
 
-def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
-    """Gap-based sessionization: a new session starts when a user is idle
-    longer than ``gap_sec``. Both window passes share one exchange on
-    user_id (same partitioning, same ordering).
-
-    Returns one row per session: (user_id, session_seq, session_start_sec,
-    session_end_sec, n_events, duration_sec).
-    """
+def session_ids(
+    events: DataFrame,
+    gap_sec: int = SESSION_GAP_SEC,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-EVENT session assignment (the lag+cumsum half of ``sessionize``):
+    each event tagged with its user's ``session_seq``. Both window passes
+    share one exchange on user_id (same partitioning, same ordering).
+    ``carry`` lists extra event columns to keep (e.g. ``event_type`` for
+    path mining)."""
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     flagged = events.select(
         "user_id",
         "ts_ns",
         "event_id",
         "ts_sec",
+        *carry,
         F.when(
             F.col("ts_sec") - F.lag("ts_sec", 1).over(w) > gap_sec, 1
         )
         .otherwise(0)
         .alias("new_session"),
     )
-    with_ids = flagged.withColumn(
+    return flagged.withColumn(
         "session_seq",
         F.sum("new_session").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    )
-    return with_ids.groupBy("user_id", "session_seq").agg(
+    ).drop("new_session")
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_sec``.
+
+    Returns one row per session: (user_id, session_seq, session_start_sec,
+    session_end_sec, n_events, duration_sec).
+    """
+    return session_ids(events, gap_sec).groupBy("user_id", "session_seq").agg(
         F.min("ts_sec").alias("session_start_sec"),
         F.max("ts_sec").alias("session_end_sec"),
         F.count("*").alias("n_events"),
@@ -226,4 +238,80 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p", F.round(F.col("n") / F.sum("n").over(row_tot), 6)
         )
         .orderBy("src", "dst")
+    )
+
+
+PATH_TOP_K = 25
+
+
+def q_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the top-25 event-type TRIGRAMS that occur
+    inside a single session — "what do users actually do in a sitting",
+    the sequence-pattern summary behind funnel design and behavioral
+    training-data selection.
+
+    Scale: the trigram window rides the SAME user_id exchange the
+    sessionizer already made (lead() over (user_id, session_seq) is a
+    sub-ordering of the session window); the path counts then partial-
+    aggregate map-side onto a |types|³-bounded relation, and the global
+    top-k is a tiny sort. The only full-data pass is the one sessionize
+    shuffle.
+    """
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts_ns", "event_id", "ts_sec"
+    )
+    tagged = session_ids(ev, carry=("event_type",))
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts_ns", "event_id")
+    tri = tagged.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w),
+            F.lead("event_type", 2).over(w),
+        ).alias("path"),
+        F.lead("event_type", 2).over(w).alias("_third"),
+    ).where(F.col("_third").isNotNull())
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+ANOMALY_Z_THRESHOLD = 2.0
+
+
+def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count sits >= 2 sample
+    standard deviations from that event type's hourly mean — the alerting
+    pass a pipeline runs over ingest volumes.
+
+    Two-phase shape: hourly counts partial-aggregate map-side; the
+    per-type mean/stddev reduce over the (types x hours)-bounded counts
+    relation; the z-score join broadcasts the per-type stats (|types|
+    rows) back onto the counts — no second full-data exchange, no hot-key
+    window (a ``avg() over (partition by type)`` would funnel each type
+    into one task).
+    """
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        (F.col("ts_sec") - F.col("ts_sec") % 3600).alias("hour_start_sec"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("mean_n"),
+        F.stddev_samp("n_events").alias("sd_n"),
+    )
+    z = F.round((F.col("n_events") - F.col("mean_n")) / F.col("sd_n"), 6)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour_start_sec",
+            "n_events",
+            F.round("mean_n", 6).alias("mean_n"),
+            z.alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) >= ANOMALY_Z_THRESHOLD)
     )

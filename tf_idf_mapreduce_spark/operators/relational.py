@@ -654,3 +654,62 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_small"),
         )
     )
+
+
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped doubly-nested subquery: suppliers who shipped more
+    than 30% of some 'small%' part's total 1996 volume, with their nation —
+    ``s_suppkey IN (... WHERE qty > (SELECT 0.3*sum(...) same part))``
+    decorrelated into two stacked aggregates over ONE pre-filtered scan.
+
+    The part-name filter broadcasts onto the fact scan (no shuffle of
+    lineitem to learn which parts qualify); the per-part total and the
+    per-(part,supplier) total then share that shrunk subset — the second
+    agg's (partkey, suppkey) shuffle key is a superset of the first's, so
+    AQE plans the per-part total as a reuse of the finer exchange's
+    output rather than a second full pass. Quantity sums go through
+    DECIMAL(38,2) (exact, order-independent); the share comparison
+    multiplies identically in both engines (one IEEE op on exact sums).
+    The qualifying (part, supplier) set is candidate-sized, so the final
+    supplier/nation attach is two broadcast joins — the fact table never
+    shuffles at all.
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity", "supp_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum(F.col("supp_qty").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("tot_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, "l_partkey")
+        .where(F.col("supp_qty") > 0.3 * F.col("tot_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominated_parts"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dominant.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "n_dominated_parts")
+    )

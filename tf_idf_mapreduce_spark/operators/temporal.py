@@ -36,6 +36,10 @@ def asof_join(
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (per ``on`` key); unmatched left rows keep
     nulls. Equal timestamps match (>= semantics, right-before-left).
+    When several right rows share the same ``(on, ts)``, the one with the
+    greatest ``right_cols`` tuple wins — a deterministic tiebreak (the
+    bare (ts, _side) ordering would leave ``last(...)``'s pick to
+    partition arrival order).
 
     Returns all left columns + ``<c><suffix>`` for each requested right
     column.
@@ -48,10 +52,18 @@ def asof_join(
     ).withColumn("_side", F.lit(0))
     combined = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left at equal ts (_side 0 < 1), so a left row
-    # sees a right row with the same timestamp
+    # sees a right row with the same timestamp; carried right values as
+    # trailing sort keys make the winner among equal-(key, ts) right rows
+    # deterministic (left rows hold NULLs there — asc_nulls_last keeps
+    # them after the right rows they must see, and _side already splits
+    # the sides)
     w = (
         Window.partitionBy(on)
-        .orderBy(ts, "_side")
+        .orderBy(
+            F.col(ts).asc(),
+            F.col("_side").asc(),
+            *[F.col(f"{c}{suffix}").asc_nulls_last() for c in right_cols],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = combined.select(

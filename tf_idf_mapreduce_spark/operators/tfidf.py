@@ -105,15 +105,20 @@ def tfidf_pipeline(
 ) -> DataFrame:
     """The full 4-job chain as one lazy plan: corpus → scored (word, doc, ...).
 
-    ``total_docs`` defaults to ``count(*)`` of the corpus — the reference's
-    directory-listing semantics (every doc counts, even ones producing no
-    words). Pass an int to pin it (the per-stage CLI lets the reference do
-    the same, CalcTFIDF.java:174-183).
+    ``total_docs`` defaults to ``countDistinct(doc_col)`` so the IDF
+    denominator is the number of DOCUMENTS regardless of corpus shape —
+    one-row-per-doc or one-row-per-LINE (``read_text_corpus``) both give
+    the document count, matching TfidfMapReduce.java:51. Caveat: a doc
+    contributing zero rows (an empty file) is invisible to any
+    DataFrame-side count; to replicate the reference's directory-entry
+    semantics (empty files still raise the denominator) pass an explicit
+    ``total_docs`` (the per-stage CLI parity, CalcTFIDF.java:174-183 —
+    our CLI passes the directory-entry count).
     """
     words = tokenize(corpus, text_col=text_col, doc_col=doc_col)
     with_df = doc_freq(doc_totals(word_count(words)))
     if total_docs is None:
-        n = corpus.agg(F.count("*").alias("total_docs"))
+        n = corpus.agg(F.countDistinct(F.col(doc_col)).alias("total_docs"))
         scored = with_df.crossJoin(F.broadcast(n))
         return tfidf(scored, F.col("total_docs")).drop("total_docs")
     return tfidf(with_df, F.lit(total_docs))

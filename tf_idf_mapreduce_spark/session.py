@@ -56,6 +56,19 @@ def get_spark(
     )
     conf = dict(ENGINE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    # Python WORKERS deserialize pandas-UDF closures that reference this
+    # package; a driver launched outside the repo (sys.path tweak only)
+    # would hit ModuleNotFoundError worker-side, because workers inherit
+    # PYTHONPATH — not the driver's sys.path. Pin the repo root into the
+    # worker env (on a real cluster the equivalent is shipping the package
+    # via --py-files / a conda env).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+    conf["spark.executorEnv.PYTHONPATH"] = os.environ["PYTHONPATH"]
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -57,20 +57,26 @@ def q_stream_incremental_wordcount(spark: SparkSession, sf_dir: str) -> DataFram
     directory of many files, bounded ingest per trigger, state carried in
     the store between triggers.
     """
+    import shutil
     import tempfile
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     split_dir = tempfile.mkdtemp(prefix="stream_split_wc_")
-    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(split_dir)
-    src = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(split_dir)
-    )
-    words = src.select(F.explode(norm_words(F.col("text"))).alias("word"))
-    counts = words.groupBy("word").agg(F.count("*").alias("n"))
-    return run_to_memory(counts, "stream_inc_wordcount", output_mode="complete")
+    try:
+        docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(split_dir)
+        src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(split_dir)
+        )
+        words = src.select(F.explode(norm_words(F.col("text"))).alias("word"))
+        counts = words.groupBy("word").agg(F.count("*").alias("n"))
+        # run_to_memory blocks until the drain completes and the results
+        # live in the memory sink — the split dir is safe to delete here
+        return run_to_memory(counts, "stream_inc_wordcount", output_mode="complete")
+    finally:
+        shutil.rmtree(split_dir, ignore_errors=True)
 
 
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

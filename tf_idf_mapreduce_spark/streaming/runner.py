@@ -9,6 +9,7 @@ sink keeps results queryable as a temp view.
 from __future__ import annotations
 
 import itertools
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -38,16 +39,17 @@ def run_to_memory(
     spark = sdf.sparkSession
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    # the memory sink holds the results after the drain; the checkpoint is
+    # only needed while the query runs — remove it so repeated bench/oracle
+    # runs don't accumulate orphaned temp dirs
+    ckpt = tempfile.mkdtemp(prefix=f"spark_ckpt_{table}_")
     try:
         query = (
             sdf.writeStream.format("memory")
             .queryName(table)
             .outputMode(output_mode)
             .trigger(availableNow=True)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix=f"spark_ckpt_{table}_"),
-            )
+            .option("checkpointLocation", ckpt)
             .start()
         )
         try:
@@ -59,4 +61,5 @@ def run_to_memory(
             query.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(table)
