@@ -976,6 +976,18 @@ _TEMPORAL_ORACLE: dict[str, str] = {
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
     """,
+    "temporal_asof_forward": """
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        err AS (SELECT event_id, user_id, ts_sec FROM e
+                WHERE event_type = 'error'),
+        c AS (SELECT user_id, ts_sec FROM e WHERE event_type = 'click')
+        SELECT err.event_id, err.user_id, err.ts_sec,
+               c.ts_sec AS next_click_sec,
+               c.ts_sec - err.ts_sec AS gap_sec
+        FROM err ASOF LEFT JOIN c
+          ON err.user_id = c.user_id AND err.ts_sec <= c.ts_sec
+    """,
     "temporal_range_join": """
         WITH e AS (SELECT event_id, user_id, event_type,
                           epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
@@ -1082,6 +1094,19 @@ _STREAMING_ORACLE["stream_static_join"] = """
            epoch_ns(e.ts) // 1000000000 AS ts_sec,
            CAST(s.user_total_events AS BIGINT) AS user_total_events
     FROM events e JOIN stats s ON e.user_id = s.user_id
+"""
+
+_STREAMING_ORACLE["stream_stream_join"] = """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, ts_sec AS purchase_sec
+          FROM e WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts_sec AS click_sec
+          FROM e WHERE event_type = 'click')
+    SELECT purchase_id, click_id, p.user_id AS user_id,
+           purchase_sec - click_sec AS gap_sec
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.click_sec BETWEEN p.purchase_sec - 3600 AND p.purchase_sec
 """
 
 
@@ -1326,6 +1351,21 @@ _CURATION_ORACLE: dict[str, str] = {
                w AS top_word, CAST(n AS BIGINT) AS top_word_n
         FROM st WHERE rn = 1
     """,
+    "text_zipf": f"""
+        WITH docs AS (SELECT {_WORDS_SQL} AS words FROM documents),
+        wr AS (SELECT unnest(words) AS w FROM docs),
+        vocab AS (SELECT w, count(*) AS n FROM wr GROUP BY w
+                  HAVING count(*) >= {ts.ZIPF_MIN_FREQ}),
+        ranked AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, w ASC) AS rank
+          FROM vocab
+        )
+        SELECT count(*) AS n_vocab,
+               round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+               round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept,
+               round(regr_r2(ln(n), ln(rank)), 6) AS zipf_r2
+        FROM ranked
+    """,
     "curate_contamination": f"""
         WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
         gr AS (
@@ -1444,6 +1484,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets": rel.grouping_sets_orders,
         # --- temporal joins (operators Spark lacks built-in) ---
         "temporal_asof_join": tmp.q_asof_purchase_click,
+        "temporal_asof_forward": tmp.q_asof_next_click,
         "temporal_range_join": tmp.q_range_error_click,
         "temporal_latest_snapshot": tmp.q_latest_snapshot,
         # --- event/time-series surface ---
@@ -1480,6 +1521,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_histogram": ts.length_histogram,
         "text_fingerprints": ts.fingerprints,
         "text_bigrams": ts.bigram_stats,
+        "text_zipf": ts.zipf_fit,
         "text_pii_scan": cur.pii_scan,
         "text_repetition": cur.repetition_scores,
         # --- LLM-data pipeline: corpus curation ---
@@ -1507,6 +1549,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_counts": st.q_stream_sliding_counts,
         "stream_dedup": st.q_stream_dedup,
         "stream_static_join": st.q_stream_static_join,
+        "stream_stream_join": st.q_stream_stream_join,
     }
 
 

@@ -148,3 +148,60 @@ def test_length_histogram_covers_corpus_and_respects_buckets(spark, sf_dir):
     for r in rows:
         lo, hi = r.bucket * LENGTH_BUCKET, (r.bucket + 1) * LENGTH_BUCKET
         assert lo <= r.min_len <= r.max_len < hi
+
+
+def test_zipf_fit_shape_and_sign(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.textstats import zipf_fit
+
+    r = zipf_fit(spark, sf_dir).head()
+    # natural-ish text: frequency falls with rank → negative slope, sane fit
+    assert r.n_vocab > 10
+    assert r.zipf_slope < 0
+    assert 0.0 <= r.zipf_r2 <= 1.0
+
+
+def test_zipf_rank_equals_global_row_number(spark, sf_dir):
+    # the skew-safe histogram-offset rank must equal a plain global
+    # row_number over (freq desc, word asc)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tf_idf_mapreduce_spark.functions.hashing import norm_words
+    from tf_idf_mapreduce_spark.operators.textstats import ZIPF_MIN_FREQ
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(norm_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= ZIPF_MIN_FREQ)
+    )
+    expect = vocab.select(
+        "w",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("w")))
+        .alias("rank"),
+    )
+    hist = vocab.groupBy("n").agg(F.count("*").alias("n_words"))
+    cum = hist.select(
+        "n",
+        F.sum("n_words")
+        .over(
+            Window.orderBy(F.desc("n")).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        .alias("offset"),
+    ).fillna(0, subset=["offset"])
+    got = vocab.join(F.broadcast(cum), "n").select(
+        "w",
+        (
+            F.col("offset")
+            + F.row_number().over(Window.partitionBy("n").orderBy(F.asc("w")))
+        ).alias("rank"),
+    )
+    diff = expect.join(got, "w", "full").where(
+        expect["rank"] != got["rank"]
+    )
+    assert diff.count() == 0

@@ -101,3 +101,49 @@ def test_transition_probabilities_row_normalize(spark, sf_dir):
         tot = sum(r.n for r in rs)
         for r in rs:
             assert abs(r.p - r.n / tot) < 1e-6
+
+
+def test_paths_trigrams_within_session_only(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import q_paths
+
+    rows = q_paths(spark, sf_dir).collect()
+    assert rows, "fixture sessions must yield at least one trigram"
+    # every path is exactly three event types
+    assert all(len(r.path.split(">")) == 3 for r in rows)
+    # descending count with path tiebreak
+    keys = [(-r.n_occurrences, r.path) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_paths_do_not_cross_session_boundary(spark):
+    from tf_idf_mapreduce_spark.operators.events import (
+        SESSION_GAP_SEC,
+        session_ids,
+    )
+
+    base = 1_700_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, (base) * 10**9, base, 1, "a"),
+            (1, (base + 10) * 10**9, base + 10, 2, "b"),
+            # gap > SESSION_GAP_SEC → new session; no trigram may span it
+            (1, (base + 10 + SESSION_GAP_SEC + 1) * 10**9,
+             base + 10 + SESSION_GAP_SEC + 1, 3, "c"),
+        ],
+        "user_id long, ts_ns long, ts_sec long, event_id long, event_type string",
+    )
+    tagged = session_ids(ev, carry=("event_type",))
+    assert tagged.select("session_seq").distinct().count() == 2
+
+
+def test_anomaly_zscores_match_definition(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import (
+        ANOMALY_Z_THRESHOLD,
+        q_anomaly_hours,
+    )
+
+    rows = q_anomaly_hours(spark, sf_dir).collect()
+    assert all(abs(r.z_score) >= ANOMALY_Z_THRESHOLD for r in rows)
+    # z recomputes from the emitted mean within rounding noise
+    for r in rows[:20]:
+        assert r.n_events != r.mean_n

@@ -97,3 +97,38 @@ def test_latest_snapshot_one_row_per_user_and_is_max_ts(spark, sf_dir):
     assert len(rows) == len(max_ts)
     for r in rows:
         assert r.ts_sec == max_ts[r.user_id]
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 100, 99), (4, 200, 10)],
+        "id long, user_id long, ts long",
+    ).select("id", "user_id", F.col("ts").alias("ts_sec"))
+    right = spark.createDataFrame(
+        [(100, 8), (100, 10), (100, 30), (300, 1)],
+        "user_id long, ts long",
+    ).select("user_id", F.col("ts").alias("ts_sec"))
+    out = asof_join(
+        left, right, on="user_id", ts="ts_sec",
+        right_cols=["ts_sec"], direction="forward",
+    )
+    got = {r.id: r.ts_sec_asof for r in out.collect()}
+    assert got[1] == 10   # equal ts matches in forward direction too
+    assert got[2] == 30   # earliest at-or-after 25
+    assert got[3] is None  # nothing at-or-after 99
+    assert got[4] is None  # user 200 has no right rows
+
+
+def test_asof_forward_tie_deterministic(spark):
+    left = spark.createDataFrame([(1, 7, 100)], "id long, user_id long, ts_sec long")
+    right = spark.createDataFrame(
+        [(7, 100, "a"), (7, 100, "c"), (7, 100, "b"), (7, 150, "z")],
+        "user_id long, ts_sec long, tag string",
+    )
+    for _ in range(3):
+        out = asof_join(
+            left.repartition(4), right.repartition(4),
+            on="user_id", ts="ts_sec",
+            right_cols=["tag"], direction="forward",
+        )
+        assert out.head().tag_asof == "c"

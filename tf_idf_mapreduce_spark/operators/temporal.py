@@ -32,18 +32,25 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` (per ``on`` key); unmatched left rows keep
-    nulls. Equal timestamps match (>= semantics, right-before-left).
+    """For each left row, attach the nearest right row per ``on`` key —
+    ``direction="backward"`` (default): the LATEST right row with
+    ``right.ts <= left.ts``; ``direction="forward"``: the EARLIEST right
+    row with ``right.ts >= left.ts``. Unmatched left rows keep nulls;
+    equal timestamps match in both directions.
     When several right rows share the same ``(on, ts)``, the one with the
     greatest ``right_cols`` tuple wins — a deterministic tiebreak (the
     bare (ts, _side) ordering would leave ``last(...)``'s pick to
     partition arrival order).
 
     Returns all left columns + ``<c><suffix>`` for each requested right
-    column.
+    column. Both directions are the same single-exchange plan — forward
+    just scans the per-key sort in reverse (ts desc), so "the last right
+    row seen at-or-before me" becomes "the earliest at-or-after me".
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.withColumn("_side", F.lit(1))
     rt = right.select(
         on,
@@ -54,16 +61,18 @@ def asof_join(
     # right rows sort before left at equal ts (_side 0 < 1), so a left row
     # sees a right row with the same timestamp; carried right values as
     # trailing sort keys make the winner among equal-(key, ts) right rows
-    # deterministic (left rows hold NULLs there — asc_nulls_last keeps
-    # them after the right rows they must see, and _side already splits
-    # the sides)
+    # deterministic (left rows hold NULLs there — nulls_last keeps them
+    # after the right rows they must see, and _side already splits the
+    # sides). Forward direction reverses only the ts scan; the carried
+    # tiebreak stays ascending so the greatest tuple is scanned last and
+    # wins at equal ts in both directions.
+    ts_key = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
+    carried_keys = [
+        F.col(f"{c}{suffix}").asc_nulls_last() for c in right_cols
+    ]
     w = (
         Window.partitionBy(on)
-        .orderBy(
-            F.col(ts).asc(),
-            F.col("_side").asc(),
-            *[F.col(f"{c}{suffix}").asc_nulls_last() for c in right_cols],
-        )
+        .orderBy(ts_key, F.col("_side").asc(), *carried_keys)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = combined.select(
@@ -134,6 +143,34 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_sec",
         F.col("ts_sec_asof").alias("asof_click_sec"),
         (F.col("ts_sec") - F.col("ts_sec_asof")).alias("gap_sec"),
+    )
+
+
+def q_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each error event with its user's NEXT click at-or-
+    after it — the did-the-user-recover probe of incident analysis.
+    Same one-exchange plan as the backward direction (reversed scan)."""
+    ev = load_events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_sec"
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        ts="ts_sec",
+        right_cols=["ts_sec"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.col("ts_sec_asof").alias("next_click_sec"),
+        (F.col("ts_sec_asof") - F.col("ts_sec")).alias("gap_sec"),
     )
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import norm_words
 from ..sources.io import load_table
@@ -200,4 +201,58 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(ln).cast("bigint").alias("max_len"),
         )
         .orderBy("bucket")
+    )
+
+
+ZIPF_MIN_FREQ = 5
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: the log-log OLS slope of
+    word frequency against frequency rank (natural text ≈ -1; a heavily
+    templated or synthetic corpus drifts far off it) — a one-number
+    distribution-shape check for corpus QA.
+
+    Ranks are computed WITHOUT a global window (a global row_number puts
+    the whole vocabulary in one task): the frequency histogram (distinct
+    count values — hundreds of rows at any corpus size) gets a cumulative
+    offset, broadcast back onto the vocabulary, and row_number only runs
+    per frequency bucket — rank(w) = offset(freq) + position among that
+    frequency's words. The regression itself is one mergeable aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(norm_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= ZIPF_MIN_FREQ)
+    )
+    hist = vocab.groupBy("n").agg(F.count("*").alias("n_words"))
+    # words with strictly higher frequency rank ahead of this bucket
+    cum = hist.select(
+        "n",
+        (
+            F.sum("n_words").over(
+                Window.orderBy(F.desc("n")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("offset"),
+    ).fillna(0, subset=["offset"])
+    ranked = vocab.join(F.broadcast(cum), "n").select(
+        "n",
+        (
+            F.col("offset")
+            + F.row_number().over(
+                Window.partitionBy("n").orderBy(F.asc("w"))
+            )
+        ).alias("rank"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_vocab"),
+        F.round(F.regr_slope(F.log("n"), F.log("rank")), 6).alias("zipf_slope"),
+        F.round(
+            F.regr_intercept(F.log("n"), F.log("rank")), 6
+        ).alias("zipf_intercept"),
+        F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("zipf_r2"),
     )

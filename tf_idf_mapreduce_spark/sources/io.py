@@ -179,3 +179,4 @@ def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
         .otherwise(F.lit(""))
         .alias("val"),
     )
+

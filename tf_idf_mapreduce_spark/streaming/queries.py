@@ -158,6 +158,52 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(out, "stream_static_join", output_mode="append")
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with event-time bounds: each purchase event
+    joined to the same user's clicks in the preceding hour, both sides
+    unbounded streams. Watermarks on BOTH inputs plus the time-range join
+    condition let Spark evict buffered rows once they can no longer match —
+    bounded state at 100 TB feed rates; without them a stream-stream join
+    buffers forever. The finite drain must produce exactly the batch join's
+    pairs.
+    """
+    ev = stream_events(spark, sf_dir)
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts_sec").alias("purchase_sec"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts_sec").alias("click_sec"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (F.col("purchase_sec") - F.col("click_sec")).alias("gap_sec"),
+    )
+    return run_to_memory(joined, "stream_stream_join", output_mode="append")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: ``dropDuplicates`` keeps one row per key in
     state across micro-batches (pair with a watermark on the key's event
