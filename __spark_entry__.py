@@ -699,6 +699,21 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM embeddings, generate_series(1, {EMBED_DIM}) t(i)
         GROUP BY label, i
     """,
+    "sim_knn_graph": f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b ASC
+          ) AS rank FROM scored
+        )
+        SELECT vec_a, vec_b, cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {sim.KNN_K}
+    """,
     "text_bigrams": f"""
         WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
         bg AS (
@@ -715,6 +730,28 @@ _LLMDATA_ORACLE: dict[str, str] = {
                round(bgc.n_bigram / uni.n_w1, 6) AS p_cond
         FROM bgc JOIN uni ON uni.w = split_part(bigram, ' ', 1)
         ORDER BY n_bigram DESC, bigram ASC LIMIT 50
+    """,
+    "text_lm_score": f"""
+        WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+        bgd AS (
+          SELECT doc_id, array_to_string(words[i:i+1], ' ') AS bigram
+          FROM docs, LATERAL unnest(generate_series(1, len(words) - 1)) t(i)
+          WHERE len(words) >= 2
+        ),
+        bgc AS (SELECT bigram, count(*) AS n_bigram FROM bgd GROUP BY bigram),
+        uni AS (
+          SELECT w, count(*) AS n_w1
+          FROM (SELECT unnest(words) AS w FROM docs) GROUP BY w
+        ),
+        lm AS (
+          SELECT bigram, round(-ln(bgc.n_bigram / uni.n_w1), 6) AS neg_logp
+          FROM bgc JOIN uni ON uni.w = split_part(bigram, ' ', 1)
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(CAST(neg_logp AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(*), 6) AS lm_score
+        FROM bgd JOIN lm USING (bigram)
+        GROUP BY doc_id
     """,
     "text_lang_id": _lang_id_sql(),
     # bucket width must match textstats.LENGTH_BUCKET
@@ -1415,12 +1452,59 @@ _CURATION_ORACLE: dict[str, str] = {
     """,
 }
 
+# End-to-end keep-list: composed verbatim from the contamination / PII /
+# quality oracles (nested WITH in subqueries), so the composition can never
+# drift from its parts.
+_CURATION_ORACLE["curate_keep_list"] = f"""
+    WITH contam_t AS ({_CURATION_ORACLE["curate_contamination"]}),
+    pii_t AS ({_CURATION_ORACLE["text_pii_scan"]}),
+    q_t AS ({_LLMDATA_ORACLE["text_quality"]}),
+    mx AS (SELECT doc_id, max(overlap_frac) AS max_overlap
+           FROM contam_t GROUP BY doc_id)
+    SELECT d.doc_id, d.lang, d.source,
+      CASE WHEN d.doc_id % {cur.CONTAM_BENCH_MOD} = 0 THEN 'benchmark'
+           WHEN mx.max_overlap >= {cur.KEEP_CONTAM_FRAC} THEN 'contaminated'
+           WHEN pii_t.has_pii THEN 'pii'
+           WHEN NOT q_t.keep THEN 'low_quality'
+           ELSE 'kept' END AS status
+    FROM documents d
+    LEFT JOIN mx ON mx.doc_id = d.doc_id
+    JOIN pii_t ON pii_t.doc_id = d.doc_id
+    JOIN q_t ON q_t.doc_id = d.doc_id
+"""
+
+_CURATION_ORACLE["curate_mixture"] = """
+    WITH strata AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(
+               string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
+               w -> w <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source
+    ),
+    fr AS (
+      SELECT *, round(n_tokens / sum(n_tokens) OVER (), 6) AS token_frac
+      FROM strata
+    )
+    SELECT lang, source, n_docs, n_tokens, token_frac,
+      round(CAST(sum(CAST(token_frac AS DECIMAL(38,6))) OVER (
+        ORDER BY n_tokens DESC, lang ASC, source ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE),
+        6) AS cum_token_frac
+    FROM fr
+"""
+
 
 #: Queries the round-1 driver correctness pass did NOT reach (it checks the
-#: first 50 entries of ``queries()`` in order). Listing them FIRST this round
-#: rotates driver-side validation across the whole surface; our own
-#: scripts/oracle_check.py always verifies every query regardless of order.
+#: first 50 entries of ``queries()`` in order), plus everything new this
+#: round. Listing them FIRST rotates driver-side validation across the whole
+#: surface; our own scripts/oracle_check.py always verifies every query
+#: regardless of order.
 _CHECK_FIRST = (
+    # new in round 2
+    "events_paths", "events_anomaly", "rel_q20_nested",
+    "temporal_asof_forward", "text_zipf", "stream_stream_join",
+    "sim_knn_graph", "text_lm_score", "curate_keep_list", "curate_mixture",
+    # unchecked in round 1
     "dedup_embedding_pairs", "dedup_clusters", "dedup_keeper_quality",
     "sim_cosine_topk", "sim_lsh_histogram", "sim_lsh_topk", "sim_ivf_topk",
     "sim_label_centroids", "text_lang_id", "text_quality",
@@ -1514,6 +1598,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the exact top-k is asserted in tests/test_similarity.py)
         "sim_ivf_topk": sim.ivf_topk,
         "sim_label_centroids": sim.label_centroids,
+        "sim_knn_graph": sim.knn_graph,
         # --- LLM-data pipeline: text analysis ---
         "text_lang_id": ts.lang_id,
         "text_quality": ts.quality_scores,
@@ -1522,12 +1607,15 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": ts.fingerprints,
         "text_bigrams": ts.bigram_stats,
         "text_zipf": ts.zipf_fit,
+        "text_lm_score": ts.lm_doc_scores,
         "text_pii_scan": cur.pii_scan,
         "text_repetition": cur.repetition_scores,
         # --- LLM-data pipeline: corpus curation ---
         "curate_contamination": cur.contamination_check,
         "curate_hash_sample": cur.hash_sample,
         "curate_stratified_sample": cur.stratified_sample,
+        "curate_keep_list": cur.keep_list,
+        "curate_mixture": cur.mixture_report,
         "curate_profile": cur.profile_table,
         # rows-only (HLL++/KLL sketch internals are engine-specific — no SQL
         # twin; accuracy vs exact is pinned in tests/test_curation.py)

@@ -205,3 +205,28 @@ def test_zipf_rank_equals_global_row_number(spark, sf_dir):
         expect["rank"] != got["rank"]
     )
     assert diff.count() == 0
+
+
+def test_keep_list_covers_every_doc_once(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.curation import keep_list
+
+    kl = keep_list(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert kl.count() == n_docs
+    assert kl.select("doc_id").distinct().count() == n_docs
+    allowed = {"benchmark", "contaminated", "pii", "low_quality", "kept"}
+    got = {r.status for r in kl.select("status").distinct().collect()}
+    assert got <= allowed
+
+
+def test_mixture_fractions_sum_to_one(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.curation import mixture_report
+
+    rows = mixture_report(spark, sf_dir).collect()
+    total = sum(r.token_frac for r in rows)
+    assert abs(total - 1.0) < 1e-3  # 6dp rounding per stratum
+    # cumulative is monotone and ends at the total
+    ordered = sorted(rows, key=lambda r: (-r.n_tokens, r.lang, r.source))
+    assert abs(ordered[-1].cum_token_frac - round(total, 6)) < 1e-9
+    cums = [r.cum_token_frac for r in ordered]
+    assert cums == sorted(cums)

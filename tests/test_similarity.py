@@ -89,3 +89,68 @@ def test_label_centroids_match_numpy(spark, sf_dir):
             c, n = got[(label, d)]
             assert n == len(vecs)
             assert abs(c - mean[d]) < 1e-5
+
+
+def test_sig_udf_bit_identical_to_column_fold(spark, sf_dir):
+    # the Arrow-batched signature path must reproduce the interpreted
+    # aggregate-fold signature BIT-FOR-BIT (same accumulation order) —
+    # a near-zero dot whose sign flipped would silently move a vector
+    # to another bucket
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.functions.vectors import fold_dot_matrix_udf
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        hyperplanes,
+        lsh_sig_column,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    udf_sig = fold_dot_matrix_udf(hyperplanes())
+    diff = e.select(
+        lsh_sig_column(F.col("embedding")).alias("a"),
+        udf_sig(F.col("embedding")).alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    assert diff.count() == 0
+
+
+def test_knn_graph_structure(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.similarity import KNN_K, knn_graph
+
+    g = knn_graph(spark, sf_dir)
+    rows = g.collect()
+    by_a = {}
+    for r in rows:
+        by_a.setdefault(r.vec_a, []).append(r)
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(by_a) == n_vecs  # every vector has neighbors
+    for a, es in by_a.items():
+        assert len(es) == KNN_K
+        assert a not in [e.vec_b for e in es]  # no self-edges
+        ranked = sorted(es, key=lambda e: e.rank)
+        # rank order matches (cos desc, vec_b asc)
+        keys = [(-e.cos_sim, e.vec_b) for e in ranked]
+        assert keys == sorted(keys)
+
+
+def test_knn_graph_agrees_with_cosine_topk(spark, sf_dir):
+    # node 0's knn edges must equal the head of the exact brute-force top-k
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        KNN_K,
+        cosine_topk,
+        knn_graph,
+    )
+    from pyspark.sql import functions as F
+
+    exact = [
+        (r.vec_id, r.cos_sim)
+        for r in cosine_topk(spark, sf_dir, query_vec_id=0, k=KNN_K).collect()
+    ]
+    got = [
+        (r.vec_b, r.cos_sim)
+        for r in knn_graph(spark, sf_dir)
+        .where(F.col("vec_a") == 0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == exact

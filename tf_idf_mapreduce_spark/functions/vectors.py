@@ -34,6 +34,35 @@ def cosine(a: Column, b: Column) -> Column:
 
 # NB: the type object, not the "double" DDL string — string parsing needs an
 # active SparkContext, which doesn't exist at import time
+def fold_dot_matrix_udf(planes: list[list[float]]):
+    """Arrow-batched multi-plane dot signs, BIT-IDENTICAL to the
+    ``aggregate`` fold: accumulation runs dimension-by-dimension (one
+    rounded float64 add per step, the fold's left-to-right order),
+    vectorized across rows and planes — so replacing the interpreted fold
+    with this UDF cannot flip a sign on a near-zero dot. Returns the
+    packed ``long`` signature (bit p = [dot(x, plane_p) >= 0]).
+
+    ~24 planes x 64 dims as one numpy pass per Arrow batch instead of
+    24 interpreted per-element folds per row (the measured 10x+ win on
+    higher-order-function lambdas).
+    """
+    from pyspark.sql.types import LongType
+
+    pmat = np.asarray(planes, dtype="float64")  # (n_planes, dim)
+    weights = (1 << np.arange(pmat.shape[0], dtype="int64"))
+
+    @pandas_udf(LongType())
+    def sig(emb):
+        x = np.stack(emb.to_numpy()).astype("float64")  # (n, dim)
+        acc = np.zeros((x.shape[0], pmat.shape[0]), dtype="float64")
+        for d in range(pmat.shape[1]):
+            # exact fold order: acc_p <- round(acc_p + x_d * p_{p,d})
+            acc += x[:, d : d + 1] * pmat[None, :, d]
+        return pd.Series(((acc >= 0) @ weights).astype("int64"))
+
+    return sig
+
+
 @pandas_udf(DoubleType())
 def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched cosine for O(n²) pair surfaces: one numpy matmul pass

@@ -288,3 +288,81 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("top_word_n"),
         )
     )
+
+
+#: A document sharing >= this fraction of its n-grams with a benchmark doc
+#: is treated as contaminated by ``keep_list``.
+KEEP_CONTAM_FRAC = 0.2
+
+
+def keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline composed end-to-end: every document classified
+    into its final disposition — ``benchmark`` (held-out eval member),
+    ``contaminated`` (n-gram overlap with a benchmark doc >=
+    KEEP_CONTAM_FRAC), ``pii`` (any PII hit), ``low_quality`` (fails the
+    C4-style filter), or ``kept`` — the keep/drop manifest a training-data
+    build hands to the sampler. First matching reason wins, in that
+    severity order.
+
+    All inputs are existing single-pass operators; the composition adds
+    two doc_id-keyed joins (contamination hits are candidate-sized and
+    broadcast; quality and PII ride the same corpus scan at 100 TB via
+    plan reuse — no operator here introduces a new full-data exchange).
+    """
+    from .textstats import quality_scores
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    contam = (
+        contamination_check(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.max("overlap_frac").alias("max_overlap"))
+    )
+    pii = pii_scan(spark, sf_dir).select("doc_id", "has_pii")
+    q = quality_scores(spark, sf_dir).select("doc_id", "keep")
+    status = (
+        F.when(F.col("doc_id") % CONTAM_BENCH_MOD == 0, "benchmark")
+        .when(F.col("max_overlap") >= KEEP_CONTAM_FRAC, "contaminated")
+        .when(F.col("has_pii"), "pii")
+        .when(~F.col("keep"), "low_quality")
+        .otherwise("kept")
+    )
+    return (
+        d.join(F.broadcast(contam), "doc_id", "left")
+        .join(pii, "doc_id")
+        .join(q, "doc_id")
+        .select("doc_id", "lang", "source", status.alias("status"))
+    )
+
+
+def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture audit: per (lang, source) stratum, its document and
+    whitespace-token counts, token share of the corpus, and the cumulative
+    share in descending-share order — the table a data-mixture decision is
+    made from.
+
+    One corpus scan partial-aggregates to |lang|x|source| rows; the share
+    and cumulative windows run on that tiny relation (fractions round @6dp
+    and cumulate through DECIMAL so the running sum is order-exact in both
+    engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(norm_words(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    ordered = Window.orderBy(
+        F.desc("n_tokens"), F.asc("lang"), F.asc("source")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frac = F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
+    return (
+        strata.withColumn("token_frac", frac)
+        .withColumn(
+            "cum_token_frac",
+            F.round(
+                F.sum(F.col("token_frac").cast("decimal(38,6)"))
+                .over(ordered)
+                .cast("double"),
+                6,
+            ),
+        )
+    )

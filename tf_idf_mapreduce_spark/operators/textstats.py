@@ -256,3 +256,55 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zipf_intercept"),
         F.round(F.regr_r2(F.log("n"), F.log("rank")), 6).alias("zipf_r2"),
     )
+
+
+def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: each document's mean bigram surprisal
+    ``-ln P(w2|w1)`` under the corpus's own bigram LM — the classic
+    cheap-perplexity filter (high score = improbable word sequences =
+    boilerplate, OCR noise, or spam; near-zero = templated repetition).
+
+    One pass builds the LM (bigram + unigram counts — vocabulary-sized,
+    far smaller than the corpus), a bigram-keyed join scores every doc
+    occurrence, and a per-doc aggregate averages. Per-bigram surprisals
+    round @6dp BEFORE the DECIMAL sum so both engines add identical
+    values in any order. At 100 TB both the LM build and the scoring join
+    shuffle on the bigram key — high-cardinality, skew handled by AQE;
+    nothing driver-side.
+    """
+    from ..functions.hashing import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    bg = (
+        shingle_rows(d, ["doc_id"], n=2)
+        .where(F.instr("shingle", " ") > 0)
+        .select("doc_id", F.col("shingle").alias("bigram"))
+    )
+    lm_bg = bg.groupBy("bigram").agg(F.count("*").alias("n_bigram"))
+    uni = (
+        d.select(F.explode(norm_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w1"))
+    )
+    lm = (
+        lm_bg.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(uni, F.col("w1") == F.col("w"))
+        .select(
+            "bigram",
+            F.round(
+                -F.log(F.col("n_bigram") / F.col("n_w1")), 6
+            ).alias("neg_logp"),
+        )
+    )
+    return (
+        bg.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("neg_logp").cast("decimal(38,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("lm_score"),
+        )
+    )
