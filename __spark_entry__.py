@@ -441,6 +441,21 @@ _EVENTS_ORACLE: dict[str, str] = {
         GROUP BY path
         ORDER BY n_occurrences DESC, path ASC LIMIT 25
     """,
+    "events_wau": """
+        WITH user_days AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT) AS day
+          FROM events
+        ),
+        active_days AS (SELECT DISTINCT day FROM user_days),
+        fanned AS (
+          SELECT user_id, day + off AS day
+          FROM user_days, generate_series(0, 6) t(off)
+        )
+        SELECT f.day, count(DISTINCT f.user_id) AS wau
+        FROM fanned f JOIN active_days a ON f.day = a.day
+        GROUP BY f.day
+    """,
     "events_anomaly": """
         WITH hourly AS (
           SELECT ts_sec - ts_sec % 3600 AS hour_start_sec, event_type,
@@ -1025,6 +1040,17 @@ _TEMPORAL_ORACLE: dict[str, str] = {
         FROM err ASOF LEFT JOIN c
           ON err.user_id = c.user_id AND err.ts_sec <= c.ts_sec
     """,
+    "temporal_scd2": """
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               epoch_ns(ts) // 1000000000 AS valid_from_sec,
+               lead(epoch_ns(ts) // 1000000000) OVER w AS valid_to_sec,
+               round(value, 2) AS value,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "temporal_range_join": """
         WITH e AS (SELECT event_id, user_id, event_type,
                           epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
@@ -1504,6 +1530,7 @@ _CHECK_FIRST = (
     "events_paths", "events_anomaly", "rel_q20_nested",
     "temporal_asof_forward", "text_zipf", "stream_stream_join",
     "sim_knn_graph", "text_lm_score", "curate_keep_list", "curate_mixture",
+    "events_wau", "temporal_scd2",
     # unchecked in round 1
     "dedup_embedding_pairs", "dedup_clusters", "dedup_keeper_quality",
     "sim_cosine_topk", "sim_lsh_histogram", "sim_lsh_topk", "sim_ivf_topk",
@@ -1569,6 +1596,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- temporal joins (operators Spark lacks built-in) ---
         "temporal_asof_join": tmp.q_asof_purchase_click,
         "temporal_asof_forward": tmp.q_asof_next_click,
+        "temporal_scd2": tmp.q_scd2_history,
         "temporal_range_join": tmp.q_range_error_click,
         "temporal_latest_snapshot": tmp.q_latest_snapshot,
         # --- event/time-series surface ---
@@ -1581,6 +1609,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": ev.q_transitions,
         "events_paths": ev.q_paths,
         "events_anomaly": ev.q_anomaly_hours,
+        "events_wau": ev.q_wau,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,

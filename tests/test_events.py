@@ -147,3 +147,31 @@ def test_anomaly_zscores_match_definition(spark, sf_dir):
     # z recomputes from the emitted mean within rounding noise
     for r in rows[:20]:
         assert r.n_events != r.mean_n
+
+
+def test_wau_on_planted_days(spark):
+    from tf_idf_mapreduce_spark.operators.events import q_wau
+    import tf_idf_mapreduce_spark.sources.io as io
+
+    # users 1,2 active day 0; user 1 again day 3; user 3 day 10 (isolated)
+    rows = [
+        (1, 0), (2, 0), (1, 3), (3, 10),
+    ]
+    df = spark.createDataFrame(
+        [(u, d * 86400 * 10**9) for u, d in rows],
+        "user_id long, ts long",
+    )
+    import tempfile
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="wau_fix_")
+    try:
+        df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        got = {r.day: r.wau for r in q_wau(spark, tmp).collect()}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # reported days are exactly the active days
+    assert set(got) == {0, 3, 10}
+    assert got[0] == 2            # users 1,2 on day 0
+    assert got[3] == 2            # users 1,2 still within 7 days; user1 re-hit
+    assert got[10] == 1           # isolated user 3 (day 3 aged out on day 10)

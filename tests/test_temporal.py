@@ -132,3 +132,22 @@ def test_asof_forward_tie_deterministic(spark):
             right_cols=["tag"], direction="forward",
         )
         assert out.head().tag_asof == "c"
+
+
+def test_scd2_intervals_chain_per_user(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.temporal import q_scd2_history
+
+    rows = q_scd2_history(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        # exactly one open (current) version, and it's the last
+        currents = [r for r in vs if r.is_current]
+        assert len(currents) == 1 and currents[0].version == len(vs)
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_sec == b.valid_from_sec
+            assert a.valid_from_sec <= a.valid_to_sec

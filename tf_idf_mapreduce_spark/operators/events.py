@@ -315,3 +315,40 @@ def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.abs(F.col("z_score")) >= ANOMALY_Z_THRESHOLD)
     )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def q_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day (the WAU curve): for each day
+    with any activity, how many distinct users appeared in the 7-day
+    window ending that day.
+
+    Rolling DISTINCT doesn't compose from daily distincts (users repeat),
+    so each (user, active-day) pair — already deduped, one row per user
+    per day — fans out to the {0..6} future days it keeps the user
+    "active" for, and one countDistinct per day finishes it. Shuffle
+    volume is 7x the deduped user-day relation (not 7x the raw events),
+    and the fan-out is a codegen ``explode(sequence(...))`` — the
+    standard scale shape for sliding-window distinct aggregation.
+    Days carry as integer epoch-days (exact arithmetic both engines).
+    """
+    ev = load_events(spark, sf_dir)
+    user_days = ev.select(
+        "user_id", (F.col("ts_sec") / 86400).cast("long").alias("day")
+    ).distinct()
+    active_days = user_days.select("day").distinct()
+    fanned = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + (WAU_WINDOW_DAYS - 1)
+            )
+        ).alias("day"),
+    )
+    return (
+        fanned.join(active_days, "day")  # only report days that exist
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -222,3 +222,27 @@ def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD2 (slowly-changing-dimension type 2) history: each
+    purchase event becomes a versioned row with its validity interval —
+    ``valid_from_sec`` = the event, ``valid_to_sec`` = the user's next
+    purchase (NULL while current) — the standard warehouse shape for
+    as-was queries and the batch twin of a CDC merge.
+
+    One exchange on user_id; ``lead()`` over (ts_ns, event_id) — a total
+    order, so version numbering is exactly reproducible. At 100 TB the
+    changelog is already partitioned by entity key, making this the
+    cheapest possible history pass: no join, one window.
+    """
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts_sec").alias("valid_from_sec"),
+        F.lead("ts_sec").over(w).alias("valid_to_sec"),
+        F.round("value", 2).alias("value"),
+        F.lead("ts_sec").over(w).isNull().alias("is_current"),
+    )
