@@ -138,14 +138,20 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Euclidean k-means over the embedding column, pure DataFrame steps.
 
-    Deterministic init (vectors with vec_id < k). Each iteration: assign
-    every vector to its nearest centroid with an Arrow-batched argmin UDF,
-    then recompute means via posexplode + groupBy — both distributed. Only
-    the k x d centroid MATRIX (model state, a few KB) ever reaches the
-    driver, once per iteration — the same driver/executor split MLlib's
-    k-means uses; the n x d data never moves.
+    Deterministic init (vectors with vec_id < k). Each iteration is ONE
+    distributed pass: ``mapInPandas`` assigns every vector to its nearest
+    centroid (numpy argmin) and emits per-Arrow-batch PARTIAL sums — one
+    (cid, dim, partial_sum, partial_n) row per centroid-dimension per
+    batch — so the shuffle carries O(k·d·batches) rows instead of the
+    n·d posexplode; a tiny groupBy finishes the means. Only the k x d
+    centroid MATRIX (model state, a few KB) ever reaches the driver,
+    once per iteration — the same driver/executor split MLlib's k-means
+    uses; the n x d data never moves.
     """
+    from collections.abc import Iterator
+
     import numpy as np
+    import pandas as pd
 
     cents = np.stack(
         [
@@ -153,25 +159,36 @@ def kmeans_fit(
             for r in e.where(F.col("vec_id") < k).orderBy("vec_id").collect()
         ]
     )
+    partial_schema = "cid long, dim long, s double, n long"
     for _ in range(iters):
-        assigned = e.select(
-            "vec_id", "embedding", _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid")
-        )
-        dims = assigned.select(
-            "cid", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val")
-        )
+        cmat = cents.copy()
+        cnorm2 = (cmat**2).sum(axis=1)
+
+        def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                cid = np.argmin(-2.0 * (x @ cmat.T) + cnorm2, axis=1)
+                for c in np.unique(cid):
+                    member = x[cid == c]
+                    yield pd.DataFrame(
+                        {
+                            "cid": int(c),
+                            "dim": np.arange(x.shape[1], dtype="int64"),
+                            "s": member.sum(axis=0),
+                            "n": len(member),
+                        }
+                    )
+
         means = (
-            dims.groupBy("cid", "dim")
-            .agg(F.avg("val").alias("mu"))
+            e.select("embedding")
+            .mapInPandas(partial_sums, partial_schema)
+            .groupBy("cid", "dim")
+            .agg((F.sum("s") / F.sum("n")).alias("mu"))
             .collect()
         )
         new = cents.copy()  # empty clusters keep their previous centroid
-        by_cid: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cid.setdefault(r.cid, {})[r.dim] = r.mu
-        for cid, dvals in by_cid.items():
-            for dim, mu in dvals.items():
-                new[cid][dim] = mu
+            new[r.cid][r.dim] = r.mu
         if np.allclose(new, cents, atol=1e-12):
             break
         cents = new
