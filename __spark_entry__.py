@@ -1341,6 +1341,34 @@ _RELATIONAL_ORACLE["rel_q20_nested"] = """
     JOIN nation n ON s.s_nationkey = n.n_nationkey
 """
 
+_RELATIONAL_ORACLE["rel_q21_waiting"] = f"""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL {rel.Q21_LATE_DAYS} DAYS
+               AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END)
+               AS n_late_supps
+      FROM li GROUP BY l_orderkey
+    ),
+    late_rows AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late
+    ),
+    blocked AS (
+      SELECT l_suppkey, count(*) AS numwait
+      FROM late_rows JOIN per_order USING (l_orderkey)
+      WHERE n_late_supps = 1 AND n_supps > 1
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, numwait
+    FROM blocked JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY numwait DESC, s_name ASC LIMIT {rel.Q21_TOP}
+"""
+
 _RELATIONAL_ORACLE["rel_scalar_subquery"] = """
     WITH p AS (
       SELECT p_partkey FROM part
@@ -1530,7 +1558,7 @@ _CHECK_FIRST = (
     "events_paths", "events_anomaly", "rel_q20_nested",
     "temporal_asof_forward", "text_zipf", "stream_stream_join",
     "sim_knn_graph", "text_lm_score", "curate_keep_list", "curate_mixture",
-    "events_wau", "temporal_scd2",
+    "events_wau", "temporal_scd2", "rel_q21_waiting",
     # unchecked in round 1
     "dedup_embedding_pairs", "dedup_clusters", "dedup_keeper_quality",
     "sim_cosine_topk", "sim_lsh_histogram", "sim_lsh_topk", "sim_ivf_topk",
@@ -1590,6 +1618,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_correlated_exists": rel.priority_counts_with_exists,
         "rel_scalar_subquery": rel.small_quantity_revenue,
         "rel_q20_nested": rel.dominant_suppliers,
+        "rel_q21_waiting": rel.waiting_suppliers,
         "rel_pivot": rel.native_pivot,
         "rel_percentiles": rel.price_percentiles,
         "rel_grouping_sets": rel.grouping_sets_orders,

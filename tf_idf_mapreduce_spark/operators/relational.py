@@ -713,3 +713,63 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name", "n_dominated_parts")
     )
+
+
+Q21_LATE_DAYS = 60
+Q21_TOP = 20
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double-correlated EXISTS / NOT EXISTS: suppliers
+    who were the ONLY late supplier on a multi-supplier order ("late" =
+    shipped more than 60 days after the order date — this dataset's
+    trimmed lineitem has no receipt/commit dates). Top 20 by blocked-order
+    count.
+
+    Q21's two correlated subqueries (EXISTS another supplier's line,
+    NOT EXISTS another supplier's LATE line) decorrelate into ONE
+    per-order aggregate — distinct supplier count and distinct LATE
+    supplier count — joined back to the late lines: a supplier blocked
+    order O iff n_late_supps(O) = 1 and n_supps(O) > 1 and they are late
+    on O. One orderkey exchange computes both counts (conditional
+    countDistinct shares the shuffle); the join back is on the same key,
+    so AQE reuses the exchange; supplier names attach by broadcast. At
+    100 TB this replaces Q21's notorious double self-join of the largest
+    table with a single aggregation pass.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supps"),
+    )
+    late_rows = (
+        li.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    blocked = (
+        late_rows.join(per_order, "l_orderkey")
+        .where((F.col("n_late_supps") == 1) & (F.col("n_supps") > 1))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blocked.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOP)
+    )
