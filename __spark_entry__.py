@@ -1341,6 +1341,8 @@ _RELATIONAL_ORACLE["rel_q20_nested"] = """
     JOIN nation n ON s.s_nationkey = n.n_nationkey
 """
 
+_RELATIONAL_ORACLE["rel_sql_q3"] = rel.Q3_SQL
+
 _RELATIONAL_ORACLE["rel_q21_waiting"] = f"""
     WITH li AS (
       SELECT l_orderkey, l_suppkey,
@@ -1558,7 +1560,7 @@ _CHECK_FIRST = (
     "events_paths", "events_anomaly", "rel_q20_nested",
     "temporal_asof_forward", "text_zipf", "stream_stream_join",
     "sim_knn_graph", "text_lm_score", "curate_keep_list", "curate_mixture",
-    "events_wau", "temporal_scd2", "rel_q21_waiting",
+    "events_wau", "temporal_scd2", "rel_q21_waiting", "rel_sql_q3",
     # unchecked in round 1
     "dedup_embedding_pairs", "dedup_clusters", "dedup_keeper_quality",
     "sim_cosine_topk", "sim_lsh_histogram", "sim_lsh_topk", "sim_ivf_topk",
@@ -1619,6 +1621,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scalar_subquery": rel.small_quantity_revenue,
         "rel_q20_nested": rel.dominant_suppliers,
         "rel_q21_waiting": rel.waiting_suppliers,
+        "rel_sql_q3": rel.shipping_priority_sql,
         "rel_pivot": rel.native_pivot,
         "rel_percentiles": rel.price_percentiles,
         "rel_grouping_sets": rel.grouping_sets_orders,

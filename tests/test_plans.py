@@ -91,3 +91,39 @@ def test_postings_and_repetition_partial_aggregate(spark):
     for name in ("tfidf_postings", "text_repetition"):
         plan = _plan(spark, name)
         assert plan.count("HashAggregate") >= 2, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["rel_q20_nested", "rel_q21_waiting", "rel_sql_q3", "events_wau",
+     "temporal_asof_forward", "temporal_scd2"],
+)
+def test_new_round2_plans_avoid_nested_loops(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_part_filter_broadcasts_onto_fact(spark):
+    # the 'small%' part list must reach lineitem as a broadcast, not a
+    # shuffle of the fact table
+    plan = _plan(spark, "rel_q20_nested")
+    assert "BroadcastHashJoin" in plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("l_shipdate" in p for p in pushed)  # date range at the scan
+
+
+def test_sql_q3_pushes_both_date_filters(spark):
+    plan = _plan(spark, "rel_sql_q3")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+    assert "TakeOrderedAndProject" in plan  # LIMIT 10 never sorts everything
+
+
+def test_asof_directions_share_one_exchange_shape(spark):
+    # both directions: exactly one hash exchange keyed on user_id for the
+    # window (plus AQE wrappers) — no join operator at all
+    for name in ("temporal_asof_join", "temporal_asof_forward"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
+        assert plan.count("Exchange hashpartitioning(user_id") >= 1, name

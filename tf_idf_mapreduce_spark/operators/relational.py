@@ -773,3 +773,42 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(Q21_TOP)
     )
+
+
+#: TPC-H Q3-shaped shipping-priority SQL, written in the ANSI subset BOTH
+#: Spark SQL and DuckDB parse — the engine runs it verbatim through
+#: ``spark.sql`` (the full SQL front-end surface), the oracle runs the
+#: SAME text, so the two can never drift.
+Q3_SQL = """
+    SELECT o_orderkey,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,4))) AS DOUBLE), 6) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS o_orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1997-03-15'
+      AND l_shipdate > DATE '1997-03-15'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+"""
+
+
+def shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority through the SQL FRONT-END:
+    ``spark.sql`` over registered views, not the DataFrame DSL — proving
+    the engine's full declarative surface (same Catalyst plan either
+    way: both date filters push into the scans, customer broadcasts,
+    TakeOrderedAndProject caps the sort at 10 rows).
+
+    The o_orderdate type differs between engines (Spark reads the
+    fixture as TIMESTAMP, DuckDB as DATE in its view) — the comparison
+    with a DATE literal and the group key both behave identically; the
+    driver's value-hash canonicalizes temporal types.
+    """
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q3_SQL)
