@@ -763,8 +763,8 @@ _LLMDATA_ORACLE: dict[str, str] = {
           FROM bgc JOIN uni ON uni.w = split_part(bigram, ' ', 1)
         )
         SELECT doc_id, count(*) AS n_bigrams,
-               round(CAST(sum(CAST(neg_logp AS DECIMAL(38,6))) AS DOUBLE)
-                     / count(*), 6) AS lm_score
+               floor(CAST(sum(CAST(neg_logp AS DECIMAL(38,6))) AS DOUBLE)
+                     / count(*) * 1000000 + 0.5) / 1000000 AS lm_score
         FROM bgd JOIN lm USING (bigram)
         GROUP BY doc_id
     """,
@@ -888,8 +888,8 @@ _RELATIONAL_ORACLE["rel_window_ranks"] = """
     SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal,
       CAST(dense_rank() OVER w AS BIGINT) AS drank,
       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-      round(percent_rank() OVER w, 6) AS pct_rank,
-      round(cume_dist() OVER w, 6) AS cume
+      floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+      floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
 """
@@ -1116,7 +1116,12 @@ _STREAMING_ORACLE: dict[str, str] = {
     """,
     # identical semantics to the batch tumbling query (filled below)
     "stream_tumbling_hourly": None,  # type: ignore[dict-item]
-    "stream_session_window": _session_cte(">= 1800")
+    # "> 1800", not ">= 1800": Spark 4.1's session_window MERGES two
+    # sessions whose gap is exactly the configured duration (adjacent
+    # [t, t+gap) ranges count as overlapping) — verified empirically at
+    # sf0.1, where exactly one user has a 1800 s gap and Spark emits one
+    # FEWER session than a strict >= split would.
+    "stream_session_window": _session_cte("> 1800")
     + """
         SELECT user_id, session_start_sec, session_end_sec, n_events,
                session_end_sec - session_start_sec AS duration_sec

@@ -415,19 +415,30 @@ def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rank-function family in one pass: dense_rank, ntile quartiles,
     percent_rank and cume_dist per nation by account balance. The custkey
     tiebreak in the ORDER BY eliminates peer groups, so the distribution
-    functions are exactly deterministic (and @6dp-portable)."""
+    functions are exactly deterministic.
+
+    pct_rank/cume round via ``floor(x*1e6 + 0.5)/1e6`` instead of
+    ``round(x, 6)``: k/n hits EXACT .5 ties at 6dp (e.g. 333/640), where
+    Spark's HALF_UP on the shortest decimal repr and DuckDB's rounding of
+    the binary value disagree — the floor formula is the same IEEE op
+    sequence in both engines, so ties break identically (first seen at
+    sf0.1: 3 rows off by 1e-6)."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.desc("c_acctbal"), F.asc("c_custkey")
     )
+
+    def r6(col: Column) -> Column:
+        return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+
     return c.select(
         "c_nationkey",
         "c_custkey",
         F.round("c_acctbal", 2).alias("acctbal"),
         F.dense_rank().over(w).cast("long").alias("drank"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
     )
 
 

@@ -296,15 +296,25 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neg_logp"),
         )
     )
+    # floor(x*1e6 + 0.5)/1e6, not round(x, 6): the exact-decimal sum
+    # divided by an integer count lands on EXACT .5 ties at 6dp, where
+    # Spark (HALF_UP on shortest repr) and DuckDB (binary value) disagree
+    # — the floor formula is the same IEEE op sequence in both engines
+    # (one sf0.1 row diverged under round())
+    mean6 = (
+        F.floor(
+            F.sum(F.col("neg_logp").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        / 1_000_000
+    )
     return (
         bg.join(lm, "bigram")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("neg_logp").cast("decimal(38,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("lm_score"),
+            mean6.alias("lm_score"),
         )
     )
