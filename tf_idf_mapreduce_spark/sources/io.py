@@ -44,8 +44,47 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Sessions (by application id) that already received the package zip.
+_PYFILES_SENT: set[str] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to the Python WORKERS of ``spark`` via
+    ``addPyFile`` (idempotent per session).
+
+    Module-level pandas-UDF/applyInPandas functions cloudpickle BY
+    REFERENCE — the worker must import ``tf_idf_mapreduce_spark``. Our
+    own session factory pins PYTHONPATH, but an externally created
+    SparkSession (a host harness passing its own ``spark``) has no such
+    conf, and executor env cannot change after launch. ``addPyFile``
+    works at runtime on any session and lands on every worker's
+    ``sys.path`` — the same mechanism as ``spark-submit --py-files`` on
+    a real cluster."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SENT:
+        return
+    import atexit
+    import tempfile
+    import zipfile
+
+    pkg_path = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(pkg_path)
+    fd, zpath = tempfile.mkstemp(prefix="spark_graft_pyfiles_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_path):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo_root))
+    spark.sparkContext.addPyFile(zpath)
+    atexit.register(lambda: os.path.exists(zpath) and os.remove(zpath))
+    _PYFILES_SENT.add(app_id)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/projections into it."""
+    ensure_worker_imports(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -28,6 +28,9 @@ def _stream_table(
 ) -> DataFrame:
     """readStream over one fixture parquet file, schema pinned from a batch
     scan (file streams require an explicit schema)."""
+    from ..sources.io import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     reader = spark.readStream.schema(schema).option("pathGlobFilter", f"{name}.parquet")
     if max_files_per_trigger is not None:
