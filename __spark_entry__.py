@@ -470,10 +470,12 @@ _EVENTS_ORACLE: dict[str, str] = {
           FROM hourly GROUP BY event_type
         )
         SELECT h.event_type, h.hour_start_sec, h.n_events,
-               round(s.mean_n, 6) AS mean_n,
-               round((h.n_events - s.mean_n) / s.sd_n, 6) AS z_score
+               floor(s.mean_n * 1000000 + 0.5) / 1000000 AS mean_n,
+               floor((h.n_events - s.mean_n) / s.sd_n * 1000000 + 0.5)
+                 / 1000000 AS z_score
         FROM hourly h JOIN stats s USING (event_type)
-        WHERE abs(round((h.n_events - s.mean_n) / s.sd_n, 6)) >= 2.0
+        WHERE abs(floor((h.n_events - s.mean_n) / s.sd_n * 1000000 + 0.5)
+                  / 1000000) >= 2.0
     """,
 }
 
@@ -666,7 +668,8 @@ _LLMDATA_ORACLE: dict[str, str] = {
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         scored AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+                 floor({_cos_sql('a.embedding', 'b.embedding')} * 1000000
+                       + 0.5) / 1000000 AS cos_sim
           FROM e a JOIN e b ON a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.45
@@ -718,7 +721,8 @@ _LLMDATA_ORACLE: dict[str, str] = {
         WITH e AS (SELECT vec_id, embedding FROM embeddings),
         scored AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+                 floor({_cos_sql('a.embedding', 'b.embedding')} * 1000000
+                       + 0.5) / 1000000 AS cos_sim
           FROM e a JOIN e b ON a.vec_id <> b.vec_id
         ),
         ranked AS (
@@ -1306,7 +1310,8 @@ _RETRIEVAL_ORACLE: dict[str, str] = {
       FROM v a JOIN v b ON a.word = b.word AND a.doc < b.doc
       GROUP BY a.doc, b.doc
     )
-    SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    SELECT doc_a, doc_b,
+           floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5) / 1000000 AS cosine
     FROM dots
     JOIN norms na ON na.doc = dots.doc_a
     JOIN norms nb ON nb.doc = dots.doc_b
@@ -1534,16 +1539,15 @@ _CURATION_ORACLE["curate_keep_list"] = f"""
     JOIN q_t ON q_t.doc_id = d.doc_id
 """
 
-_CURATION_ORACLE["curate_mixture"] = """
+_CURATION_ORACLE["curate_mixture"] = f"""
     WITH strata AS (
       SELECT lang, source, count(*) AS n_docs,
-             CAST(sum(len(list_filter(
-               string_split_regex(lower(text), '[ \\t\\n\\r\\f]+'),
-               w -> w <> ''))) AS BIGINT) AS n_tokens
+             CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS n_tokens
       FROM documents GROUP BY lang, source
     ),
     fr AS (
-      SELECT *, round(n_tokens / sum(n_tokens) OVER (), 6) AS token_frac
+      SELECT *, floor(n_tokens / sum(n_tokens) OVER () * 1000000 + 0.5)
+                / 1000000 AS token_frac
       FROM strata
     )
     SELECT lang, source, n_docs, n_tokens, token_frac,

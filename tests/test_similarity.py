@@ -154,3 +154,27 @@ def test_knn_graph_agrees_with_cosine_topk(spark, sf_dir):
         .collect()
     ]
     assert got == exact
+
+
+def test_knn_graph_honors_larger_k(spark, sf_dir):
+    # regression: tiles must emit k candidates per row (k was silently
+    # capped at the module constant) — k=5 must match brute force
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph,
+    )
+    from pyspark.sql import functions as F
+
+    k = 5
+    exact = [
+        (r.vec_id, r.cos_sim)
+        for r in cosine_topk(spark, sf_dir, query_vec_id=0, k=k).collect()
+    ]
+    got = [
+        (r.vec_b, r.cos_sim)
+        for r in knn_graph(spark, sf_dir, k=k)
+        .where(F.col("vec_a") == 0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == exact

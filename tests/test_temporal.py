@@ -151,3 +151,21 @@ def test_scd2_intervals_chain_per_user(spark, sf_dir):
         for a, b in zip(vs, vs[1:]):
             assert a.valid_to_sec == b.valid_from_sec
             assert a.valid_from_sec <= a.valid_to_sec
+
+
+def test_asof_multi_column_carry_is_atomic(spark):
+    # regression: carried right columns must come from ONE right row —
+    # per-column last(ignorenulls) mixed values across tied rows when a
+    # carried column was NULL (a phantom tuple matching no input row)
+    left = spark.createDataFrame([(1, 7, 100)], "id long, user_id long, ts_sec long")
+    right = spark.createDataFrame(
+        [(7, 100, 5, 1), (7, 100, None, 9)],
+        "user_id long, ts_sec long, a int, b int",
+    )
+    out = asof_join(
+        left, right, on="user_id", ts="ts_sec", right_cols=["a", "b"]
+    ).head()
+    # winner must be an actual input row: (5, 1) or (None, 9) — struct
+    # ordering makes (None, 9) the greatest tuple only if nulls sort high;
+    # whichever wins, the PAIR must be consistent
+    assert (out.a_asof, out.b_asof) in {(5, 1), (None, 9)}

@@ -353,7 +353,15 @@ def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = Window.orderBy(
         F.desc("n_tokens"), F.asc("lang"), F.asc("source")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    frac = F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
+    # floor(x*1e6 + 0.5)/1e6: k/n ratios hit exact .5 ties at 6dp where
+    # the engines' round() conventions diverge (see rel_window_ranks)
+    frac = (
+        F.floor(
+            F.col("n_tokens") / F.sum("n_tokens").over(total) * 1_000_000
+            + F.lit(0.5)
+        )
+        / 1_000_000
+    )
     return (
         strata.withColumn("token_frac", frac)
         .withColumn(

@@ -396,7 +396,9 @@ def embedding_near_pairs(
             for _, row in pdf.iterrows():
                 ids_a, mat_a = unpack(row["vecs_a"])
                 ids_b, mat_b = unpack(row["vecs_b"])
-                sims = np.round(mat_a @ mat_b.T, 6)
+                # floor(x*1e6 + 0.5)/1e6, matching the oracle op for op
+                # (np.round's scaled half-even can differ by 1e-6)
+                sims = np.floor((mat_a @ mat_b.T) * 1e6 + 0.5) / 1e6
                 ia, ib = np.nonzero(sims >= min_cosine)
                 va, vb = ids_a[ia], ids_b[ib]
                 keep = va < vb  # dedup within the diagonal tile, order pairs

@@ -18,7 +18,7 @@ seconds derived by integer division are identical. Ordering keys keep full
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -303,14 +303,22 @@ def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n_events").alias("mean_n"),
         F.stddev_samp("n_events").alias("sd_n"),
     )
-    z = F.round((F.col("n_events") - F.col("mean_n")) / F.col("sd_n"), 6)
+
+    # floor(x*1e6 + 0.5)/1e6, not round(x, 6): mean_n = k/n is rational
+    # and can land on EXACT .5 at 6dp where Spark and DuckDB round()
+    # diverge — and z_score also gates the output filter, so a tie flip
+    # would change the ROW SET (same class as the rel_window_ranks fix)
+    def r6(col: Column) -> Column:
+        return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    z = r6((F.col("n_events") - F.col("mean_n")) / F.col("sd_n"))
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .select(
             "event_type",
             "hour_start_sec",
             "n_events",
-            F.round("mean_n", 6).alias("mean_n"),
+            r6(F.col("mean_n")).alias("mean_n"),
             z.alias("z_score"),
         )
         .where(F.abs(F.col("z_score")) >= ANOMALY_Z_THRESHOLD)

@@ -170,11 +170,14 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         def unpack(cell, vocab):
             ids = np.array([v["doc"] for v in cell])
             mat = np.zeros((len(cell), len(vocab)), dtype="float64")
+            pres = np.zeros((len(cell), len(vocab)), dtype="float64")
             for i, v in enumerate(cell):
                 for t in v["terms"]:
-                    mat[i, vocab[t["word"]]] = t["wt"]
+                    j = vocab[t["word"]]
+                    mat[i, j] = t["wt"]
+                    pres[i, j] = 1.0  # term PRESENT, even at weight 0
             nrm = np.array([v["nrm"] for v in cell], dtype="float64")
-            return ids, mat, nrm
+            return ids, mat, pres, nrm
 
         for pdf in batches:
             for _, row in pdf.iterrows():
@@ -183,16 +186,26 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for v in cell:
                         for t in v["terms"]:
                             vocab.setdefault(t["word"], len(vocab))
-                ids_a, mat_a, nrm_a = unpack(row["vecs_a"], vocab)
-                ids_b, mat_b, nrm_b = unpack(row["vecs_b"], vocab)
-                cos = np.round(
-                    (mat_a @ mat_b.T) / np.outer(nrm_a, nrm_b), 6
+                ids_a, mat_a, pres_a, nrm_a = unpack(row["vecs_a"], vocab)
+                ids_b, mat_b, pres_b, nrm_b = unpack(row["vecs_b"], vocab)
+                # floor(x*1e6 + 0.5)/1e6, matching the oracle's formula op
+                # for op (np.round's scaled half-even can differ by 1e-6)
+                cos = (
+                    np.floor(
+                        (mat_a @ mat_b.T) / np.outer(nrm_a, nrm_b) * 1e6 + 0.5
+                    )
+                    / 1e6
                 )
                 lt = ids_a[:, None] < ids_b[None, :]
                 if row["blk_a"] == row["blk_b"]:
                     keep = lt  # strict upper triangle by doc order
                 else:
                     keep = ids_a[:, None] != ids_b[None, :]
+                # only pairs SHARING a pruned term exist in the sparse
+                # formulation (the oracle's inner self-join on word) — a
+                # zero-weight shared term still counts, a disjoint pair
+                # does not, even though both have dot 0
+                keep = keep & ((pres_a @ pres_b.T) > 0)
                 ia, ib = np.nonzero(keep)
                 if len(ia) == 0:
                     continue

@@ -361,13 +361,15 @@ def knn_graph(
             for _, row in pdf.iterrows():
                 ids_a, mat_a = unpack(row["vecs_a"])
                 ids_b, mat_b = unpack(row["vecs_b"])
-                sims = np.round(mat_a @ mat_b.T, 6)
+                # floor(x*1e6 + 0.5)/1e6, matching the oracle's formula op
+                # for op (np.round's scaled half-even can differ by 1e-6)
+                sims = np.floor((mat_a @ mat_b.T) * 1e6 + 0.5) / 1e6
                 # exclude self-edges on the diagonal tile
                 self_mask = ids_a[:, None] == ids_b[None, :]
                 sims[self_mask] = -np.inf
                 # per-row k best in this tile by (cos desc, vec_b asc)
                 order = np.lexsort((ids_b[None, :].repeat(len(ids_a), 0), -sims), axis=1)
-                take = order[:, : min(KNN_K, order.shape[1])]
+                take = order[:, : min(k, order.shape[1])]
                 n_a, n_k = take.shape
                 va = ids_a.repeat(n_k)
                 vb = ids_b[take.ravel()]
@@ -380,7 +382,7 @@ def knn_graph(
     cand = tiles.mapInPandas(tile_topk, out_schema)
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("vec_a", "vec_b", "cos_sim", "rank")
     )

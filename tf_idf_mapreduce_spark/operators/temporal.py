@@ -52,42 +52,37 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.withColumn("_side", F.lit(1))
+    # carry the right columns as ONE struct: last(ignorenulls) then picks a
+    # whole right ROW atomically — per-column last() would mix values from
+    # different right rows tied on (key, ts) whenever a carried column is
+    # NULL (a phantom tuple matching no input row)
     rt = right.select(
-        on,
-        ts,
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        on, ts, F.struct(*right_cols).alias("_payload")
     ).withColumn("_side", F.lit(0))
     combined = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort before left at equal ts (_side 0 < 1), so a left row
-    # sees a right row with the same timestamp; carried right values as
-    # trailing sort keys make the winner among equal-(key, ts) right rows
-    # deterministic (left rows hold NULLs there — nulls_last keeps them
-    # after the right rows they must see, and _side already splits the
-    # sides). Forward direction reverses only the ts scan; the carried
-    # tiebreak stays ascending so the greatest tuple is scanned last and
-    # wins at equal ts in both directions.
+    # sees a right row with the same timestamp; the payload struct as a
+    # trailing sort key makes the winner among equal-(key, ts) right rows
+    # deterministic — struct ordering is field-wise, so "greatest
+    # right_cols tuple wins" (left rows hold NULL payloads — nulls_last
+    # keeps them after the right rows they must see, and _side already
+    # splits the sides). Forward direction reverses only the ts scan; the
+    # payload tiebreak stays ascending so the greatest tuple is scanned
+    # last and wins at equal ts in both directions.
     ts_key = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
-    carried_keys = [
-        F.col(f"{c}{suffix}").asc_nulls_last() for c in right_cols
-    ]
     w = (
         Window.partitionBy(on)
-        .orderBy(ts_key, F.col("_side").asc(), *carried_keys)
+        .orderBy(ts_key, F.col("_side").asc(), F.col("_payload").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = combined.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_payload", ignorenulls=True).over(w).alias("_f")
     )
     return (
         carried.where(F.col("_side") == 1)
-        .drop("_side", *[f"{c}{suffix}" for c in right_cols])
         .select(
             *left.columns,
-            *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+            *[F.col(f"_f.{c}").alias(f"{c}{suffix}") for c in right_cols],
         )
     )
 
@@ -240,7 +235,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     return ev.select(
         "user_id",
-        F.row_number().over(w).alias("version"),
+        F.row_number().over(w).cast("long").alias("version"),
         F.col("ts_sec").alias("valid_from_sec"),
         F.lead("ts_sec").over(w).alias("valid_to_sec"),
         F.round("value", 2).alias("value"),

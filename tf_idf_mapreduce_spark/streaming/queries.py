@@ -58,7 +58,7 @@ def q_stream_incremental_wordcount(spark: SparkSession, sf_dir: str) -> DataFram
     the store between triggers.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    split_dir = _corpus_split_dir(spark, sf_dir, docs)
+    split_dir = _corpus_split_dir(sf_dir, docs)
     src = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
@@ -77,7 +77,7 @@ def q_stream_incremental_wordcount(spark: SparkSession, sf_dir: str) -> DataFram
 _SPLIT_CACHE: dict[str, str] = {}
 
 
-def _corpus_split_dir(spark: SparkSession, sf_dir: str, docs: DataFrame) -> str:
+def _corpus_split_dir(sf_dir: str, docs: DataFrame) -> str:
     import atexit
     import shutil
     import tempfile
