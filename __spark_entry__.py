@@ -648,6 +648,31 @@ _LLMDATA_ORACLE: dict[str, str] = {
         JOIN sizes za ON za.doc_id = i.doc_a
         JOIN sizes zb ON zb.doc_id = i.doc_b
     """,
+    "dedup_minhash_precision": _DEDUP_CTE
+    + f"""
+        , ds AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN ds sa ON sa.doc_id = c.doc_a
+          JOIN ds sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ),
+        jp AS (
+          SELECT i.n_common / (za.sz + zb.sz - i.n_common) AS jaccard
+          FROM inter i
+          JOIN sizes za ON za.doc_id = i.doc_a
+          JOIN sizes zb ON zb.doc_id = i.doc_b
+        )
+        SELECT count(*) AS n_candidates,
+               CAST(sum(CASE WHEN jaccard >= {dd.MINHASH_PRECISION_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+               floor(sum(CASE WHEN jaccard >= {dd.MINHASH_PRECISION_THRESHOLD}
+                              THEN 1 ELSE 0 END) / count(*) * 1000000 + 0.5)
+                 / 1000000 AS precision
+        FROM jp
+    """,
     "dedup_simhash": _SIMHASH_CTE
     + "SELECT doc_id, simhash, n_words FROM sv_all",
     "dedup_simhash_pairs": _SIMHASH_CTE
@@ -1539,6 +1564,16 @@ _CURATION_ORACLE["curate_keep_list"] = f"""
     JOIN q_t ON q_t.doc_id = d.doc_id
 """
 
+# Recall@k of the LSH search vs the exact scan — composed verbatim from
+# the two oracles so the metric can never drift from what it measures.
+_LLMDATA_ORACLE["sim_lsh_recall"] = f"""
+    WITH exact_t AS ({_LLMDATA_ORACLE["sim_cosine_topk"]}),
+    lsh_t AS ({_LLMDATA_ORACLE["sim_lsh_topk"]})
+    SELECT count(*) AS n_hits, CAST(10 AS BIGINT) AS k,
+           floor(count(*) / 10 * 1000000 + 0.5) / 1000000 AS recall
+    FROM exact_t JOIN lsh_t USING (vec_id)
+"""
+
 _CURATION_ORACLE["curate_mixture"] = f"""
     WITH strata AS (
       SELECT lang, source, count(*) AS n_docs,
@@ -1570,6 +1605,7 @@ _CHECK_FIRST = (
     "temporal_asof_forward", "text_zipf", "stream_stream_join",
     "sim_knn_graph", "text_lm_score", "curate_keep_list", "curate_mixture",
     "events_wau", "temporal_scd2", "rel_q21_waiting", "rel_sql_q3",
+    "sim_lsh_recall", "dedup_minhash_precision",
     # unchecked in round 1
     "dedup_embedding_pairs", "dedup_clusters", "dedup_keeper_quality",
     "sim_cosine_topk", "sim_lsh_histogram", "sim_lsh_topk", "sim_ivf_topk",
@@ -1660,6 +1696,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": dd.embedding_near_pairs,
         "dedup_clusters": dd.duplicate_clusters,
         "dedup_keeper_quality": dd.keeper_by_quality,
+        "dedup_minhash_precision": dd.minhash_precision,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,
@@ -1669,6 +1706,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim.ivf_topk,
         "sim_label_centroids": sim.label_centroids,
         "sim_knn_graph": sim.knn_graph,
+        "sim_lsh_recall": sim.lsh_recall,
         # --- LLM-data pipeline: text analysis ---
         "text_lang_id": ts.lang_id,
         "text_quality": ts.quality_scores,

@@ -440,3 +440,31 @@ def keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_words").alias("keep_n_words"),
         "n_docs",
     )
+
+
+MINHASH_PRECISION_THRESHOLD = 0.5
+
+
+def minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality metric for the MinHash/LSH stage: what fraction
+    of LSH candidate pairs survive exact-Jaccard verification at the
+    dedup threshold — the number the (r, b) banding parameters are tuned
+    by (low precision = wasted verify work; tune alongside recall).
+
+    One aggregate over the existing verify stage — no new shuffles. The
+    >= threshold comparison happens on the RAW jaccard double (identical
+    division in both engines), not a rounded value.
+    """
+    jp = jaccard_verified_pairs(spark, sf_dir)
+    hit = F.sum(
+        F.when(
+            F.col("jaccard") >= MINHASH_PRECISION_THRESHOLD, 1
+        ).otherwise(0)
+    ).cast("long")
+    return jp.agg(
+        F.count("*").alias("n_candidates"),
+        hit.alias("n_true_pairs"),
+        (
+            F.floor(hit / F.count("*") * 1_000_000 + F.lit(0.5)) / 1_000_000
+        ).alias("precision"),
+    )

@@ -386,3 +386,30 @@ def knn_graph(
         .where(F.col("rank") <= k)
         .select("vec_a", "vec_b", "cos_sim", "rank")
     )
+
+
+def lsh_recall(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Recall@k of the LSH-pruned search against the exact scan — the
+    approximation-quality metric an ANN deployment is tuned by (bands/bits
+    trade recall for candidate count; this closes the loop by MEASURING
+    it). One row: hits, k, recall.
+
+    Composes the two existing operators; both sides are k-row relations,
+    so the intersection is a trivial broadcast semi-join — at 100 TB the
+    cost is one exact scan + one LSH probe, each already characterized.
+    """
+    exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
+        "vec_id"
+    )
+    approx = lsh_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
+        "vec_id"
+    )
+    return exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hits"),
+        F.lit(k).cast("long").alias("k"),
+        (F.floor(F.count("*") / k * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "recall"
+        ),
+    )
