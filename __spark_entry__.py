@@ -1564,6 +1564,39 @@ _CURATION_ORACLE["curate_keep_list"] = f"""
     JOIN q_t ON q_t.doc_id = d.doc_id
 """
 
+_EVENTS_ORACLE["events_resample"] = """
+    WITH hourly AS (
+      SELECT ts_sec - ts_sec % 3600 AS hour_start_sec, count(*) AS n
+      FROM (SELECT epoch_ns(ts) // 1000000000 AS ts_sec FROM events
+            WHERE event_type = 'click')
+      GROUP BY 1
+    ),
+    bounds AS (SELECT min(hour_start_sec) AS lo, max(hour_start_sec) AS hi
+               FROM hourly),
+    spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start_sec
+              FROM bounds)
+    SELECT s.hour_start_sec,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           CAST(last_value(h.n IGNORE NULLS) OVER (
+             ORDER BY s.hour_start_sec
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_carry
+    FROM spine s LEFT JOIN hourly h ON h.hour_start_sec = s.hour_start_sec
+"""
+
+# Active sessions per hour — composed from the sessionize oracle verbatim.
+_EVENTS_ORACLE["events_active_sessions"] = f"""
+    WITH s AS ({_EVENTS_ORACLE["events_sessionize"]}),
+    covered AS (
+      SELECT unnest(generate_series(session_start_sec // 3600,
+                                    session_end_sec // 3600)) AS hour_bucket
+      FROM s
+    )
+    SELECT hour_bucket * 3600 AS hour_start_sec,
+           count(*) AS n_active_sessions
+    FROM covered GROUP BY 1
+"""
+
 # Recall@k of the LSH search vs the exact scan — composed verbatim from
 # the two oracles so the metric can never drift from what it measures.
 _LLMDATA_ORACLE["sim_lsh_recall"] = f"""
@@ -1605,7 +1638,8 @@ _CHECK_FIRST = (
     "temporal_asof_forward", "text_zipf", "stream_stream_join",
     "sim_knn_graph", "text_lm_score", "curate_keep_list", "curate_mixture",
     "events_wau", "temporal_scd2", "rel_q21_waiting", "rel_sql_q3",
-    "sim_lsh_recall", "dedup_minhash_precision",
+    "sim_lsh_recall", "dedup_minhash_precision", "events_resample",
+    "events_active_sessions",
     # unchecked in round 1
     "dedup_embedding_pairs", "dedup_clusters", "dedup_keeper_quality",
     "sim_cosine_topk", "sim_lsh_histogram", "sim_lsh_topk", "sim_ivf_topk",
@@ -1687,6 +1721,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_paths": ev.q_paths,
         "events_anomaly": ev.q_anomaly_hours,
         "events_wau": ev.q_wau,
+        "events_resample": ev.q_resample_hourly,
+        "events_active_sessions": ev.q_active_sessions,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,

@@ -175,3 +175,35 @@ def test_wau_on_planted_days(spark):
     assert got[0] == 2            # users 1,2 on day 0
     assert got[3] == 2            # users 1,2 still within 7 days; user1 re-hit
     assert got[10] == 1           # isolated user 3 (day 3 aged out on day 10)
+
+
+def test_resample_spine_is_dense_and_carry_monotone_fills(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import q_resample_hourly
+
+    rows = sorted(
+        q_resample_hourly(spark, sf_dir).collect(),
+        key=lambda r: r.hour_start_sec,
+    )
+    hours = [r.hour_start_sec for r in rows]
+    # dense hourly spine, no gaps
+    assert hours == list(range(hours[0], hours[-1] + 1, 3600))
+    for r in rows:
+        if r.n_events > 0:
+            assert r.n_carry == r.n_events  # carry equals value on hit hours
+        assert r.n_carry is not None  # first hour has events by construction
+
+
+def test_active_sessions_cover_equals_session_hours(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import (
+        q_active_sessions,
+        q_sessionize,
+    )
+
+    total_cover = sum(
+        r.n_active_sessions for r in q_active_sessions(spark, sf_dir).collect()
+    )
+    expect = sum(
+        (r.session_end_sec // 3600) - (r.session_start_sec // 3600) + 1
+        for r in q_sessionize(spark, sf_dir).collect()
+    )
+    assert total_cover == expect

@@ -360,3 +360,66 @@ def q_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample of the click stream: EVERY hour between
+    the first and last click appears — zero-filled counts plus a
+    carry-forward column (the last non-gap value) — the densification
+    pass charting/forecasting needs before a regular time series exists.
+
+    The hour spine comes from one broadcast min/max row exploded through
+    ``sequence`` (no driver collect); the carry-forward window is global
+    but runs over the HOUR-bucket relation (bounded: one row per hour of
+    history — ~9k rows per decade), not the events. At larger horizons
+    partition the carry by month and stitch boundaries.
+    """
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "click")
+    hourly = ev.groupBy(
+        (F.col("ts_sec") - F.col("ts_sec") % 3600).alias("hour_start_sec")
+    ).agg(F.count("*").alias("n"))
+    bounds = hourly.agg(
+        F.min("hour_start_sec").alias("lo"), F.max("hour_start_sec").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(3600))
+        ).alias("hour_start_sec")
+    )
+    w = Window.orderBy("hour_start_sec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(hourly, "hour_start_sec", "left")
+        .select(
+            "hour_start_sec",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+            F.last("n", ignorenulls=True).over(w).cast("long").alias("n_carry"),
+        )
+    )
+
+
+def q_active_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency profile: how many sessions were ACTIVE during each
+    hour (a session covers every hour bucket its [start, end] interval
+    touches) — the load curve capacity planning reads.
+
+    Interval → covered-hours fan-out (``sequence`` per session, bounded
+    by session length) + one count per hour: the bucketed sweep that
+    replaces a global ordered prefix-sum sweep-line, so there is no
+    single-task total order anywhere — the same bucketize-don't-sort
+    trade as the banded range join.
+    """
+    s = sessionize(load_events(spark, sf_dir))
+    covered = s.select(
+        F.explode(
+            F.sequence(
+                (F.col("session_start_sec") / 3600).cast("long"),
+                (F.col("session_end_sec") / 3600).cast("long"),
+            )
+        ).alias("hour_bucket")
+    )
+    return (
+        covered.groupBy((F.col("hour_bucket") * 3600).alias("hour_start_sec"))
+        .agg(F.count("*").alias("n_active_sessions"))
+    )
