@@ -1564,6 +1564,19 @@ _CURATION_ORACLE["curate_keep_list"] = f"""
     JOIN q_t ON q_t.doc_id = d.doc_id
 """
 
+# Funnel time-to-convert percentiles — composed from the funnel oracle.
+_EVENTS_ORACLE["events_conversion_lag"] = f"""
+    WITH f AS ({_EVENTS_ORACLE["events_funnel"]})
+    SELECT steps_completed, count(*) AS n_users,
+      round(quantile_cont(coalesce(purchase_sec, click_sec, view_sec)
+                          - view_sec, 0.25), 6) AS lag_p25,
+      round(quantile_cont(coalesce(purchase_sec, click_sec, view_sec)
+                          - view_sec, 0.5), 6) AS lag_p50,
+      round(quantile_cont(coalesce(purchase_sec, click_sec, view_sec)
+                          - view_sec, 0.75), 6) AS lag_p75
+    FROM f GROUP BY steps_completed
+"""
+
 _EVENTS_ORACLE["events_resample"] = """
     WITH hourly AS (
       SELECT ts_sec - ts_sec % 3600 AS hour_start_sec, count(*) AS n
@@ -1639,7 +1652,7 @@ _CHECK_FIRST = (
     "sim_knn_graph", "text_lm_score", "curate_keep_list", "curate_mixture",
     "events_wau", "temporal_scd2", "rel_q21_waiting", "rel_sql_q3",
     "sim_lsh_recall", "dedup_minhash_precision", "events_resample",
-    "events_active_sessions",
+    "events_active_sessions", "events_conversion_lag",
     # unchecked in round 1
     "dedup_embedding_pairs", "dedup_clusters", "dedup_keeper_quality",
     "sim_cosine_topk", "sim_lsh_histogram", "sim_lsh_topk", "sim_ivf_topk",
@@ -1723,6 +1736,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_wau": ev.q_wau,
         "events_resample": ev.q_resample_hourly,
         "events_active_sessions": ev.q_active_sessions,
+        "events_conversion_lag": ev.q_conversion_lag,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,

@@ -207,3 +207,15 @@ def test_active_sessions_cover_equals_session_hours(spark, sf_dir):
         for r in q_sessionize(spark, sf_dir).collect()
     )
     assert total_cover == expect
+
+
+def test_conversion_lag_orders_and_groups(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import q_conversion_lag
+
+    rows = {r.steps_completed: r for r in q_conversion_lag(spark, sf_dir).collect()}
+    assert set(rows) <= {1, 2, 3}
+    for r in rows.values():
+        assert r.n_users > 0
+        assert 0 <= r.lag_p25 <= r.lag_p50 <= r.lag_p75
+    if 1 in rows:  # view-only users convert nowhere: lag is identically 0
+        assert rows[1].lag_p75 == 0.0

@@ -423,3 +423,37 @@ def q_active_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered.groupBy((F.col("hour_bucket") * 3600).alias("hour_start_sec"))
         .agg(F.count("*").alias("n_active_sessions"))
     )
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users who completed each funnel
+    depth, the exact p25/p50/p75 of the view→last-step lag — the latency
+    lens on the funnel (how long conversion actually takes, not just how
+    many convert).
+
+    Rides the funnel's single user_id exchange; the percentile aggregate
+    then runs per steps_completed group (3 groups — exact sort-based
+    percentile is fine; at petabyte funnel volumes swap in
+    approx_percentile, same output shape).
+    """
+    f = q_funnel(spark, sf_dir)
+    lag = F.coalesce(
+        F.col("purchase_sec"), F.col("click_sec"), F.col("view_sec")
+    ) - F.col("view_sec")
+    pcts = F.percentile(
+        lag, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    )
+    return (
+        f.groupBy("steps_completed")
+        .agg(
+            F.count("*").alias("n_users"),
+            pcts.alias("pct"),
+        )
+        .select(
+            "steps_completed",
+            "n_users",
+            F.round(F.element_at("pct", 1), 6).alias("lag_p25"),
+            F.round(F.element_at("pct", 2), 6).alias("lag_p50"),
+            F.round(F.element_at("pct", 3), 6).alias("lag_p75"),
+        )
+    )
