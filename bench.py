@@ -83,20 +83,22 @@ def main() -> None:
             f,
             indent=1,
         )
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": cats,
-            "n_queries": len(timings),
-            "n_errors": sum(1 for t in timings.values() if t < 0),
-            "detail": "BENCH_DETAIL.json",
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1900, f"bench line too long ({len(line)} chars)"
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": cats,
+        "n_queries": len(timings),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) >= 1900:
+        # keep the metric line parseable at any query count: drop the
+        # per-category dict rather than aborting after the work is done
+        payload["queries"] = {}
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
 
 

@@ -75,8 +75,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(app_name="oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -87,6 +92,7 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -95,27 +101,47 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "spark_error", "err": str(e)[:500]}
             failures += 1
             continue
         t1 = time.time()
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(spark_pdf)} rows, {t1-t0:.1f}s)")
+            results[name] = {
+                "status": "rows_only", "rows": len(spark_pdf),
+                "spark_sec": round(t1 - t0, 2),
+            }
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "duckdb_error", "err": str(e)[:500]}
             failures += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
+        results[name] = {
+            "status": "fail" if problems else "pass",
+            "rows": len(spark_pdf), "oracle_rows": len(duck_pdf),
+            "spark_sec": round(t1 - t0, 2),
+        }
         if problems:
             failures += 1
+            results[name]["problems"] = problems
             print(f"FAIL {name} ({len(spark_pdf)} rows, spark {t1-t0:.1f}s):")
             for p in problems:
                 print(f"   - {p}")
         else:
             print(f"OK   {name} ({len(spark_pdf)} rows, spark {t1-t0:.1f}s)")
     print("RESULT:", "FAIL" if failures else "PASS", f"({failures} failing)")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(results), "results": results},
+                f, indent=1,
+            )
     return 1 if failures else 0
 
 

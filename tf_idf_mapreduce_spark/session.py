@@ -64,11 +64,15 @@ def get_spark(
     # via --py-files / a conda env).
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
-    if pkg_root not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
+    if pkg_root in existing.split(os.pathsep):
+        worker_pythonpath = existing
+    else:
+        worker_pythonpath = (
             f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
         )
-    conf["spark.executorEnv.PYTHONPATH"] = os.environ["PYTHONPATH"]
+    # set only the WORKER env — never write os.environ back (a process-global
+    # mutation would leak into every subprocess the caller spawns later)
+    conf["spark.executorEnv.PYTHONPATH"] = worker_pythonpath
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
