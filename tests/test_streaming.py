@@ -107,3 +107,58 @@ def test_incremental_wordcount_query_matches_plain_stream(spark, sf_dir):
     got = st.q_stream_incremental_wordcount(spark, sf_dir)
     want = st.q_stream_wordcount(spark, sf_dir)
     assert _rows(got, ["word", "n"]) == _rows(want, ["word", "n"])
+
+
+def test_stream_dedup_matches_batch(spark, sf_dir):
+    got = st.q_stream_dedup(spark, sf_dir)
+    want = (
+        ev.load_events(spark, sf_dir)
+        .select("event_id", "user_id", "ts_sec")
+        .dropDuplicates(["event_id"])
+    )
+    cols = ["event_id", "user_id", "ts_sec"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup_state_spans_microbatches(spark, sf_dir, tmp_path):
+    """dropDuplicates must hold keys in state ACROSS triggers: the same
+    events file landed twice, drained one file per trigger, must come out
+    as exactly one copy (a per-batch dedup would emit two)."""
+    import tempfile
+
+    events = ev.load_events(spark, sf_dir).select("event_id", "user_id", "ts_sec")
+    landing = str(tmp_path / "landing")
+    events.coalesce(1).write.mode("overwrite").parquet(landing)
+    events.coalesce(1).write.mode("append").parquet(landing)
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(landing)
+    )
+    q = (
+        src.dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dedup_"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 2  # both copies were actually ingested
+    cols = ["event_id", "user_id", "ts_sec"]
+    got = _rows(spark.table("dedup_probe"), cols)
+    assert got == _rows(events, cols)  # ...but only one copy came out
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    got = st.q_stream_static_join(spark, sf_dir)
+    base = ev.load_events(spark, sf_dir)
+    stats = base.groupBy("user_id").agg(
+        F.count("*").alias("user_total_events")
+    )
+    want = base.select("event_id", "user_id", "ts_sec").join(stats, "user_id")
+    cols = ["event_id", "user_id", "ts_sec", "user_total_events"]
+    assert _rows(got, cols) == _rows(want, cols)
