@@ -120,6 +120,32 @@ def test_sql_q3_pushes_both_date_filters(spark):
     assert "TakeOrderedAndProject" in plan  # LIMIT 10 never sorts everything
 
 
+def test_jaccard_verify_broadcasts_only_the_pair_list(spark):
+    # the candidate PAIR LIST may be hinted broadcast (small by LSH
+    # construction), but the candidate x shingle intersection relation and
+    # the corpus-sized per-doc size table must never be forced — on a
+    # boilerplate-heavy corpus a forced hint OOMs the driver where a
+    # shuffle join degrades. The logical plan must carry at most one
+    # user-supplied broadcast hint (the pair list).
+    df = entrymod.queries()["dedup_jaccard_pairs"](spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("UnresolvedHint") == 0
+    hints = re.findall(r"ResolvedHint \(strategy=broadcast\)", logical)
+    assert len(hints) <= 1
+
+
+def test_doc_freq_is_agg_join_not_window(spark):
+    # A3 document frequency must plan as partial agg + join, never a
+    # window partitioned on word: a word-partitioned window puts every
+    # posting of the hottest term in one task (skew), while the agg
+    # partial-combines map-side and the join sees one row per word.
+    # (The A2 doc-totals window partitioned on doc is fine — per-doc
+    # groups are bounded by document length, not corpus size.)
+    plan = _plan(spark, "tfidf_doc_freq")
+    assert not re.search(r"windowspecdefinition\(word", plan)
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_asof_directions_share_one_exchange_shape(spark):
     # both directions: exactly one hash exchange keyed on user_id for the
     # window (plus AQE wrappers) — no join operator at all

@@ -158,22 +158,26 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # candidates (and their shingle lists) are SMALL by LSH construction —
-    # broadcasting them keeps the full shingle table shuffle-free: without
-    # the hints, both intersection joins exchange every doc's shingles on
-    # (doc, shingle). If a corpus ever yields a candidate set too large to
-    # broadcast, the LSH parameters (r, b) are wrong before this join is.
+    # the candidate PAIR LIST is small by LSH construction, so it is hinted
+    # broadcast; the candidate x shingle intersection relation is NOT — on a
+    # boilerplate-heavy corpus (many near-identical docs) it can exceed any
+    # broadcast threshold, and a forced hint would fail the job with a
+    # driver OOM where a shuffle join merely degrades. AQE picks the
+    # strategy for the second join from the actual post-LSH size.
     inter = (
-        F.broadcast(F.broadcast(cand).join(sh_a, "doc_a"))
+        F.broadcast(cand)
+        .join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # sizes is corpus-sized (one row per doc): never force-broadcast it.
+    # AQE broadcasts whichever side is actually small at runtime.
     return (
-        inter.join(F.broadcast(sz_a), "doc_a")
-        .join(F.broadcast(sz_b), "doc_b")
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
