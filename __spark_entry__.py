@@ -595,6 +595,52 @@ def _lsh_sig_sql(emb: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _cosine_topk_sql(query_vec_id: int, k: int) -> str:
+    """Oracle for ``similarity.cosine_topk`` — generated from the SAME
+    parameters the registry binds, so the two sides cannot drift."""
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings
+                   WHERE vec_id = {query_vec_id})
+        SELECT vec_id, round({_cos_sql('embedding', 'qe')}, 6) AS cos_sim
+        FROM embeddings, q WHERE vec_id <> {query_vec_id}
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+    """
+
+
+def _lsh_bands_sql() -> str:
+    """Shared CTE body: per-vector LSH signature exploded to 6 4-bit
+    band rows (sigs, bands)."""
+    return f"""
+        sigs AS (
+          SELECT vec_id, {_lsh_sig_sql('embedding')} AS lsh_sig FROM embeddings
+        ),
+        bands AS (
+          SELECT vec_id, b AS band_idx, (lsh_sig >> (4*b)) & 15 AS band_val
+          FROM sigs, generate_series(0, 5) t(b)
+        )
+    """
+
+
+def _lsh_topk_sql(query_vec_id: int, k: int) -> str:
+    """Oracle for ``similarity.lsh_topk`` — parameterized like
+    ``_cosine_topk_sql``."""
+    return f"""
+        WITH {_lsh_bands_sql()},
+        qb AS (SELECT band_idx, band_val FROM bands
+               WHERE vec_id = {query_vec_id}),
+        cand AS (
+          SELECT DISTINCT s.vec_id FROM bands s
+          JOIN qb ON s.band_idx = qb.band_idx AND s.band_val = qb.band_val
+          WHERE s.vec_id <> {query_vec_id}
+        ),
+        q AS (SELECT embedding AS qe FROM embeddings
+              WHERE vec_id = {query_vec_id})
+        SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
+        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+        ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+    """
+
+
 def _lang_id_sql() -> str:
     hit_cols = ", ".join(
         f"CAST(len(list_filter(words, w -> w IN "
@@ -699,12 +745,7 @@ _LLMDATA_ORACLE: dict[str, str] = {
         )
         SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.45
     """,
-    "sim_cosine_topk": f"""
-        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, round({_cos_sql('embedding', 'qe')}, 6) AS cos_sim
-        FROM embeddings, q WHERE vec_id <> 0
-        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
-    """,
+    "sim_cosine_topk": _cosine_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_lsh_histogram": f"""
         WITH sigs AS (
           SELECT vec_id, {_lsh_sig_sql('embedding')} AS lsh_sig FROM embeddings
@@ -716,25 +757,7 @@ _LLMDATA_ORACLE: dict[str, str] = {
         SELECT band_idx, band_val, count(*) AS n_vectors
         FROM bands GROUP BY 1, 2
     """,
-    "sim_lsh_topk": f"""
-        WITH sigs AS (
-          SELECT vec_id, {_lsh_sig_sql('embedding')} AS lsh_sig FROM embeddings
-        ),
-        bands AS (
-          SELECT vec_id, b AS band_idx, (lsh_sig >> (4*b)) & 15 AS band_val
-          FROM sigs, generate_series(0, 5) t(b)
-        ),
-        qb AS (SELECT band_idx, band_val FROM bands WHERE vec_id = 0),
-        cand AS (
-          SELECT DISTINCT s.vec_id FROM bands s
-          JOIN qb ON s.band_idx = qb.band_idx AND s.band_val = qb.band_val
-          WHERE s.vec_id <> 0
-        ),
-        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
-        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
-        ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10
-    """,
+    "sim_lsh_topk": _lsh_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_label_centroids": f"""
         SELECT label, i - 1 AS dim,
                round(avg(embedding[i]), 6) AS centroid,
@@ -1610,15 +1633,27 @@ _EVENTS_ORACLE["events_active_sessions"] = f"""
     FROM covered GROUP BY 1
 """
 
-# Recall@k of the LSH search vs the exact scan — composed verbatim from
-# the two oracles so the metric can never drift from what it measures.
-_LLMDATA_ORACLE["sim_lsh_recall"] = f"""
-    WITH exact_t AS ({_LLMDATA_ORACLE["sim_cosine_topk"]}),
-    lsh_t AS ({_LLMDATA_ORACLE["sim_lsh_topk"]})
-    SELECT count(*) AS n_hits, CAST(10 AS BIGINT) AS k,
-           floor(count(*) / 10 * 1000000 + 0.5) / 1000000 AS recall
-    FROM exact_t JOIN lsh_t USING (vec_id)
-"""
+# Recall@k of the LSH search vs the exact scan — composed from the same
+# parameterized builders (and the same default parameters) the base
+# oracles use, so the metric can never drift from what it measures. The
+# denominator is the exact side's actual row count, mirroring the Spark
+# side.
+def _lsh_recall_sql(query_vec_id: int, k: int) -> str:
+    return f"""
+    WITH exact_t AS ({_cosine_topk_sql(query_vec_id, k)}),
+    lsh_t AS ({_lsh_topk_sql(query_vec_id, k)}),
+    h AS (SELECT count(*) AS n_hits FROM exact_t JOIN lsh_t USING (vec_id)),
+    n AS (SELECT count(*) AS n_exact FROM exact_t)
+    SELECT CAST(h.n_hits AS BIGINT) AS n_hits, CAST({k} AS BIGINT) AS k,
+           CAST(n.n_exact AS BIGINT) AS n_exact,
+           floor(h.n_hits / n.n_exact * 1000000 + 0.5) / 1000000 AS recall
+    FROM h, n
+    """
+
+
+_LLMDATA_ORACLE["sim_lsh_recall"] = _lsh_recall_sql(
+    sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK
+)
 
 _CURATION_ORACLE["curate_mixture"] = f"""
     WITH strata AS (

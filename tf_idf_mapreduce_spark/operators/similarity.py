@@ -31,6 +31,12 @@ BAND_BITS = 4
 N_BANDS = 6
 N_PLANES = BAND_BITS * N_BANDS
 
+#: Registry defaults for the single-query search operators. The oracle
+#: SQL builders in __spark_entry__ take these SAME constants, so a
+#: parameter change can never silently diverge the two sides.
+DEFAULT_QUERY_VEC = 0
+DEFAULT_TOPK = 10
+
 
 def hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: component (p, d) = parity of a bit of
@@ -52,7 +58,7 @@ def _query_vector(e: DataFrame, query_vec_id: int) -> DataFrame:
 
 
 def cosine_topk(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+    spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK
 ) -> DataFrame:
     """Exact top-k by cosine against one stored query vector.
 
@@ -222,8 +228,8 @@ def _nearest_centroid_udf(cents):
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
-    query_vec_id: int = 0,
-    k: int = 10,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    k: int = DEFAULT_TOPK,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF approximate top-k: assign the corpus to k-means cells once, probe
@@ -260,7 +266,7 @@ def ivf_topk(
 
 
 def lsh_topk(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+    spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK
 ) -> DataFrame:
     """Approximate top-k: exact cosine, computed only for vectors sharing
     at least one LSH band with the query.
@@ -389,7 +395,7 @@ def knn_graph(
 
 
 def lsh_recall(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+    spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK
 ) -> DataFrame:
     """Recall@k of the LSH-pruned search against the exact scan — the
     approximation-quality metric an ANN deployment is tuned by (bands/bits
@@ -399,6 +405,10 @@ def lsh_recall(
     Composes the two existing operators; both sides are k-row relations,
     so the intersection is a trivial broadcast semi-join — at 100 TB the
     cost is one exact scan + one LSH probe, each already characterized.
+
+    The denominator is the EXACT side's actual row count, not the literal
+    k: a corpus with fewer than k non-query vectors (or any non-default k)
+    would otherwise silently over/understate recall.
     """
     exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
         "vec_id"
@@ -406,10 +416,16 @@ def lsh_recall(
     approx = lsh_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
         "vec_id"
     )
-    return exact.join(approx, "vec_id", "left_semi").agg(
-        F.count("*").alias("n_hits"),
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        "n_hits",
         F.lit(k).cast("long").alias("k"),
-        (F.floor(F.count("*") / k * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
-            "recall"
-        ),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("recall"),
     )
