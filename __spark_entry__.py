@@ -641,6 +641,61 @@ def _lsh_topk_sql(query_vec_id: int, k: int) -> str:
     """
 
 
+def _embedding_pairs_sql(min_cos: float) -> str:
+    """Oracle for ``dedup.embedding_near_pairs`` (exact all-pairs),
+    parameterized on the shared NEARDUP_MIN_COSINE threshold."""
+    return f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 floor({_cos_sql('a.embedding', 'b.embedding')} * 1000000
+                       + 0.5) / 1000000 AS cos_sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {min_cos}
+    """
+
+
+def _embedding_lsh_pairs_sql(min_cos: float) -> str:
+    """Oracle for ``similarity.lsh_bucket_pairs`` — band equi-join
+    candidates, exact cosine verify, same threshold constant."""
+    return f"""
+        WITH {_lsh_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+          SELECT c.vec_a, c.vec_b,
+                 floor({_cos_sql('ea.embedding', 'eb.embedding')} * 1000000
+                       + 0.5) / 1000000 AS cos_sim
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.vec_a
+          JOIN embeddings eb ON eb.vec_id = c.vec_b
+        )
+        SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {min_cos}
+    """
+
+
+def _embedding_lsh_recall_sql(min_cos: float) -> str:
+    """Oracle for ``dedup.embedding_lsh_recall`` — composed from the two
+    pair oracles with the same threshold, denominator = exact pair
+    count."""
+    return f"""
+        WITH exact_p AS ({_embedding_pairs_sql(min_cos)}),
+        lsh_p AS ({_embedding_lsh_pairs_sql(min_cos)}),
+        h AS (SELECT count(*) AS n_hits
+              FROM exact_p JOIN lsh_p USING (vec_a, vec_b)),
+        n AS (SELECT count(*) AS n_exact FROM exact_p)
+        SELECT CAST(h.n_hits AS BIGINT) AS n_hits,
+               CAST(n.n_exact AS BIGINT) AS n_exact,
+               floor(h.n_hits / n.n_exact * 1000000 + 0.5) / 1000000 AS recall
+        FROM h, n
+    """
+
+
 def _lang_id_sql() -> str:
     hit_cols = ", ".join(
         f"CAST(len(list_filter(words, w -> w IN "
@@ -735,16 +790,13 @@ _LLMDATA_ORACLE: dict[str, str] = {
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
-    "dedup_embedding_pairs": f"""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        scored AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 floor({_cos_sql('a.embedding', 'b.embedding')} * 1000000
-                       + 0.5) / 1000000 AS cos_sim
-          FROM e a JOIN e b ON a.vec_id < b.vec_id
-        )
-        SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.45
-    """,
+    "dedup_embedding_pairs": _embedding_pairs_sql(sim.NEARDUP_MIN_COSINE),
+    "dedup_embedding_lsh_pairs": _embedding_lsh_pairs_sql(
+        sim.NEARDUP_MIN_COSINE
+    ),
+    "dedup_embedding_lsh_recall": _embedding_lsh_recall_sql(
+        sim.NEARDUP_MIN_COSINE
+    ),
     "sim_cosine_topk": _cosine_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_lsh_histogram": f"""
         WITH sigs AS (
@@ -1760,6 +1812,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dd.simhash_values,
         "dedup_simhash_pairs": dd.simhash_near_pairs,
         "dedup_embedding_pairs": dd.embedding_near_pairs,
+        "dedup_embedding_lsh_pairs": sim.lsh_bucket_pairs,
+        "dedup_embedding_lsh_recall": dd.embedding_lsh_recall,
         "dedup_clusters": dd.duplicate_clusters,
         "dedup_keeper_quality": dd.keeper_by_quality,
         "dedup_minhash_precision": dd.minhash_precision,

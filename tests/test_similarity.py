@@ -51,6 +51,37 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
         assert bf[r.vec_id] == r.cos_sim
 
 
+def test_lsh_bucket_pairs_subset_and_recall(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators import dedup as dd
+
+    exact = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in dd.embedding_near_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in sim.lsh_bucket_pairs(spark, sf_dir).collect()
+    }
+    # every LSH pair is exact-cosine verified → subset with IDENTICAL scores
+    assert lsh <= exact
+    # banding must recover a solid majority of true near-dup pairs
+    assert exact, "fixture should contain near-duplicate embeddings"
+    assert len(lsh) / len(exact) >= 0.6
+
+
+def test_embedding_lsh_recall_row_consistent(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators import dedup as dd
+
+    r = dd.embedding_lsh_recall(spark, sf_dir).head()
+    n_exact = dd.embedding_near_pairs(spark, sf_dir).count()
+    n_lsh = sim.lsh_bucket_pairs(spark, sf_dir).count()
+    assert r.n_exact == n_exact
+    assert r.n_hits == n_lsh  # subset property makes hits == |lsh|
+    assert r.recall == pytest.approx(
+        int(r.n_hits / r.n_exact * 1_000_000 + 0.5) / 1_000_000
+    )
+
+
 def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     exact = {r.vec_id for r in sim.cosine_topk(spark, sf_dir, k=10).collect()}
     ivf = {r.vec_id for r in sim.ivf_topk(spark, sf_dir, k=10).collect()}

@@ -31,6 +31,7 @@ from ..functions.hashing import (
     word_hash32,
 )
 from ..sources.io import load_table
+from .similarity import NEARDUP_MIN_COSINE, lsh_bucket_pairs
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,7 +358,7 @@ EMBED_BLOCK = 256
 
 
 def embedding_near_pairs(
-    spark: SparkSession, sf_dir: str, min_cosine: float = 0.45
+    spark: SparkSession, sf_dir: str, min_cosine: float = NEARDUP_MIN_COSINE
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs) via blocked
     matrix multiply.
@@ -411,6 +412,39 @@ def embedding_near_pairs(
                 )
 
     return tiles.mapInPandas(tile_cosines, out_schema)
+
+
+def embedding_lsh_recall(
+    spark: SparkSession, sf_dir: str, min_cosine: float = NEARDUP_MIN_COSINE
+) -> DataFrame:
+    """Recall of the banded-LSH embedding near-dup path
+    (``similarity.lsh_bucket_pairs``) against the exact all-pairs
+    baseline — the number the band/bit parameters are tuned by before
+    switching a 100 TB dedup off the quadratic scan.
+
+    LSH pairs are exact-cosine verified, so they are a subset of the
+    exact pairs by construction; the join still computes the overlap
+    rather than assuming it. One row: n_hits, n_exact, recall
+    (denominator = the exact side's actual pair count).
+    """
+    exact = embedding_near_pairs(spark, sf_dir, min_cosine=min_cosine).select(
+        "vec_a", "vec_b"
+    )
+    approx = lsh_bucket_pairs(spark, sf_dir, min_cosine=min_cosine).select(
+        "vec_a", "vec_b"
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits = exact.join(approx, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        "n_hits",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("recall"),
+    )
 
 
 def keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

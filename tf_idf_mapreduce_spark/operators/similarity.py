@@ -37,6 +37,11 @@ N_PLANES = BAND_BITS * N_BANDS
 DEFAULT_QUERY_VEC = 0
 DEFAULT_TOPK = 10
 
+#: Cosine threshold for embedding near-duplicate pairs (shared by the
+#: exact all-pairs baseline in dedup.py, the banded-LSH path here, and
+#: both oracles).
+NEARDUP_MIN_COSINE = 0.45
+
 
 def hyperplanes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
     """Deterministic ±1 hyperplanes: component (p, d) = parity of a bit of
@@ -118,6 +123,50 @@ def _band_rows(sigs: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("vec_id", "bk.band_idx", "bk.band_val")
+
+
+def lsh_bucket_pairs(
+    spark: SparkSession, sf_dir: str, min_cosine: float = NEARDUP_MIN_COSINE
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded LSH — the 100 TB path
+    that replaces the exact all-pairs baseline
+    (``dedup.embedding_near_pairs``).
+
+    Candidate generation is the MinHash-banding shape applied to
+    hyperplane signatures: explode each vector's 24-bit signature into 6
+    4-bit band rows, self-equi-join on (band_idx, band_val), keep ordered
+    distinct pairs. Only vectors agreeing on at least one full band ever
+    meet — the pair surface is the sum of squared bucket occupancies, not
+    n². Exact cosine (the same left-to-right fold as everywhere else)
+    then verifies candidates, so every emitted pair is EXACT; banding
+    only bounds which pairs get scored. Rounded @6dp, threshold applied
+    to the rounded value (both mirroring the all-pairs baseline).
+
+    Returns (vec_a, vec_b, cos_sim) — a subset of the exact operator's
+    output; ``dedup.embedding_lsh_recall`` measures how much of it.
+    """
+    bands = _band_rows(lsh_signatures(spark, sf_dir))
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = (
+        F.floor(cosine(F.col("emb_a"), F.col("emb_b")) * 1_000_000 + F.lit(0.5))
+        / 1_000_000
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= min_cosine)
+    )
 
 
 def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
