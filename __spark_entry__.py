@@ -696,6 +696,71 @@ def _embedding_lsh_recall_sql(min_cos: float) -> str:
     """
 
 
+def _knn_graph_sql(k: int) -> str:
+    """Oracle for ``similarity.knn_graph`` (exact all-pairs)."""
+    return f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 floor({_cos_sql('a.embedding', 'b.embedding')} * 1000000
+                       + 0.5) / 1000000 AS cos_sim
+          FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b ASC
+          ) AS rank FROM scored
+        )
+        SELECT vec_a, vec_b, cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _knn_graph_ann_sql(k: int) -> str:
+    """Oracle for ``similarity.knn_graph_ann`` — candidates restricted to
+    pairs sharing an LSH band, then the same rank-k window."""
+    return f"""
+        WITH {_lsh_bands_sql()},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.vec_id <> b.vec_id
+        ),
+        scored AS (
+          SELECT c.vec_a, c.vec_b,
+                 floor({_cos_sql('ea.embedding', 'eb.embedding')} * 1000000
+                       + 0.5) / 1000000 AS cos_sim
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.vec_a
+          JOIN embeddings eb ON eb.vec_id = c.vec_b
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b ASC
+          ) AS rank FROM scored
+        )
+        SELECT vec_a, vec_b, cos_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _knn_ann_recall_sql(k: int) -> str:
+    """Oracle for ``similarity.knn_ann_recall`` — composed from the two
+    graph oracles at the same k."""
+    return f"""
+        WITH exact_g AS ({_knn_graph_sql(k)}),
+        ann_g AS ({_knn_graph_ann_sql(k)}),
+        h AS (SELECT count(*) AS n_hits
+              FROM exact_g JOIN ann_g USING (vec_a, vec_b)),
+        n AS (SELECT count(*) AS n_exact FROM exact_g)
+        SELECT CAST(h.n_hits AS BIGINT) AS n_hits,
+               CAST(n.n_exact AS BIGINT) AS n_exact,
+               floor(h.n_hits / n.n_exact * 1000000 + 0.5) / 1000000 AS recall
+        FROM h, n
+    """
+
+
 def _lang_id_sql() -> str:
     hit_cols = ", ".join(
         f"CAST(len(list_filter(words, w -> w IN "
@@ -817,22 +882,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM embeddings, generate_series(1, {EMBED_DIM}) t(i)
         GROUP BY label, i
     """,
-    "sim_knn_graph": f"""
-        WITH e AS (SELECT vec_id, embedding FROM embeddings),
-        scored AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 floor({_cos_sql('a.embedding', 'b.embedding')} * 1000000
-                       + 0.5) / 1000000 AS cos_sim
-          FROM e a JOIN e b ON a.vec_id <> b.vec_id
-        ),
-        ranked AS (
-          SELECT *, row_number() OVER (
-            PARTITION BY vec_a ORDER BY cos_sim DESC, vec_b ASC
-          ) AS rank FROM scored
-        )
-        SELECT vec_a, vec_b, cos_sim, CAST(rank AS BIGINT) AS rank
-        FROM ranked WHERE rank <= {sim.KNN_K}
-    """,
+    "sim_knn_graph": _knn_graph_sql(sim.KNN_K),
+    "sim_knn_graph_ann": _knn_graph_ann_sql(sim.KNN_K),
+    "sim_knn_ann_recall": _knn_ann_recall_sql(sim.KNN_K),
     "text_bigrams": f"""
         WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
         bg AS (
@@ -1826,6 +1878,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim.ivf_topk,
         "sim_label_centroids": sim.label_centroids,
         "sim_knn_graph": sim.knn_graph,
+        "sim_knn_graph_ann": sim.knn_graph_ann,
+        "sim_knn_ann_recall": sim.knn_ann_recall,
         "sim_lsh_recall": sim.lsh_recall,
         # --- LLM-data pipeline: text analysis ---
         "text_lang_id": ts.lang_id,

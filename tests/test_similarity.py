@@ -82,6 +82,28 @@ def test_embedding_lsh_recall_row_consistent(spark, sf_dir):
     )
 
 
+def test_knn_graph_ann_recall_and_score_exactness(spark, sf_dir):
+    exact = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in sim.knn_graph(spark, sf_dir).collect()
+    }
+    ann = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in sim.knn_graph_ann(spark, sf_dir).collect()
+    }
+    # edges present in both graphs carry the IDENTICAL exact score — the
+    # approximation is in candidate coverage, never in the scores
+    for edge in set(exact) & set(ann):
+        assert exact[edge] == ann[edge], edge
+    # banding must recover a solid majority of true edges
+    recall = len(set(exact) & set(ann)) / len(exact)
+    assert recall >= 0.5, recall
+    # and the metric query reports exactly that number
+    r = sim.knn_ann_recall(spark, sf_dir).head()
+    assert r.n_exact == len(exact)
+    assert r.n_hits == len(set(exact) & set(ann))
+
+
 def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     exact = {r.vec_id for r in sim.cosine_topk(spark, sf_dir, k=10).collect()}
     ivf = {r.vec_id for r in sim.ivf_topk(spark, sf_dir, k=10).collect()}

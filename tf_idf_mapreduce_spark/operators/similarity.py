@@ -384,9 +384,9 @@ def knn_graph(
     emits only each row's k best IN THAT TILE (per-node candidates:
     k * n/B, not n); the global window then keeps the true top-k — a
     per-tile winner set provably contains every global winner. Shuffle
-    volume drops from O(n²) scored pairs to O(n²k/B). At 100 TB the
-    tile cross-join swaps for the LSH/IVF candidate join; the two-level
-    top-k composition is unchanged.
+    volume drops from O(n²) scored pairs to O(n²k/B). At 100 TB swap the
+    tile cross-join for the LSH candidate join — implemented as
+    ``knn_graph_ann``, with ``knn_ann_recall`` measuring the trade.
     """
     from collections.abc import Iterator
 
@@ -440,6 +440,80 @@ def knn_graph(
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("vec_a", "vec_b", "cos_sim", "rank")
+    )
+
+
+def knn_graph_ann(
+    spark: SparkSession, sf_dir: str, k: int = KNN_K
+) -> DataFrame:
+    """ANN k-NN graph: the candidate-join swap ``knn_graph``'s docstring
+    promises — LSH band buckets replace the O((n/B)²) tile cross-join,
+    the per-node top-k composition is unchanged.
+
+    Candidates are all ordered pairs sharing at least one signature band
+    (both directions — the graph is asymmetric); each candidate gets an
+    EXACT cosine (Arrow-batched kernel, same @6dp floor-rounding as the
+    exact graph), then one window keeps each node's k best. Nodes whose
+    buckets are singletons simply have no edges — the recall metric
+    (``knn_ann_recall``) prices that in. The pair surface is the sum of
+    squared bucket occupancies: tune BAND_BITS/N_BANDS, not the plan.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine_pd
+
+    bands = _band_rows(lsh_signatures(spark, sf_dir))
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = (
+        F.floor(
+            cosine_pd(F.col("emb_a"), F.col("emb_b")) * 1_000_000 + F.lit(0.5)
+        )
+        / 1_000_000
+    )
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("vec_a", "vec_b", "cos_sim", "rank")
+    )
+
+
+def knn_ann_recall(
+    spark: SparkSession, sf_dir: str, k: int = KNN_K
+) -> DataFrame:
+    """Edge recall of the LSH-candidate k-NN graph against the exact
+    tiled graph — the metric that says whether the banding parameters
+    are good enough to switch a 100 TB graph build off the quadratic
+    tiles. One row: n_hits, n_exact, recall (denominator = the exact
+    graph's actual edge count)."""
+    exact = knn_graph(spark, sf_dir, k=k).select("vec_a", "vec_b")
+    ann = knn_graph_ann(spark, sf_dir, k=k).select("vec_a", "vec_b")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits = exact.join(ann, ["vec_a", "vec_b"], "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        "n_hits",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("recall"),
     )
 
 
