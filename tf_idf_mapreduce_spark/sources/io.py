@@ -121,9 +121,16 @@ def normalize_events(raw: DataFrame) -> DataFrame:
             .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
             .withColumn("ts", F.timestamp_seconds(F.col("ts_sec")))
         )
-    # future-proof: micros-typed fixture
-    return raw.withColumn("ts_sec", F.unix_timestamp("ts")).withColumn(
-        "ts_ns", F.col("ts_sec") * F.lit(1_000_000_000)
+    # micros-typed fixture (TIMESTAMP or TIMESTAMP_NTZ). Cast to the
+    # session-TZ timestamp (session tz is pinned UTC, so the instant is
+    # unchanged) — event-time ops (watermarks) reject NTZ. ts_ns must be
+    # exact (unix_micros, not floor-to-second) because oracles order by
+    # epoch_ns(ts) and the fixtures carry sub-second precision.
+    ts_cast = F.col("ts").cast("timestamp")
+    return (
+        raw.withColumn("ts", ts_cast)
+        .withColumn("ts_ns", F.unix_micros(ts_cast) * F.lit(1_000))
+        .withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
     )
 
 
