@@ -641,6 +641,93 @@ def _lsh_topk_sql(query_vec_id: int, k: int) -> str:
     """
 
 
+def _ivf_cent_ctes(k: int, iters: int) -> str:
+    """Unrolled-CTE replay of ``similarity.kmeans_fit`` (body of a WITH):
+    the fit is deterministic ON THE @6dp GRID — init centroids, per-
+    iteration means, and the assignment key are all floor(x*1e6+0.5)
+    values in BOTH engines, ties to lowest cid — so a fixed number of
+    unrolled iterations lands on the identical float64 model (the Spark
+    side's early break only fires on an exact fixed point, where extra
+    iterations are no-ops). min_by's scalar ordering key encodes the
+    (rounded_distance, cid) tuple as key*k + cid — exact in doubles.
+    """
+    ip = "list_inner_product"
+    key = (
+        f"floor((-2*{ip}(e.v, c.c) + {ip}(c.c, c.c))*1000000 + 0.5)*{k} + c.cid"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""cent0 AS (
+          SELECT vec_id AS cid,
+                 list_transform(v, x -> floor(x*1000000 + 0.5)/1000000) AS c
+          FROM emb WHERE vec_id < {k})""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cent{i-1}"
+        ctes += [
+            f"""assign{i} AS (
+              SELECT e.vec_id, e.v, min_by(c.cid, {key}) AS cid
+              FROM emb e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v)""",
+            f"""means{i} AS (
+              SELECT cid, list(floor(s/n*1000000 + 0.5)/1000000 ORDER BY dim) AS c
+              FROM (SELECT cid, dim, sum(val) AS s, count(*) AS n
+                    FROM (SELECT a.cid, unnest(a.v) AS val,
+                                 generate_subscripts(a.v, 1) AS dim
+                          FROM assign{i} a)
+                    GROUP BY cid, dim)
+              GROUP BY cid)""",
+            f"""cent{i} AS (
+              SELECT p.cid, coalesce(m.c, p.c) AS c
+              FROM {prev} p LEFT JOIN means{i} m USING (cid))""",
+        ]
+    return ",\n".join(ctes)
+
+
+def _ivf_topk_sql(query_vec_id: int, k: int, nprobe: int) -> str:
+    """Oracle for ``similarity.ivf_topk`` — full k-means replay
+    (``_ivf_cent_ctes``), probe selection and cell assignment by the same
+    rounded key, exact cosine inside probed cells."""
+    ip = "list_inner_product"
+    kk, iters = sim.IVF_K, sim.IVF_ITERS
+    key = (
+        f"floor((-2*{ip}(e.v, c.c) + {ip}(c.c, c.c))*1000000 + 0.5)*{kk} + c.cid"
+    )
+    return f"""
+        WITH {_ivf_cent_ctes(kk, iters)},
+        q AS (SELECT v AS qv FROM emb WHERE vec_id = {query_vec_id}),
+        probe AS (
+          SELECT c.cid FROM cent{iters} c, q
+          ORDER BY floor((-2*{ip}(q.qv, c.c) + {ip}(c.c, c.c))*1000000 + 0.5),
+                   c.cid
+          LIMIT {nprobe}),
+        assigned AS (
+          SELECT e.vec_id, e.v, min_by(c.cid, {key}) AS cid
+          FROM emb e CROSS JOIN cent{iters} c GROUP BY e.vec_id, e.v)
+        SELECT a.vec_id, a.cid,
+               round({ip}(a.v, q.qv)
+                     / (sqrt({ip}(a.v, a.v)) * sqrt({ip}(q.qv, q.qv))), 6)
+                 AS cos_sim
+        FROM assigned a, q
+        WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> {query_vec_id}
+        ORDER BY cos_sim DESC, a.vec_id LIMIT {k}
+    """
+
+
+def _ivf_recall_sql(query_vec_id: int, k: int, nprobe: int) -> str:
+    """Oracle for ``similarity.ivf_recall`` — intersection of the exact
+    and IVF top-k oracles, denominator = the exact side's row count."""
+    return f"""
+        WITH exact_side AS ({_cosine_topk_sql(query_vec_id, k)}),
+        ivf_side AS ({_ivf_topk_sql(query_vec_id, k, nprobe)}),
+        h AS (SELECT count(*) AS n_hits FROM exact_side e
+              WHERE e.vec_id IN (SELECT vec_id FROM ivf_side)),
+        ne AS (SELECT count(*) AS n_exact FROM exact_side)
+        SELECT h.n_hits, CAST({k} AS BIGINT) AS k, ne.n_exact,
+               floor(h.n_hits / ne.n_exact * 1000000 + 0.5)/1000000 AS recall
+        FROM h, ne
+    """
+
+
 def _embedding_pairs_sql(min_cos: float) -> str:
     """Oracle for ``dedup.embedding_near_pairs`` (exact all-pairs),
     parameterized on the shared NEARDUP_MIN_COSINE threshold."""
@@ -875,6 +962,12 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM bands GROUP BY 1, 2
     """,
     "sim_lsh_topk": _lsh_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
+    "sim_ivf_topk": _ivf_topk_sql(
+        sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
+    ),
+    "sim_ivf_recall": _ivf_recall_sql(
+        sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
+    ),
     "sim_label_centroids": f"""
         SELECT label, i - 1 AS dim,
                round(avg(embedding[i]), 6) AS centroid,
@@ -1873,9 +1966,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,
         "sim_lsh_topk": sim.lsh_topk,
-        # rows-only (k-means training is iterative — no SQL twin; recall vs
-        # the exact top-k is asserted in tests/test_similarity.py)
+        # fully oracled since round 3: the k-means fit is deterministic on
+        # the @6dp grid, so DuckDB replays the whole model (unrolled CTEs)
         "sim_ivf_topk": sim.ivf_topk,
+        "sim_ivf_recall": sim.ivf_recall,
         "sim_label_centroids": sim.label_centroids,
         "sim_knn_graph": sim.knn_graph,
         "sim_knn_graph_ann": sim.knn_graph_ann,

@@ -112,6 +112,16 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert len(exact & ivf) >= 5
 
 
+def test_ivf_recall_consistent_with_sides(spark, sf_dir):
+    row = sim.ivf_recall(spark, sf_dir, k=10).collect()[0]
+    exact = {r.vec_id for r in sim.cosine_topk(spark, sf_dir, k=10).collect()}
+    ivf = {r.vec_id for r in sim.ivf_topk(spark, sf_dir, k=10).collect()}
+    assert row.n_exact == len(exact)
+    assert row.n_hits == len(exact & ivf)
+    assert abs(row.recall - row.n_hits / row.n_exact) < 1e-6
+    assert row.recall >= 0.5  # same floor as test_ivf_topk_recall_vs_exact
+
+
 def test_kmeans_fit_deterministic_and_shaped(spark, sf_dir):
     from tf_idf_mapreduce_spark.sources.io import load_table
 

@@ -188,6 +188,27 @@ IVF_ITERS = 5
 IVF_NPROBE = 4
 
 
+def _round6(x):
+    """floor(x*1e6 + 0.5)/1e6 — the repo-wide half-up @6dp grid, identical
+    formula in numpy and SQL so both engines land on the same float64."""
+    import numpy as np
+
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _assign_cids(x, cmat, cnorm2):
+    """Canonical nearest-centroid assignment: argmin over the @6dp-rounded
+    modified distance key floor((-2x·c + |c|²)·1e6 + 0.5), ties to the
+    LOWEST cid (np.argmin first-occurrence). Rounding before the argmin
+    makes the assignment reproducible across engines — FP association
+    noise (~1e-13) cannot flip a comparison on a 1e-6 grid except within
+    ~1e-7 of a boundary — so a SQL oracle can replay the whole fit."""
+    import numpy as np
+
+    key = np.floor((-2.0 * (x @ cmat.T) + cnorm2) * 1e6 + 0.5)
+    return np.argmin(key, axis=1)
+
+
 def kmeans_fit(
     e: DataFrame, k: int = IVF_K, iters: int = IVF_ITERS
 ) -> list[list[float]]:
@@ -202,17 +223,26 @@ def kmeans_fit(
     centroid MATRIX (model state, a few KB) ever reaches the driver,
     once per iteration — the same driver/executor split MLlib's k-means
     uses; the n x d data never moves.
+
+    Fully deterministic AND cross-engine reproducible: centroids and
+    assignment keys live on the @6dp grid (``_round6``/``_assign_cids``),
+    iteration stops on EXACT centroid equality, so a fixed-iteration SQL
+    replay (DuckDB recursive/unrolled CTEs) reaches the identical model —
+    that is what upgrades ``sim_ivf_topk`` from rows-only to a full
+    value-hash oracle.
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    cents = np.stack(
-        [
-            np.array(r.embedding, dtype="float64")
-            for r in e.where(F.col("vec_id") < k).orderBy("vec_id").collect()
-        ]
+    cents = _round6(
+        np.stack(
+            [
+                np.array(r.embedding, dtype="float64")
+                for r in e.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+            ]
+        )
     )
     partial_schema = "cid long, dim long, s double, n long"
     for _ in range(iters):
@@ -222,7 +252,7 @@ def kmeans_fit(
         def partial_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-                cid = np.argmin(-2.0 * (x @ cmat.T) + cnorm2, axis=1)
+                cid = _assign_cids(x, cmat, cnorm2)
                 for c in np.unique(cid):
                     member = x[cid == c]
                     yield pd.DataFrame(
@@ -243,9 +273,9 @@ def kmeans_fit(
         )
         new = cents.copy()  # empty clusters keep their previous centroid
         for r in means:
-            new[r.cid][r.dim] = r.mu
-        if np.allclose(new, cents, atol=1e-12):
-            break
+            new[r.cid][r.dim] = _round6(r.mu)
+        if np.array_equal(new, cents):
+            break  # exact fixed point — further iterations are no-ops
         cents = new
     return cents.tolist()
 
@@ -267,9 +297,9 @@ def _nearest_centroid_udf(cents):
     @pandas_udf(LongType())
     def nearest(emb):
         x = np.stack(emb.to_numpy()).astype("float64")
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
-        d2 = -2.0 * (x @ cmat.T) + cnorm2
-        return pd.Series(np.argmin(d2, axis=1).astype("int64"))
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row —
+        # same rounded-key argmin as the fit (see _assign_cids)
+        return pd.Series(_assign_cids(x, cmat, cnorm2).astype("int64"))
 
     return nearest
 
@@ -287,6 +317,9 @@ def ivf_topk(
     The scan-side filter is an IN over nprobe cell ids — at 100 TB the
     index table is partitioned by cid, so probing is partition pruning, not
     a filter over the full corpus.
+
+    Probe choice uses the same rounded modified-distance key (lowest-cid
+    tiebreak) as cell assignment, so the DuckDB oracle replays it exactly.
     """
     import numpy as np
 
@@ -296,8 +329,8 @@ def ivf_topk(
     qvec = np.array(
         e.where(F.col("vec_id") == query_vec_id).head().embedding, dtype="float64"
     )
-    d2 = ((cmat - qvec) ** 2).sum(axis=1)
-    probe = [int(c) for c in np.argsort(d2)[:nprobe]]
+    qkey = np.floor((-2.0 * (cmat @ qvec) + (cmat**2).sum(axis=1)) * 1e6 + 0.5)
+    probe = [int(c) for c in np.argsort(qkey * len(cmat) + np.arange(len(cmat)))[:nprobe]]
 
     assigned = e.select(
         "vec_id", "embedding", _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid")
@@ -539,6 +572,43 @@ def lsh_recall(
     approx = lsh_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
         "vec_id"
     )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        "n_hits",
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("recall"),
+    )
+
+
+def ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    k: int = DEFAULT_TOPK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Recall@k of the IVF cluster-probed search against the exact scan —
+    closes the quality loop for the one ANN path that had no measured
+    metric (``lsh_recall``'s twin; same shape, same denominator rule:
+    the exact side's actual row count, never the literal k).
+
+    At 100 TB both sides are already characterized: one exact scan (the
+    baseline being priced) + one nprobe-pruned probe; the intersection of
+    two k-row relations is a broadcast semi-join, cost ~0.
+    """
+    exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
+        "vec_id"
+    )
+    approx = ivf_topk(
+        spark, sf_dir, query_vec_id=query_vec_id, k=k, nprobe=nprobe
+    ).select("vec_id")
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     hits = exact.join(approx, "vec_id", "left_semi").agg(
         F.count("*").alias("n_hits")
