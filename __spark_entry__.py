@@ -1565,6 +1565,63 @@ _RETRIEVAL_ORACLE: dict[str, str] = {
     """,
 }
 
+# LSH-prefiltered docsim: MinHash-band candidates (the _DEDUP_CTE chain,
+# nested — its CTE names collide with _TOKENS_CTE's, so each chain lives
+# in its own subquery scope), scored on the same pruned vectors. Pair
+# orientation is numeric doc_id order (the candidate generator's).
+_DOCSIM_LSH_SQL = f"""
+    WITH cpair AS (
+      {_DEDUP_CTE}
+      SELECT CAST(doc_a AS VARCHAR) AS doc_a, CAST(doc_b AS VARCHAR) AS doc_b
+      FROM cand
+    ),
+    tv AS (
+      {_TOKENS_CTE}
+      SELECT doc, word, tfidf AS wt,
+             row_number() OVER (PARTITION BY doc
+                                ORDER BY tfidf DESC, word ASC) AS rn
+      FROM scored
+    ),
+    v AS (SELECT doc, word, wt FROM tv WHERE rn <= {rtv.DOCSIM_TOP_TERMS}),
+    norms AS (SELECT doc, sqrt(sum(wt * wt)) AS nrm FROM v GROUP BY doc),
+    dots AS (
+      SELECT c.doc_a, c.doc_b, sum(a.wt * b.wt) AS dot
+      FROM cpair c
+      JOIN v a ON a.doc = c.doc_a
+      JOIN v b ON b.doc = c.doc_b AND b.word = a.word
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT dots.doc_a, dots.doc_b,
+           floor(dot / (na.nrm * nb.nrm) * 1000000 + 0.5) / 1000000 AS cosine
+    FROM dots
+    JOIN norms na ON na.doc = dots.doc_a
+    JOIN norms nb ON nb.doc = dots.doc_b
+    ORDER BY cosine DESC, doc_a ASC, doc_b ASC
+    LIMIT {rtv.DOCSIM_TOP_PAIRS}
+"""
+_RETRIEVAL_ORACLE["tfidf_docsim_lsh"] = _DOCSIM_LSH_SQL
+_RETRIEVAL_ORACLE["tfidf_docsim_lsh_overlap"] = f"""
+    WITH ex AS ({_RETRIEVAL_ORACLE["tfidf_docsim"]}),
+    ap AS ({_DOCSIM_LSH_SQL}),
+    exn AS (
+      SELECT least(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS da,
+             greatest(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS db
+      FROM ex
+    ),
+    apn AS (
+      SELECT least(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS da,
+             greatest(CAST(doc_a AS BIGINT), CAST(doc_b AS BIGINT)) AS db
+      FROM ap
+    ),
+    h AS (SELECT count(*) AS n_hits FROM exn
+          WHERE EXISTS (SELECT 1 FROM apn
+                        WHERE apn.da = exn.da AND apn.db = exn.db)),
+    ne AS (SELECT count(*) AS n_exact FROM exn)
+    SELECT h.n_hits, ne.n_exact,
+           floor(h.n_hits / ne.n_exact * 1000000 + 0.5)/1000000 AS overlap
+    FROM h, ne
+"""
+
 _RELATIONAL_ORACLE["rel_q20_nested"] = """
     WITH li AS (
       SELECT l_partkey, l_suppkey, l_quantity
@@ -1900,6 +1957,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_bm25": rtv.bm25_search,
         "tfidf_postings": rtv.inverted_index,
         "tfidf_docsim": rtv.doc_similarity,
+        "tfidf_docsim_lsh": rtv.doc_similarity_lsh,
+        "tfidf_docsim_lsh_overlap": rtv.doc_similarity_lsh_overlap,
         # --- relational surface (SURVEY.md §2.5-2.7 gaps) ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_distinct_agg": rel.distinct_agg_by_nation,

@@ -90,6 +90,32 @@ def test_doc_similarity_pairs_are_valid_cosines(spark, sf_dir):
     assert all(r.doc_a < r.doc_b for r in rows)
 
 
+def test_doc_similarity_lsh_scores_match_exact(spark, sf_dir):
+    """Every pair both variants emit must carry the identical @6dp cosine
+    (LSH changes WHICH pairs are scored, never the score), and the overlap
+    metric must agree with a driver-side recount."""
+    from tf_idf_mapreduce_spark.operators.retrieval import (
+        doc_similarity,
+        doc_similarity_lsh,
+        doc_similarity_lsh_overlap,
+    )
+
+    def norm(rows):
+        return {
+            tuple(sorted((int(r.doc_a), int(r.doc_b)))): r.cosine for r in rows
+        }
+
+    exact = norm(doc_similarity(spark, sf_dir).collect())
+    approx = norm(doc_similarity_lsh(spark, sf_dir).collect())
+    assert approx, "LSH path found no pairs"
+    both = set(exact) & set(approx)
+    for pair in both:
+        assert abs(exact[pair] - approx[pair]) < 1e-9, pair
+    row = doc_similarity_lsh_overlap(spark, sf_dir).collect()[0]
+    assert row.n_exact == len(exact)
+    assert row.n_hits == len(both)
+
+
 def test_doc_similarity_identical_docs_score_one(spark, tmp_path_factory):
     import pandas as pd
 

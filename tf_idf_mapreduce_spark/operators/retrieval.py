@@ -138,16 +138,7 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    docs = documents_as_corpus(load_table(spark, sf_dir, "documents"))
-    scored = tfidf_pipeline(docs)
-    wts = scored.select("word", "doc", F.round("tfidf", 6).alias("wt"))
-    top = Window.partitionBy("doc").orderBy(F.desc("wt"), F.asc("word"))
-    vec = (
-        wts.withColumn("rn", F.row_number().over(top))
-        .filter(F.col("rn") <= DOCSIM_TOP_TERMS)
-        .drop("rn")
-        .localCheckpoint()
-    )
+    vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
     norms = vec.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
     )
@@ -223,6 +214,109 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiles.mapInPandas(tile_top_pairs, out_schema)
         .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(DOCSIM_TOP_PAIRS)
+    )
+
+
+def _pruned_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, word, wt) — each doc's DOCSIM_TOP_TERMS highest tf-idf terms
+    @6dp, the shared sparse-vector base of both docsim variants."""
+    docs = documents_as_corpus(load_table(spark, sf_dir, "documents"))
+    scored = tfidf_pipeline(docs)
+    wts = scored.select("word", "doc", F.round("tfidf", 6).alias("wt"))
+    top = Window.partitionBy("doc").orderBy(F.desc("wt"), F.asc("word"))
+    return (
+        wts.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") <= DOCSIM_TOP_TERMS)
+        .drop("rn")
+    )
+
+
+def doc_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered document cosine similarity — the 100 TB path the
+    exact ``doc_similarity`` docstring promises.
+
+    The O((n/B)²) tile cross-join is replaced by MinHash-band candidate
+    generation (``dedup.minhash_candidate_pairs`` — docs meet only when a
+    full signature band agrees, so the pair surface is the sum of squared
+    band-bucket occupancies, linear-ish in n for a non-degenerate corpus).
+    Each candidate pair is then scored EXACTLY on the same pruned @6dp
+    tf-idf vectors as the exact operator: per-doc term maps are built once
+    (one groupBy), the pair join is two equi-joins on doc id, and the
+    sparse dot is a ``map_zip_with`` + ``aggregate`` fold — all JVM-side,
+    no Python in the pair loop. Pairs sharing no pruned term drop out,
+    mirroring the sparse formulation's inner word-join.
+
+    Same output shape as ``doc_similarity``; pair orientation is numeric
+    doc_id order (the candidate generator's), cosine @6dp.
+    """
+    from .dedup import minhash_candidate_pairs
+
+    vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
+    packed = vec.groupBy("doc").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("word", "wt")))
+        ).alias("m"),
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"),
+    )
+    cand = minhash_candidate_pairs(spark, sf_dir).select(
+        F.col("doc_a").cast("string").alias("doc_a"),
+        F.col("doc_b").cast("string").alias("doc_b"),
+    )
+    a = packed.select(
+        F.col("doc").alias("doc_a"), F.col("m").alias("m_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = packed.select(
+        F.col("doc").alias("doc_b"), F.col("m").alias("m_b"), F.col("nrm").alias("nrm_b")
+    )
+    prods = F.map_values(
+        F.map_zip_with(
+            "m_a",
+            "m_b",
+            lambda _, x, y: F.when(x.isNotNull() & y.isNotNull(), x * y),
+        )
+    )
+    shared = F.filter(prods, lambda v: v.isNotNull())
+    dot = F.aggregate(shared, F.lit(0.0), lambda acc, v: acc + v)
+    cos = (
+        F.floor(dot / (F.col("nrm_a") * F.col("nrm_b")) * 1_000_000 + F.lit(0.5))
+        / 1_000_000
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(F.size(shared) > 0)
+        .select("doc_a", "doc_b", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(DOCSIM_TOP_PAIRS)
+    )
+
+
+def doc_similarity_lsh_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap@k of the LSH-prefiltered docsim against the exact tiled
+    one — the approximation-quality metric for the text-side ANN swap
+    (twin of ``similarity.lsh_recall``). The two top-k sets orient pairs
+    differently (lexicographic vs numeric doc order), so both sides are
+    canonicalized to numeric order before the semi-join. One row:
+    n_hits, n_exact, overlap."""
+    exact = doc_similarity(spark, sf_dir).select(
+        F.least(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("da"),
+        F.greatest(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("db"),
+    )
+    approx = doc_similarity_lsh(spark, sf_dir).select(
+        F.least(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("da"),
+        F.greatest(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("db"),
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits = exact.join(approx, ["da", "db"], "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        "n_hits",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("overlap"),
     )
 
 
