@@ -146,6 +146,27 @@ def test_doc_freq_is_agg_join_not_window(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["tfidf_docsim_lsh", "dedup_embedding_lsh_pairs", "sim_knn_graph_ann"],
+)
+def test_lsh_candidate_paths_have_no_allpairs_join(spark, name):
+    # the whole point of the banded-LSH paths: candidates come from an
+    # EQUI-join on (band, key) — any cartesian/nested-loop in the plan
+    # means the quadratic surface snuck back in
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_single_scalar_cross_join(spark):
+    # the only nested loop allowed is the 1-row broadcast query vector;
+    # cell probing must be a plain filter, never a join against the corpus
+    plan = _plan(spark, "sim_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_asof_directions_share_one_exchange_shape(spark):
     # both directions: exactly one hash exchange keyed on user_id for the
     # window (plus AQE wrappers) — no join operator at all
