@@ -144,29 +144,50 @@ def lsh_bucket_pairs(
 
     Returns (vec_a, vec_b, cos_sim) — a subset of the exact operator's
     output; ``dedup.embedding_lsh_recall`` measures how much of it.
+
+    Candidates are scored per BUCKET, not per pair: each (band_idx,
+    band_val) group gathers its member vectors once and one numpy matmul
+    scores every within-bucket pair (the same bucket-as-tile kernel as
+    ``knn_graph``'s blocks) — the per-pair equi-join + per-row kernel
+    this replaced cost ~6 s at sf0.1 against ~1 s for the tiles, because
+    join machinery per candidate dwarfs the dot-product FLOPs. A pair
+    sharing several bands is recomputed per bucket bit-identically (same
+    two vectors, same kernel), so the cross-band ``distinct`` dedupes
+    exactly. Skew knob: a degenerate bucket computes occupancy² dots —
+    widen BAND_BITS (more, smaller buckets) before sharding the kernel.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     bands = _band_rows(lsh_signatures(spark, sf_dir))
-    a = bands.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
-    b = bands.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val")
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = (
-        F.floor(cosine(F.col("emb_a"), F.col("emb_b")) * 1_000_000 + F.lit(0.5))
-        / 1_000_000
+    buckets = (
+        bands.join(e, "vec_id")
+        .groupBy("band_idx", "band_val")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+        .where(F.size("vecs") >= 2)
     )
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= min_cosine)
-    )
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+    thr = float(min_cosine)
+
+    def bucket_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cell in pdf["vecs"]:
+                ids = np.array([v["vec_id"] for v in cell], dtype="int64")
+                mat = np.stack([v["embedding"] for v in cell]).astype("float64")
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                # floor(x*1e6+0.5)/1e6 — the oracle's formula op for op
+                sims = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
+                ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (sims >= thr))
+                if len(ia):
+                    yield pd.DataFrame(
+                        {"vec_a": ids[ia], "vec_b": ids[ib], "cos_sim": sims[ia, ib]}
+                    )
+
+    return buckets.mapInPandas(bucket_pairs, out_schema).distinct()
 
 
 def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,43 +505,61 @@ def knn_graph_ann(
     the per-node top-k composition is unchanged.
 
     Candidates are all ordered pairs sharing at least one signature band
-    (both directions — the graph is asymmetric); each candidate gets an
-    EXACT cosine (Arrow-batched kernel, same @6dp floor-rounding as the
-    exact graph), then one window keeps each node's k best. Nodes whose
-    buckets are singletons simply have no edges — the recall metric
-    (``knn_ann_recall``) prices that in. The pair surface is the sum of
-    squared bucket occupancies: tune BAND_BITS/N_BANDS, not the plan.
+    (both directions — the graph is asymmetric), scored per BUCKET with
+    one matmul (the same bucket-as-tile kernel as ``lsh_bucket_pairs``
+    — per-pair joins cost ~4x the tiles at sf0.1); each bucket emits
+    every member's k best IN THAT BUCKET (a per-bucket winner set
+    provably contains every global winner), the cross-band ``distinct``
+    dedupes bit-identical recomputes, and one window keeps each node's
+    global k best. Nodes whose buckets are singletons simply have no
+    edges — the recall metric (``knn_ann_recall``) prices that in. The
+    pair surface is the sum of squared bucket occupancies: tune
+    BAND_BITS/N_BANDS, not the plan.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql.window import Window
 
-    from ..functions.vectors import cosine_pd
-
     bands = _band_rows(lsh_signatures(spark, sf_dir))
-    a = bands.select(F.col("vec_id").alias("vec_a"), "band_idx", "band_val")
-    b = bands.select(F.col("vec_id").alias("vec_b"), "band_idx", "band_val")
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("vec_a") != F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    cos = (
-        F.floor(
-            cosine_pd(F.col("emb_a"), F.col("emb_b")) * 1_000_000 + F.lit(0.5)
-        )
-        / 1_000_000
+    buckets = (
+        bands.join(e, "vec_id")
+        .groupBy("band_idx", "band_val")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+        .where(F.size("vecs") >= 2)
     )
-    scored = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-    )
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+
+    def bucket_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cell in pdf["vecs"]:
+                ids = np.array([v["vec_id"] for v in cell], dtype="int64")
+                mat = np.stack([v["embedding"] for v in cell]).astype("float64")
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                sims = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
+                np.fill_diagonal(sims, -np.inf)
+                # per-row k best in this bucket by (cos desc, vec_b asc)
+                order = np.lexsort(
+                    (ids[None, :].repeat(len(ids), 0), -sims), axis=1
+                )
+                take = order[:, : min(k, order.shape[1])]
+                n_a, n_k = take.shape
+                va = ids.repeat(n_k)
+                vb = ids[take.ravel()]
+                cs = sims[np.arange(n_a).repeat(n_k), take.ravel()]
+                keep = np.isfinite(cs)
+                yield pd.DataFrame(
+                    {"vec_a": va[keep], "vec_b": vb[keep], "cos_sim": cs[keep]}
+                )
+
+    cand = buckets.mapInPandas(bucket_topk, out_schema).distinct()
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_sim"), F.asc("vec_b"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("vec_a", "vec_b", "cos_sim", "rank")
     )
