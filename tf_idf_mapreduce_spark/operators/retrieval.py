@@ -132,6 +132,15 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The pruned vector relation is consumed twice (norms + packed
     vectors); ``localCheckpoint`` materializes it once — K rows per doc
     — instead of re-running the tokenize→tf-idf DAG per branch.
+
+    Words are integer-encoded Spark-side with ``xxhash64`` (map-only —
+    no dictionary shuffle; the kernel's local vocab is a ``searchsorted``
+    over arbitrary int64 ids, so ids need not be compact) and the
+    per-tile matrices assemble with numpy fancy indexing — no Python
+    per-term dict loops (those cost ~4x the matmuls at sf0.1). A hash
+    collision would merge two words' weights; over a V-word pruned vocab
+    the odds are ~V²/2⁶⁵ — ~5e-4 even at V=10⁸ — and the exact oracle
+    diff would surface one at test scale.
     """
     from collections.abc import Iterator
 
@@ -139,17 +148,31 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
-    norms = vec.groupBy("doc").agg(
+    vecid = vec.withColumn("wid", F.xxhash64("word"))
+    norms = vecid.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
     )
+    # primitive parallel arrays (not array<struct>) — Arrow moves them as
+    # flat buffers; array_sort on the packed struct makes the (wid, wt)
+    # order deterministic before the split
     packed = (
-        vec.groupBy("doc")
-        .agg(F.collect_list(F.struct("word", "wt")).alias("terms"))
+        vecid.groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("wid", "wt"))).alias("tw"))
+        .select(
+            "doc",
+            F.transform("tw", lambda s: s["wid"]).alias("wids"),
+            F.transform("tw", lambda s: s["wt"]).alias("wts"),
+        )
         .join(norms, "doc")
     )
-    blocks = packed.groupBy(
-        F.pmod(F.hash("doc"), F.lit(DOCSIM_N_BLOCKS)).alias("blk")
-    ).agg(F.collect_list(F.struct("doc", "terms", "nrm")).alias("vecs"))
+    # blocks feed BOTH tile sides — checkpoint so the collect_list
+    # shuffle runs once, and each ~n/B-doc payload serializes from the
+    # materialized relation instead of re-aggregating per branch
+    blocks = (
+        packed.groupBy(F.pmod(F.hash("doc"), F.lit(DOCSIM_N_BLOCKS)).alias("blk"))
+        .agg(F.collect_list(F.struct("doc", "wids", "wts", "nrm")).alias("vecs"))
+        .localCheckpoint()
+    )
     a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
     b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
     tiles = a.crossJoin(b).where(F.col("blk_a") <= F.col("blk_b"))
@@ -158,27 +181,38 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_pairs = DOCSIM_TOP_PAIRS
 
     def tile_top_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def unpack(cell, vocab):
+        def flatten(cell):
             ids = np.array([v["doc"] for v in cell])
-            mat = np.zeros((len(cell), len(vocab)), dtype="float64")
-            pres = np.zeros((len(cell), len(vocab)), dtype="float64")
-            for i, v in enumerate(cell):
-                for t in v["terms"]:
-                    j = vocab[t["word"]]
-                    mat[i, j] = t["wt"]
-                    pres[i, j] = 1.0  # term PRESENT, even at weight 0
+            counts = np.fromiter(
+                (len(v["wids"]) for v in cell), dtype=np.int64, count=len(cell)
+            )
+            wids = np.concatenate([np.asarray(v["wids"], dtype=np.int64) for v in cell])
+            wts = np.concatenate([np.asarray(v["wts"], dtype=np.float64) for v in cell])
+            rows = np.repeat(np.arange(len(cell)), counts)
             nrm = np.array([v["nrm"] for v in cell], dtype="float64")
-            return ids, mat, pres, nrm
+            return ids, rows, wids, wts, nrm
+
+        def densify(n, rows, cols, wts, width):
+            mat = np.zeros((n, width), dtype="float64")
+            pres = np.zeros((n, width), dtype="float64")
+            mat[rows, cols] = wts
+            pres[rows, cols] = 1.0  # term PRESENT, even at weight 0
+            return mat, pres
 
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                vocab: dict[str, int] = {}
-                for cell in (row["vecs_a"], row["vecs_b"]):
-                    for v in cell:
-                        for t in v["terms"]:
-                            vocab.setdefault(t["word"], len(vocab))
-                ids_a, mat_a, pres_a, nrm_a = unpack(row["vecs_a"], vocab)
-                ids_b, mat_b, pres_b, nrm_b = unpack(row["vecs_b"], vocab)
+            for blk_a, blk_b, vecs_a, vecs_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["vecs_a"], pdf["vecs_b"]
+            ):
+                ids_a, rows_a, wids_a, wts_a, nrm_a = flatten(vecs_a)
+                ids_b, rows_b, wids_b, wts_b, nrm_b = flatten(vecs_b)
+                # local vocabulary: union of the two blocks' word ids
+                u = np.unique(np.concatenate([wids_a, wids_b]))
+                mat_a, pres_a = densify(
+                    len(ids_a), rows_a, np.searchsorted(u, wids_a), wts_a, len(u)
+                )
+                mat_b, pres_b = densify(
+                    len(ids_b), rows_b, np.searchsorted(u, wids_b), wts_b, len(u)
+                )
                 # floor(x*1e6 + 0.5)/1e6, matching the oracle's formula op
                 # for op (np.round's scaled half-even can differ by 1e-6)
                 cos = (
@@ -188,7 +222,7 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / 1e6
                 )
                 lt = ids_a[:, None] < ids_b[None, :]
-                if row["blk_a"] == row["blk_b"]:
+                if blk_a == blk_b:
                     keep = lt  # strict upper triangle by doc order
                 else:
                     keep = ids_a[:, None] != ids_b[None, :]
