@@ -1805,6 +1805,27 @@ _CURATION_ORACLE: dict[str, str] = {
               <= '{cur.SAMPLE_BUCKET_MAX}'
     """,
     "curate_profile": _PROFILE_UNION_SQL,
+    # shard packing: global running token sum in doc_id order; the Spark
+    # side computes the identical sum as a two-phase distributed prefix
+    # sum — integer arithmetic, so the reassociation is exact
+    "curate_shard_pack": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t
+        )
+        SELECT doc_id, n_tokens, cum_tokens,
+               (cum_tokens - n_tokens) // {cur.SHARD_TOKEN_BUDGET} AS shard_id
+        FROM c
+    """,
     "curate_stratified_sample": f"""
         WITH b AS (
           SELECT doc_id, lang,
@@ -2052,6 +2073,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_keep_list": cur.keep_list,
         "curate_mixture": cur.mixture_report,
         "curate_profile": cur.profile_table,
+        "curate_shard_pack": cur.shard_pack,
         # rows-only (HLL++/KLL sketch internals are engine-specific — no SQL
         # twin; accuracy vs exact is pinned in tests/test_curation.py)
         "curate_profile_sketch": cur.profile_table_sketch,

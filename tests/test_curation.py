@@ -230,3 +230,27 @@ def test_mixture_fractions_sum_to_one(spark, sf_dir):
     assert abs(ordered[-1].cum_token_frac - round(total, 6)) < 1e-9
     cums = [r.cum_token_frac for r in ordered]
     assert cums == sorted(cums)
+
+
+def test_shard_pack_is_a_valid_packing(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SHARD_TOKEN_BUDGET,
+        shard_pack,
+    )
+
+    rows = sorted(shard_pack(spark, sf_dir).collect(), key=lambda r: r.doc_id)
+    assert rows
+    # the distributed two-phase prefix sum equals the sequential cumsum
+    cum = 0
+    for r in rows:
+        cum += r.n_tokens
+        assert r.cum_tokens == cum, r.doc_id
+        assert r.shard_id == (r.cum_tokens - r.n_tokens) // SHARD_TOKEN_BUDGET
+    # shards are contiguous in doc_id order and non-decreasing
+    sids = [r.shard_id for r in rows]
+    assert sids == sorted(sids)
+    # every shard except possibly the last STARTS within budget: the first
+    # doc of shard s has its first token below (s+1)*budget by definition
+    for prev, nxt in zip(rows, rows[1:]):
+        if nxt.shard_id != prev.shard_id:
+            assert nxt.shard_id == (nxt.cum_tokens - nxt.n_tokens) // SHARD_TOKEN_BUDGET

@@ -374,3 +374,62 @@ def mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Shard packing: target BPE-ish tokens per training shard, and the
+#: doc_id range width of one prefix-sum bucket (bounds every window
+#: group; the bucket-totals relation has n_docs/bucket rows).
+SHARD_TOKEN_BUDGET = 4096
+SHARD_PREFIX_BUCKET = 1024
+
+
+def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard manifest: assign every document (in doc_id
+    order) to the training shard where its first token lands —
+    ``shard_id = (global_cum - n_tokens) // SHARD_TOKEN_BUDGET`` — the
+    deterministic packing a dataloader uses to cut a corpus into
+    fixed-token-budget files.
+
+    The global running sum is a DISTRIBUTED TWO-PHASE PREFIX SUM, never
+    a single-partition global window (the classic 100 TB trap: ``sum()
+    over (order by ...)`` with no partition puts the whole corpus in one
+    task). Docs bucket by doc_id range; phase 1 computes bucket-LOCAL
+    running sums (window groups bounded by SHARD_PREFIX_BUCKET rows);
+    phase 2 turns per-bucket totals — a |buckets|-row relation — into
+    exclusive prefix offsets (that tiny window IS single-partition, by
+    design) and broadcasts them back. cum = offset + local_cum.
+    """
+    from .textstats import BPE_ISH_PATTERN
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn(
+        "bucket", F.floor(F.col("doc_id") / SHARD_PREFIX_BUCKET).cast("long")
+    )
+    w_local = Window.partitionBy("bucket").orderBy("doc_id")
+    local = tok.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    totals = tok.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    w_prev = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(w_prev), F.lit(0)).alias("offset"),
+    )
+    cum = F.col("offset") + F.col("local_cum")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            cum.alias("cum_tokens"),
+            F.floor((cum - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
