@@ -1,0 +1,66 @@
+"""Property tests: the single-exchange as-of join (union + tagged sort +
+last-non-null window) equals a brute-force reference on arbitrary small
+inputs — heavy on the cases the window formulation must get right: ties on
+(key, ts), ties among right rows on payload, keys missing from one side,
+and left rows before/after every right row."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from tf_idf_mapreduce_spark.operators.temporal import asof_join
+
+# tiny domains force collisions: few keys, few timestamps, few payloads
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # key
+        st.integers(min_value=0, max_value=9),   # ts
+        st.integers(min_value=0, max_value=4),   # payload value
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _reference(left, right, direction):
+    out = []
+    for lk, lts, lval in left:
+        if direction == "backward":
+            cands = [(rts, rval) for rk, rts, rval in right if rk == lk and rts <= lts]
+            best_ts = max((ts for ts, _ in cands), default=None)
+        else:
+            cands = [(rts, rval) for rk, rts, rval in right if rk == lk and rts >= lts]
+            best_ts = min((ts for ts, _ in cands), default=None)
+        if best_ts is None:
+            out.append((lk, lts, lval, None))
+        else:
+            # among right rows tied on (key, ts): greatest payload tuple wins
+            out.append(
+                (lk, lts, lval, max(v for ts, v in cands if ts == best_ts))
+            )
+    return sorted(out, key=lambda t: (t[0], t[1], t[2], -1 if t[3] is None else t[3]))
+
+
+@settings(max_examples=15, deadline=None)
+@given(_ROWS, _ROWS, st.sampled_from(["backward", "forward"]))
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows, direction):
+    left = spark.createDataFrame(
+        [(k, t, v) for k, t, v in left_rows] or [(99, 0, 0)],
+        "key long, ts long, lval long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right_rows] or [(98, 0, 0)],
+        "key long, ts long, rval long",
+    )
+    got = [
+        (r.key, r.ts, r.lval, r.rval_asof)
+        for r in asof_join(
+            left, right, on="key", ts="ts", right_cols=["rval"],
+            direction=direction,
+        ).collect()
+    ]
+    got.sort(key=lambda t: (t[0], t[1], t[2], -1 if t[3] is None else t[3]))
+    want = _reference(
+        left_rows or [(99, 0, 0)], right_rows or [(98, 0, 0)], direction
+    )
+    assert got == want
