@@ -14,7 +14,6 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -63,14 +62,3 @@ def fold_dot_matrix_udf(planes: list[list[float]]):
     return sig
 
 
-@pandas_udf(DoubleType())
-def cosine_pd(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched cosine for O(n²) pair surfaces: one numpy matmul pass
-    per batch instead of an interpreted fold per element. Same float64
-    arithmetic as ``cosine`` up to summation order (~1e-15); callers round.
-    """
-    av = np.stack(a.to_numpy()).astype("float64")
-    bv = np.stack(b.to_numpy()).astype("float64")
-    num = np.einsum("ij,ij->i", av, bv)
-    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-    return pd.Series(num / den)
