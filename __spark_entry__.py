@@ -1805,6 +1805,26 @@ _CURATION_ORACLE: dict[str, str] = {
               <= '{cur.SAMPLE_BUCKET_MAX}'
     """,
     "curate_profile": _PROFILE_UNION_SQL,
+    # A-ES weighted sample: u from the same md5 preimage as hash_sample,
+    # key = u^(1/w) on the @6dp grid, doc_id tiebreak — engine pow/ln ulp
+    # differences cannot flip a 1e-6-grid comparison
+    "curate_weighted_sample": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS DOUBLE) AS w,
+                 ({_hex_to_int_sql(
+                     "substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+                     "|| coalesce(text, '')), 1, 8)", 8)} + 0.5)
+                   / 4294967296.0 AS u
+          FROM documents
+        )
+        SELECT doc_id, CAST(w AS BIGINT) AS n_tokens,
+               floor(pow(u, 1.0/w) * 1000000 + 0.5)/1000000 AS sample_key
+        FROM t WHERE w > 0
+        ORDER BY sample_key DESC, doc_id ASC
+        LIMIT {cur.WEIGHTED_SAMPLE_M}
+    """,
     # shard packing: global running token sum in doc_id order; the Spark
     # side computes the identical sum as a two-phase distributed prefix
     # sum — integer arithmetic, so the reassociation is exact
@@ -2074,6 +2094,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_mixture": cur.mixture_report,
         "curate_profile": cur.profile_table,
         "curate_shard_pack": cur.shard_pack,
+        "curate_weighted_sample": cur.weighted_sample,
         # rows-only (HLL++/KLL sketch internals are engine-specific — no SQL
         # twin; accuracy vs exact is pinned in tests/test_curation.py)
         "curate_profile_sketch": cur.profile_table_sketch,

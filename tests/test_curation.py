@@ -254,3 +254,27 @@ def test_shard_pack_is_a_valid_packing(spark, sf_dir):
     for prev, nxt in zip(rows, rows[1:]):
         if nxt.shard_id != prev.shard_id:
             assert nxt.shard_id == (nxt.cum_tokens - nxt.n_tokens) // SHARD_TOKEN_BUDGET
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.curation import (
+        WEIGHTED_SAMPLE_M,
+        weighted_sample,
+    )
+    from tf_idf_mapreduce_spark.operators.textstats import token_counts
+
+    sample = weighted_sample(spark, sf_dir).collect()
+    assert len(sample) == min(WEIGHTED_SAMPLE_M, 500)
+    # deterministic: a second run draws the identical sample
+    again = weighted_sample(spark, sf_dir).collect()
+    assert [r.doc_id for r in sample] == [r.doc_id for r in again]
+    # keys are valid A-ES draws, sorted desc
+    keys = [r.sample_key for r in sample]
+    assert all(0.0 < k <= 1.0 for k in keys)
+    assert keys == sorted(keys, reverse=True)
+    # weight-proportional inclusion: sampled docs are token-heavier on
+    # average than the corpus (A-ES with w = token count)
+    toks = {r.doc_id: r.n_bpe_tokens for r in token_counts(spark, sf_dir).collect()}
+    corpus_mean = sum(toks.values()) / len(toks)
+    sample_mean = sum(toks[r.doc_id] for r in sample) / len(sample)
+    assert sample_mean > corpus_mean

@@ -433,3 +433,61 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shard_id"),
         )
     )
+
+
+#: Weighted-sample size (Efraimidis-Spirakis A-ES).
+WEIGHTED_SAMPLE_M = 50
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis A-ES): each doc draws key = u^(1/w) with w = its BPE-ish
+    token count and u a uniform derived from md5(doc_id:text); the m
+    largest keys are the sample — inclusion probability proportional to
+    weight, exactly the quality/length-weighted corpus draw a training
+    mixture uses.
+
+    Same 100 TB shape as ``hash_sample``: one scan, no RNG state (the
+    hash IS the randomness — reproducible across re-runs, re-partitioning
+    and engines), and the top-m plans as TakeOrderedAndProject, never a
+    full sort. Keys are compared on the @6dp grid with doc_id tiebreak so
+    engine ulp differences in pow/ln cannot flip the selection.
+    """
+    from .textstats import BPE_ISH_PATTERN
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("double")
+        .alias("w")
+    )
+    # uniform in (0,1): first 8 md5 hex chars as an int, +0.5, / 2^32
+    u = (
+        (F.conv(F.substring(_sample_bucket_md5(), 1, 8), 16, 10).cast("double")
+         + F.lit(0.5))
+        / F.lit(float(1 << 32))
+    )
+    base = d.select("doc_id", w, u.alias("u")).where(F.col("w") > 0)
+    key = F.pow(F.col("u"), F.lit(1.0) / F.col("w"))
+    key6 = F.floor(key * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        base.select(
+            "doc_id",
+            F.col("w").cast("long").alias("n_tokens"),
+            key6.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_SAMPLE_M)
+    )
+
+
+def _sample_bucket_md5() -> Column:
+    """Full md5 hex of ``doc_id:coalesce(text, '')`` (same preimage as
+    ``_sample_bucket``, all 32 chars)."""
+    return F.md5(
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
