@@ -64,3 +64,40 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows, direction):
         left_rows or [(99, 0, 0)], right_rows or [(98, 0, 0)], direction
     )
     assert got == want
+
+
+_RJ_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.integers(min_value=-10, max_value=10),  # ts (negatives probe
+                                                   # the bucket-floor math)
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_RJ_ROWS, _RJ_ROWS, st.sampled_from([1, 3, 5]))
+def test_range_join_banded_matches_bruteforce(spark, left_rows, right_rows, band):
+    from tf_idf_mapreduce_spark.operators.temporal import range_join_banded
+
+    left = spark.createDataFrame(
+        [(k, t) for k, t in left_rows] or [(9, 0)], "key long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(k, t) for k, t in right_rows] or [(8, 0)], "key long, rts long"
+    )
+    got = sorted(
+        (r.key, r.lts, r.rts)
+        for r in range_join_banded(
+            left, right, on="key", left_ts="lts", right_ts="rts", band=band
+        ).collect()
+    )
+    want = sorted(
+        (lk, lt, rt)
+        for lk, lt in (left_rows or [(9, 0)])
+        for rk, rt in (right_rows or [(8, 0)])
+        if lk == rk and abs(lt - rt) <= band
+    )
+    assert got == want
