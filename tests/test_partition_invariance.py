@@ -1,0 +1,49 @@
+"""Partition invariance: a distributed engine's answers must not depend on
+HOW the data is partitioned — shuffle partition count and AQE re-planning
+are the two knobs a cluster changes out from under a query. Every operator
+with order-sensitive internals (windows, tiles, checkpointed candidate
+relations, prefix sums, iterative label propagation) runs here under two
+deliberately different configurations and must return identical rows."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+# the operators whose implementations most plausibly COULD leak a
+# partitioning dependence: numpy tile kernels, two-phase prefix sums,
+# iterative convergence loops, window tiebreaks, sampling top-k
+QUERIES = [
+    "tfidf_docsim",
+    "tfidf_docsim_lsh",
+    "curate_shard_pack",
+    "curate_weighted_sample",
+    "dedup_clusters",
+    "sim_knn_graph_ann",
+    "temporal_asof_join",
+]
+
+
+def _rows(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_results_invariant_to_shuffle_partitioning(spark, name):
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        a = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+    assert a == b, f"{name} depends on partitioning"
