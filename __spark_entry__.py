@@ -901,6 +901,26 @@ _LLMDATA_ORACLE: dict[str, str] = {
         JOIN sizes za ON za.doc_id = i.doc_a
         JOIN sizes zb ON zb.doc_id = i.doc_b
     """,
+    "dedup_containment_pairs": _DEDUP_CTE
+    + """
+        , ds AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN ds sa ON sa.doc_id = c.doc_a
+          JOIN ds sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b, i.n_common,
+               i.n_common / za.sz AS containment_a,
+               i.n_common / zb.sz AS containment_b,
+               greatest(i.n_common / za.sz, i.n_common / zb.sz)
+                 AS max_containment
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+    """,
     "dedup_minhash_precision": _DEDUP_CTE
     + f"""
         , ds AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows),
@@ -2054,6 +2074,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,
         "dedup_jaccard_pairs": dd.jaccard_verified_pairs,
+        "dedup_containment_pairs": dd.containment_pairs,
         "dedup_simhash": dd.simhash_values,
         "dedup_simhash_pairs": dd.simhash_near_pairs,
         "dedup_embedding_pairs": dd.embedding_near_pairs,

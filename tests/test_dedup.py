@@ -180,3 +180,21 @@ def test_keeper_by_quality_laws(spark):
         assert k.n_docs == len(docs)
         best = max(docs, key=lambda d: (n_words[d], -d))
         assert (k.keep_doc_id, k.keep_n_words) == (best, n_words[best])
+
+
+def test_containment_consistent_with_jaccard(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_verified_pairs,
+    )
+
+    jac = {(r.doc_a, r.doc_b): r for r in jaccard_verified_pairs(spark, sf_dir).collect()}
+    con = {(r.doc_a, r.doc_b): r for r in containment_pairs(spark, sf_dir).collect()}
+    assert jac.keys() == con.keys()  # same candidate pairs, same n_common
+    for pair, c in con.items():
+        j = jac[pair]
+        assert c.n_common == j.n_common
+        assert 0.0 < c.containment_a <= 1.0 and 0.0 < c.containment_b <= 1.0
+        assert abs(c.max_containment - max(c.containment_a, c.containment_b)) < 1e-12
+        # containment dominates jaccard: |A∩B|/min-side >= |A∩B|/|A∪B|
+        assert c.max_containment >= j.jaccard - 1e-12

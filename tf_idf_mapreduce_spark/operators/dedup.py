@@ -133,6 +133,46 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_a, doc_b, n_common, jaccard).
     """
+    base = _candidate_overlap(spark, sf_dir)
+    return base.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        (
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT for the LSH candidates —
+    ``n_common/sz_a`` and ``n_common/sz_b`` (Broder's containment): the
+    near-dup signal Jaccard underrates when one document embeds the other
+    (quote inclusion, boilerplate wrapping, truncated mirrors — a short
+    doc fully inside a long one has tiny Jaccard but containment 1.0).
+
+    Same candidate generation and single materialized shingle relation as
+    ``jaccard_verified_pairs`` — only the final projection differs, so the
+    100 TB posture is identical. Returns (doc_a, doc_b, n_common,
+    containment_a, containment_b, max_containment).
+    """
+    base = _candidate_overlap(spark, sf_dir)
+    ca = F.col("n_common") / F.col("sz_a")
+    cb = F.col("n_common") / F.col("sz_b")
+    return base.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        ca.alias("containment_a"),
+        cb.alias("containment_b"),
+        F.greatest(ca, cb).alias("max_containment"),
+    )
+
+
+def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_common, sz_a, sz_b) for every LSH candidate pair —
+    the shared verify-stage base of jaccard and containment."""
     sh = doc_shingles(spark, sf_dir).localCheckpoint()
 
     hashed = sh.select("doc_id", word_hash32(F.col("shingle")).alias("h"))
@@ -176,19 +216,7 @@ def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     # sizes is corpus-sized (one row per doc): never force-broadcast it.
     # AQE broadcasts whichever side is actually small at runtime.
-    return (
-        inter.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            (
-                F.col("n_common")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-    )
+    return inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
 
 
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
