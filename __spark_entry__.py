@@ -713,6 +713,23 @@ def _ivf_topk_sql(query_vec_id: int, k: int, nprobe: int) -> str:
     """
 
 
+def _ivf_histogram_sql() -> str:
+    """Oracle for ``similarity.ivf_cell_histogram`` — same k-means replay,
+    assignment counts per cell."""
+    ip = "list_inner_product"
+    kk, iters = sim.IVF_K, sim.IVF_ITERS
+    key = (
+        f"floor((-2*{ip}(e.v, c.c) + {ip}(c.c, c.c))*1000000 + 0.5)*{kk} + c.cid"
+    )
+    return f"""
+        WITH {_ivf_cent_ctes(kk, iters)},
+        assigned AS (
+          SELECT e.vec_id, min_by(c.cid, {key}) AS cid
+          FROM emb e CROSS JOIN cent{iters} c GROUP BY e.vec_id, e.v)
+        SELECT cid, count(*) AS n_vectors FROM assigned GROUP BY cid
+    """
+
+
 def _ivf_recall_sql(query_vec_id: int, k: int, nprobe: int) -> str:
     """Oracle for ``similarity.ivf_recall`` — intersection of the exact
     and IVF top-k oracles, denominator = the exact side's row count."""
@@ -988,6 +1005,7 @@ _LLMDATA_ORACLE: dict[str, str] = {
     "sim_ivf_recall": _ivf_recall_sql(
         sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
     ),
+    "sim_ivf_histogram": _ivf_histogram_sql(),
     "sim_label_centroids": f"""
         SELECT label, i - 1 AS dim,
                round(avg(embedding[i]), 6) AS centroid,
@@ -2091,6 +2109,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the @6dp grid, so DuckDB replays the whole model (unrolled CTEs)
         "sim_ivf_topk": sim.ivf_topk,
         "sim_ivf_recall": sim.ivf_recall,
+        "sim_ivf_histogram": sim.ivf_cell_histogram,
         "sim_label_centroids": sim.label_centroids,
         "sim_knn_graph": sim.knn_graph,
         "sim_knn_graph_ann": sim.knn_graph_ann,

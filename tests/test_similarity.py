@@ -241,3 +241,12 @@ def test_knn_graph_honors_larger_k(spark, sf_dir):
         .collect()
     ]
     assert got == exact
+
+
+def test_ivf_cell_histogram_covers_corpus(spark, sf_dir):
+    rows = sim.ivf_cell_histogram(spark, sf_dir).collect()
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n
+    assert all(0 <= r.cid < sim.IVF_K for r in rows)

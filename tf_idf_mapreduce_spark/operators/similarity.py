@@ -368,6 +368,20 @@ def ivf_topk(
     )
 
 
+def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell IVF occupancy — the operational health check for the
+    coarse quantizer (``lsh_bucket_histogram``'s twin: a skewed cell
+    means nprobe scans a disproportionate corpus slice — re-fit with
+    more centroids or rebalance). One map pass over the corpus with the
+    fitted centroids riding the closure; the aggregate is k rows."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(e)
+    assigned = e.select(
+        _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid")
+    )
+    return assigned.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+
+
 def lsh_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK
 ) -> DataFrame:
