@@ -186,6 +186,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffers forever. The finite drain must produce exactly the batch join's
     pairs.
     """
+    # join bounds are defined in WHOLE SECONDS (the batch twin compares
+    # ts_sec): truncate the event-time column before the watermark so the
+    # range condition can't disagree with the second-resolution semantics
+    # on a sub-second fixture (watermark state eviction still works — the
+    # truncated column is a valid event time, off by < 1 s)
     ev = stream_events(spark, sf_dir)
     purchases = (
         ev.where(F.col("event_type") == "purchase")
@@ -193,7 +198,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("purchase_id"),
             "user_id",
             F.col("ts_sec").alias("purchase_sec"),
-            F.col("ts").alias("p_ts"),
+            F.date_trunc("second", F.col("ts")).alias("p_ts"),
         )
         .withWatermark("p_ts", "1 hour")
     )
@@ -204,7 +209,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user_id"),
             F.col("ts_sec").alias("click_sec"),
-            F.col("ts").alias("c_ts"),
+            F.date_trunc("second", F.col("ts")).alias("c_ts"),
         )
         .withWatermark("c_ts", "1 hour")
     )
