@@ -105,7 +105,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOCSIM_N_BLOCKS = 16
 
 
-def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_similarity(
+    spark: SparkSession, sf_dir: str, vec: DataFrame | None = None
+) -> DataFrame:
     """All-pairs document cosine similarity over pruned TF-IDF vectors —
     top ``DOCSIM_TOP_PAIRS`` most-similar document pairs.
 
@@ -147,7 +149,8 @@ def doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
+    if vec is None:
+        vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
     vecid = vec.withColumn("wid", F.xxhash64("word"))
     norms = vecid.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
@@ -265,7 +268,9 @@ def _pruned_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_similarity_lsh(
+    spark: SparkSession, sf_dir: str, vec: DataFrame | None = None
+) -> DataFrame:
     """LSH-prefiltered document cosine similarity — the 100 TB path the
     exact ``doc_similarity`` docstring promises.
 
@@ -285,7 +290,8 @@ def doc_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import minhash_candidate_pairs
 
-    vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
+    if vec is None:
+        vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
     packed = vec.groupBy("doc").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("word", "wt")))
@@ -331,12 +337,17 @@ def doc_similarity_lsh_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (twin of ``similarity.lsh_recall``). The two top-k sets orient pairs
     differently (lexicographic vs numeric doc order), so both sides are
     canonicalized to numeric order before the semi-join. One row:
-    n_hits, n_exact, overlap."""
-    exact = doc_similarity(spark, sf_dir).select(
+    n_hits, n_exact, overlap.
+
+    The pruned-vector relation is built and checkpointed ONCE and shared
+    by both variants — the tokenize→tf-idf chain is the single most
+    expensive stage of either side."""
+    vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
+    exact = doc_similarity(spark, sf_dir, vec=vec).select(
         F.least(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("da"),
         F.greatest(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("db"),
     )
-    approx = doc_similarity_lsh(spark, sf_dir).select(
+    approx = doc_similarity_lsh(spark, sf_dir, vec=vec).select(
         F.least(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("da"),
         F.greatest(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("db"),
     )
