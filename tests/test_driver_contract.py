@@ -12,9 +12,11 @@ def test_every_oracle_key_has_a_query():
 
 
 def test_rows_only_queries_are_the_documented_ones():
+    # sim_ivf_topk left this set in round 3: the k-means fit is
+    # deterministic on the @6dp grid and fully oracle-replayed
     q = set(entrymod.queries())
     o = set(entrymod.oracle_sql())
-    assert q - o == {"sim_ivf_topk", "mm_resize", "curate_profile_sketch"}
+    assert q - o == {"mm_resize", "curate_profile_sketch"}
 
 
 def test_entry_runs_and_has_stable_schema(spark):
