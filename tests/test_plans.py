@@ -174,3 +174,23 @@ def test_asof_directions_share_one_exchange_shape(spark):
         plan = _plan(spark, name)
         assert "Join" not in plan, name
         assert plan.count("Exchange hashpartitioning(user_id") >= 1, name
+
+
+def test_weighted_sample_is_scan_plus_topm(spark):
+    # A-ES sampling must run at scan speed: zero exchanges before the
+    # top-m, and the m-row result via TakeOrderedAndProject (never a
+    # global sort of the corpus)
+    plan = _plan(spark, "curate_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_shard_pack_has_no_global_window(spark):
+    # the prefix sum must be two-phase: every window partitioned (by
+    # bucket, or over the tiny per-bucket totals) — a window over the
+    # full corpus in one partition would show an Exchange SinglePartition
+    # feeding a corpus-sized relation; the only single-partition exchange
+    # allowed is the |buckets|-row offsets relation
+    plan = _plan(spark, "curate_shard_pack")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange SinglePartition") <= 1
