@@ -938,6 +938,27 @@ _LLMDATA_ORACLE: dict[str, str] = {
         JOIN sizes za ON za.doc_id = i.doc_a
         JOIN sizes zb ON zb.doc_id = i.doc_b
     """,
+    "dedup_cross_source_leakage": _DEDUP_CTE
+    + """
+        , ds AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_common
+          FROM cand c
+          JOIN ds sa ON sa.doc_id = c.doc_a
+          JOIN ds sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT i.doc_a, i.doc_b, da.source AS source_a, db.source AS source_b,
+               i.n_common,
+               i.n_common / (za.sz + zb.sz - i.n_common) AS jaccard
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        JOIN documents da ON da.doc_id = i.doc_a
+        JOIN documents db ON db.doc_id = i.doc_b
+        WHERE da.source <> db.source
+    """,
     "dedup_minhash_precision": _DEDUP_CTE
     + f"""
         , ds AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows),
@@ -2093,6 +2114,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,
         "dedup_jaccard_pairs": dd.jaccard_verified_pairs,
         "dedup_containment_pairs": dd.containment_pairs,
+        "dedup_cross_source_leakage": dd.cross_source_leakage,
         "dedup_simhash": dd.simhash_values,
         "dedup_simhash_pairs": dd.simhash_near_pairs,
         "dedup_embedding_pairs": dd.embedding_near_pairs,

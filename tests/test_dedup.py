@@ -198,3 +198,23 @@ def test_containment_consistent_with_jaccard(spark, sf_dir):
         assert abs(c.max_containment - max(c.containment_a, c.containment_b)) < 1e-12
         # containment dominates jaccard: |A∩B|/min-side >= |A∩B|/|A∪B|
         assert c.max_containment >= j.jaccard - 1e-12
+
+
+def test_cross_source_leakage_is_the_cross_source_slice(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        cross_source_leakage,
+        jaccard_verified_pairs,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    src = {r.doc_id: r.source for r in load_table(spark, sf_dir, "documents")
+           .select("doc_id", "source").collect()}
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in jaccard_verified_pairs(spark, sf_dir).collect()}
+    leak = cross_source_leakage(spark, sf_dir).collect()
+    want = {p for p in jac if src[p[0]] != src[p[1]]}
+    assert {(r.doc_a, r.doc_b) for r in leak} == want
+    for r in leak:
+        assert r.source_a == src[r.doc_a] and r.source_b == src[r.doc_b]
+        assert r.source_a != r.source_b
+        assert r.jaccard == jac[(r.doc_a, r.doc_b)]

@@ -170,6 +170,42 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage detector: LSH near-duplicate candidate pairs whose
+    documents live in DIFFERENT sources — the check that catches a
+    training subset contaminating a held-out subset (or one crawl
+    mirroring another) BEFORE the split ships. Same candidate generation
+    and verify base as ``jaccard_verified_pairs``; the source labels ride
+    in on two joins against the (doc_id, source) projection, and
+    same-source pairs — ordinary intra-corpus duplication — are filtered
+    out. Returns (doc_a, doc_b, source_a, source_b, n_common, jaccard).
+    """
+    base = _candidate_overlap(spark, sf_dir)
+    srcs = _docs_sources(spark, sf_dir)
+    sa = srcs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = srcs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        base.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("source_a") != F.col("source_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _docs_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "source")
+
+
 def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, n_common, sz_a, sz_b) for every LSH candidate pair —
     the shared verify-stage base of jaccard and containment."""
