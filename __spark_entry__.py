@@ -1472,6 +1472,11 @@ _STREAMING_ORACLE["stream_static_join"] = """
     FROM events e JOIN stats s ON e.user_id = s.user_id
 """
 
+# the foreachBatch upsert drain must land on the batch CDC snapshot
+_STREAMING_ORACLE["stream_upsert_snapshot"] = _TEMPORAL_ORACLE[
+    "temporal_latest_snapshot"
+]
+
 _STREAMING_ORACLE["stream_stream_join"] = """
     WITH e AS (SELECT event_id, user_id, event_type,
                       epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
@@ -2178,6 +2183,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": st.q_stream_dedup,
         "stream_static_join": st.q_stream_static_join,
         "stream_stream_join": st.q_stream_stream_join,
+        "stream_upsert_snapshot": st.q_stream_upsert_snapshot,
     }
 
 

@@ -162,3 +162,15 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
     want = base.select("event_id", "user_id", "ts_sec").join(stats, "user_id")
     cols = ["event_id", "user_id", "ts_sec", "user_total_events"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_upsert_snapshot_matches_batch(spark, sf_dir):
+    """The 4-micro-batch foreachBatch upsert drain must land on exactly
+    the batch CDC snapshot (keep-last is associative — batch boundaries
+    can't change the answer)."""
+    from tf_idf_mapreduce_spark.operators.temporal import q_latest_snapshot
+
+    got = st.q_stream_upsert_snapshot(spark, sf_dir)
+    want = q_latest_snapshot(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts_sec", "event_type", "value"]
+    assert _rows(got, cols) == _rows(want, cols)
