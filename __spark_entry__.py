@@ -1718,6 +1718,7 @@ _RELATIONAL_ORACLE["rel_q20_nested"] = """
 """
 
 _RELATIONAL_ORACLE["rel_sql_q3"] = rel.Q3_SQL
+_RELATIONAL_ORACLE["rel_sql_q1"] = rel.Q1_SQL
 
 _RELATIONAL_ORACLE["rel_q21_waiting"] = f"""
     WITH li AS (
@@ -2091,6 +2092,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q20_nested": rel.dominant_suppliers,
         "rel_q21_waiting": rel.waiting_suppliers,
         "rel_sql_q3": rel.shipping_priority_sql,
+        "rel_sql_q1": rel.pricing_summary_sql,
         "rel_pivot": rel.native_pivot,
         "rel_percentiles": rel.price_percentiles,
         "rel_grouping_sets": rel.grouping_sets_orders,

@@ -823,3 +823,43 @@ def shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(Q3_SQL)
+
+
+#: TPC-H Q1-shaped pricing summary in the COMMON SQL dialect — run
+#: verbatim through spark.sql AND as the DuckDB oracle (same text, zero
+#: drift). Decimal-accumulated sums and @6dp rounding keep the float
+#: surfaces engine-identical; avg() runs on the decimal sums and rounds.
+Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS BIGINT) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)))
+                 AS DOUBLE), 6) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax)
+                              AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 verbatim through the SQL front-end (``spark.sql`` over
+    registered views; the oracle runs the identical text). One scan, one
+    partial+final aggregate over a 6-group key space — the canonical
+    map-side-combine query; the l_shipdate filter pushes into the scan.
+    """
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q1_SQL)
