@@ -865,6 +865,41 @@ def _knn_ann_recall_sql(k: int) -> str:
     """
 
 
+def _pagerank_sql(iters: int, damp_pct: int, k: int) -> str:
+    """Oracle for ``similarity.pagerank`` — unrolled replay of the
+    FIXED-POINT iteration: BIGINT nano-unit ranks, integer division
+    everywhere, so both engines land on identical integers (an earlier
+    float @9dp grid leaked ~1e-9 boundary flips over 10 compounding
+    rounds). Every node of the k-NN graph has out-degree exactly k."""
+    base_nano = (100 - damp_pct) * 10_000_000
+    ctes = [
+        f"g AS ({_knn_graph_sql(k)})",
+        "edges AS (SELECT vec_a AS src, vec_b AS dst FROM g)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        """r0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT)
+                    AS rank_nano FROM nodes, nn)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT nd.node,
+                 CAST({base_nano} // nn.n
+                      + ({damp_pct} * coalesce(c.inbound, 0) + 50) // 100
+                   AS BIGINT) AS rank_nano
+          FROM nodes nd
+          LEFT JOIN (SELECT e.dst AS node,
+                            sum(r.rank_nano // {k}) AS inbound
+                     FROM edges e JOIN r{i-1} r ON r.node = e.src
+                     GROUP BY e.dst) c ON c.node = nd.node, nn)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, rank_nano,
+               CAST(rank_nano AS DOUBLE) / 1000000000 AS rank
+        FROM r{iters}"""
+    )
+
+
 def _lang_id_sql() -> str:
     hit_cols = ", ".join(
         f"CAST(len(list_filter(words, w -> w IN "
@@ -1027,6 +1062,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
         sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
     ),
     "sim_ivf_histogram": _ivf_histogram_sql(),
+    "sim_pagerank": _pagerank_sql(
+        sim.PAGERANK_ITERS, sim.PAGERANK_DAMP_PCT, sim.KNN_K
+    ),
     "sim_label_centroids": f"""
         SELECT label, i - 1 AS dim,
                round(avg(embedding[i]), 6) AS centroid,
@@ -2143,6 +2181,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_graph": sim.knn_graph,
         "sim_knn_graph_ann": sim.knn_graph_ann,
         "sim_knn_ann_recall": sim.knn_ann_recall,
+        "sim_pagerank": sim.pagerank,
         "sim_lsh_recall": sim.lsh_recall,
         # --- LLM-data pipeline: text analysis ---
         "text_lang_id": ts.lang_id,

@@ -250,3 +250,19 @@ def test_ivf_cell_histogram_covers_corpus(spark, sf_dir):
     n = load_table(spark, sf_dir, "embeddings").count()
     assert sum(r.n_vectors for r in rows) == n
     assert all(0 <= r.cid < sim.IVF_K for r in rows)
+
+
+def test_pagerank_is_a_damped_distribution(spark, sf_dir):
+    rows = sim.pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    assert n == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    total = sum(r.rank_nano for r in rows)
+    # sums to 1e9 nanos minus integer-truncation dust (each of the 10
+    # rounds truncates <= 1 nano at up to 2n division sites)
+    assert 0.98e9 < total <= 1.0e9 + n
+    assert all(r.rank_nano > 0 for r in rows)
+    for r in rows:
+        assert abs(r.rank - r.rank_nano / 1e9) < 1e-15
+    # fixed-point arithmetic: a second run is bit-identical
+    again = {r.node: r.rank_nano for r in sim.pagerank(spark, sf_dir).collect()}
+    assert {r.node: r.rank_nano for r in rows} == again

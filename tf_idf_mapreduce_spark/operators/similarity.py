@@ -675,3 +675,77 @@ def ivf_recall(
             / 1_000_000
         ).alias("recall"),
     )
+
+
+#: PageRank over the exact kNN graph: damping (as an integer percent)
+#: and a fixed iteration count — both replayed verbatim by the oracle.
+PAGERANK_DAMP_PCT = 85
+PAGERANK_ITERS = 10
+
+
+def pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = PAGERANK_ITERS,
+    damp_pct: int = PAGERANK_DAMP_PCT,
+) -> DataFrame:
+    """PageRank over the k-NN similarity graph — the centrality pass that
+    finds hub documents in a semantic neighborhood graph (retrieval-free
+    importance ranking, diversity sampling seeds, dedup keeper choice).
+
+    Pure DataFrame iteration: per round ONE join of the rank vector onto
+    the edge list, one groupBy to sum inbound contributions, one left
+    join back onto the node set for rank-sinkless nodes. Every node of a
+    k-NN graph has out-degree exactly k, so the contribution is rank/k
+    with no out-degree join.
+
+    Arithmetic is FIXED-POINT: ranks live as BIGINT nano-units and every
+    step is integer division — sums of integers are order-independent, so
+    the iteration is bit-exact across partitionings AND engines (the @6dp
+    float grid used elsewhere still leaks ~1e-9 boundary flips after 10
+    compounding rounds; integers cannot). Truncation bias is ≤1 nano per
+    step — invisible at rank scale. At 100 TB the per-round lineage grows
+    linearly; checkpoint every few rounds (the k-means loop's
+    ``localCheckpoint`` note applies verbatim).
+
+    Returns (node, rank_nano BIGINT, rank double = rank_nano/1e9);
+    Σ rank ≈ 1 (damped, minus truncation dust).
+    """
+    # the edge list feeds every iteration's join — materialize it once or
+    # the tile kernel re-runs per round (10x the graph build)
+    edges = (
+        knn_graph(spark, sf_dir)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+
+    k = KNN_K
+    base_nano = (100 - damp_pct) * 10_000_000  # (1-d) * 1e9
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.expr("CAST(1000000000 AS BIGINT) div n").alias("rank_nano")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr(f"rank_nano div {k}")).alias("inbound"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base_nano} AS BIGINT) div n"
+                    f" + ({damp_pct} * coalesce(inbound, CAST(0 AS BIGINT))"
+                    f" + 50) div 100"
+                ).alias("rank_nano"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_nano",
+        (F.col("rank_nano") / 1_000_000_000).alias("rank"),
+    )
