@@ -900,6 +900,39 @@ def _pagerank_sql(iters: int, damp_pct: int, k: int) -> str:
     )
 
 
+def _ppr_sql(iters: int, damp_pct: int, k: int, seed: int) -> str:
+    """Oracle for ``similarity.personalized_pagerank`` — the
+    ``_pagerank_sql`` replay with all restart mass teleporting to the
+    seed node instead of spreading uniformly."""
+    base_nano = (100 - damp_pct) * 10_000_000
+    ctes = [
+        f"g AS ({_knn_graph_sql(k)})",
+        "edges AS (SELECT vec_a AS src, vec_b AS dst FROM g)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"""r0 AS (SELECT node,
+                   CAST(CASE WHEN node = {seed} THEN 1000000000 ELSE 0 END
+                     AS BIGINT) AS rank_nano FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT nd.node,
+                 CAST(CASE WHEN nd.node = {seed} THEN {base_nano} ELSE 0 END
+                      + ({damp_pct} * coalesce(c.inbound, 0) + 50) // 100
+                   AS BIGINT) AS rank_nano
+          FROM nodes nd
+          LEFT JOIN (SELECT e.dst AS node,
+                            sum(r.rank_nano // {k}) AS inbound
+                     FROM edges e JOIN r{i-1} r ON r.node = e.src
+                     GROUP BY e.dst) c ON c.node = nd.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, rank_nano,
+               CAST(rank_nano AS DOUBLE) / 1000000000 AS rank
+        FROM r{iters}"""
+    )
+
+
 def _lang_id_sql() -> str:
     hit_cols = ", ".join(
         f"CAST(len(list_filter(words, w -> w IN "
@@ -1064,6 +1097,10 @@ _LLMDATA_ORACLE: dict[str, str] = {
     "sim_ivf_histogram": _ivf_histogram_sql(),
     "sim_pagerank": _pagerank_sql(
         sim.PAGERANK_ITERS, sim.PAGERANK_DAMP_PCT, sim.KNN_K
+    ),
+    "sim_personalized_pagerank": _ppr_sql(
+        sim.PAGERANK_ITERS, sim.PAGERANK_DAMP_PCT, sim.KNN_K,
+        sim.DEFAULT_QUERY_VEC,
     ),
     "sim_label_centroids": f"""
         SELECT label, i - 1 AS dim,
@@ -2182,6 +2219,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_graph_ann": sim.knn_graph_ann,
         "sim_knn_ann_recall": sim.knn_ann_recall,
         "sim_pagerank": sim.pagerank,
+        "sim_personalized_pagerank": sim.personalized_pagerank,
         "sim_lsh_recall": sim.lsh_recall,
         # --- LLM-data pipeline: text analysis ---
         "text_lang_id": ts.lang_id,

@@ -24,6 +24,9 @@ QUERIES = [
     "dedup_clusters",
     "sim_knn_graph_ann",
     "temporal_asof_join",
+    # fixed-point iteration: integer sums make it BIT-exact, not just
+    # value-equal, under any partitioning
+    "sim_pagerank",
 ]
 
 

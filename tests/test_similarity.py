@@ -266,3 +266,19 @@ def test_pagerank_is_a_damped_distribution(spark, sf_dir):
     # fixed-point arithmetic: a second run is bit-identical
     again = {r.node: r.rank_nano for r in sim.pagerank(spark, sf_dir).collect()}
     assert {r.node: r.rank_nano for r in rows} == again
+
+
+def test_personalized_pagerank_decays_from_seed(spark, sf_dir):
+    rows = {r.node: r.rank_nano for r in
+            sim.personalized_pagerank(spark, sf_dir).collect()}
+    seed = sim.DEFAULT_QUERY_VEC
+    # the seed holds the largest rank (all restart mass returns to it)
+    assert rows[seed] == max(rows.values())
+    # mass reaches beyond the seed (multi-hop spread), but not everywhere
+    n_reached = sum(1 for v in rows.values() if v > 0)
+    assert 1 < n_reached < len(rows)
+    # direct kNN neighbors of the seed outrank the typical non-neighbor
+    nbrs = {r.vec_b for r in sim.knn_graph(spark, sf_dir).collect()
+            if r.vec_a == seed}
+    non = [v for k, v in rows.items() if k != seed and k not in nbrs]
+    assert min(rows[b] for b in nbrs) > sorted(non)[len(non) // 2]

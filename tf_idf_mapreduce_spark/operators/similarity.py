@@ -749,3 +749,62 @@ def pagerank(
         "rank_nano",
         (F.col("rank_nano") / 1_000_000_000).alias("rank"),
     )
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    seed_vec_id: int = DEFAULT_QUERY_VEC,
+    iters: int = PAGERANK_ITERS,
+    damp_pct: int = PAGERANK_DAMP_PCT,
+) -> DataFrame:
+    """Random walk with restart from ONE seed node over the k-NN graph —
+    graph-walk similarity ("related items"): unlike cosine top-k it
+    rewards multi-hop connectivity, surfacing items similar to the
+    seed's whole NEIGHBORHOOD rather than to its raw vector.
+
+    Same fixed-point BIGINT-nano iteration as ``pagerank`` (bit-exact
+    across engines and partitionings); only the teleport differs — all
+    restart mass returns to the seed instead of spreading uniformly.
+    Returns (node, rank_nano, rank); the seed holds the lion's share and
+    mass decays with hop distance.
+    """
+    edges = (
+        knn_graph(spark, sf_dir)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+
+    k = KNN_K
+    base_nano = (100 - damp_pct) * 10_000_000  # (1-d) * 1e9, all to the seed
+    seed = F.when(F.col("node") == seed_vec_id, F.lit(1_000_000_000)).otherwise(
+        F.lit(0)
+    )
+    ranks = nodes.select("node", seed.cast("long").alias("rank_nano"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr(f"rank_nano div {k}")).alias("inbound"))
+        )
+        teleport = F.when(
+            F.col("node") == seed_vec_id, F.lit(base_nano)
+        ).otherwise(F.lit(0))
+        ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                teleport.cast("long")
+                + F.expr(
+                    f"({damp_pct} * coalesce(inbound, CAST(0 AS BIGINT))"
+                    f" + 50) div 100"
+                )
+            ).alias("rank_nano"),
+        )
+    return ranks.select(
+        "node",
+        "rank_nano",
+        (F.col("rank_nano") / 1_000_000_000).alias("rank"),
+    )
