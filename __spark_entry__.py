@@ -1880,6 +1880,29 @@ _CURATION_ORACLE: dict[str, str] = {
         SELECT doc_id, {_PII_COUNTS_SQL}, ({_PII_SUM_SQL}) > 0 AS has_pii
         FROM documents
     """,
+    # Flesch terms written in the same operation order as the Spark
+    # expression (left-assoc subtractions, per-term double division) —
+    # identical IEEE sequence, then the shared floor-@6dp grid
+    "text_readability": f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len({_WORDS_SQL}) AS DOUBLE) AS w,
+                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS DOUBLE) AS s,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS DOUBLE) AS syl
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS n_words,
+               CAST(s AS BIGINT) AS n_sentences,
+               CAST(syl AS BIGINT) AS n_syllables,
+               CASE WHEN w > 0 THEN
+                 floor((206.835 - 1.015*(w/s) - 84.6*(syl/w))*1000000
+                       + 0.5)/1000000
+               END AS flesch
+        FROM c
+    """,
     "text_repetition": f"""
         WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
         wr AS (SELECT doc_id, unnest(words) AS w FROM docs),
@@ -2230,6 +2253,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams": ts.bigram_stats,
         "text_zipf": ts.zipf_fit,
         "text_lm_score": ts.lm_doc_scores,
+        "text_readability": ts.readability,
         "text_pii_scan": cur.pii_scan,
         "text_repetition": cur.repetition_scores,
         # --- LLM-data pipeline: corpus curation ---

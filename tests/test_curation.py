@@ -278,3 +278,21 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     corpus_mean = sum(toks.values()) / len(toks)
     sample_mean = sum(toks[r.doc_id] for r in sample) / len(sample)
     assert sample_mean > corpus_mean
+
+
+def test_readability_terms_consistent(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.textstats import readability
+
+    rows = readability(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sentences >= 1
+        if r.n_words == 0:
+            assert r.flesch is None
+        else:
+            want = (
+                206.835
+                - 1.015 * (r.n_words / r.n_sentences)
+                - 84.6 * (r.n_syllables / r.n_words)
+            )
+            assert abs(r.flesch - want) < 1e-6

@@ -318,3 +318,38 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             mean6.alias("lm_score"),
         )
     )
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Flesch reading-ease estimate — the classic readability
+    quality signal (a pre-training filter axis orthogonal to length,
+    repetition and stopword ratios): 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/words). Syllables are approximated as vowel-letter
+    groups (the standard cheap estimator); sentences as terminal-
+    punctuation runs, floored at 1. Map-only — three regex counts per
+    row inside codegen, no shuffle; zero-word docs emit NULL score.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(norm_words(F.col("text"))).cast("double")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("double")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return d.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.when(
+            words > 0,
+            F.floor(score * 1_000_000 + F.lit(0.5)) / 1_000_000,
+        ).alias("flesch"),
+    )
