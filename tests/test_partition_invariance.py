@@ -11,8 +11,6 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-SF = "/root/testdata/sf0.001"
-
 # the operators whose implementations most plausibly COULD leak a
 # partitioning dependence: numpy tile kernels, two-phase prefix sums,
 # iterative convergence loops, window tiebreaks, sampling top-k
@@ -27,25 +25,28 @@ QUERIES = [
     # fixed-point iteration: integer sums make it BIT-exact, not just
     # value-equal, under any partitioning
     "sim_pagerank",
+    # k-means fit sums members via Spark partial sums — the @6dp grid
+    # must absorb the partition-count-dependent association order
+    "sim_ivf_topk",
 ]
 
 
-def _rows(spark, name):
-    df = entrymod.queries()[name](spark, SF)
+def _rows(spark, sf_dir, name):
+    df = entrymod.queries()[name](spark, sf_dir)
     return sorted(map(tuple, df.collect()))
 
 
 @pytest.mark.parametrize("name", QUERIES)
-def test_results_invariant_to_shuffle_partitioning(spark, name):
+def test_results_invariant_to_shuffle_partitioning(spark, sf_dir, name):
     orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
     orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        a = _rows(spark, name)
+        a = _rows(spark, sf_dir, name)
         spark.conf.set("spark.sql.shuffle.partitions", "17")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-        b = _rows(spark, name)
+        b = _rows(spark, sf_dir, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
         spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)

@@ -458,16 +458,20 @@ def embedding_near_pairs(
         def unpack(cell):
             ids = np.array([v["vec_id"] for v in cell], dtype="int64")
             mat = np.stack([v["embedding"] for v in cell]).astype("float64")
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            return ids, mat
+            return ids, mat, np.linalg.norm(mat, axis=1)
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ids_a, mat_a = unpack(row["vecs_a"])
-                ids_b, mat_b = unpack(row["vecs_b"])
-                # floor(x*1e6 + 0.5)/1e6, matching the oracle op for op
-                # (np.round's scaled half-even can differ by 1e-6)
-                sims = np.floor((mat_a @ mat_b.T) * 1e6 + 0.5) / 1e6
+                ids_a, mat_a, nrm_a = unpack(row["vecs_a"])
+                ids_b, mat_b, nrm_b = unpack(row["vecs_b"])
+                # unnormalized dot / norm outer product, then
+                # floor(x*1e6 + 0.5)/1e6 — the oracle's dot/(|a|·|b|)
+                # IEEE sequence op for op (np.round's scaled half-even can
+                # differ by 1e-6), tile-shape-independent per pair
+                sims = (
+                    np.floor((mat_a @ mat_b.T) / np.outer(nrm_a, nrm_b) * 1e6 + 0.5)
+                    / 1e6
+                )
                 ia, ib = np.nonzero(sims >= min_cosine)
                 va, vb = ids_a[ia], ids_b[ib]
                 keep = va < vb  # dedup within the diagonal tile, order pairs

@@ -198,7 +198,10 @@ def doc_similarity(
         def densify(n, rows, cols, wts, width):
             mat = np.zeros((n, width), dtype="float64")
             pres = np.zeros((n, width), dtype="float64")
-            mat[rows, cols] = wts
+            # np.add.at, not fancy-index assignment (last-write-wins): an
+            # xxhash64 collision then actually MERGES the two words'
+            # weights — deterministic, and what the docstring promises
+            np.add.at(mat, (rows, cols), wts)
             pres[rows, cols] = 1.0  # term PRESENT, even at weight 0
             return mat, pres
 

@@ -178,9 +178,15 @@ def lsh_bucket_pairs(
             for cell in pdf["vecs"]:
                 ids = np.array([v["vec_id"] for v in cell], dtype="int64")
                 mat = np.stack([v["embedding"] for v in cell]).astype("float64")
-                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+                # dot UNNORMALIZED, divide by the norm outer product — the
+                # oracle's dot/(|a|·|b|) IEEE sequence op for op, and each
+                # pair's value is independent of which bucket scored it (a
+                # pre-normalized matmul folds the divide into every product
+                # term, a different sequence that can drift ~1 ulp near a
+                # half-up 1e-6 boundary and break the cross-band distinct)
+                nrm = np.linalg.norm(mat, axis=1)
                 # floor(x*1e6+0.5)/1e6 — the oracle's formula op for op
-                sims = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
+                sims = np.floor((mat @ mat.T) / np.outer(nrm, nrm) * 1e6 + 0.5) / 1e6
                 ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (sims >= thr))
                 if len(ia):
                     yield pd.DataFrame(
@@ -477,16 +483,19 @@ def knn_graph(
         def unpack(cell):
             ids = np.array([v["vec_id"] for v in cell], dtype="int64")
             mat = np.stack([v["embedding"] for v in cell]).astype("float64")
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            return ids, mat
+            return ids, mat, np.linalg.norm(mat, axis=1)
 
         for pdf in batches:
             for _, row in pdf.iterrows():
-                ids_a, mat_a = unpack(row["vecs_a"])
-                ids_b, mat_b = unpack(row["vecs_b"])
-                # floor(x*1e6 + 0.5)/1e6, matching the oracle's formula op
-                # for op (np.round's scaled half-even can differ by 1e-6)
-                sims = np.floor((mat_a @ mat_b.T) * 1e6 + 0.5) / 1e6
+                ids_a, mat_a, nrm_a = unpack(row["vecs_a"])
+                ids_b, mat_b, nrm_b = unpack(row["vecs_b"])
+                # unnormalized dot / norm outer product, then
+                # floor(x*1e6 + 0.5)/1e6 — the oracle's dot/(|a|·|b|)
+                # sequence op for op, pair value independent of tile shape
+                sims = (
+                    np.floor((mat_a @ mat_b.T) / np.outer(nrm_a, nrm_b) * 1e6 + 0.5)
+                    / 1e6
+                )
                 # exclude self-edges on the diagonal tile
                 self_mask = ids_a[:, None] == ids_b[None, :]
                 sims[self_mask] = -np.inf
@@ -553,8 +562,12 @@ def knn_graph_ann(
             for cell in pdf["vecs"]:
                 ids = np.array([v["vec_id"] for v in cell], dtype="int64")
                 mat = np.stack([v["embedding"] for v in cell]).astype("float64")
-                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-                sims = np.floor((mat @ mat.T) * 1e6 + 0.5) / 1e6
+                # unnormalized dot / norm outer product: same IEEE sequence
+                # as the oracle AND as lsh_bucket_pairs, so a pair's cosine
+                # is identical in every bucket that scores it (the cross-
+                # band distinct depends on that)
+                nrm = np.linalg.norm(mat, axis=1)
+                sims = np.floor((mat @ mat.T) / np.outer(nrm, nrm) * 1e6 + 0.5) / 1e6
                 np.fill_diagonal(sims, -np.inf)
                 # per-row k best in this bucket by (cos desc, vec_b asc)
                 order = np.lexsort(

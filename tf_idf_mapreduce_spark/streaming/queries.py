@@ -334,9 +334,15 @@ def _events_split_dir(spark: SparkSession, sf_dir: str) -> str:
     cached = _EVENTS_SPLIT_CACHE.get(sf_dir)
     if cached is not None:
         return cached
+    # nanos-typed fixtures need the legacy long read (same as load_events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     split_dir = tempfile.mkdtemp(prefix="stream_split_ev_")
-    raw.repartitionByRange(4, "ts").write.mode("overwrite").parquet(split_dir)
+    # range-partition on whichever time column THIS raw variant carries —
+    # normalize_events accepts either a ts (long nanos or timestamp) or a
+    # ts_ns fixture shape, and the split must too
+    tcol = "ts" if "ts" in raw.columns else "ts_ns"
+    raw.repartitionByRange(4, tcol).write.mode("overwrite").parquet(split_dir)
     if not _EVENTS_SPLIT_CACHE:
         atexit.register(
             lambda: [
