@@ -36,6 +36,27 @@ def _rows(spark, sf_dir, name):
     return sorted(map(tuple, df.collect()))
 
 
+def test_pagerank_deep_iteration_invariant(spark, sf_dir):
+    """25 rounds crosses several checkpoint boundaries
+    (PAGERANK_CHECKPOINT_EVERY=4): lineage truncation must not change a
+    single nano-unit, under either partitioning."""
+    from tf_idf_mapreduce_spark.operators.similarity import pagerank
+
+    orig_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        a = sorted(map(tuple, pagerank(spark, sf_dir, iters=25).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        b = sorted(map(tuple, pagerank(spark, sf_dir, iters=25).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+    assert a == b, "deep pagerank depends on partitioning"
+
+
 @pytest.mark.parametrize("name", QUERIES)
 def test_results_invariant_to_shuffle_partitioning(spark, sf_dir, name):
     orig_parts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -694,6 +694,10 @@ def ivf_recall(
 #: and a fixed iteration count — both replayed verbatim by the oracle.
 PAGERANK_DAMP_PCT = 85
 PAGERANK_ITERS = 10
+#: truncate the rank relation's lineage every N rounds — each round adds
+#: a join+agg+join layer, and past ~15 un-checkpointed layers Catalyst
+#: re-analysis dominates and the driver stack grows unboundedly
+PAGERANK_CHECKPOINT_EVERY = 4
 
 
 def pagerank(
@@ -717,9 +721,11 @@ def pagerank(
     the iteration is bit-exact across partitionings AND engines (the @6dp
     float grid used elsewhere still leaks ~1e-9 boundary flips after 10
     compounding rounds; integers cannot). Truncation bias is ≤1 nano per
-    step — invisible at rank scale. At 100 TB the per-round lineage grows
-    linearly; checkpoint every few rounds (the k-means loop's
-    ``localCheckpoint`` note applies verbatim).
+    step — invisible at rank scale. The per-round lineage grows linearly,
+    so the rank relation is ``localCheckpoint``ed every
+    ``PAGERANK_CHECKPOINT_EVERY`` rounds (lazy — materializes with the
+    next round's join), bounding plan depth at any iteration count; the
+    same cadence ``connected_components`` uses per round.
 
     Returns (node, rank_nano BIGINT, rank double = rank_nano/1e9);
     Σ rank ≈ 1 (damped, minus truncation dust).
@@ -739,7 +745,7 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", F.expr("CAST(1000000000 AS BIGINT) div n").alias("rank_nano")
     )
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -757,6 +763,8 @@ def pagerank(
                 ).alias("rank_nano"),
             )
         )
+        if (i + 1) % PAGERANK_CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         "rank_nano",
@@ -795,7 +803,7 @@ def personalized_pagerank(
         F.lit(0)
     )
     ranks = nodes.select("node", seed.cast("long").alias("rank_nano"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -816,6 +824,8 @@ def personalized_pagerank(
                 )
             ).alias("rank_nano"),
         )
+        if (i + 1) % PAGERANK_CHECKPOINT_EVERY == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         "rank_nano",
