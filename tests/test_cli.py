@@ -51,3 +51,57 @@ def test_cli_total_docs_override(tmp_path):
     rc, scores = _run(tmp_path, extra=["--force", "--total-docs", "10"])
     assert rc == 0
     assert math.isclose(scores[("room", "b.txt")], 1 / 2 * math.log(10 / 1), rel_tol=1e-12)
+
+
+def _read_lines(out_dir):
+    lines = []
+    for part in sorted(out_dir.glob("part-*")):
+        lines += [l for l in part.read_text().splitlines() if l]
+    return lines
+
+
+def test_cli_per_stage_chain_equals_pipeline(tmp_path):
+    """Reference entry-point-2 parity: wordcount → counttf → calctfidf →
+    sortbyvalue chained through the KV-text interchange format (the
+    .vscode/launch.json workflow) must reproduce the one-shot pipeline's
+    final output byte for byte — every stage's parse/format round-trips."""
+    inp = tmp_path / "input"
+    inp.mkdir()
+    (inp / "a.txt").write_text("spark spark engine\nthe quick fox")
+    (inp / "b.txt").write_text("engine room\nthe slow fox fox")
+    (inp / "c.txt").write_text("quick quick room\n")
+    (inp / "empty.txt").write_text("")  # raises total_docs, emits no rows
+
+    one_shot = tmp_path / "oneshot"
+    assert main([str(inp), str(one_shot)]) == 0
+
+    s1, s2, s3, s4 = (tmp_path / f"stage{i}" for i in range(1, 5))
+    assert main(["wordcount", str(inp), str(s1)]) == 0
+    assert main(["counttf", str(s1), str(s2)]) == 0
+    assert main(["calctfidf", str(s2), str(s3), "--total-docs", "4"]) == 0
+    assert main(["sortbyvalue", str(s3), str(s4)]) == 0
+
+    assert _read_lines(s4) == _read_lines(one_shot / "SortedTFIDF")
+
+
+def test_cli_stage_refuses_existing_output(tmp_path):
+    inp = tmp_path / "input"
+    inp.mkdir()
+    (inp / "a.txt").write_text("alpha beta")
+    out = tmp_path / "wc"
+    assert main(["wordcount", str(inp), str(out)]) == 0
+    assert main(["wordcount", str(inp), str(out)]) == 1
+    assert main(["wordcount", str(inp), str(out), "--force"]) == 0
+
+
+def test_cli_wordcount_stage_output_format(tmp_path):
+    inp = tmp_path / "input"
+    inp.mkdir()
+    (inp / "a.txt").write_text("alpha beta alpha")
+    out = tmp_path / "wc"
+    assert main(["wordcount", str(inp), str(out)]) == 0
+    rows = dict(
+        (tuple(l.split("\t")[0].split("|")), int(l.split("\t")[1]))
+        for l in _read_lines(out)
+    )
+    assert rows == {("alpha", "a.txt"): 2, ("beta", "a.txt"): 1}

@@ -1,22 +1,40 @@
-"""Command-line driver mirroring the reference's entry point
-(TfidfMapReduce.main, TfidfMapReduce.java:36-100): a directory of text
-files in, the sorted ``word|doc TAB tfidf`` relation out.
+"""Command-line drivers mirroring the reference's TWO entry-point styles.
 
-Parity choices:
+1. **Full pipeline** (TfidfMapReduce.main, TfidfMapReduce.java:36-100):
+   a directory of text files in, the sorted ``word|doc TAB tfidf``
+   relation out — ``python -m tf_idf_mapreduce_spark <input> <output>``.
+
+2. **Per-stage jobs** (each reference class has its own ``main``, chained
+   via ``.vscode/launch.json``: WordCount.java:161-170, CountTF.java:143-152,
+   CalcTFIDF.java:174-183, SortByValue.java:134-143), consuming/emitting the
+   KV-text interchange format between stages so a user can migrate one job
+   at a time, pointing each Spark stage at a reference stage's output dir
+   or vice versa:
+
+   - ``wordcount <text_dir> <out>``     → ``word|doc TAB count``
+   - ``counttf <in> <out>``             → ``word|doc TAB count|doc_total``
+     (the ``count|totalWordsInDocument`` packed value, CountTF.java:107)
+   - ``calctfidf <in> <out> --total-docs N`` → ``word|doc TAB tfidf``
+     (totalDocs is an argv parameter exactly as CalcTFIDF.java:174-183)
+   - ``sortbyvalue <in> <out>``         → same, globally sorted desc
+
+Parity choices (both styles):
 - doc identity = file basename (WordCount.java:89);
 - total_docs = directory-entry count (TfidfMapReduce.java:51) — empty or
   unreadable files still raise the denominator — overridable with
-  ``--total-docs`` (the per-stage CLI parity, CalcTFIDF.java:174-183);
-- output format = ``key TAB value`` text with the ``word|doc`` packed key
-  (TextOutputFormat, SortByValue.java:93,123), written to
+  ``--total-docs``;
+- output format = ``key TAB value`` text with packed ``|`` keys
+  (TextOutputFormat, SortByValue.java:93,123); the full pipeline writes to
   ``<output>/SortedTFIDF/`` — the reference driver's final-job directory
-  (TfidfMapReduce.java:66-69), so tooling pointed at its layout finds the
-  result;
+  (TfidfMapReduce.java:66-69) — while per-stage jobs write to ``<out>``
+  directly like the standalone reference mains;
 - existing output: refuse unless ``--force`` (the reference interactively
-  confirms then deletes, TfidfMapReduce.java:55-60 — a CLI artifact made
-  non-interactive here).
-
-Usage: ``python -m tf_idf_mapreduce_spark <input_dir> <output_dir>``
+  confirms then deletes, TfidfMapReduce.java:55-60 — non-interactive here);
+- the packed-key format inherits the reference's documented hazard
+  (SURVEY.md §1): a token containing a literal ``|`` corrupts the key
+  split at the NEXT stage's parse. The in-memory pipeline keeps real
+  columns and is immune; the interchange format is faithful, hazard and
+  all.
 """
 
 from __future__ import annotations
@@ -25,18 +43,112 @@ import argparse
 import os
 import sys
 
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.tokenize import tokenize
 from .operators.tfidf import doc_freq, doc_totals, tfidf, tfidf_sorted, word_count
 from .session import get_spark
-from .sources.io import read_text_corpus, write_kv_text
+from .sources.io import read_kv_text, read_text_corpus, write_kv_text
+
+STAGES = ("wordcount", "counttf", "calctfidf", "sortbyvalue")
+
+
+def _check_out(path: str, force: bool) -> bool:
+    if os.path.exists(path) and not force:
+        print(f"output {path} exists; pass --force to overwrite", file=sys.stderr)
+        return False
+    return True
+
+
+def _unpack_key(kv: DataFrame) -> DataFrame:
+    """Recover (word, doc) from the packed ``word|doc`` key — the stage
+    boundary re-parse every reference job opens with (split("\\|"),
+    CountTF.java:58, CalcTFIDF.java:67, SortByValue.java:45)."""
+    return kv.select(
+        F.substring_index("key", "|", 1).alias("word"),
+        F.substring_index("key", "|", -1).alias("doc"),
+        "val",
+    )
+
+
+def _stage_wordcount(spark: SparkSession, args: argparse.Namespace) -> None:
+    wc = word_count(tokenize(read_text_corpus(spark, args.input)))
+    write_kv_text(wc, args.output, ["word", "doc"], "count")
+
+
+def _stage_counttf(spark: SparkSession, args: argparse.Namespace) -> None:
+    parsed = _unpack_key(read_kv_text(spark, args.input)).select(
+        "word", "doc", F.col("val").cast("long").alias("count")
+    )
+    packed = doc_totals(parsed).withColumn(
+        "cv", F.concat_ws("|", "count", "doc_total")
+    )
+    write_kv_text(packed, args.output, ["word", "doc"], "cv")
+
+
+def _stage_calctfidf(spark: SparkSession, args: argparse.Namespace) -> None:
+    parsed = _unpack_key(read_kv_text(spark, args.input)).select(
+        "word",
+        "doc",
+        F.substring_index("val", "|", 1).cast("long").alias("count"),
+        F.substring_index("val", "|", -1).cast("long").alias("doc_total"),
+    )
+    scored = tfidf(doc_freq(parsed), F.lit(args.total_docs))
+    write_kv_text(scored, args.output, ["word", "doc"], "tfidf")
+
+
+def _stage_sortbyvalue(spark: SparkSession, args: argparse.Namespace) -> None:
+    parsed = _unpack_key(read_kv_text(spark, args.input)).select(
+        "word", "doc", F.col("val").cast("double").alias("tfidf")
+    )
+    write_kv_text(tfidf_sorted(parsed), args.output, ["word", "doc"], "tfidf")
+
+
+_STAGE_FN = {
+    "wordcount": _stage_wordcount,
+    "counttf": _stage_counttf,
+    "calctfidf": _stage_calctfidf,
+    "sortbyvalue": _stage_sortbyvalue,
+}
+
+
+def _stage_main(argv: list[str]) -> int:
+    stage = argv[0]
+    p = argparse.ArgumentParser(
+        prog=f"tf_idf_mapreduce_spark {stage}",
+        description=f"reference job {stage} over the KV-text interchange format",
+    )
+    p.add_argument("input", help="input directory (text corpus or prior stage)")
+    p.add_argument("output", help="output directory (key TAB value lines)")
+    if stage == "calctfidf":
+        p.add_argument(
+            "--total-docs",
+            type=int,
+            required=True,
+            help="corpus size N for idf=ln(N/df) (argv parity, CalcTFIDF.java:174-183)",
+        )
+    p.add_argument("--force", action="store_true", help="overwrite existing output")
+    p.add_argument("--master", default=None, help="Spark master (default local[N])")
+    args = p.parse_args(argv[1:])
+    if not _check_out(args.output, args.force):
+        return 1
+    spark = get_spark(app_name=f"tfidf-{stage}", master=args.master)
+    _STAGE_FN[stage](spark, args)
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else list(argv)
+    if argv and argv[0] in STAGES:
+        return _stage_main(argv)
+
     p = argparse.ArgumentParser(
         prog="tf_idf_mapreduce_spark",
-        description="TF-IDF over a directory of text documents (Spark-native)",
+        description=(
+            "TF-IDF over a directory of text documents (Spark-native); "
+            f"per-stage jobs: {', '.join(STAGES)}"
+        ),
     )
     p.add_argument("input", help="directory of text files (one doc per file)")
     p.add_argument("output", help="output directory (word|doc TAB tfidf lines)")
@@ -50,11 +162,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--master", default=None, help="Spark master (default local[N])")
     args = p.parse_args(argv)
 
-    if os.path.exists(args.output) and not args.force:
-        print(
-            f"output {args.output} exists; pass --force to overwrite",
-            file=sys.stderr,
-        )
+    if not _check_out(args.output, args.force):
         return 1
 
     total_docs = (
