@@ -955,6 +955,10 @@ def _lang_id_sql() -> str:
 
 _STOP_IN = ", ".join(repr(w) for w in STOPWORDS_EN)
 
+#: the synthetic-PPM pixel chain (multimodal.ppm_from_documents / 12 =
+#: PPM_BLOCKS md5 blocks), replayed in SQL for the mm_resize oracle
+_PPM_HEXPIX = " || ".join(f"md5(text || ':{i}')" for i in range(12))
+
 _LLMDATA_ORACLE: dict[str, str] = {
     "dedup_exact": """
         SELECT md5(text) AS content_hash, count(*) AS n_docs,
@@ -1250,6 +1254,34 @@ _LLMDATA_ORACLE: dict[str, str] = {
                 / greatest(any_value(n_bytes), 1), 6) AS share
         FROM bytes, (SELECT unnest(generate_series(0, 15)) AS bucket) bk
         GROUP BY doc_id, bucket
+    """,
+    # replay the synthetic-P6 construction + red-channel stride sample:
+    # pixel (sr,sc)'s red byte lives at hex chars 2*3*(sr*s+sc)+1..+2 of
+    # the md5 chain; the digest convention is md5(uppercase-hex(thumb)),
+    # same as frame_md5. If the Spark-side P6 header parse or raster
+    # addressing were wrong, every digest here would diverge.
+    "mm_resize": f"""
+        WITH px AS (
+          SELECT doc_id,
+                 4 + (doc_id % 5) AS s,
+                 upper({_PPM_HEXPIX}) AS hexpix
+          FROM documents
+        ),
+        samples AS (
+          SELECT p.doc_id, p.s, r.r, c.c,
+                 substr(p.hexpix,
+                        CAST(6 * ((r.r * p.s // 8) * p.s + (c.c * p.s // 8))
+                             + 1 AS INT), 2) AS byte_hex
+          FROM px p,
+               (SELECT unnest(generate_series(0, 7)) AS r) r,
+               (SELECT unnest(generate_series(0, 7)) AS c) c
+        )
+        SELECT doc_id,
+          CAST(s AS BIGINT) AS src_side,
+          CAST(8 AS BIGINT) AS thumb_side,
+          md5(string_agg(byte_hex, '' ORDER BY r, c)) AS thumb_md5
+        FROM samples
+        GROUP BY doc_id, s
     """,
 }
 
@@ -2272,8 +2304,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_stats": mm.media_stats,
         "mm_frame_sample": mm.frame_sample,
         "mm_features": mm.media_features,
-        # rows-only (stride-sampling thumbnail via mapInPandas; the stub
-        # bitmap interpretation has no SQL twin)
+        # real P6 PPM decode (header parse + raster addressing) over a
+        # synthetic-but-valid image column; full value-hash oracle
         "mm_resize": mm.media_resize,
         # --- Structured Streaming (each runs availableNow to completion;
         #     streaming answer must equal the batch/oracle answer) ---

@@ -8,11 +8,14 @@ import hashlib
 
 from tf_idf_mapreduce_spark.operators.multimodal import (
     N_FEATURES,
+    PPM_BLOCKS,
     THUMB_SIDE,
     decode_media,
+    decode_ppm,
     extract_media_features,
     frame_sample,
     media_from_documents,
+    ppm_from_documents,
     resize_thumbnails,
 )
 
@@ -75,7 +78,9 @@ def test_resize_thumbnails_stride_sampling(spark):
     for row in range(8):
         for c in range(8):
             expected.append(payload[(row * 16 // 8) * 16 + (c * 16 // 8)])
-    assert r.thumb_md5 == hashlib.md5(bytes(expected)).hexdigest()
+    # digest of the uppercase-hex rendering (engine-portable, same
+    # convention as frame_sample's frame_md5)
+    assert r.thumb_md5 == hashlib.md5(bytes(expected).hex().upper().encode()).hexdigest()
 
 
 def test_resize_strict_mode_raises(spark):
@@ -94,3 +99,49 @@ def test_media_binary_roundtrip(spark):
     r = media_from_documents(docs).head()
     assert bytes(r.media).decode("utf-8") == "héllo"
     assert r.n_bytes == 6  # é is 2 bytes in UTF-8
+
+
+def test_decode_ppm_parses_header_and_raster():
+    pix = bytes(range(3 * 2 * 2))
+    payload = b"P6\n# a comment\n2 2\n255\n" + pix
+    w, h, maxval, raster = decode_ppm(payload)
+    assert (w, h, maxval) == (2, 2, 255)
+    assert raster == pix
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + pix)  # grayscale PGM: not P6
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + pix)  # 2-byte channels
+
+
+def test_ppm_resize_matches_python_replay(spark):
+    """End-to-end hash parity: the Spark-side PPM build + real decode +
+    stride sample must equal a from-scratch Python replay of the same
+    deterministic arithmetic (what the DuckDB oracle does in SQL)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (3, "beta gamma"), (7, "")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r for r in resize_thumbnails(ppm_from_documents(docs)).collect()
+    }
+    for doc_id, text in [(0, "alpha"), (3, "beta gamma"), (7, "")]:
+        s = 4 + doc_id % 5
+        hexpix = "".join(
+            hashlib.md5(f"{text}:{i}".encode()).hexdigest() for i in range(PPM_BLOCKS)
+        )
+        pix = bytes.fromhex(hexpix)[: 3 * s * s]
+        thumb = bytearray()
+        for r in range(THUMB_SIDE):
+            for c in range(THUMB_SIDE):
+                sr, sc = r * s // THUMB_SIDE, c * s // THUMB_SIDE
+                thumb.append(pix[3 * (sr * s + sc)])
+        want = hashlib.md5(bytes(thumb).hex().upper().encode()).hexdigest()
+        assert got[doc_id].src_side == s
+        assert got[doc_id].thumb_md5 == want
+
+
+def test_ppm_strict_mode_decodes_for_real(spark):
+    """fake=False must now SUCCEED on P6 (a real codec exists for it) and
+    keep raising on opaque bytes — the documented seam."""
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    rows = resize_thumbnails(ppm_from_documents(docs), fake=False).collect()
+    assert rows and rows[0].src_side == 5

@@ -173,6 +173,10 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 THUMB_SIDE = 8
 
+#: 12 md5 blocks x 16 bytes = 192 bytes — exactly the 3·8·8 RGB payload
+#: of the largest synthetic PPM side (4 + doc_id % 5 ≤ 8).
+PPM_BLOCKS = 12
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -183,20 +187,105 @@ RESIZE_SCHEMA = StructType(
 )
 
 
+def ppm_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize a REAL binary P6 PPM image per document — valid header
+    (``P6\\n<w> <h>\\n255\\n``) + raw RGB triples — so the resize path
+    exercises an actual image format end-to-end with no codec libraries.
+
+    Pixel content is a deterministic md5 chain over the doc's text
+    (``md5(text || ':i')`` for i in 0..11, concatenated, unhexed,
+    truncated to 3·s² bytes) and the side is ``4 + doc_id % 5`` — both
+    replayable by a SQL oracle, which is what upgrades ``mm_resize``
+    from rows-only to a full value-hash check: if the Python P6 parser
+    mis-read the header or mis-addressed a pixel, the digests diverge.
+    All construction is JVM-side codegen (md5/unhex/concat) — no Python.
+    """
+    s = (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
+    hexpix = F.concat(
+        *[
+            F.md5(F.encode(F.concat(F.col("text"), F.lit(f":{i}")), "UTF-8"))
+            for i in range(PPM_BLOCKS)
+        ]
+    )
+    header = F.concat(
+        F.lit("P6\n"),
+        s.cast("string"),
+        F.lit(" "),
+        s.cast("string"),
+        F.lit("\n255\n"),
+    )
+    media = F.concat(
+        F.encode(header, "UTF-8"),
+        F.expr("substring(unhex(_hexpix), 1, 3 * _s * _s)"),
+    )
+    return (
+        documents.select("doc_id", s.alias("_s"), hexpix.alias("_hexpix"))
+        .select(
+            "doc_id",
+            media.alias("media"),
+            F.lit("image/x-portable-pixmap").alias("media_format"),
+        )
+        .withColumn("n_bytes", F.octet_length("media").cast("long"))
+    )
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Minimal dependency-free P6 PPM decoder: magic, whitespace/comment
+    -separated width/height/maxval, single whitespace, raw RGB triples.
+    Returns (width, height, maxval, pixel_bytes). The one real codec in
+    the container — anything else goes through the declared stub seam.
+    """
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    idx, vals = 2, []
+    while len(vals) < 3:
+        while idx < len(payload) and payload[idx : idx + 1].isspace():
+            idx += 1
+        if payload[idx : idx + 1] == b"#":  # header comment runs to EOL
+            while idx < len(payload) and payload[idx : idx + 1] != b"\n":
+                idx += 1
+            continue
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        vals.append(int(payload[start:idx]))
+    idx += 1  # exactly ONE whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("2-byte-per-channel PPM not supported")
+    return w, h, maxval, payload[idx : idx + 3 * w * h]
+
+
 def resize_thumbnails(
     media_df: DataFrame, side: int = THUMB_SIDE, *, fake: bool = True
 ) -> DataFrame:
-    """Image-resize plumbing (STUB decode): interpret the payload as a
-    square grayscale bitmap of side floor(sqrt(n_bytes)) and stride-sample
-    it down to ``side``x``side``. The sampling arithmetic and digests are
-    real; only the bitmap interpretation is fake — a real codec decode
-    slots into ``_thumb`` unchanged. ``fake=False`` raises, marking the
-    codec seam.
+    """Image-resize over binary media via Arrow-batched ``mapInPandas``.
+
+    P6 PPM payloads get a REAL decode (``decode_ppm`` — header parse +
+    raster addressing), then nearest-neighbor stride-sampling of the red
+    channel down to ``side`` x ``side``. Any other payload falls back to
+    the declared stub (interpret bytes as a square grayscale bitmap of
+    side floor(sqrt(n_bytes))) when ``fake=True``, or raises when
+    ``fake=False`` — the seam where a full codec (JPEG/PNG) plugs in.
+
+    The digest is md5 of the thumb's UPPERCASE-HEX rendering (not the raw
+    bytes) — the same engine-portable convention as ``frame_sample``'s
+    frame_md5, so a SQL oracle can replay it.
     """
 
     def _thumb(payload: bytes) -> tuple[int, bytes]:
+        if payload.startswith(b"P6"):
+            w, h, _maxval, pix = decode_ppm(payload)
+            if w == 0 or h == 0:
+                return 0, b""
+            out = bytearray()
+            for r in range(side):
+                for c in range(side):
+                    sr, sc = r * h // side, c * w // side
+                    out.append(pix[3 * (sr * w + sc)])  # red channel
+            return w, bytes(out)
         if not fake:
-            raise NotImplementedError("no image codec in this container")
+            raise NotImplementedError("no codec for this format in this container")
         src = int(len(payload) ** 0.5)
         if src == 0:
             return 0, b""
@@ -215,7 +304,7 @@ def resize_thumbnails(
             for payload in pdf["media"]:
                 src, thumb = _thumb(bytes(payload))
                 sides.append(src)
-                digests.append(hashlib.md5(thumb).hexdigest())
+                digests.append(hashlib.md5(thumb.hex().upper().encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -229,7 +318,9 @@ def resize_thumbnails(
 
 
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = media_from_documents(load_table(spark, sf_dir, "documents"))
+    """Thumbnail every document's synthetic P6 PPM — the REAL-codec resize
+    path (construction and expected digests fully SQL-replayable)."""
+    m = ppm_from_documents(load_table(spark, sf_dir, "documents"))
     return resize_thumbnails(m)
 
 
