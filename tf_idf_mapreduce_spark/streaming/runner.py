@@ -62,4 +62,11 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(table)
+    # copy the sink's rows into block storage and drop the temp view: a
+    # long session (the 119-query bench) otherwise accumulates one live
+    # MemorySink per streaming run, and that creep shows up as per-query
+    # slowdown late in the bench. The returned DF is backed by its own
+    # checkpointed RDD, independent of the dropped view.
+    out = spark.table(table).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(table)
+    return out
