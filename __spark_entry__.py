@@ -93,6 +93,14 @@ def q_tfidf_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_freq(q_tfidf_doc_totals(spark, sf_dir))
 
 
+def q_tfidf_doc_freq_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 through the explicit two-stage salted path (composite
+    (word, salt) join key) — identical rows to tfidf_doc_freq."""
+    from tf_idf_mapreduce_spark.operators.tfidf import doc_freq_salted
+
+    return doc_freq_salted(q_tfidf_doc_totals(spark, sf_dir))
+
+
 def q_tfidf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jobs 1-4 (M1-M3 + O3): full scored relation, tfidf rounded @6dp."""
     scored = tfidf_pipeline(_corpus(spark, sf_dir))
@@ -2187,6 +2195,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_word_count": q_tfidf_word_count,
         "tfidf_doc_totals": q_tfidf_doc_totals,
         "tfidf_doc_freq": q_tfidf_doc_freq,
+        "tfidf_doc_freq_salted": q_tfidf_doc_freq_salted,
         "tfidf_full": q_tfidf_full,
         "tfidf_top30": q_tfidf_top30,
         "tfidf_search": q_tfidf_search,
@@ -2328,6 +2337,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_doc_totals": _TOKENS_CTE
         + 'SELECT word, doc, "count", doc_total FROM wc_tot',
         "tfidf_doc_freq": _TOKENS_CTE
+        + 'SELECT word, doc, "count", doc_total, df FROM wc_df',
+        # the salted path must produce EXACTLY the unsalted relation
+        "tfidf_doc_freq_salted": _TOKENS_CTE
         + 'SELECT word, doc, "count", doc_total, df FROM wc_df',
         "tfidf_full": _TOKENS_CTE
         + 'SELECT word, doc, "count", doc_total, df, tfidf FROM scored',

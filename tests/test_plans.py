@@ -146,6 +146,19 @@ def test_doc_freq_is_agg_join_not_window(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_doc_freq_salted_joins_on_composite_key(spark):
+    # the salted variant's whole point: the join back is keyed on
+    # (word, _salt) — a hot word spreads over n_salts join tasks — and
+    # no window on word appears. Counting is two stacked aggregates
+    # ((word,_salt) partials then word), each partial-combined.
+    plan = _plan(spark, "tfidf_doc_freq_salted")
+    assert not re.search(r"windowspecdefinition\(word", plan)
+    assert "_salt" in plan
+    assert re.search(r"\[word#\d+, _salt#\d+[L]?\], \[word#\d+, _salt#\d+",
+                     plan), "join keys must be (word, _salt)"
+    assert plan.count("HashAggregate") >= 4
+
+
 @pytest.mark.parametrize(
     "name",
     ["tfidf_docsim_lsh", "dedup_embedding_lsh_pairs", "sim_knn_graph_ann"],

@@ -122,3 +122,16 @@ def test_total_docs_counts_empty_docs(spark):
     r = tfidf_pipeline(corpus).where(F.col("word") == "x").head()
     assert r.df == 2
     assert r.idf == pytest.approx(math.log(3 / 2))
+
+
+def test_doc_freq_salted_equals_unsalted(spark):
+    from tf_idf_mapreduce_spark.operators.tfidf import doc_freq_salted
+
+    corpus = spark.createDataFrame(GOLDEN_CORPUS, "doc string, text string")
+    base = doc_totals(word_count(tokenize(corpus)))
+    plain = sorted(map(tuple, doc_freq(base).collect()))
+    salted = sorted(map(tuple, doc_freq_salted(base).collect()))
+    assert plain == salted
+    # and under a different salt count — top-k/sum distributes over salts
+    salted3 = sorted(map(tuple, doc_freq_salted(base, n_salts=3).collect()))
+    assert plain == salted3

@@ -71,6 +71,38 @@ def doc_freq(wtc: DataFrame) -> DataFrame:
     return wtc.join(counts, "word")
 
 
+DOC_FREQ_SALTS = 8
+
+
+def doc_freq_salted(wtc: DataFrame, n_salts: int = DOC_FREQ_SALTS) -> DataFrame:
+    """A3 with an EXPLICIT two-stage salt — the 100 TB stopword posture
+    when you don't want to lean on AQE's runtime skew handling.
+
+    ``doc_freq``'s agg is already partial-combined, but the join back on
+    ``word`` still routes every posting of the hottest term through ONE
+    join task. Here both sides carry a composite (word, salt) key: the
+    probe side salts each row by ``hash(doc) % n_salts`` (deterministic,
+    no rand()) and the counts side replicates each word's df across all
+    salts, so a stopword's postings spread over ``n_salts`` join tasks.
+    Counting sums per (word, salt) partials first — stage 2's shuffle
+    carries ≤ n_salts rows per word regardless of skew.
+
+    Exactly ``doc_freq``'s rows — salting a sum and replicating a
+    broadcast-shaped dimension never changes the relation.
+    """
+    salt = F.pmod(F.abs(F.hash("doc")), F.lit(n_salts))
+    salted = wtc.withColumn("_salt", salt)
+    partial = salted.groupBy("word", "_salt").agg(F.count("*").alias("_pc"))
+    counts = partial.groupBy("word").agg(F.sum("_pc").alias("df"))
+    rep = counts.select(
+        "word",
+        "df",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt"),
+    )
+    cols = [*wtc.columns, "df"]
+    return salted.join(rep, ["word", "_salt"]).select(*cols)
+
+
 def tfidf(with_df: DataFrame, total_docs: Column) -> DataFrame:
     """Job 3b (M1-M3): tf = count/doc_total; idf = ln(total_docs/df).
 
