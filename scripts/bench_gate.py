@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Per-query performance regression gate.
+
+Compares a bench run's per-query wall times (``BENCH_DETAIL.json``,
+written by ``bench.py``) against the pinned baseline
+(``BENCH_BASELINE.json`` — round-3 per-query times at sf0.1). Fails if
+any query regresses more than ``RATIO_MAX`` x its baseline, so the 2x
+gate no longer floats against whatever the previous round happened to
+record.
+
+Noise guards:
+- a query must regress by BOTH >RATIO_MAX x and >ABS_FLOOR_SEC to fail
+  (sub-second queries jitter 2x on JVM/GC noise without meaning it);
+- the detail and baseline must be from the same scale factor, else the
+  comparison is skipped with a warning (exit 0 — wrong-SF runs are a
+  local-iteration artifact, not a regression);
+- queries present only in one side are reported but never fail the gate
+  (new queries have no baseline yet).
+
+Usage: python scripts/bench_gate.py [detail_json] [baseline_json]
+Exit: 0 pass, 1 regression(s).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+RATIO_MAX = 2.0
+ABS_FLOOR_SEC = 0.5
+
+
+def main(argv: list[str]) -> int:
+    detail_path = argv[1] if len(argv) > 1 else "BENCH_DETAIL.json"
+    base_path = argv[2] if len(argv) > 2 else "BENCH_BASELINE.json"
+    with open(detail_path) as f:
+        detail = json.load(f)
+    with open(base_path) as f:
+        base = json.load(f)
+
+    if detail.get("sf") != base.get("sf"):
+        print(
+            f"SKIP: detail sf={detail.get('sf')} != baseline sf={base.get('sf')}"
+            " — run bench.py at the baseline's scale factor to gate"
+        )
+        return 0
+
+    cur, ref = detail["queries"], base["queries"]
+    new = sorted(set(cur) - set(ref))
+    gone = sorted(set(ref) - set(cur))
+    if new:
+        print(f"ungated (new, no baseline): {', '.join(new)}")
+    if gone:
+        print(f"missing from this run: {', '.join(gone)}")
+
+    failures = []
+    for name in sorted(set(cur) & set(ref)):
+        c, r = cur[name], ref[name]
+        if c > r * RATIO_MAX and c - r > ABS_FLOOR_SEC:
+            failures.append((name, r, c))
+    for name, r, c in failures:
+        print(f"FAIL {name}: {r:.2f}s -> {c:.2f}s ({c / r:.2f}x)")
+    n = len(set(cur) & set(ref))
+    if failures:
+        print(f"RESULT: FAIL ({len(failures)}/{n} queries regressed >{RATIO_MAX}x)")
+        return 1
+    print(f"RESULT: PASS ({n} queries within {RATIO_MAX}x of baseline)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
