@@ -282,3 +282,25 @@ def test_personalized_pagerank_decays_from_seed(spark, sf_dir):
             if r.vec_a == seed}
     non = [v for k, v in rows.items() if k != seed and k not in nbrs]
     assert min(rows[b] for b in nbrs) > sorted(non)[len(non) // 2]
+
+
+def test_lsh_recall_oracle_green_for_nondefault_params(spark, sf_dir):
+    """The recall oracle is GENERATED from (query_vec_id, k) — prove the
+    generator tracks the Spark side away from the registry defaults
+    (vec 0, k 10), not just at them."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    got = [
+        tuple(r)
+        for r in sim.lsh_recall(spark, sf_dir, query_vec_id=7, k=5).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(entrymod._lsh_recall_sql(7, 5)).fetchall()]
+    assert got == want
+    assert got[0][1] == 5  # k really is the non-default
