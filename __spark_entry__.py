@@ -1293,6 +1293,85 @@ _LLMDATA_ORACLE: dict[str, str] = {
     """,
 }
 
+#: aHash corpus: larger synthetic PPMs (side 8..12, 27 md5 blocks) so each
+#: 8x8 sample position reads a distinct source pixel (full hash entropy)
+_AHASH_HEXPIX = " || ".join(
+    f"md5(text || ':{i}')" for i in range(mm.AHASH_PPM_BLOCKS)
+)
+
+#: replay the synthetic-PPM red-channel stride sample as integer byte
+#: values, then bit_i = (64*v_i >= sum v) — the same integer compare the
+#: Arrow kernel uses, so there is no rounding grid to drift on
+_AHASH_CTE = f"""
+    WITH px AS (
+      SELECT doc_id,
+             {mm.AHASH_SIDE_BASE} + (doc_id % 5) AS s,
+             upper({_AHASH_HEXPIX}) AS hexpix
+      FROM documents
+    ),
+    samples AS (
+      SELECT p.doc_id, p.s, r.r, c.c,
+        (strpos('0123456789ABCDEF', substr(p.hexpix,
+           CAST(6 * ((r.r * p.s // 8) * p.s + (c.c * p.s // 8)) + 1 AS INT),
+           1)) - 1) * 16
+        + (strpos('0123456789ABCDEF', substr(p.hexpix,
+           CAST(6 * ((r.r * p.s // 8) * p.s + (c.c * p.s // 8)) + 2 AS INT),
+           1)) - 1) AS v
+      FROM px p,
+           (SELECT unnest(generate_series(0, 7)) AS r) r,
+           (SELECT unnest(generate_series(0, 7)) AS c) c
+    ),
+    sums AS (SELECT doc_id, sum(v) AS total FROM samples GROUP BY doc_id),
+    ahash AS (
+      SELECT s.doc_id, CAST(any_value(s.s) AS BIGINT) AS src_side,
+        string_agg(CASE WHEN s.v * 64 >= t.total THEN '1' ELSE '0' END,
+                   '' ORDER BY s.r, s.c) AS ahash_bits
+      FROM samples s JOIN sums t USING (doc_id) GROUP BY s.doc_id
+    )
+"""
+
+_LLMDATA_ORACLE["mm_ahash"] = (
+    _AHASH_CTE
+    + """
+    SELECT doc_id, src_side, ahash_bits,
+           CAST(length(replace(ahash_bits, '0', '')) AS BIGINT) AS n_set
+    FROM ahash
+    """
+)
+
+_LLMDATA_ORACLE["mm_ahash_pairs"] = (
+    _AHASH_CTE
+    + f"""
+    , bands AS (
+      SELECT a.doc_id, a.ahash_bits, b.b AS band_id,
+             substr(a.ahash_bits, b.b * 16 + 1, 16) AS band_val
+      FROM ahash a,
+           (SELECT unnest(generate_series(0, {mm.AHASH_BANDS - 1})) AS b) b
+    ),
+    cand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             any_value(x.ahash_bits) AS bits_a,
+             any_value(y.ahash_bits) AS bits_b,
+             count(*) AS n_bands_shared
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ),
+    ham AS (
+      SELECT c.doc_a, c.doc_b, c.n_bands_shared,
+             (SELECT count(*) FROM generate_series(1, 64) g(i)
+              WHERE substr(c.bits_a, CAST(i AS INT), 1)
+                 <> substr(c.bits_b, CAST(i AS INT), 1)) AS hamming
+      FROM cand c
+    )
+    SELECT doc_a, doc_b, CAST(n_bands_shared AS BIGINT) AS n_bands_shared,
+           CAST(hamming AS BIGINT) AS hamming,
+           hamming <= {mm.AHASH_NEAR_MAX_HAMMING} AS is_near
+    FROM ham
+    """
+)
+
 
 _RELATIONAL_ORACLE["rel_window_frames"] = """
     SELECT o_custkey, o_orderkey,
@@ -2316,6 +2395,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real P6 PPM decode (header parse + raster addressing) over a
         # synthetic-but-valid image column; full value-hash oracle
         "mm_resize": mm.media_resize,
+        # image near-dup: perceptual average-hash + banded Hamming LSH
+        "mm_ahash": mm.media_ahash,
+        "mm_ahash_pairs": mm.media_ahash_pairs,
         # --- Structured Streaming (each runs availableNow to completion;
         #     streaming answer must equal the batch/oracle answer) ---
         "stream_wordcount": st.q_stream_wordcount,

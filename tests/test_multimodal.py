@@ -145,3 +145,65 @@ def test_ppm_strict_mode_decodes_for_real(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     rows = resize_thumbnails(ppm_from_documents(docs), fake=False).collect()
     assert rows and rows[0].src_side == 5
+
+
+def _p6(side: int, pix: bytes) -> bytes:
+    return f"P6\n{side} {side}\n255\n".encode() + pix
+
+
+def test_ahash_known_image(spark):
+    from tf_idf_mapreduce_spark.operators.multimodal import ahash_images
+
+    # top half bright (200), bottom half dark (10): mean = 105, so the
+    # hash must be exactly 32 ones then 32 zeros
+    side = 8
+    pix = bytearray()
+    for r in range(side):
+        v = 200 if r < 4 else 10
+        pix += bytes([v, 0, 0]) * side
+    media = spark.createDataFrame(
+        [(1, bytearray(_p6(side, bytes(pix))))], "doc_id long, media binary"
+    )
+    row = ahash_images(media).collect()[0]
+    assert row.ahash_bits == "1" * 32 + "0" * 32
+    assert row.n_set == 32
+    assert row.src_side == 8
+
+
+def test_ahash_identical_images_collide(spark):
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        AHASH_PPM_BLOCKS,
+        AHASH_SIDE_BASE,
+        ahash_images,
+        ppm_from_documents,
+    )
+
+    # same text + same (doc_id % 5) -> byte-identical synthetic PPM ->
+    # identical aHash; different text -> (whp) different hash
+    docs = spark.createDataFrame(
+        [(0, "the same text"), (5, "the same text"), (1, "other text")],
+        "doc_id long, text string",
+    )
+    m = ppm_from_documents(docs, side_base=AHASH_SIDE_BASE, n_blocks=AHASH_PPM_BLOCKS)
+    got = {r.doc_id: r.ahash_bits for r in ahash_images(m).collect()}
+    assert got[0] == got[5]
+    assert got[0] != got[1]
+    assert set(got[0]) <= {"0", "1"} and len(got[0]) == 64
+
+
+def test_ahash_pairs_hamming_is_exact(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        media_ahash,
+        media_ahash_pairs,
+    )
+
+    bits = {r.doc_id: r.ahash_bits for r in media_ahash(spark, sf_dir).collect()}
+    pairs = media_ahash_pairs(spark, sf_dir).collect()
+    assert pairs, "banded candidates should exist at this corpus size"
+    for p in pairs:
+        expect = sum(
+            x != y for x, y in zip(bits[p.doc_a], bits[p.doc_b])
+        )
+        assert p.hamming == expect
+        assert p.is_near == (p.hamming <= 8)
+        assert 1 <= p.n_bands_shared <= 4

@@ -187,24 +187,27 @@ RESIZE_SCHEMA = StructType(
 )
 
 
-def ppm_from_documents(documents: DataFrame) -> DataFrame:
+def ppm_from_documents(
+    documents: DataFrame, side_base: int = 4, n_blocks: int = PPM_BLOCKS
+) -> DataFrame:
     """Synthesize a REAL binary P6 PPM image per document — valid header
     (``P6\\n<w> <h>\\n255\\n``) + raw RGB triples — so the resize path
     exercises an actual image format end-to-end with no codec libraries.
 
     Pixel content is a deterministic md5 chain over the doc's text
     (``md5(text || ':i')`` for i in 0..11, concatenated, unhexed,
-    truncated to 3·s² bytes) and the side is ``4 + doc_id % 5`` — both
+    truncated to 3·s² bytes) and the side is ``side_base + doc_id % 5``
+    (default 4, so 4..8; the aHash family uses 8, so 8..12) — both
     replayable by a SQL oracle, which is what upgrades ``mm_resize``
     from rows-only to a full value-hash check: if the Python P6 parser
     mis-read the header or mis-addressed a pixel, the digests diverge.
     All construction is JVM-side codegen (md5/unhex/concat) — no Python.
     """
-    s = (F.lit(4) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
+    s = (F.lit(side_base) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
     hexpix = F.concat(
         *[
             F.md5(F.encode(F.concat(F.col("text"), F.lit(f":{i}")), "UTF-8"))
-            for i in range(PPM_BLOCKS)
+            for i in range(n_blocks)
         ]
     )
     header = F.concat(
@@ -340,4 +343,147 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "head_hex"
             ),
         )
+    )
+
+
+# --- image near-dup: average-hash (aHash) + banded Hamming candidates ----
+
+AHASH_SIDE = 8
+AHASH_BANDS = 4  # 4 bands x 16 bits over the 64-bit hash
+AHASH_NEAR_MAX_HAMMING = 8
+#: the aHash corpus uses larger synthetic images (side 8..12) so every
+#: 8x8 sample position hits a DISTINCT source pixel: a 4x4 image carries
+#: only 16 bits of hash entropy, which packs band buckets quadratically —
+#: exactly the skew an LSH candidate plan must avoid
+AHASH_SIDE_BASE = 8
+AHASH_PPM_BLOCKS = 27  # ceil(3 * 12^2 / 16) md5 blocks cover side 12
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_side", LongType()),
+        StructField("ahash_bits", StringType()),
+        StructField("n_set", LongType()),
+    ]
+)
+
+
+def ahash_images(media_df: DataFrame, side: int = AHASH_SIDE) -> DataFrame:
+    """Perceptual average-hash over binary P6 PPM media.
+
+    Real decode (``decode_ppm``) → nearest-neighbor stride-sample of the
+    red channel to ``side`` x ``side`` (the same raster addressing as
+    ``resize_thumbnails``) → bit_i = (n·pixel_i >= Σ pixels), an INTEGER
+    compare (no float mean, so no rounding grid and no engine drift).
+    Emits the hash as a 64-char '0'/'1' string — engine-portable, and
+    bandable by ``substr`` for LSH-style candidate generation.
+
+    Reference parity note: the reference pipeline has no image ops; this
+    extends its dedup family (WordCount.java-style exact grouping →
+    near-dup) to multimodal columns. At 100 TB the hash is one Arrow
+    pass over the media partition; only (doc_id, 64-char hash) rows —
+    never pixels — reach the shuffle.
+    """
+    n = side * side
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sides, bits, nset = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, _maxval, pix = decode_ppm(bytes(payload))
+                vals = [
+                    pix[3 * ((r * h // side) * w + (c * w // side))]
+                    for r in range(side)
+                    for c in range(side)
+                ]
+                total = sum(vals)
+                s = "".join("1" if v * n >= total else "0" for v in vals)
+                ids.append(doc_id)
+                sides.append(w)
+                bits.append(s)
+                nset.append(s.count("1"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "src_side": pd.Series(sides, dtype="int64"),
+                    "ahash_bits": bits,
+                    "n_set": pd.Series(nset, dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(run, AHASH_SCHEMA)
+
+
+def media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perceptual hash of the synthetic P6 PPM corpus."""
+    m = ppm_from_documents(
+        load_table(spark, sf_dir, "documents"),
+        side_base=AHASH_SIDE_BASE,
+        n_blocks=AHASH_PPM_BLOCKS,
+    )
+    return ahash_images(m)
+
+
+def media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate candidates via banded Hamming LSH.
+
+    The 64-bit aHash splits into ``AHASH_BANDS`` 16-bit bands; two images
+    are candidates iff they agree on >= 1 band (SimHash-style banding —
+    never an all-pairs cross join, so the plan scales like the text
+    ``dedup_simhash_pairs``). Every candidate is emitted with its exact
+    Hamming distance (4 x conv/xor/bit_count, JVM codegen — no Python)
+    and an ``is_near`` verdict at <= AHASH_NEAR_MAX_HAMMING bits, so the
+    result is non-trivial even when the corpus has no true image dups.
+    """
+    h = media_ahash(spark, sf_dir).select("doc_id", "ahash_bits").localCheckpoint()
+    bands = h.select(
+        "doc_id",
+        "ahash_bits",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(AHASH_BANDS)])
+        ).alias("band_id"),
+    ).select(
+        "doc_id",
+        "ahash_bits",
+        "band_id",
+        F.expr(f"substring(ahash_bits, band_id * {64 // AHASH_BANDS} + 1, "
+               f"{64 // AHASH_BANDS})").alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash_bits").alias("bits_a"),
+            F.col("b.ahash_bits").alias("bits_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_bands_shared"))
+    )
+    chunk = 64 // AHASH_BANDS
+    ham = sum(
+        F.bit_count(
+            F.conv(F.expr(f"substring(bits_a, {i * chunk + 1}, {chunk})"), 2, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(
+                    F.expr(f"substring(bits_b, {i * chunk + 1}, {chunk})"), 2, 10
+                ).cast("long")
+            )
+        )
+        for i in range(AHASH_BANDS)
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_bands_shared",
+        ham.cast("long").alias("hamming"),
+        (ham <= F.lit(AHASH_NEAR_MAX_HAMMING)).alias("is_near"),
     )
