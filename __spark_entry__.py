@@ -1913,6 +1913,7 @@ _RELATIONAL_ORACLE["rel_q20_nested"] = """
 
 _RELATIONAL_ORACLE["rel_sql_q3"] = rel.Q3_SQL
 _RELATIONAL_ORACLE["rel_sql_q1"] = rel.Q1_SQL
+_RELATIONAL_ORACLE["rel_sql_q18"] = rel.Q18_SQL
 
 _RELATIONAL_ORACLE["rel_q21_waiting"] = f"""
     WITH li AS (
@@ -2164,6 +2165,32 @@ _CURATION_ORACLE["curate_keep_list"] = f"""
     JOIN q_t ON q_t.doc_id = d.doc_id
 """
 
+_CURATION_ORACLE["curate_train_manifest"] = f"""
+    WITH kl AS ({_CURATION_ORACLE["curate_keep_list"]}),
+    t AS (
+      SELECT d.doc_id,
+             CAST(len(regexp_extract_all(d.text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM documents d JOIN kl ON kl.doc_id = d.doc_id
+      WHERE kl.status = 'kept'
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             (cum_tokens - n_tokens) // {cur.SHARD_TOKEN_BUDGET} AS shard_id
+      FROM c
+    )
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc_id, max(doc_id) AS last_doc_id
+    FROM p GROUP BY shard_id
+"""
+
 # Funnel time-to-convert percentiles — composed from the funnel oracle.
 _EVENTS_ORACLE["events_conversion_lag"] = f"""
     WITH f AS ({_EVENTS_ORACLE["events_funnel"]})
@@ -2311,6 +2338,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q21_waiting": rel.waiting_suppliers,
         "rel_sql_q3": rel.shipping_priority_sql,
         "rel_sql_q1": rel.pricing_summary_sql,
+        "rel_sql_q18": rel.large_volume_customer_sql,
         "rel_pivot": rel.native_pivot,
         "rel_percentiles": rel.price_percentiles,
         "rel_grouping_sets": rel.grouping_sets_orders,
@@ -2384,6 +2412,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_mixture": cur.mixture_report,
         "curate_profile": cur.profile_table,
         "curate_shard_pack": cur.shard_pack,
+        "curate_train_manifest": cur.train_manifest,
         "curate_weighted_sample": cur.weighted_sample,
         # rows-only (HLL++/KLL sketch internals are engine-specific — no SQL
         # twin; accuracy vs exact is pinned in tests/test_curation.py)

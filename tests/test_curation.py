@@ -296,3 +296,28 @@ def test_readability_terms_consistent(spark, sf_dir):
                 - 84.6 * (r.n_syllables / r.n_words)
             )
             assert abs(r.flesch - want) < 1e-6
+
+
+def test_train_manifest_is_a_valid_packing_of_kept_docs(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SHARD_TOKEN_BUDGET,
+        keep_list,
+        train_manifest,
+    )
+
+    kept = {r.doc_id for r in keep_list(spark, sf_dir).collect()
+            if r.status == "kept"}
+    shards = sorted(train_manifest(spark, sf_dir).collect(),
+                    key=lambda r: r.shard_id)
+    assert shards
+    # shard ids are contiguous from 0; every kept doc lands in exactly one
+    assert [s.shard_id for s in shards] == list(range(len(shards)))
+    assert sum(s.n_docs for s in shards) == len(kept)
+    # doc_id ranges are disjoint and increasing (packing is in doc order)
+    for a, b in zip(shards, shards[1:]):
+        assert a.last_doc_id < b.first_doc_id
+    # each shard STARTS within budget: its first token lands inside the
+    # shard, so every shard except possibly the last holds >= budget
+    # tokens only through its final doc's spillover
+    total = sum(s.n_tokens for s in shards)
+    assert total // SHARD_TOKEN_BUDGET in (len(shards) - 1, len(shards))

@@ -18,6 +18,7 @@ QUERIES = [
     "tfidf_docsim",
     "tfidf_docsim_lsh",
     "curate_shard_pack",
+    "curate_train_manifest",
     "curate_weighted_sample",
     "dedup_clusters",
     "sim_knn_graph_ann",

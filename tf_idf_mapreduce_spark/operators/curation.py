@@ -491,3 +491,62 @@ def _sample_bucket_md5() -> Column:
             F.coalesce(F.col("text"), F.lit("")),
         )
     )
+
+
+def train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the curation pipeline: pack only the KEPT documents
+    (``keep_list`` disposition — dedup/contamination/PII/quality already
+    applied) into fixed-token-budget training shards and emit the
+    per-shard manifest a dataloader consumes: document count, token
+    count, and the covered doc_id range.
+
+    Same distributed two-phase prefix sum as ``shard_pack`` (bucket-local
+    windows + a broadcast offsets relation — never a single-partition
+    global window), but over the FILTERED corpus, which is the realistic
+    shape: at 100 TB the keep-list filter drops 30-60% of rows before
+    any token is counted, and the filter rides the same scan as the
+    token count (one exchange for the bucket window, one tiny offsets
+    broadcast, one partial+final shard aggregate).
+    """
+    from .textstats import BPE_ISH_PATTERN
+
+    kept = keep_list(spark, sf_dir).filter(F.col("status") == "kept").select(
+        "doc_id"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        d.join(kept, "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+            )
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "bucket", F.floor(F.col("doc_id") / SHARD_PREFIX_BUCKET).cast("long")
+        )
+    )
+    w_local = Window.partitionBy("bucket").orderBy("doc_id")
+    local = tok.withColumn("local_cum", F.sum("n_tokens").over(w_local))
+    totals = tok.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    w_prev = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("btot").over(w_prev), F.lit(0)).alias("offset"),
+    )
+    cum = F.col("offset") + F.col("local_cum")
+    packed = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )

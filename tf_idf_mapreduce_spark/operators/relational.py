@@ -863,3 +863,43 @@ def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(Q1_SQL)
+
+
+#: TPC-H Q18-shaped large-volume customer in the common SQL dialect.
+#: Threshold 250 (spec: 300) keeps the HAVING set non-trivial at fixture
+#: scale; quantities are integral doubles, so the per-order sums are
+#: exact in float64 and the > threshold cut cannot drift between engines.
+#: ORDER BY gains o_orderkey as a deterministic tiebreak under LIMIT.
+Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR(10)) AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+"""
+
+
+def large_volume_customer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 through the SQL front-end (same text as the oracle).
+
+    The IN-subquery plans as a left-semi join on l_orderkey whose build
+    side is a partial+final aggregate of lineitem — at 100 TB that is
+    the aggregate-then-semi-join shape you want (the HAVING set is tiny,
+    so AQE converts the semi join to broadcast), never a correlated
+    per-row probe. TakeOrderedAndProject caps the global sort at 100
+    rows. Reference parity: extends SortByValue.java's top-k idea
+    (SortByValue.java:101-121) to a multi-table SQL surface.
+    """
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q18_SQL)
