@@ -1667,6 +1667,38 @@ _STREAMING_ORACLE["stream_static_join"] = """
 """
 
 # the foreachBatch upsert drain must land on the batch CDC snapshot
+_TEMPORAL_ORACLE["temporal_asof_nearest"] = f"""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+    err AS (SELECT event_id, user_id, ts_sec FROM e
+            WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts_sec FROM e WHERE event_type = 'click'),
+    p AS (SELECT err.event_id, err.user_id, err.ts_sec,
+                 c.ts_sec AS prev_sec
+          FROM err ASOF LEFT JOIN c
+            ON err.user_id = c.user_id AND err.ts_sec >= c.ts_sec),
+    n AS (SELECT err.event_id, c.ts_sec AS next_sec
+          FROM err ASOF LEFT JOIN c
+            ON err.user_id = c.user_id AND err.ts_sec <= c.ts_sec),
+    j AS (SELECT p.event_id, p.user_id, p.ts_sec,
+                 CASE WHEN p.ts_sec - p.prev_sec
+                        <= {tmp.NEAREST_TOLERANCE_SEC}
+                      THEN p.ts_sec - p.prev_sec END AS pg,
+                 CASE WHEN n.next_sec - p.ts_sec
+                        <= {tmp.NEAREST_TOLERANCE_SEC}
+                      THEN n.next_sec - p.ts_sec END AS ng,
+                 p.prev_sec, n.next_sec
+          FROM p JOIN n USING (event_id))
+    SELECT event_id, user_id, ts_sec,
+      CASE WHEN pg IS NOT NULL AND (ng IS NULL OR pg <= ng) THEN prev_sec
+           WHEN ng IS NOT NULL THEN next_sec END AS nearest_click_sec,
+      CASE WHEN pg IS NOT NULL AND (ng IS NULL OR pg <= ng) THEN pg
+           WHEN ng IS NOT NULL THEN ng END AS gap_sec,
+      CASE WHEN pg IS NOT NULL AND (ng IS NULL OR pg <= ng) THEN 'backward'
+           WHEN ng IS NOT NULL THEN 'forward' END AS matched_direction
+    FROM j
+"""
+
 _STREAMING_ORACLE["stream_upsert_snapshot"] = _TEMPORAL_ORACLE[
     "temporal_latest_snapshot"
 ]
@@ -2345,6 +2377,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- temporal joins (operators Spark lacks built-in) ---
         "temporal_asof_join": tmp.q_asof_purchase_click,
         "temporal_asof_forward": tmp.q_asof_next_click,
+        "temporal_asof_nearest": tmp.q_asof_nearest_click,
         "temporal_scd2": tmp.q_scd2_history,
         "temporal_range_join": tmp.q_range_error_click,
         "temporal_latest_snapshot": tmp.q_latest_snapshot,

@@ -101,3 +101,48 @@ def test_range_join_banded_matches_bruteforce(spark, left_rows, right_rows, band
         if lk == rk and abs(lt - rt) <= band
     )
     assert got == want
+
+
+def _reference_nearest(left, right, tolerance):
+    out = []
+    for lk, lts, lval in left:
+        prev = [rts for rk, rts, _ in right if rk == lk and rts <= lts]
+        nxt = [rts for rk, rts, _ in right if rk == lk and rts >= lts]
+        pg = (lts - max(prev)) if prev else None
+        ng = (min(nxt) - lts) if nxt else None
+        if tolerance is not None:
+            pg = pg if pg is not None and pg <= tolerance else None
+            ng = ng if ng is not None and ng <= tolerance else None
+        if pg is not None and (ng is None or pg <= ng):
+            out.append((lk, lts, lval, lts - pg, pg, "backward"))
+        elif ng is not None:
+            out.append((lk, lts, lval, lts + ng, ng, "forward"))
+        else:
+            out.append((lk, lts, lval, None, None, None))
+    return sorted(out, key=lambda t: (t[0], t[1], t[2]))
+
+
+@settings(max_examples=15, deadline=None)
+@given(_ROWS, _ROWS, st.sampled_from([None, 0, 2, 5]))
+def test_asof_nearest_matches_bruteforce(spark, left_rows, right_rows, tol):
+    from tf_idf_mapreduce_spark.operators.temporal import asof_nearest
+
+    left = spark.createDataFrame(
+        left_rows or [(99, 0, 0)], "key long, ts long, lval long"
+    )
+    right = spark.createDataFrame(
+        right_rows or [(98, 0, 0)], "key long, ts long, rval long"
+    )
+    got = sorted(
+        (
+            (r.key, r.ts, r.lval, r.ts_nearest, r.gap_ts, r.matched_direction)
+            for r in asof_nearest(
+                left, right, on="key", ts="ts", right_cols=["ts"],
+                tolerance=tol,
+            ).collect()
+        ),
+    )
+    want = _reference_nearest(
+        left_rows or [(99, 0, 0)], right_rows or [(98, 0, 0)], tol
+    )
+    assert got == want

@@ -241,3 +241,87 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.lead("ts_sec").over(w).isNull().alias("is_current"),
     )
+
+
+NEAREST_TOLERANCE_SEC = 1800
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Nearest-in-time as-of join: for each left row, the right row (per
+    ``on`` key) minimizing ``|right.ts - left.ts|``; ties at equal
+    distance prefer the BACKWARD match (pandas ``merge_asof``'s
+    ``direction='nearest'`` convention). ``tolerance`` (same unit as
+    ``ts``) nulls any match farther than the bound, keeping the left row.
+
+    Built as one backward + one forward pass of ``asof_join`` — each a
+    single hash exchange on ``on`` (the 100 TB posture of the base
+    operator; direction only flips the per-key sort). The winner is a
+    row-local CASE over the two carried candidates, so no further
+    shuffle. Returns all left columns, ``<c>_nearest`` per right column,
+    ``gap_<ts>`` (absolute), and ``matched_direction``
+    ('backward' | 'forward' | NULL).
+    """
+    b = asof_join(left, right, on, ts, right_cols, suffix="_prev",
+                  direction="backward")
+    bn = asof_join(b, right, on, ts, right_cols, suffix="_next",
+                   direction="forward")
+    prev_ts, next_ts = F.col(f"{ts}_prev"), F.col(f"{ts}_next")
+    prev_gap = F.col(ts) - prev_ts
+    next_gap = next_ts - F.col(ts)
+    if tolerance is not None:
+        prev_gap = F.when(prev_gap <= tolerance, prev_gap)
+        next_gap = F.when(next_gap <= tolerance, next_gap)
+    take_prev = prev_gap.isNotNull() & (
+        next_gap.isNull() | (prev_gap <= next_gap)
+    )
+    take_next = ~take_prev & next_gap.isNotNull()
+    direction = (
+        F.when(take_prev, "backward").when(take_next, "forward")
+    )
+    picked = [
+        F.when(take_prev, F.col(f"{c}_prev"))
+        .when(take_next, F.col(f"{c}_next"))
+        .alias(f"{c}_nearest")
+        for c in right_cols
+    ]
+    gap = F.when(take_prev, prev_gap).when(take_next, next_gap)
+    return bn.select(
+        *left.columns,
+        *picked,
+        gap.alias(f"gap_{ts}"),
+        direction.alias("matched_direction"),
+    )
+
+
+def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each error event with its user's nearest click within 30 minutes in
+    EITHER direction — 'what was the user doing around the failure'. The
+    nearest variant completes the as-of family (backward / forward /
+    nearest-with-tolerance, the pandas merge_asof trio) distributed as
+    two single-exchange passes."""
+    ev = load_events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_sec"
+    )
+    out = asof_nearest(
+        errors, clicks, on="user_id", ts="ts_sec",
+        right_cols=["ts_sec"], tolerance=NEAREST_TOLERANCE_SEC,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.col("ts_sec_nearest").alias("nearest_click_sec"),
+        F.col("gap_ts_sec").alias("gap_sec"),
+        "matched_direction",
+    )
