@@ -1946,6 +1946,8 @@ _RELATIONAL_ORACLE["rel_q20_nested"] = """
 _RELATIONAL_ORACLE["rel_sql_q3"] = rel.Q3_SQL
 _RELATIONAL_ORACLE["rel_sql_q1"] = rel.Q1_SQL
 _RELATIONAL_ORACLE["rel_sql_q18"] = rel.Q18_SQL
+_RELATIONAL_ORACLE["rel_sql_q6"] = rel.Q6_SQL
+_RELATIONAL_ORACLE["rel_sql_q10"] = rel.Q10_SQL
 
 _RELATIONAL_ORACLE["rel_q21_waiting"] = f"""
     WITH li AS (
@@ -2371,6 +2373,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sql_q3": rel.shipping_priority_sql,
         "rel_sql_q1": rel.pricing_summary_sql,
         "rel_sql_q18": rel.large_volume_customer_sql,
+        "rel_sql_q6": rel.forecast_revenue_sql,
+        "rel_sql_q10": rel.returned_items_sql,
         "rel_pivot": rel.native_pivot,
         "rel_percentiles": rel.price_percentiles,
         "rel_grouping_sets": rel.grouping_sets_orders,

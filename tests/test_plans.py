@@ -208,3 +208,24 @@ def test_shard_pack_has_no_global_window(spark):
     plan = _plan(spark, "curate_shard_pack")
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_sql_q6_is_scan_bound(spark):
+    # every predicate reaches the scan; aggregate partial-combines to one
+    # row — no join, no window, nothing else allowed in the plan
+    plan = _plan(spark, "rel_sql_q6")
+    # Spark truncates long PushedFilters lists in toString — assert on the
+    # scan node text instead of a fully-parsed bracket list
+    scan = plan[plan.index("FileScan"):]
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan
+    assert "IsNotNull(l_discount)" in scan and "IsNotNull(l_quantity)" in scan
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_sql_q10_broadcasts_nation_and_caps_sort(spark):
+    plan = _plan(spark, "rel_sql_q10")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "l_returnflag" in pushed and "o_orderdate" in pushed

@@ -888,6 +888,63 @@ Q18_SQL = """
 """
 
 
+#: TPC-H Q6 verbatim (forecasting revenue change): pure filter +
+#: single-row aggregate — the minimal pushdown/codegen probe. Decimal
+#: accumulation + @6dp rounding as in Q1.
+Q6_SQL = """
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(38,4))) AS DOUBLE), 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the SQL front-end (oracle runs the identical
+    text). Every predicate must reach the parquet scan as a pushed
+    filter; the aggregate partial-combines to a single row — at 100 TB
+    this query is scan-bound or the plan is wrong."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q6_SQL)
+
+
+#: TPC-H Q10-shaped returned-item report, restricted to the columns the
+#: fixture carries (no c_address/c_phone/c_comment in this schema);
+#: deterministic tiebreak on c_custkey under LIMIT.
+Q10_SQL = """
+    SELECT c_custkey, c_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,4))) AS DOUBLE), 6) AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+"""
+
+
+def returned_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped top returned-item customers through the SQL
+    front-end. nation broadcasts onto customer, the quarter filter and
+    the returnflag filter push into the orders/lineitem scans, and
+    TakeOrderedAndProject caps the revenue sort at 20 rows."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q10_SQL)
+
+
 def large_volume_customer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 through the SQL front-end (same text as the oracle).
 
