@@ -344,12 +344,14 @@ def doc_similarity_lsh_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pruned-vector relation is built and checkpointed ONCE and shared
     by both variants — the tokenize→tf-idf chain is the single most
-    expensive stage of either side."""
+    expensive stage of either side. The exact top-k feeds BOTH the
+    denominator count and the semi-join probe, so it is checkpointed too
+    (k rows) — without that the whole tile cross-join executes twice."""
     vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
     exact = doc_similarity(spark, sf_dir, vec=vec).select(
         F.least(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("da"),
         F.greatest(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("db"),
-    )
+    ).localCheckpoint()
     approx = doc_similarity_lsh(spark, sf_dir, vec=vec).select(
         F.least(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("da"),
         F.greatest(F.col("doc_a").cast("long"), F.col("doc_b").cast("long")).alias("db"),
