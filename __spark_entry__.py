@@ -2293,6 +2293,27 @@ _LLMDATA_ORACLE["sim_lsh_recall"] = _lsh_recall_sql(
     sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK
 )
 
+_CURATION_ORACLE["curate_split"] = f"""
+    WITH b AS (
+      SELECT lang,
+        substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
+               1, 2) AS bucket,
+        CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    per AS (
+      SELECT CASE WHEN bucket < '{cur.SPLIT_VAL_LO}' THEN 'train'
+                  WHEN bucket < '{cur.SPLIT_TEST_LO}' THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, count(*) AS n_docs, sum(n_tok) AS n_tokens
+      FROM b GROUP BY 1, 2
+    )
+    SELECT split, lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor(n_docs / sum(n_docs) OVER () * 1000000 + 0.5)
+             / 1000000 AS doc_frac
+    FROM per
+"""
+
 _CURATION_ORACLE["curate_mixture"] = f"""
     WITH strata AS (
       SELECT lang, source, count(*) AS n_docs,
@@ -2450,6 +2471,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_profile": cur.profile_table,
         "curate_shard_pack": cur.shard_pack,
         "curate_train_manifest": cur.train_manifest,
+        "curate_split": cur.split_report,
         "curate_weighted_sample": cur.weighted_sample,
         # rows-only (HLL++/KLL sketch internals are engine-specific — no SQL
         # twin; accuracy vs exact is pinned in tests/test_curation.py)

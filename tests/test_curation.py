@@ -321,3 +321,37 @@ def test_train_manifest_is_a_valid_packing_of_kept_docs(spark, sf_dir):
     # tokens only through its final doc's spillover
     total = sum(s.n_tokens for s in shards)
     assert total // SHARD_TOKEN_BUDGET in (len(shards) - 1, len(shards))
+
+
+def test_split_report_is_stable_under_corpus_growth(spark, sf_dir):
+    # the defining property of a HASH split: a document's assignment
+    # depends only on its own (doc_id, text) — restricting the corpus to
+    # half the docs must not move any doc between splits
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SPLIT_TEST_LO,
+        SPLIT_VAL_LO,
+        _sample_bucket,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _sample_bucket()
+    split = (
+        F.when(bucket < SPLIT_VAL_LO, "train")
+        .when(bucket < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    full = {r.doc_id: r.s for r in d.select("doc_id", split.alias("s")).collect()}
+    half = {
+        r.doc_id: r.s
+        for r in d.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert half and all(full[k] == v for k, v in half.items())
+    # all three splits are populated and train dominates
+    from collections import Counter
+    c = Counter(full.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > 10 * (c["val"] + c["test"])

@@ -550,3 +550,54 @@ def train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc_id"),
         F.max("doc_id").alias("last_doc_id"),
     )
+
+
+#: train/val/test split bounds over the 256-value md5 bucket byte:
+#: [00..f7] train (248/256), [f8..fb] val (4/256), [fc..ff] test.
+SPLIT_VAL_LO = "f8"
+SPLIT_TEST_LO = "fc"
+
+
+def split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic held-out split assignment + audit: every document
+    hashes into train/val/test by its content-keyed md5 bucket (same
+    bucket convention as ``hash_sample`` — stable under re-runs,
+    re-partitioning, and corpus growth: a doc's split never changes when
+    other docs arrive, the property a training pipeline needs to avoid
+    silent eval contamination). Emits the per-(split, lang) audit table:
+    doc count, whitespace-token count, and the split's share of docs.
+
+    One scan, one partial+final aggregate to |splits|x|langs| rows; the
+    share ratio is computed on that tiny relation. At 100 TB the
+    assignment is a map-only expression — the report is the only
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _sample_bucket()
+    split = (
+        F.when(bucket < SPLIT_VAL_LO, "train")
+        .when(bucket < SPLIT_TEST_LO, "val")
+        .otherwise("test")
+    )
+    per = (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(norm_words(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_docs").alias("n_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "split",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(F.col("n_docs") / F.col("n_total") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("doc_frac"),
+    )
