@@ -229,3 +229,23 @@ def test_sql_q10_broadcasts_nation_and_caps_sort(spark):
     assert "TakeOrderedAndProject" in plan
     pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
     assert "l_returnflag" in pushed and "o_orderdate" in pushed
+
+
+def test_sql_q8_broadcasts_all_dims(spark):
+    # 7-relation join: every dim (part, supplier, customer, 2x nation,
+    # region) must broadcast onto the lineitem-orders backbone; a
+    # SortMergeJoin on a dim or any cartesian means Catalyst failed to
+    # reorder the comma joins
+    plan = _plan(spark, "rel_sql_q8")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_sql_q15_max_subquery_is_not_a_rescan(spark):
+    # the scalar max() compares against the aggregated revenue relation;
+    # lineitem must be scanned at most twice (CTE + subquery — Spark does
+    # not share the CTE across the scalar), never per-supplier
+    plan = _plan(spark, "rel_sql_q15")
+    assert plan.count("FileScan parquet") <= 3
+    assert "CartesianProduct" not in plan

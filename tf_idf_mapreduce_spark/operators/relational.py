@@ -945,6 +945,120 @@ def returned_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q10_SQL)
 
 
+#: TPC-H Q14 verbatim (promotion effect): the sums accumulate through
+#: DECIMAL (exact), convert to DOUBLE only for the final division, and
+#: round via the repo's floor(x*1e6 + 0.5) convention so both engines
+#: agree op for op. The fixture's p_type values are plain labels, so
+#: the spec's 'PROMO%' prefix match hits the 'PROMO' class.
+Q14_SQL = """
+    SELECT floor(
+             100.0
+             * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(38,4))
+                             ELSE CAST(0 AS DECIMAL(38,4)) END)
+                    AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,4))) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-09-01'
+      AND l_shipdate < DATE '1996-10-01'
+"""
+
+
+def promo_effect_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 through the SQL front-end. The month filter pushes into
+    the lineitem scan; part (small dim) broadcasts onto the filtered
+    fact; one partial+final aggregate emits a single row."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q14_SQL)
+
+
+#: TPC-H Q15 verbatim shape (top supplier): the CTE materializes once
+#: per reference; the max() scalar subquery compares EXACT decimal sums,
+#: so the winner set is deterministic in both engines.
+Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(38,4))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(CAST(total_rev AS DOUBLE), 6) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+def top_supplier_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 through the SQL front-end. The scalar max subquery plans
+    as a 1-row broadcast against the aggregated revenue relation (never
+    a re-scan of lineitem per row), and the quarter filter pushes into
+    the fact scan. Equality on exact DECIMAL sums keeps tie handling
+    engine-portable."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q15_SQL)
+
+
+#: TPC-H Q8 verbatim shape (national market share): 7-relation join.
+#: Volume accumulates through DECIMAL per (year, nation) and the share
+#: divides as DOUBLE under the floor-rounding convention.
+Q8_SQL = """
+    SELECT o_year,
+           floor(CAST(sum(CASE WHEN nation = 'NATION_8'
+                               THEN volume
+                               ELSE CAST(0 AS DECIMAL(38,4)) END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS mkt_share
+    FROM (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,4)) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+def market_share_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 through the SQL front-end — the widest join in the
+    suite (7 relations). Catalyst reorders the comma joins into a
+    broadcast chain over the dims (part, supplier, customer, both
+    nation roles, region) hanging off the lineitem-orders backbone; the
+    date and p_type filters push into their scans. A 1000-executor run
+    shuffles only the two fact relations."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q8_SQL)
+
+
 def large_volume_customer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 through the SQL front-end (same text as the oracle).
 
