@@ -1947,6 +1947,7 @@ _RELATIONAL_ORACLE["rel_sql_q3"] = rel.Q3_SQL
 _RELATIONAL_ORACLE["rel_sql_q1"] = rel.Q1_SQL
 _RELATIONAL_ORACLE["rel_sql_q18"] = rel.Q18_SQL
 _RELATIONAL_ORACLE["rel_sql_q6"] = rel.Q6_SQL
+_RELATIONAL_ORACLE["rel_sql_q7"] = rel.Q7_SQL
 _RELATIONAL_ORACLE["rel_sql_q8"] = rel.Q8_SQL
 _RELATIONAL_ORACLE["rel_sql_q14"] = rel.Q14_SQL
 _RELATIONAL_ORACLE["rel_sql_q15"] = rel.Q15_SQL
@@ -2398,6 +2399,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sql_q1": rel.pricing_summary_sql,
         "rel_sql_q18": rel.large_volume_customer_sql,
         "rel_sql_q6": rel.forecast_revenue_sql,
+        "rel_sql_q7": rel.volume_shipping_sql,
         "rel_sql_q8": rel.market_share_sql,
         "rel_sql_q14": rel.promo_effect_sql,
         "rel_sql_q15": rel.top_supplier_sql,

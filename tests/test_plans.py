@@ -231,6 +231,15 @@ def test_sql_q10_broadcasts_nation_and_caps_sort(spark):
     assert "l_returnflag" in pushed and "o_orderdate" in pushed
 
 
+def test_sql_q7_prunes_nations_before_fact_join(spark):
+    # the nation-pair disjunction must reach the nation scans as filters
+    # (each role pruned to 2 rows) and every dim must broadcast
+    plan = _plan(spark, "rel_sql_q7")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "n_name" in plan
+
+
 def test_sql_q8_broadcasts_all_dims(spark):
     # 7-relation join: every dim (part, supplier, customer, 2x nation,
     # region) must broadcast onto the lineitem-orders backbone; a

@@ -1012,6 +1012,43 @@ def top_supplier_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q15_SQL)
 
 
+#: TPC-H Q7 verbatim shape (volume shipping): bidirectional nation-pair
+#: filter over a 6-relation join; DECIMAL-exact revenue per
+#: (supp_nation, cust_nation, year).
+Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS DOUBLE), 6) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) AS l_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,4)) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_20')
+             OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_8'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def volume_shipping_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 through the SQL front-end. The two nation roles broadcast
+    and their name filters prune the supplier/customer sides BEFORE the
+    fact join (Catalyst pushes the disjunction through as an IN-list on
+    each nation role), so only nation-pair traffic shuffles."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q7_SQL)
+
+
 #: TPC-H Q8 verbatim shape (national market share): 7-relation join.
 #: Volume accumulates through DECIMAL per (year, nation) and the share
 #: divides as DOUBLE under the floor-rounding convention.
