@@ -251,6 +251,20 @@ def test_sql_q8_broadcasts_all_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 5
 
 
+def test_sql_q5_broadcasts_dims_and_pushes_date(spark):
+    # the c_nationkey = s_nationkey cross-dimension predicate must not
+    # degrade the plan: customer, supplier, nation, region all broadcast
+    # onto the lineitem-orders backbone, the one-year window reaches the
+    # orders scan, and nothing plans as a cartesian
+    plan = _plan(spark, "rel_sql_q5")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "o_orderdate" in pushed
+    assert "r_name" in pushed
+
+
 def test_sql_q15_max_subquery_is_not_a_rescan(spark):
     # the scalar max() compares against the aggregated revenue relation;
     # lineitem must be scanned at most twice (CTE + subquery — Spark does

@@ -1096,6 +1096,46 @@ def market_share_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q8_SQL)
 
 
+#: TPC-H Q5 verbatim shape (local supplier volume): 6-relation join with
+#: the c_nationkey = s_nationkey co-location predicate; DECIMAL-exact
+#: revenue per nation, ordered descending.
+Q5_SQL = """
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,4))) AS DOUBLE),
+                 6) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+def local_supplier_volume_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 through the SQL front-end. The distinguishing predicate is
+    c_nationkey = s_nationkey — a join condition between two DIMENSION
+    sides of the fact backbone, not a filter: Catalyst keeps customer and
+    supplier broadcast (both tiny vs lineitem) and evaluates the equality
+    after the backbone join, so the only shuffles at 100 TB are the
+    lineitem-orders hash join partial aggregates. The region filter
+    prunes nation (and transitively supplier/customer nation values)
+    before anything touches the fact table, and the one-year date range
+    pushes into the orders scan. A deterministic (revenue DESC, n_name)
+    tiebreak keeps the 5-row result ordering engine-portable."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q5_SQL)
+
+
 def large_volume_customer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 through the SQL front-end (same text as the oracle).
 
