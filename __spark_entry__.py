@@ -1953,6 +1953,8 @@ _RELATIONAL_ORACLE["rel_sql_q14"] = rel.Q14_SQL
 _RELATIONAL_ORACLE["rel_sql_q15"] = rel.Q15_SQL
 _RELATIONAL_ORACLE["rel_sql_q10"] = rel.Q10_SQL
 _RELATIONAL_ORACLE["rel_sql_q5"] = rel.Q5_SQL
+_RELATIONAL_ORACLE["rel_sql_q19"] = rel.Q19_SQL
+_RELATIONAL_ORACLE["rel_sql_q9"] = rel.Q9_SQL
 
 _RELATIONAL_ORACLE["rel_q21_waiting"] = f"""
     WITH li AS (
@@ -2406,6 +2408,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sql_q15": rel.top_supplier_sql,
         "rel_sql_q10": rel.returned_items_sql,
         "rel_sql_q5": rel.local_supplier_volume_sql,
+        "rel_sql_q19": rel.discounted_revenue_sql,
+        "rel_sql_q9": rel.product_profit_sql,
         "rel_pivot": rel.native_pivot,
         "rel_percentiles": rel.price_percentiles,
         "rel_grouping_sets": rel.grouping_sets_orders,

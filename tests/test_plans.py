@@ -265,6 +265,28 @@ def test_sql_q5_broadcasts_dims_and_pushes_date(spark):
     assert "r_name" in pushed
 
 
+def test_sql_q19_factors_single_side_conjuncts_out_of_the_or(spark):
+    # the OR-of-ANDs spans both join sides; the factored-out residues
+    # must reach BOTH scans (brand IN-list on part, quantity range on
+    # lineitem) and the join must broadcast the filtered part side
+    plan = _plan(spark, "rel_sql_q19")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # long OR-lists truncate in toString — assert on the scan node text
+    assert re.search(r"PushedFilters: \[[^\n]*p_brand", plan)
+    assert re.search(r"PushedFilters: \[[^\n]*l_quantity", plan)
+
+
+def test_sql_q9_filters_part_before_the_fact_join(spark):
+    # the LIKE filter evaluates on the part scan (visible as a Filter
+    # over the part FileScan, contains can't push to parquet stats) and
+    # every dim broadcasts; only lineitem-orders shuffles
+    plan = _plan(spark, "rel_sql_q9")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_sql_q15_max_subquery_is_not_a_rescan(spark):
     # the scalar max() compares against the aggregated revenue relation;
     # lineitem must be scanned at most twice (CTE + subquery — Spark does

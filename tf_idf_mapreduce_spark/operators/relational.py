@@ -1136,6 +1136,87 @@ def local_supplier_volume_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q5_SQL)
 
 
+#: TPC-H Q19 shape (discounted revenue, fixture subset: the reference
+#: columns l_shipmode/l_shipinstruct/p_container do not exist in the
+#: fixture, so the disjunction keeps its brand/size/quantity arms only).
+#: The interesting property is the OR-of-ANDs predicate spanning both
+#: join sides.
+Q19_SQL = """
+    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,4))) AS DOUBLE),
+                 6) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12'
+            AND p_size BETWEEN 1 AND 15
+            AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#23'
+            AND p_size BETWEEN 1 AND 25
+            AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#34'
+            AND p_size BETWEEN 1 AND 35
+            AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+def discounted_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (fixture-subset shape) through the SQL front-end.
+
+    The disjunction mixes part-side (p_brand, p_size) and lineitem-side
+    (l_quantity) conjuncts. Catalyst factors the single-side residues
+    out of the OR: the part scan receives an In(p_brand, [..3 brands])
+    + size upper-bound filter and the lineitem scan a l_quantity range
+    — both visible as PushedFilters — while the mixed residual
+    evaluates after the broadcast hash join on p_partkey. At 100 TB
+    this is the difference between scanning three brands' postings and
+    scanning the whole fact table. Reference parity: extends the
+    predicate-composition idea of WordCount's token filters
+    (WordCount.java:71-84) to multi-relation disjunctions."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q19_SQL)
+
+
+#: TPC-H Q9 shape (product-type profit). The fixture has no partsupp
+#: relation, so ps_supplycost is unavailable and "profit" degrades to
+#: discounted revenue — the join topology (part filter fanning out over
+#: the supplier-nation rollup of lineitem x orders) is the point.
+Q9_SQL = """
+    SELECT nation, o_year,
+           round(CAST(sum(amount) AS DOUBLE), 6) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,4)) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey
+        AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey
+        AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+def product_profit_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (fixture-subset shape) through the SQL front-end.
+
+    The p_name LIKE '%red%' contains-filter cannot push into parquet
+    row-group stats, but it DOES evaluate on the part scan before the
+    join, so the broadcast build side carries only matching partkeys and
+    the fact rows for every other part never survive the join. supplier
+    and nation broadcast; lineitem-orders is the one real shuffle. The
+    per-(nation, year) aggregate partial-combines map-side."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q9_SQL)
+
+
 def large_volume_customer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 through the SQL front-end (same text as the oracle).
 
