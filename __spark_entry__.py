@@ -1372,6 +1372,51 @@ _LLMDATA_ORACLE["mm_ahash_pairs"] = (
     """
 )
 
+#: replay the synthetic WAV construction: PCM sample i is the
+#: little-endian int16 at hex chars 4i+1..4i+4 of the md5 chain; every
+#: feature is an integer aggregate (energy/peak/crossings), so any
+#: mis-parse of the RIFF chunk walk or the int16 stride on the Spark
+#: side diverges with no rounding grid to hide behind.
+_WAV_PCM_HEX = " || ".join(f"md5(text || ':a{i}')" for i in range(mm.WAV_BLOCKS))
+
+_LLMDATA_ORACLE["mm_audio_features"] = f"""
+    WITH m AS (
+      SELECT doc_id,
+             {mm.WAV_SAMPLES_BASE} + 16 * (doc_id % 5) AS n,
+             {_WAV_PCM_HEX} AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, i,
+             CASE WHEN raw > 32767 THEN raw - 65536 ELSE raw END AS v
+      FROM (
+        SELECT doc_id, n, i,
+          CAST('0x' || substr(h, CAST(4 * i + 1 AS INT), 2) AS INT)
+          + 256 * CAST('0x' || substr(h, CAST(4 * i + 3 AS INT), 2) AS INT)
+            AS raw
+        FROM m, LATERAL unnest(generate_series(0, n - 1)) t(i)
+      )
+    ),
+    zc AS (
+      SELECT doc_id,
+             count(*) FILTER (v * nxt < 0) AS n_zero_cross
+      FROM (SELECT doc_id, v,
+                   lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+            FROM s)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+      CAST({mm.WAV_SAMPLE_RATE} AS BIGINT) AS sample_rate,
+      CAST(any_value(s.n) AS BIGINT) AS n_samples,
+      CAST(sum(s.v * s.v) AS BIGINT) AS energy,
+      CAST(max(abs(s.v)) AS BIGINT) AS peak,
+      CAST(any_value(zc.n_zero_cross) AS BIGINT) AS n_zero_cross,
+      floor(count(*) FILTER (abs(s.v) < {mm.WAV_SILENCE_ABS})
+            * 1000000.0 / any_value(s.n) + 0.5) / 1000000 AS silence_ratio
+    FROM s JOIN zc USING (doc_id)
+    GROUP BY s.doc_id
+"""
+
 
 _RELATIONAL_ORACLE["rel_window_frames"] = """
     SELECT o_custkey, o_orderkey,
@@ -1642,6 +1687,9 @@ _STREAMING_ORACLE["stream_incremental_wordcount"] = _STREAMING_ORACLE[
     "stream_wordcount"
 ]
 _STREAMING_ORACLE["stream_tumbling_hourly"] = _EVENTS_ORACLE["events_tumbling_hourly"]
+# the streaming half is only the stateful hourly count; the z-score pass is
+# a batch post-pass over the drained aggregate, so the batch oracle applies
+_STREAMING_ORACLE["stream_anomaly"] = _EVENTS_ORACLE["events_anomaly"]
 
 _STREAMING_ORACLE["stream_sliding_counts"] = """
     SELECT ts_sec - ts_sec % 1800 - 1800 * k AS win_start_sec, event_type,
@@ -2500,6 +2548,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # image near-dup: perceptual average-hash + banded Hamming LSH
         "mm_ahash": mm.media_ahash,
         "mm_ahash_pairs": mm.media_ahash_pairs,
+        # real RIFF/WAVE PCM16 decode (chunk walk + int16 stride) over a
+        # synthetic-but-valid audio column; integer-exact feature oracle
+        "mm_audio_features": mm.media_audio_features,
         # --- Structured Streaming (each runs availableNow to completion;
         #     streaming answer must equal the batch/oracle answer) ---
         "stream_wordcount": st.q_stream_wordcount,
@@ -2512,6 +2563,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join": st.q_stream_static_join,
         "stream_stream_join": st.q_stream_stream_join,
         "stream_upsert_snapshot": st.q_stream_upsert_snapshot,
+        # stateful hourly count in-stream + batch z-score post-pass
+        "stream_anomaly": st.q_stream_anomaly,
+        # the flagship pipeline as an incrementally-maintained index
+        "stream_tfidf": st.q_stream_tfidf,
     }
 
 
@@ -2550,4 +2605,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(_LLMDATA_ORACLE)
     out.update(_TEMPORAL_ORACLE)
     out.update(_STREAMING_ORACLE)
+    # the streaming index drain must land on the batch pipeline's relation
+    out["stream_tfidf"] = out["tfidf_full"]
     return out

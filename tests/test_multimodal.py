@@ -191,6 +191,74 @@ def test_ahash_identical_images_collide(spark):
     assert set(got[0]) <= {"0", "1"} and len(got[0]) == 64
 
 
+def test_decode_wav_parses_riff_chunks():
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.multimodal import decode_wav
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype="<i2")
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    rate, v = decode_wav(hdr + data)
+    assert rate == 8000
+    assert list(v) == list(samples)
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + bytes(40))  # not RIFF
+    # stereo must be rejected (PCM16 MONO only)
+    bad = bytearray(hdr + data)
+    bad[22] = 2
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_wav_features_match_python_replay(spark):
+    """End-to-end integer parity: Spark-side WAV build + real RIFF decode
+    + feature kernel must equal a from-scratch Python replay of the md5
+    chain (what the DuckDB oracle does in SQL)."""
+    import math
+
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        WAV_BLOCKS,
+        WAV_SAMPLES_BASE,
+        WAV_SILENCE_ABS,
+        audio_features,
+        wav_from_documents,
+    )
+
+    rows = [(0, "alpha"), (3, "beta gamma"), (7, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in audio_features(wav_from_documents(docs)).collect()}
+    for doc_id, text in rows:
+        n = WAV_SAMPLES_BASE + 16 * (doc_id % 5)
+        pcm = b"".join(
+            hashlib.md5(f"{text}:a{i}".encode()).digest() for i in range(WAV_BLOCKS)
+        )[: 2 * n]
+        v = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+        r = got[doc_id]
+        assert r.sample_rate == 8000
+        assert r.n_samples == n
+        assert r.energy == int((v * v).sum())
+        assert r.peak == int(np.abs(v).max())
+        assert r.n_zero_cross == int(np.count_nonzero(v[:-1] * v[1:] < 0))
+        silent = int(np.count_nonzero(np.abs(v) < WAV_SILENCE_ABS))
+        assert r.silence_ratio == math.floor(silent * 1e6 / n + 0.5) / 1e6
+
+
 def test_ahash_pairs_hamming_is_exact(spark, sf_dir):
     from tf_idf_mapreduce_spark.operators.multimodal import (
         media_ahash,

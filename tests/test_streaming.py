@@ -33,6 +33,24 @@ def test_stream_tumbling_matches_batch(spark, sf_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_stream_tfidf_matches_batch_pipeline(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    got = st.q_stream_tfidf(spark, sf_dir)
+    want = entrymod.queries()["tfidf_full"](spark, sf_dir)
+    cols = ["word", "doc", "count", "doc_total", "df", "tfidf"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_anomaly_matches_batch(spark, sf_dir):
+    got = st.q_stream_anomaly(spark, sf_dir)
+    want = ev.q_anomaly_hours(spark, sf_dir)
+    cols = ["event_type", "hour_start_sec", "n_events", "mean_n", "z_score"]
+    rows = _rows(got, cols)
+    assert rows == _rows(want, cols)
+    assert rows, "fixture should contain at least one anomalous hour"
+
+
 def test_stream_session_window_vs_batch_convention(spark, sf_dir):
     """session_window sessions must equal lag-based sessions computed with
     the strict-gap convention (gap >= 1800 starts a new session)."""

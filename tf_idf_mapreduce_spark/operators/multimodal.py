@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -487,3 +488,177 @@ def media_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ham.cast("long").alias("hamming"),
         (ham <= F.lit(AHASH_NEAR_MAX_HAMMING)).alias("is_near"),
     )
+
+
+# --- audio: real RIFF/WAVE PCM16 synthesis + dependency-free decode ------
+
+WAV_SAMPLE_RATE = 8000
+WAV_BLOCKS = 16  # 16 md5 blocks = 256 bytes = 128 samples max
+WAV_SILENCE_ABS = 1024  # |sample| below this counts as silence
+WAV_SAMPLES_BASE = 64  # n_samples = 64 + 16 * (doc_id % 5) -> 64..128
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+        StructField("peak", LongType()),
+        StructField("n_zero_cross", LongType()),
+        StructField("silence_ratio", DoubleType()),
+    ]
+)
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian hex rendering of an integer column — big-endian
+    ``hex()`` zero-padded to ``nbytes``, byte pairs reversed. JVM codegen
+    only (hex/lpad/substring/concat)."""
+    h = F.lpad(F.lower(F.hex(col)), 2 * nbytes, "0")
+    return F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))])
+
+
+def wav_from_documents(documents: DataFrame) -> DataFrame:
+    """Synthesize a REAL binary RIFF/WAVE file per document — valid RIFF
+    header, PCM16 mono ``fmt `` chunk at 8 kHz, and a ``data`` chunk of
+    little-endian int16 samples — so the audio path exercises an actual
+    container format end-to-end with no codec libraries.
+
+    Sample content is a deterministic md5 chain over the doc's text
+    (``md5(text || ':a{i}')`` for i in 0..15, concatenated, unhexed) and
+    the clip length is ``64 + 16 * (doc_id % 5)`` samples — both
+    replayable by a SQL oracle, which is what makes the audio features
+    hash-exact: if the Python RIFF walker mis-parsed a chunk size or
+    mis-aligned the int16 stride, every downstream integer diverges.
+    All construction is JVM-side codegen (md5/unhex/hex/concat).
+
+    Reference parity note: the reference pipeline is text-only; this
+    extends its corpus model (one file = one document,
+    WordCount.java:89) to audio columns.
+    """
+    n = (F.lit(WAV_SAMPLES_BASE) + F.lit(16) * F.pmod(F.col("doc_id"), F.lit(5))).cast(
+        "int"
+    )
+    data_size = (n * 2).cast("int")
+    pcm_hex = F.concat(
+        *[
+            F.md5(F.encode(F.concat(F.col("text"), F.lit(f":a{i}")), "UTF-8"))
+            for i in range(WAV_BLOCKS)
+        ]
+    )
+    # constant fields as literal hex: "RIFF"/"WAVE"/"fmt "/16/PCM/mono/
+    # 8000 Hz/16000 Bps/block 2/16-bit/"data"
+    header_hex = F.concat(
+        F.lit("52494646"),
+        _le_hex(data_size + F.lit(36), 4),
+        F.lit("57415645"),
+        F.lit("666d7420"),
+        F.lit("10000000"),  # fmt chunk size 16, le32
+        F.lit("0100"),  # PCM
+        F.lit("0100"),  # mono
+        _le_hex(F.lit(WAV_SAMPLE_RATE), 4),
+        _le_hex(F.lit(WAV_SAMPLE_RATE * 2), 4),
+        F.lit("0200"),  # block align
+        F.lit("1000"),  # 16 bits/sample
+        F.lit("64617461"),
+        _le_hex(data_size, 4),
+    )
+    return (
+        documents.select(
+            "doc_id",
+            data_size.alias("_ds"),
+            header_hex.alias("_hdr"),
+            pcm_hex.alias("_pcm"),
+        )
+        .select(
+            "doc_id",
+            F.unhex(
+                F.concat(F.col("_hdr"), F.expr("substring(_pcm, 1, 2 * _ds)"))
+            ).alias("media"),
+            F.lit("audio/x-wav").alias("media_format"),
+        )
+        .withColumn("n_bytes", F.octet_length("media").cast("long"))
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, "object"]:
+    """Minimal dependency-free RIFF/WAVE PCM16 decoder: validates the
+    RIFF/WAVE magic, walks the chunk list (id + le32 size, word-aligned),
+    parses ``fmt `` (requires PCM, mono, 16-bit), and returns
+    ``(sample_rate, int16 sample array)`` from the ``data`` chunk. The
+    second real codec in the container — anything else goes through the
+    declared stub seam."""
+    import numpy as np
+
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    idx, rate, data = 12, None, None
+    while idx + 8 <= len(payload):
+        cid = payload[idx : idx + 4]
+        size = int.from_bytes(payload[idx + 4 : idx + 8], "little")
+        body = payload[idx + 8 : idx + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = body
+        idx += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def audio_features(media_df: DataFrame) -> DataFrame:
+    """Integer-exact audio features over binary WAV media via
+    Arrow-batched ``mapInPandas``: total energy (sum of squared
+    samples — int64, no float grid), peak amplitude, zero crossings
+    (strict sign flips), and the silence ratio at |v| < 1024 (the only
+    float, on the repo-wide 6dp half-up grid).
+
+    At 100 TB this is one Arrow pass over the media partitions; only the
+    7-column integer rows shuffle (nothing does — it is map-only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.names}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                rate, v = decode_wav(bytes(payload))
+                v64 = v.astype(np.int64)
+                n = len(v64)
+                silent = int(np.count_nonzero(np.abs(v64) < WAV_SILENCE_ABS))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["energy"].append(int((v64 * v64).sum()))
+                out["peak"].append(int(np.abs(v64).max()) if n else 0)
+                out["n_zero_cross"].append(
+                    int(np.count_nonzero(v64[:-1] * v64[1:] < 0))
+                )
+                out["silence_ratio"].append(
+                    math.floor(silent * 1e6 / n + 0.5) / 1e6 if n else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        out[k],
+                        dtype="float64" if k == "silence_ratio" else "int64",
+                    )
+                    for k in AUDIO_FEATURES_SCHEMA.names
+                }
+            )
+
+    return media_df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-feature extraction over the synthetic WAV corpus — the
+    REAL-codec audio path (construction and every feature integer-
+    replayable by a SQL oracle)."""
+    m = wav_from_documents(load_table(spark, sf_dir, "documents"))
+    return audio_features(m)

@@ -120,6 +120,114 @@ def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "stream_tumbling", output_mode="complete")
 
 
+def q_stream_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TF-IDF index maintenance — the flagship 4-job chain
+    (WordCount → CountTF → CalcTFIDF, TfidfMapReduce.java:36-100) with
+    its STATEFUL stage kept by Structured Streaming.
+
+    The (word, doc) count and the distinct-document count drain over four
+    micro-batches (``maxFilesPerTrigger=1`` against the 4-file corpus
+    split), accumulating in the state store across triggers — the shape
+    of a live index absorbing a document feed. The TF/TF-IDF math is a
+    deterministic batch post-pass over the drained counts: every input it
+    needs (counts, totals, df, N) is a pure function of the maintained
+    state, so re-deriving it per refresh is how an incremental index
+    actually publishes. The final relation must hash-match the batch
+    ``tfidf_full`` oracle.
+    """
+    from ..functions.tokenize import tokenize
+    from ..operators.tfidf import doc_freq, doc_totals, tfidf
+    from ..sources.io import documents_as_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_dir = _corpus_split_dir(sf_dir, docs)
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(split_dir)
+        )
+
+    words = tokenize(documents_as_corpus(src()))
+    wc = words.groupBy("word", "doc").agg(F.count("*").alias("count"))
+    counts = run_to_memory(wc, "stream_tfidf_wc", output_mode="complete")
+    # total_docs comes from its own maintained per-doc state (streaming
+    # has no exact countDistinct): a doc with zero surviving tokens still
+    # raises the IDF denominator, so it cannot be derived from the
+    # wordcount state (same caveat as tfidf_pipeline). The drained state
+    # is one row per doc; counting it is a batch agg over the tiny table.
+    docs_seen = run_to_memory(
+        src().groupBy("doc_id").agg(F.count("*").alias("n_rows")),
+        "stream_tfidf_docs",
+        output_mode="complete",
+    )
+    ndocs = docs_seen.agg(F.count("*").alias("total_docs"))
+    scored = tfidf(
+        doc_freq(doc_totals(counts)).crossJoin(F.broadcast(ndocs)),
+        F.col("total_docs"),
+    )
+    return scored.select(
+        "word",
+        "doc",
+        "count",
+        "doc_total",
+        "df",
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``operators.events.q_anomaly_hours``: hours whose
+    event count sits >= 2 sample standard deviations from the type's
+    hourly mean.
+
+    Only the STATEFUL half runs in the stream — the watermarked hourly
+    count, whose state is bounded by (types x open hours). The z-score
+    needs the per-type mean/stddev over ALL hours, a second stateful
+    aggregation Structured Streaming won't chain in one graph — and an
+    alerting pipeline wouldn't want it to: the scoring pass re-reads the
+    tiny materialized aggregate each trigger (here: once, after the
+    availableNow drain) and broadcasts |types| rows of stats back onto
+    it. Same two-phase shape, rounding grid, and threshold as the batch
+    operator, so the streaming answer hash-matches the batch oracle.
+    """
+    from ..operators.events import ANOMALY_Z_THRESHOLD
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_start_sec"),
+            "event_type",
+            "n_events",
+        )
+    )
+    counts = run_to_memory(hourly, "stream_anomaly", output_mode="complete")
+    stats = counts.groupBy("event_type").agg(
+        F.avg("n_events").alias("mean_n"),
+        F.stddev_samp("n_events").alias("sd_n"),
+    )
+
+    def r6(col):
+        return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    z = r6((F.col("n_events") - F.col("mean_n")) / F.col("sd_n"))
+    return (
+        counts.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour_start_sec",
+            "n_events",
+            r6(F.col("mean_n")).alias("mean_n"),
+            z.alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) >= ANOMALY_Z_THRESHOLD)
+    )
+
+
 def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` gap-based sessions per user (30 min gap)."""
     ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
