@@ -224,6 +224,46 @@ def test_decode_wav_parses_riff_chunks():
         decode_wav(bytes(bad))
 
 
+def test_decode_wav_roundtrips_arbitrary_pcm():
+    """Property: any int16 sample sequence survives a WAV build+decode
+    round-trip byte-exactly, regardless of chunk-walk edge cases (odd
+    data sizes word-align, unknown chunks are skipped)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.multimodal import decode_wav
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+        st.booleans(),
+    )
+    def check(samples, extra_chunk):
+        arr = np.array(samples, dtype="<i2")
+        data = arr.tobytes()
+        fmt = (
+            b"fmt "
+            + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little")
+            + (16000).to_bytes(4, "little")
+            + (2).to_bytes(2, "little")
+            + (16).to_bytes(2, "little")
+        )
+        # an unknown chunk with an ODD size: the walker must word-align
+        junk = b"LIST" + (3).to_bytes(4, "little") + b"abc\x00" if extra_chunk else b""
+        body = fmt + junk + b"data" + len(data).to_bytes(4, "little") + data
+        payload = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+        rate, got = decode_wav(payload)
+        assert rate == 8000
+        assert got.tobytes() == data
+
+    check()
+
+
 def test_wav_features_match_python_replay(spark):
     """End-to-end integer parity: Spark-side WAV build + real RIFF decode
     + feature kernel must equal a from-scratch Python replay of the md5
