@@ -15,22 +15,50 @@ Noise guards:
   comparison is skipped with a warning (exit 0 — wrong-SF runs are a
   local-iteration artifact, not a regression);
 - queries present only in one side are reported but never fail the gate
-  (new queries have no baseline yet).
+  (new queries have no baseline yet);
+- a flagged query is RE-TIMED in isolation (one warmup + one timed run
+  in a fresh session) before failing: a full-surface bench run executes
+  130+ queries back-to-back in one JVM, and a query landing on a GC
+  pause or state-store cleanup can record 5-7x its real cost. The gate
+  fails only if the isolated time also regresses. Pass --no-retime to
+  gate on the recorded numbers alone (cheaper; used in CI-ish loops).
 
-Usage: python scripts/bench_gate.py [detail_json] [baseline_json]
+Usage: python scripts/bench_gate.py [detail_json] [baseline_json] [--no-retime]
 Exit: 0 pass, 1 regression(s).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import time
 
 RATIO_MAX = 2.0
 ABS_FLOOR_SEC = 0.5
 
 
+def _retime(names: list[str], sf: float) -> dict[str, float]:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from tf_idf_mapreduce_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        qs[name](spark, sf_dir).count()  # warm the session + scans
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        out[name] = time.time() - t0
+    return out
+
+
 def main(argv: list[str]) -> int:
+    no_retime = "--no-retime" in argv
+    argv = [a for a in argv if a != "--no-retime"]
     detail_path = argv[1] if len(argv) > 1 else "BENCH_DETAIL.json"
     base_path = argv[2] if len(argv) > 2 else "BENCH_BASELINE.json"
     with open(detail_path) as f:
@@ -58,6 +86,17 @@ def main(argv: list[str]) -> int:
         c, r = cur[name], ref[name]
         if c > r * RATIO_MAX and c - r > ABS_FLOOR_SEC:
             failures.append((name, r, c))
+    if failures and not no_retime:
+        isolated = _retime([n for n, _, _ in failures], detail["sf"])
+        confirmed = []
+        for name, r, c in failures:
+            i = isolated[name]
+            if i > r * RATIO_MAX and i - r > ABS_FLOOR_SEC:
+                confirmed.append((name, r, min(c, i)))
+            else:
+                print(f"noise {name}: recorded {c:.2f}s, isolated {i:.2f}s "
+                      f"(baseline {r:.2f}s) — cleared")
+        failures = confirmed
     for name, r, c in failures:
         print(f"FAIL {name}: {r:.2f}s -> {c:.2f}s ({c / r:.2f}x)")
     n = len(set(cur) & set(ref))

@@ -171,6 +171,77 @@ def test_stream_dedup_state_spans_microbatches(spark, sf_dir, tmp_path):
     assert got == _rows(events, cols)  # ...but only one copy came out
 
 
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """The watermark contract itself: an event arriving BEHIND the
+    watermark must not re-open (or re-count into) its closed window.
+
+    Trigger 1 carries 10:15 + 13:15 (watermark advances to 12:15, past
+    the [10:00, 11:00) window), trigger 2 carries 14:15 (the filter's
+    one-batch lag: the updated watermark applies from the NEXT batch),
+    trigger 3 lands a LATE 10:30 event. The state operator must report
+    it in ``numRowsDroppedByWatermark`` and the emitted [10:00, 11:00)
+    count must stay 1 — a 2, or a duplicate appended (10, 1) row, would
+    mean late data leaked into finalized state (the unbounded-state
+    failure mode the watermark exists to prevent at 100 TB feed rates).
+    """
+    import glob
+    import os
+    import tempfile
+
+    from datetime import datetime
+
+    def f(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    landing = str(tmp_path / "landing")
+    triggers = [
+        [(f(10, 15),), (f(13, 15),)],
+        [(f(14, 15),)],
+        [(f(10, 30),), (f(15, 15),)],
+    ]
+    for rows in triggers:
+        spark.createDataFrame(rows, "ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    # FileStreamSource orders files by modification time: force strictly
+    # increasing mtimes so the triggers drain in write order
+    parts = sorted(glob.glob(landing + "/*.parquet"), key=os.path.getmtime)
+    now = int(os.path.getmtime(parts[-1]))
+    for i, p in enumerate(parts):
+        os.utime(p, (now - 60 + i, now - 60 + i))
+
+    src = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(landing)
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.hour("w.start").alias("h"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_late_"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1, f"exactly the late 10:30 row must be dropped, got {dropped}"
+    got = sorted(_rows(spark.table("late_probe"), ["h", "n"]))
+    assert got.count((10, 1)) == 1 and (10, 2) not in got, got
+    spark.catalog.dropTempView("late_probe")
+
+
 def test_stream_static_join_matches_batch(spark, sf_dir):
     got = st.q_stream_static_join(spark, sf_dir)
     base = ev.load_events(spark, sf_dir)
