@@ -1418,6 +1418,44 @@ _LLMDATA_ORACLE["mm_audio_features"] = f"""
 """
 
 
+#: replay the synthetic Y4M construction: frame i of doc d is the 48-byte
+#: md5 chain keyed by its SCENE index i // (2 + d%3); SAD between
+#: consecutive frames is an integer byte-difference sum — zero within a
+#: scene, large across boundaries. A mis-parsed FRAME marker or header
+#: tag on the Spark side shifts every byte and diverges immediately.
+_LLMDATA_ORACLE["mm_scene_cuts"] = f"""
+    WITH m AS (
+      SELECT doc_id, text,
+             {mm.Y4M_FRAMES_BASE} + 2 * (doc_id % 5) AS n,
+             {mm.Y4M_SCENE_BASE} + (doc_id % 3) AS seg
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, i,
+        md5(text || ':f' || CAST(i // seg AS VARCHAR) || ':0')
+        || md5(text || ':f' || CAST(i // seg AS VARCHAR) || ':1')
+        || md5(text || ':f' || CAST(i // seg AS VARCHAR) || ':2') AS h
+      FROM m, LATERAL unnest(generate_series(0, n - 1)) t(i)
+    ),
+    pairs AS (
+      SELECT a.doc_id, b.i AS frame_idx, a.h AS ha, b.h AS hb
+      FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    sads AS (
+      SELECT doc_id, frame_idx,
+        sum(abs(CAST('0x' || substr(ha, CAST(2 * j - 1 AS INT), 2) AS INT)
+              - CAST('0x' || substr(hb, CAST(2 * j - 1 AS INT), 2) AS INT)))
+          AS sad
+      FROM pairs, LATERAL unnest(generate_series(1, {mm.Y4M_FRAME_BYTES})) t(j)
+      GROUP BY doc_id, frame_idx
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(sad AS BIGINT) AS sad,
+           sad >= {mm.CUT_MIN_SAD} AS is_cut
+    FROM sads
+"""
+
+
 _RELATIONAL_ORACLE["rel_window_frames"] = """
     SELECT o_custkey, o_orderkey,
       CAST(epoch(o_orderdate) AS BIGINT) AS ts_sec,
@@ -2551,6 +2589,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real RIFF/WAVE PCM16 decode (chunk walk + int16 stride) over a
         # synthetic-but-valid audio column; integer-exact feature oracle
         "mm_audio_features": mm.media_audio_features,
+        # real YUV4MPEG2 decode (header tags + FRAME markers) over a
+        # synthetic-but-valid video column; integer SAD scene cuts
+        "mm_scene_cuts": mm.media_scene_cuts,
         # --- Structured Streaming (each runs availableNow to completion;
         #     streaming answer must equal the batch/oracle answer) ---
         "stream_wordcount": st.q_stream_wordcount,

@@ -299,6 +299,72 @@ def test_wav_features_match_python_replay(spark):
         assert r.silence_ratio == math.floor(silent * 1e6 / n + 0.5) / 1e6
 
 
+def test_decode_y4m_parses_header_and_frames():
+    from tf_idf_mapreduce_spark.operators.multimodal import decode_y4m
+
+    f0, f1 = bytes(range(48)), bytes(range(48, 96))
+    payload = b"YUV4MPEG2 W4 H4 F25:1 C444\n" + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    w, h, frames = decode_y4m(payload)
+    assert (w, h) == (4, 4)
+    assert frames == [f0, f1]
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF....")  # not YUV4MPEG2
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C420\nFRAME\n" + bytes(24))  # chroma seam
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAMX\n" + f0)  # bad marker
+
+
+def test_scene_cuts_match_python_replay(spark):
+    """End-to-end integer parity: the Spark-side Y4M build + real decode
+    + SAD kernel must equal a from-scratch Python replay of the scene
+    chain (what the DuckDB oracle does in SQL): SAD is 0 inside a scene
+    and >= CUT_MIN_SAD exactly at scene boundaries."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        CUT_MIN_SAD,
+        Y4M_FRAMES_BASE,
+        Y4M_SCENE_BASE,
+        scene_cuts,
+        y4m_from_documents,
+    )
+
+    rows = [(0, "alpha"), (4, "beta gamma"), (8, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.frame_idx): r
+        for r in scene_cuts(y4m_from_documents(docs)).collect()
+    }
+    n_rows = 0
+    for doc_id, text in rows:
+        n = Y4M_FRAMES_BASE + 2 * (doc_id % 5)
+        seg = Y4M_SCENE_BASE + doc_id % 3
+
+        def frame(i):
+            s = i // seg
+            return np.frombuffer(
+                b"".join(
+                    hashlib.md5(f"{text}:f{s}:{k}".encode()).digest()
+                    for k in range(3)
+                ),
+                dtype=np.uint8,
+            ).astype(np.int64)
+
+        for i in range(1, n):
+            want_sad = int(np.abs(frame(i) - frame(i - 1)).sum())
+            r = got[(doc_id, i)]
+            assert r.sad == want_sad
+            assert r.is_cut == (want_sad >= CUT_MIN_SAD)
+            # scene structure: zero SAD inside scenes, a cut at boundaries
+            if i % seg == 0:
+                assert r.is_cut, (doc_id, i)
+            else:
+                assert r.sad == 0, (doc_id, i)
+            n_rows += 1
+    assert len(got) == n_rows
+
+
 def test_ahash_pairs_hamming_is_exact(spark, sf_dir):
     from tf_idf_mapreduce_spark.operators.multimodal import (
         media_ahash,
