@@ -46,7 +46,11 @@ from tf_idf_mapreduce_spark.operators.tfidf import (
     tfidf_sorted,
     word_count,
 )
-from tf_idf_mapreduce_spark.functions.hashing import MINHASH_P, MINHASH_PERMS
+from tf_idf_mapreduce_spark.functions.hashing import (
+    MINHASH_K,
+    MINHASH_P,
+    MINHASH_PERMS,
+)
 from tf_idf_mapreduce_spark.functions.tokenize import tokenize
 from tf_idf_mapreduce_spark.plans.pipeline import flagship_tfidf
 from tf_idf_mapreduce_spark.sources.io import documents_as_corpus, load_table
@@ -1063,6 +1067,66 @@ _LLMDATA_ORACLE: dict[str, str] = {
                               THEN 1 ELSE 0 END) / count(*) * 1000000 + 0.5)
                  / 1000000 AS precision
         FROM jp
+    """,
+    # replay the (r, b) sweep: band keys re-derived from the SAME mh
+    # relation per config, one exact-Jaccard verify over the candidate
+    # union, J = 0 for permuted-min collisions via the LEFT join
+    "dedup_banding_sweep": _DEDUP_CTE
+    + f"""
+        , cfg AS (SELECT * FROM (VALUES {", ".join(f"({r})" for r in dd.BANDING_SWEEP_ROWS)}) t(r)),
+        bands_cfg AS (
+          SELECT c.r, m.doc_id, m.seed // c.r AS band,
+                 md5(string_agg(CAST(m.mhv AS VARCHAR), '|' ORDER BY m.seed))
+                   AS key
+          FROM mh m CROSS JOIN cfg c
+          GROUP BY c.r, m.doc_id, m.seed // c.r
+        ),
+        cand_cfg AS (
+          SELECT DISTINCT x.r, x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands_cfg x JOIN bands_cfg y
+            ON x.r = y.r AND x.band = y.band AND x.key = y.key
+           AND x.doc_id < y.doc_id
+        ),
+        union_pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand_cfg),
+        ds AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+        inter AS (
+          SELECT u.doc_a, u.doc_b, count(*) AS n_common
+          FROM union_pairs u
+          JOIN ds sa ON sa.doc_id = u.doc_a
+          JOIN ds sb ON sb.doc_id = u.doc_b AND sb.shingle = sa.shingle
+          GROUP BY u.doc_a, u.doc_b
+        ),
+        jacc AS (
+          SELECT i.doc_a, i.doc_b,
+                 i.n_common / (za.sz + zb.sz - i.n_common) AS jaccard
+          FROM inter i
+          JOIN sizes za ON za.doc_id = i.doc_a
+          JOIN sizes zb ON zb.doc_id = i.doc_b
+        ),
+        tot AS (
+          SELECT count(*) AS n_true_total FROM jacc
+          WHERE jaccard >= {dd.MINHASH_PRECISION_THRESHOLD}
+        ),
+        rep AS (
+          SELECT c.r, count(*) AS n_candidates,
+                 sum(CASE WHEN coalesce(j.jaccard, 0)
+                               >= {dd.MINHASH_PRECISION_THRESHOLD}
+                          THEN 1 ELSE 0 END) AS n_true
+          FROM cand_cfg c
+          LEFT JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+          GROUP BY c.r
+        )
+        SELECT CAST(r AS BIGINT) AS r,
+               CAST({MINHASH_K} // r AS BIGINT) AS b,
+               CAST(n_candidates AS BIGINT) AS n_candidates,
+               CAST(n_true AS BIGINT) AS n_true,
+               floor(n_true * 1000000.0 / n_candidates + 0.5) / 1000000
+                 AS precision_at_05,
+               floor(n_true * 1000000.0 / n_true_total + 0.5) / 1000000
+                 AS recall_vs_union
+        FROM rep, tot
+        ORDER BY r
     """,
     "dedup_simhash": _SIMHASH_CTE
     + "SELECT doc_id, simhash, n_words FROM sv_all",
@@ -2534,6 +2598,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dd.duplicate_clusters,
         "dedup_keeper_quality": dd.keeper_by_quality,
         "dedup_minhash_precision": dd.minhash_precision,
+        # the (r, b) tuning loop: one signature pass, per-config
+        # candidates, one union verify
+        "dedup_banding_sweep": dd.banding_sweep,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,

@@ -218,3 +218,21 @@ def test_cross_source_leakage_is_the_cross_source_slice(spark, sf_dir):
         assert r.source_a == src[r.doc_a] and r.source_b == src[r.doc_b]
         assert r.source_a != r.source_b
         assert r.jaccard == jac[(r.doc_a, r.doc_b)]
+
+
+def test_banding_sweep_traces_the_precision_recall_tradeoff(spark, sf_dir):
+    """The sweep must reproduce the LSH theory: smaller r (more
+    permissive bands) can only ADD candidates, so n_candidates and
+    recall are non-increasing in r while precision is non-decreasing;
+    every config's true pairs are a subset of the union truth."""
+    from tf_idf_mapreduce_spark.operators.dedup import banding_sweep
+
+    rows = sorted(banding_sweep(spark, sf_dir).collect(), key=lambda r: r.r)
+    assert [r.r * r.b for r in rows] == [12] * len(rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates >= b.n_candidates
+        assert a.recall_vs_union >= b.recall_vs_union
+        assert a.precision_at_05 <= b.precision_at_05
+    for r in rows:
+        assert 0 <= r.n_true <= r.n_candidates
+        assert r.recall_vs_union <= 1.0

@@ -18,7 +18,7 @@ Scale design (the whole point at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -549,6 +549,115 @@ def keeper_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MINHASH_PRECISION_THRESHOLD = 0.5
+
+#: r values swept by ``banding_sweep`` (b = MINHASH_K // r). r=1 is the
+#: high-recall/low-precision end (any single agreeing minhash is a
+#: candidate), r=3 the opposite.
+BANDING_SWEEP_ROWS = [1, 2, 3]
+
+
+def banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (r, b) banding TUNING LOOP as one distributed pass: for every
+    swept config, candidate count, verified-true count, precision, and
+    recall against the union of all configs' true pairs.
+
+    This is the report an engineer reads before fixing the production
+    banding: P[candidate] = 1-(1-J^r)^b trades verify cost (precision)
+    against missed near-dups (recall), and the right point depends on
+    the corpus's Jaccard distribution — measured here, not assumed.
+
+    Scale shape: the k-int signature relation is computed ONCE
+    (``localCheckpoint``; at 100 TB an explicit temp table) and every
+    config derives its band keys from it map-only — the sweep costs
+    |configs| band self-joins over one-row-per-doc relations plus ONE
+    exact-Jaccard verify over the UNION of candidates, not a re-shingle
+    per config. Candidates that share a band key but no shingle (a
+    permuted-min collision) count toward precision's denominator with
+    J = 0 via the left join, matching the oracle.
+    """
+    sh = doc_shingles(spark, sf_dir).localCheckpoint()
+    hashed = sh.select("doc_id", word_hash32(F.col("shingle")).alias("h"))
+    sigs = (
+        hashed.groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P)
+                    for a, b in MINHASH_PERMS
+                ]
+            ).alias("sig")
+        )
+        .localCheckpoint()
+    )
+    cands = None
+    for r in BANDING_SWEEP_ROWS:
+        b = MINHASH_K // r
+        bands = sigs.select(
+            "doc_id", F.explode(band_keys(F.col("sig"), r=r, b=b)).alias("bk")
+        ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        x = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        y = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+        cfg = (
+            x.join(y, ["band", "key"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .withColumn("r", F.lit(r))
+        )
+        cands = cfg if cands is None else cands.unionByName(cfg)
+
+    union_pairs = cands.select("doc_a", "doc_b").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        F.broadcast(union_pairs)
+        .join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jacc = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    truth_total = jacc.where(
+        F.col("jaccard") >= MINHASH_PRECISION_THRESHOLD
+    ).agg(F.count("*").cast("long").alias("n_true_total"))
+
+    def r6(col: Column) -> Column:
+        return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    n_true = F.sum(
+        F.when(
+            F.coalesce(F.col("jaccard"), F.lit(0.0))
+            >= MINHASH_PRECISION_THRESHOLD,
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        cands.join(jacc, ["doc_a", "doc_b"], "left")
+        .groupBy("r")
+        .agg(F.count("*").cast("long").alias("n_candidates"), n_true.alias("n_true"))
+        .crossJoin(F.broadcast(truth_total))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.floor(F.lit(MINHASH_K) / F.col("r")).cast("long").alias("b"),
+            "n_candidates",
+            "n_true",
+            r6(F.col("n_true") / F.col("n_candidates")).alias("precision_at_05"),
+            r6(F.col("n_true") / F.col("n_true_total")).alias("recall_vs_union"),
+        )
+        .orderBy("r")
+    )
 
 
 def minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
