@@ -1171,6 +1171,14 @@ _LLMDATA_ORACLE: dict[str, str] = {
         sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
     ),
     "sim_ivf_histogram": _ivf_histogram_sql(),
+    # the nprobe tuning loop: each block replays fit+probe at its own
+    # nprobe (the deterministic fit reaches the same model every time)
+    "sim_ivf_probe_sweep": "\nUNION ALL\n".join(
+        f"SELECT CAST({p} AS BIGINT) AS nprobe, n_hits, k, n_exact, recall"
+        f" FROM ({_ivf_recall_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, p)})"
+        for p in sim.IVF_PROBE_SWEEP
+    )
+    + "\nORDER BY nprobe",
     "sim_pagerank": _pagerank_sql(
         sim.PAGERANK_ITERS, sim.PAGERANK_DAMP_PCT, sim.KNN_K
     ),
@@ -2610,6 +2618,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim.ivf_topk,
         "sim_ivf_recall": sim.ivf_recall,
         "sim_ivf_histogram": sim.ivf_cell_histogram,
+        # nprobe tuning loop: one fit/assignment, per-probe recall
+        "sim_ivf_probe_sweep": sim.ivf_probe_sweep,
         "sim_label_centroids": sim.label_centroids,
         "sim_knn_graph": sim.knn_graph,
         "sim_knn_graph_ann": sim.knn_graph_ann,

@@ -304,3 +304,18 @@ def test_lsh_recall_oracle_green_for_nondefault_params(spark, sf_dir):
     want = [tuple(r) for r in con.execute(entrymod._lsh_recall_sql(7, 5)).fetchall()]
     assert got == want
     assert got[0][1] == 5  # k really is the non-default
+
+
+def test_ivf_probe_sweep_recall_is_monotone(spark, sf_dir):
+    """Probing more cells only adds candidates, and exact-top-k members
+    can't be displaced by lower-cosine ones — recall must be
+    non-decreasing in nprobe, with a shared exact denominator."""
+    from tf_idf_mapreduce_spark.operators.similarity import ivf_probe_sweep
+
+    rows = sorted(ivf_probe_sweep(spark, sf_dir).collect(), key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    assert len({r.n_exact for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.recall <= b.recall
+    for r in rows:
+        assert 0 <= r.n_hits <= r.n_exact

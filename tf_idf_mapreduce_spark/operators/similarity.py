@@ -690,6 +690,88 @@ def ivf_recall(
     )
 
 
+#: nprobe values swept by ``ivf_probe_sweep`` (the default IVF_NPROBE=4
+#: is the high end; 1 is the cheapest/lossiest probe).
+IVF_PROBE_SWEEP = (1, 2, 4)
+
+
+def ivf_probe_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    k: int = DEFAULT_TOPK,
+    probes: tuple[int, ...] = IVF_PROBE_SWEEP,
+) -> DataFrame:
+    """The IVF nprobe TUNING LOOP as one pass: recall@k per probed-cell
+    count — the report that fixes the production speed/quality point
+    (nprobe is the fraction of the corpus each query touches; recall is
+    what it buys). ``banding_sweep``'s twin for the ANN path.
+
+    Scale shape: the k-means model is fitted ONCE and the per-vector
+    cell assignment materialized ONCE (``localCheckpoint``; at 100 TB
+    the persisted IVF index itself); each swept nprobe is a partition-
+    pruned filter over that relation plus a k-row top-k — no re-fit, no
+    re-assignment. The exact side is computed once and every recall is
+    an intersection of two k-row relations (broadcast semi-join, ~0).
+    Recall is non-decreasing in nprobe by construction: probing more
+    cells only ADDS candidates, and exact-top-k members can never be
+    displaced by lower-cosine ones.
+    """
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(e)
+    cmat = np.asarray(cents)
+    qvec = np.array(
+        e.where(F.col("vec_id") == query_vec_id).head().embedding,
+        dtype="float64",
+    )
+    qkey = np.floor((-2.0 * (cmat @ qvec) + (cmat**2).sum(axis=1)) * 1e6 + 0.5)
+    order = np.argsort(qkey * len(cmat) + np.arange(len(cmat)))
+
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
+    ).localCheckpoint()
+    exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
+        "vec_id"
+    ).localCheckpoint()
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    q = _query_vector(e, query_vec_id)
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+
+    out = None
+    for p in probes:
+        probe = [int(c) for c in order[:p]]
+        approx = (
+            assigned.where(F.col("cid").isin(probe))
+            .where(F.col("vec_id") != query_vec_id)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", cos.alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            .limit(k)
+            .select("vec_id")
+        )
+        hits = exact.join(approx, "vec_id", "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        row = hits.crossJoin(F.broadcast(n_exact)).select(
+            F.lit(p).cast("long").alias("nprobe"),
+            "n_hits",
+            F.lit(k).cast("long").alias("k"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.floor(
+                    F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
 #: PageRank over the exact kNN graph: damping (as an integer percent)
 #: and a fixed iteration count — both replayed verbatim by the oracle.
 PAGERANK_DAMP_PCT = 85
