@@ -2498,6 +2498,34 @@ _CURATION_ORACLE["curate_mixture"] = f"""
     FROM fr
 """
 
+# per-word KL terms round @6dp before the DECIMAL sum — identical values
+# added in any order on both engines (the lm_doc_scores convention)
+_CURATION_ORACLE["curate_source_kl"] = f"""
+    WITH words AS (
+      SELECT source, unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    per_sw AS (SELECT source, w, count(*) AS n_sw FROM words GROUP BY 1, 2),
+    per_s AS (SELECT source, sum(n_sw) AS n_s FROM per_sw GROUP BY source),
+    per_w AS (SELECT w, sum(n_sw) AS n_w FROM per_sw GROUP BY w),
+    total AS (SELECT sum(n_w) AS n_total FROM per_w),
+    terms AS (
+      SELECT s.source, s.n_sw, ps.n_s,
+        CAST(round((s.n_sw / ps.n_s)
+                   * ln((s.n_sw * t.n_total) / (ps.n_s * pw.n_w)), 6)
+             AS DECIMAL(38,6)) AS term
+      FROM per_sw s
+      JOIN per_s ps USING (source)
+      JOIN per_w pw USING (w)
+      CROSS JOIN total t
+    )
+    SELECT source,
+      CAST(max(n_s) AS BIGINT) AS n_tokens,
+      CAST(count(*) AS BIGINT) AS n_distinct_words,
+      floor(CAST(sum(term) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS kl_nats
+    FROM terms
+    GROUP BY source
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries in STABLE declaration order (grouped by family), the
@@ -2649,6 +2677,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_shard_pack": cur.shard_pack,
         "curate_train_manifest": cur.train_manifest,
         "curate_split": cur.split_report,
+        # per-source unigram KL from the corpus distribution (drift)
+        "curate_source_kl": cur.source_kl,
         "curate_weighted_sample": cur.weighted_sample,
         # rows-only (HLL++/KLL sketch internals are engine-specific — no SQL
         # twin; accuracy vs exact is pinned in tests/test_curation.py)

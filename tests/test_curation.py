@@ -355,3 +355,27 @@ def test_split_report_is_stable_under_corpus_growth(spark, sf_dir):
     c = Counter(full.values())
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > 10 * (c["val"] + c["test"])
+
+
+def test_source_kl_properties(spark, sf_dir):
+    """Gibbs' inequality: every source's KL from the corpus distribution
+    is >= 0 (up to the 6dp per-term rounding), and a single-source corpus
+    would be exactly 0 — approximated here by checking that token totals
+    decompose the corpus exactly."""
+    from tf_idf_mapreduce_spark.operators.curation import source_kl
+    from tf_idf_mapreduce_spark.functions.hashing import norm_words
+    from tf_idf_mapreduce_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    rows = source_kl(spark, sf_dir).collect()
+    assert rows
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(norm_words(F.col("text"))).alias("w"))
+        .count()
+    )
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        # per-term 6dp rounding can push a tiny true KL a hair below 0
+        assert r.kl_nats >= -1e-4, r
+        assert r.n_distinct_words > 0

@@ -601,3 +601,56 @@ def split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("doc_frac"),
     )
+
+
+def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: each source's unigram KL divergence
+    from the whole-corpus distribution, ``KL(P_s || P) = Σ_w p_sw ·
+    ln(p_sw / p_w)`` — the number that flags a source whose language
+    shifted (new crawl snapshot, template change, spam influx) before it
+    skews a training mixture. 0 = indistinguishable from the corpus.
+
+    No smoothing is needed: every word of a source exists in the corpus,
+    so p_w > 0 wherever p_sw > 0. Per-word terms round @6dp BEFORE the
+    DECIMAL sum (the repo-wide convention from ``lm_doc_scores``) so
+    both engines add identical values in any order.
+
+    Scale shape: one shuffle on (source, word) with map-side partial
+    counts; the per-source and per-word totals are vocabulary-sized
+    rollups of that relation; the 1-row corpus total broadcasts. Nothing
+    driver-side, no second pass over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(norm_words(F.col("text"))).alias("w"))
+    per_sw = words.groupBy("source", "w").agg(F.count("*").alias("n_sw"))
+    per_s = per_sw.groupBy("source").agg(F.sum("n_sw").alias("n_s"))
+    per_w = per_sw.groupBy("w").agg(F.sum("n_sw").alias("n_w"))
+    total = per_w.agg(F.sum("n_w").alias("n_total"))
+
+    term = F.round(
+        (F.col("n_sw") / F.col("n_s"))
+        * F.log(
+            (F.col("n_sw") * F.col("n_total"))
+            / (F.col("n_s") * F.col("n_w"))
+        ),
+        6,
+    ).cast("decimal(38,6)")
+    return (
+        per_sw.join(per_s, "source")
+        .join(per_w, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct_words"),
+            F.sum(term).cast("double").alias("_kl"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct_words",
+            (F.floor(F.col("_kl") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "kl_nats"
+            ),
+        )
+    )
