@@ -1527,6 +1527,29 @@ _LLMDATA_ORACLE["mm_scene_cuts"] = f"""
     FROM sads
 """
 
+#: same 5-gram build as the contamination oracle; novelty joins the
+#: per-gram document-frequency rollup of the SAME relation
+_LLMDATA_ORACLE["text_novelty"] = f"""
+    WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    gr AS (
+      SELECT DISTINCT doc_id, md5(g) AS h FROM (
+        SELECT doc_id,
+          unnest(list_transform(
+            generate_series(1, greatest(len(words) - {ts.NOVELTY_NGRAM - 1}, 1)),
+            i -> array_to_string(words[i:i+{ts.NOVELTY_NGRAM - 1}], ' '))) AS g
+        FROM docs)
+    ),
+    dfc AS (SELECT h, count(*) AS n_docs_with FROM gr GROUP BY h)
+    SELECT g.doc_id,
+      CAST(count(*) AS BIGINT) AS n_grams,
+      CAST(sum(CASE WHEN d.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_shared,
+      floor((count(*) - sum(CASE WHEN d.n_docs_with > 1 THEN 1 ELSE 0 END))
+            * 1000000.0 / count(*) + 0.5) / 1000000 AS novelty
+    FROM gr g JOIN dfc d USING (h)
+    GROUP BY g.doc_id
+"""
+
 
 _RELATIONAL_ORACLE["rel_window_frames"] = """
     SELECT o_custkey, o_orderkey,
@@ -2667,6 +2690,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": ts.readability,
         "text_pii_scan": cur.pii_scan,
         "text_repetition": cur.repetition_scores,
+        # memorization risk: per-doc shared-5-gram fraction (agg+join,
+        # never pairwise)
+        "text_novelty": ts.novelty_scores,
         # --- LLM-data pipeline: corpus curation ---
         "curate_contamination": cur.contamination_check,
         "curate_hash_sample": cur.hash_sample,

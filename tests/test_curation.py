@@ -379,3 +379,18 @@ def test_source_kl_properties(spark, sf_dir):
         # per-term 6dp rounding can push a tiny true KL a hair below 0
         assert r.kl_nats >= -1e-4, r
         assert r.n_distinct_words > 0
+
+
+def test_novelty_flags_shared_ngrams_exactly(spark, planted_dir):
+    """Docs 0 and 1 share 5 of their 6 distinct 5-grams; docs 2 and 3
+    share nothing with anyone. Novelty must be exact per-doc arithmetic,
+    never an estimate."""
+    from tf_idf_mapreduce_spark.operators.textstats import novelty_scores
+
+    got = {r.doc_id: r for r in novelty_scores(spark, planted_dir).collect()}
+    assert got[0].n_grams == 6 and got[0].n_shared == 5
+    assert got[1].n_grams == 6 and got[1].n_shared == 5
+    assert got[0].novelty == got[1].novelty == round(1 / 6, 6)
+    for d in (2, 3):
+        assert got[d].n_shared == 0
+        assert got[d].novelty == 1.0

@@ -353,3 +353,53 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(score * 1_000_000 + F.lit(0.5)) / 1_000_000,
         ).alias("flesch"),
     )
+
+
+NOVELTY_NGRAM = 5
+
+
+def novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization/duplication-risk scan: the fraction of each doc's
+    distinct 5-grams that also occur in ANY other document. A high
+    shared fraction marks boilerplate or near-copies a dedup pass
+    missed; a novelty of 1.0 means every n-gram is unique to the doc.
+
+    Never pairwise: the (doc, n-gram) relation joins the per-n-gram
+    document-frequency rollup of ITSELF — one shuffle on the n-gram
+    hash (partial-combined) + one join, same cost class as tf-idf's
+    document frequency (A3), not contamination's doc x doc expansion.
+    """
+    from ..functions.hashing import shingle_rows
+    from ..sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingle_rows(d, ["doc_id"], n=NOVELTY_NGRAM)
+        .select("doc_id", F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    df_counts = grams.groupBy("h").agg(F.count("*").alias("n_docs_with"))
+    return (
+        grams.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (
+                F.floor(
+                    (F.col("n_grams") - F.col("n_shared"))
+                    / F.col("n_grams")
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("novelty"),
+        )
+    )
