@@ -29,6 +29,11 @@ QUERIES = [
     # k-means fit sums members via Spark partial sums — the @6dp grid
     # must absorb the partition-count-dependent association order
     "sim_ivf_topk",
+    # checkpointed signature base + per-config band joins + a left-join
+    # precision denominator — candidate SETS must not depend on layout
+    "dedup_banding_sweep",
+    # DECIMAL sum of @6dp KL terms — any-order addition must be exact
+    "curate_source_kl",
 ]
 
 
