@@ -236,3 +236,94 @@ def test_banding_sweep_traces_the_precision_recall_tradeoff(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_true <= r.n_candidates
         assert r.recall_vs_union <= 1.0
+
+
+def test_banding_sweep_equals_python_brute_force(spark, tmp_path):
+    """Full replay on a planted corpus: shingles, 32-bit hashes, all 12
+    permuted minima, per-(r,b) band keys, candidate sets, exact Jaccard,
+    and the report arithmetic — recomputed from scratch in Python. Any
+    drift in the banding math (slice bounds, key rendering, permutation
+    constants) fails here before it can hide in aggregate monotonicity."""
+    import hashlib
+    import itertools
+
+    from tf_idf_mapreduce_spark.functions.hashing import (
+        MINHASH_K,
+        MINHASH_P,
+        MINHASH_PERMS,
+    )
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        BANDING_SWEEP_ROWS,
+        MINHASH_PRECISION_THRESHOLD,
+        banding_sweep,
+    )
+
+    texts = {
+        0: "a b c d e f",
+        1: "a b c d e g",
+        2: "a b c d e f",  # identical to 0
+        3: "x y z w q r",  # disjoint
+    }
+    d = tmp_path / "planted"
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    def shingles(text):
+        w = text.split()
+        if not w:
+            return {""}
+        n = max(len(w) - 2, 1)
+        return {" ".join(w[i : i + 3]) for i in range(n)}
+
+    def sig(sh_set):
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh_set]
+        return [min((h * a + b) % MINHASH_P for h in hs) for a, b in MINHASH_PERMS]
+
+    sigs = {i: sig(shingles(t)) for i, t in texts.items()}
+    shs = {i: shingles(t) for i, t in texts.items()}
+
+    def bands(s, r):
+        return [
+            hashlib.md5(
+                "|".join(str(v) for v in s[i * r : (i + 1) * r]).encode()
+            ).hexdigest()
+            for i in range(MINHASH_K // r)
+        ]
+
+    expect = {}
+    all_true = set()
+    cand_by_r = {}
+    for r in BANDING_SWEEP_ROWS:
+        cand = set()
+        for a, b in itertools.combinations(sorted(texts), 2):
+            ba, bb = bands(sigs[a], r), bands(sigs[b], r)
+            if any(x == y for x, y in zip(ba, bb)):
+                cand.add((a, b))
+        cand_by_r[r] = cand
+        for a, b in cand:
+            j = len(shs[a] & shs[b]) / len(shs[a] | shs[b])
+            if j >= MINHASH_PRECISION_THRESHOLD:
+                all_true.add((a, b))
+    import math
+
+    for r in BANDING_SWEEP_ROWS:
+        n_true = sum(
+            1
+            for (a, b) in cand_by_r[r]
+            if len(shs[a] & shs[b]) / len(shs[a] | shs[b])
+            >= MINHASH_PRECISION_THRESHOLD
+        )
+        expect[r] = (
+            len(cand_by_r[r]),
+            n_true,
+            math.floor(n_true * 1e6 / len(cand_by_r[r]) + 0.5) / 1e6,
+            math.floor(n_true * 1e6 / len(all_true) + 0.5) / 1e6,
+        )
+
+    got = {
+        r.r: (r.n_candidates, r.n_true, r.precision_at_05, r.recall_vs_union)
+        for r in banding_sweep(spark, str(d)).collect()
+    }
+    assert got == expect
