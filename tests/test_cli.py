@@ -105,3 +105,29 @@ def test_cli_wordcount_stage_output_format(tmp_path):
         for l in _read_lines(out)
     )
     assert rows == {("alpha", "a.txt"): 2, ("beta", "a.txt"): 1}
+
+
+def test_cli_query_subcommand(tmp_path, sf_dir, capsys):
+    """'query --list' names every registered query; 'query <name> --out'
+    writes the same rows the registry function returns."""
+    import __spark_entry__ as entrymod
+
+    assert main(["query", "--list"]) == 0
+    listed = capsys.readouterr().out.split()
+    assert set(listed) == set(entrymod.queries())
+
+    out = tmp_path / "q5"
+    rc = main(
+        ["query", "rel_sql_q5", "--sf-dir", sf_dir, "--out", str(out)]
+    )
+    assert rc == 0
+    from tf_idf_mapreduce_spark.session import get_spark
+
+    spark = get_spark()
+    got = sorted(map(tuple, spark.read.parquet(str(out)).collect()))
+    want = sorted(
+        map(tuple, entrymod.queries()["rel_sql_q5"](spark, sf_dir).collect())
+    )
+    assert got == want
+
+    assert main(["query", "no_such_query"]) == 2

@@ -138,16 +138,69 @@ def _stage_main(argv: list[str]) -> int:
     return 0
 
 
+def _query_main(argv: list[str]) -> int:
+    """``query <name> [--sf-dir D] [--out PATH] [--list]`` — run any of the
+    engine's registered analytics queries (the full 140+ surface beyond
+    the reference pipeline: dedup, similarity, curation, multimodal,
+    streaming...) from the command line. Without ``--out`` the result
+    prints (first ``--limit`` rows); with it, the full result writes as
+    parquet."""
+    p = argparse.ArgumentParser(
+        prog="tf_idf_mapreduce_spark query",
+        description="run a registered analytics query by name",
+    )
+    p.add_argument("name", nargs="?", help="query name (see --list)")
+    p.add_argument("--list", action="store_true", help="list query names and exit")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="fixture directory with the parquet tables",
+    )
+    p.add_argument("--out", default=None, help="write result as parquet here")
+    p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
+    p.add_argument("--force", action="store_true", help="overwrite existing output")
+    p.add_argument("--master", default=None, help="Spark master (default local[N])")
+    args = p.parse_args(argv[1:])
+
+    # the registry lives at the repo root next to this package; make the
+    # subcommand work from any cwd
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if pkg_parent not in sys.path:
+        sys.path.insert(0, pkg_parent)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.list or not args.name:
+        for name in qs:
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see --list", file=sys.stderr)
+        return 2
+    if args.out and not _check_out(args.out, args.force):
+        return 1
+    spark = get_spark(app_name=f"query-{args.name}", master=args.master)
+    df = qs[args.name](spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
     if argv and argv[0] in STAGES:
         return _stage_main(argv)
+    if argv and argv[0] == "query":
+        return _query_main(argv)
 
     p = argparse.ArgumentParser(
         prog="tf_idf_mapreduce_spark",
         description=(
             "TF-IDF over a directory of text documents (Spark-native); "
-            f"per-stage jobs: {', '.join(STAGES)}"
+            f"per-stage jobs: {', '.join(STAGES)}; "
+            "'query <name>' runs any registered analytics query"
         ),
     )
     p.add_argument("input", help="directory of text files (one doc per file)")
