@@ -315,6 +315,28 @@ def test_decode_y4m_parses_header_and_frames():
         decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAMX\n" + f0)  # bad marker
 
 
+def test_decode_y4m_roundtrips_arbitrary_frames():
+    """Property: any frame sequence survives a Y4M build+decode
+    round-trip byte-exactly, including zero frames and frames whose
+    bytes contain the FRAME marker text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tf_idf_mapreduce_spark.operators.multimodal import decode_y4m
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.binary(min_size=48, max_size=48), min_size=0, max_size=6))
+    def check(frames):
+        payload = b"YUV4MPEG2 W4 H4 F25:1 C444\n" + b"".join(
+            b"FRAME\n" + f for f in frames
+        )
+        w, h, got = decode_y4m(payload)
+        assert (w, h) == (4, 4)
+        assert got == frames
+
+    check()
+
+
 def test_scene_cuts_match_python_replay(spark):
     """End-to-end integer parity: the Spark-side Y4M build + real decode
     + SAD kernel must equal a from-scratch Python replay of the scene

@@ -158,6 +158,11 @@ def _query_main(argv: list[str]) -> int:
     )
     p.add_argument("--out", default=None, help="write result as parquet here")
     p.add_argument("--limit", type=int, default=20, help="rows to print without --out")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of running",
+    )
     p.add_argument("--force", action="store_true", help="overwrite existing output")
     p.add_argument("--master", default=None, help="Spark master (default local[N])")
     args = p.parse_args(argv[1:])
@@ -181,6 +186,9 @@ def _query_main(argv: list[str]) -> int:
         return 1
     spark = get_spark(app_name=f"query-{args.name}", master=args.master)
     df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
     else:
