@@ -100,3 +100,36 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     assert n == li.count()  # every lineitem has its order
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_jsonl_corpus_reads_lines_and_prunes(spark, tmp_path):
+    """JSONL corpus: explicit schema (no inference pass), extra fields
+    pruned, doc ids as strings, malformed lines surfaced as null-doc rows
+    not job failures — and the result feeds the S1/S2 pipeline shape."""
+    import json as _json
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    lines = [
+        _json.dumps({"doc_id": "a", "text": "hello world", "extra": 1}),
+        _json.dumps({"doc_id": "b", "text": "beta"}),
+        _json.dumps({"doc_id": "c"}),  # missing text -> ''
+        "{not json",  # malformed -> null doc row
+    ]
+    (p / "part-0.jsonl").write_text("\n".join(lines))
+
+    from tf_idf_mapreduce_spark.sources.io import read_jsonl_corpus
+
+    df = read_jsonl_corpus(spark, str(p))
+    assert df.columns == ["doc", "text"]
+    rows = {r.doc: r.text for r in df.collect()}
+    assert rows["a"] == "hello world"
+    assert rows["b"] == "beta"
+    assert rows["c"] == ""
+    assert None in rows  # the malformed line is visible, not fatal
+
+    from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+
+    words = tokenize(df.where(F.col("doc").isNotNull()))
+    got = sorted(map(tuple, words.collect()))
+    assert got == [("a", "hello"), ("a", "world"), ("b", "beta")]

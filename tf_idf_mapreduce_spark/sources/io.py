@@ -159,6 +159,41 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    doc_field: str = "doc_id",
+    text_field: str = "text",
+) -> DataFrame:
+    """Corpus scan over JSON-lines files — the interchange format most
+    web-scale text dumps actually arrive in (one JSON object per line).
+
+    An EXPLICIT two-field schema is passed to the reader, never inferred:
+    schema inference costs a full extra pass over 100 TB before the real
+    scan, and a heterogeneous dump can silently widen a field's type
+    between runs. Unparseable lines surface as null-doc rows
+    (PERMISSIVE) rather than killing the job — filter or count them as a
+    quality gate. Extra fields per line are simply never read (column
+    pruning at the JSON parser level).
+
+    Returns the same ``(doc string, text string)`` shape as
+    ``read_text_corpus``, so everything downstream of S1/S2 runs
+    unchanged on a JSONL landing directory.
+    """
+    from pyspark.sql.types import StringType, StructField as SF_, StructType as ST_
+
+    schema = ST_([SF_(doc_field, StringType()), SF_(text_field, StringType())])
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .json(path)
+        .select(
+            F.col(doc_field).alias("doc"),
+            F.coalesce(F.col(text_field), F.lit("")).alias("text"),
+        )
+    )
+
+
 def documents_as_corpus(documents: DataFrame) -> DataFrame:
     """Adapt the fixture ``documents`` table to the corpus shape (doc, text).
 
