@@ -1837,6 +1837,10 @@ _STREAMING_ORACLE["stream_dedup"] = """
     FROM events
 """
 
+# every fixture event_id is unique, so within-watermark dedup passes
+# everything through; the eviction window itself is pytest-pinned
+_STREAMING_ORACLE["stream_dedup_watermarked"] = _STREAMING_ORACLE["stream_dedup"]
+
 _STREAMING_ORACLE["stream_static_join"] = """
     WITH stats AS (
       SELECT user_id, count(*) AS user_total_events FROM events GROUP BY user_id
@@ -2741,6 +2745,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_anomaly": st.q_stream_anomaly,
         # the flagship pipeline as an incrementally-maintained index
         "stream_tfidf": st.q_stream_tfidf,
+        # bounded-state dedup (state evicted past the watermark)
+        "stream_dedup_watermarked": st.q_stream_dedup_watermarked,
     }
 
 

@@ -263,3 +263,74 @@ def test_stream_upsert_snapshot_matches_batch(spark, sf_dir):
     want = q_latest_snapshot(spark, sf_dir)
     cols = ["user_id", "event_id", "ts_sec", "event_type", "value"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dedup_within_watermark_suppresses_then_evicts(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics end-to-end: a duplicate
+    arriving within the delay is suppressed; once the watermark passes
+    the key's event time + delay the state is EVICTED, so a later
+    re-arrival emits again. That re-emission is the price of bounded
+    state — and exactly the message-bus redelivery contract."""
+    import glob
+    import os
+    import tempfile
+
+    from datetime import datetime
+
+    def f(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    landing = str(tmp_path / "landing")
+    triggers = [
+        [(1, f(10, 0)), (9, f(10, 0))],
+        [(1, f(10, 30)), (2, f(13, 0))],  # dup within delay + wm advance
+        # the advanced watermark applies (and evicts key 1) one batch
+        # later — this intermediate trigger absorbs that lag
+        [(3, f(13, 10))],
+        [(1, f(13, 30))],  # key 1 evicted by now -> emits again
+    ]
+    for rows in triggers:
+        spark.createDataFrame(rows, "event_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    parts = sorted(glob.glob(landing + "/*.parquet"), key=os.path.getmtime)
+    now = int(os.path.getmtime(parts[-1]))
+    for i, p in enumerate(parts):
+        os.utime(p, (now - 60 + i, now - 60 + i))
+
+    src = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(landing)
+    )
+    deduped = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", F.hour("ts").alias("h"), F.minute("ts").alias("m"))
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_probe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dwm_"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(_rows(spark.table("dedup_wm_probe"), ["event_id", "h", "m"]))
+    assert got == [
+        (1, 10, 0),
+        (1, 13, 30),
+        (2, 13, 0),
+        (3, 13, 10),
+        (9, 10, 0),
+    ], got
+    spark.catalog.dropTempView("dedup_wm_probe")
+
+
+def test_stream_dedup_watermarked_matches_batch_on_unique_ids(spark, sf_dir):
+    got = st.q_stream_dedup_watermarked(spark, sf_dir)
+    want = st.q_stream_dedup(spark, sf_dir)
+    cols = ["event_id", "user_id", "ts_sec"]
+    assert _rows(got, cols) == _rows(want, cols)

@@ -345,6 +345,26 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, "stream_dedup", output_mode="append")
 
 
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    holds a key only until the watermark passes its event time + delay,
+    then evicts it — the variant that actually survives an unbounded
+    100 TB feed, where plain ``dropDuplicates`` grows state forever.
+    The contract weakens accordingly: only duplicates arriving within
+    the watermark delay of each other are suppressed (exactly the
+    at-least-once-redelivery window a message bus produces). On the
+    fixture every event_id occurs once, so the drained result still
+    equals the batch relation — the eviction semantics are pinned by a
+    planted-duplicate pytest."""
+    ev = stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "ts_sec"
+    ).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"]).drop("ts")
+    return run_to_memory(
+        deduped, "stream_dedup_watermarked", output_mode="append"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: applyInPandasWithState sessionizer
 # ---------------------------------------------------------------------------
