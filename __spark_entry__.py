@@ -1527,6 +1527,39 @@ _LLMDATA_ORACLE["mm_scene_cuts"] = f"""
     FROM sads
 """
 
+#: cross-modal agreement: both pair sets replayed by their own existing
+#: oracles, intersected with a full outer join
+_LLMDATA_ORACLE["dedup_semantic_lexical_agreement"] = f"""
+    WITH lex AS (
+      SELECT doc_a, doc_b
+      FROM ({_LLMDATA_ORACLE["dedup_jaccard_pairs"]})
+      WHERE jaccard >= {dd.MINHASH_PRECISION_THRESHOLD}
+    ),
+    sem AS (
+      SELECT vec_a AS doc_a, vec_b AS doc_b
+      FROM ({_embedding_lsh_pairs_sql(sim.NEARDUP_MIN_COSINE)})
+    ),
+    u AS (
+      SELECT coalesce(l.doc_a, s.doc_a) AS doc_a,
+             l.doc_a IS NOT NULL AS in_lex,
+             s.doc_a IS NOT NULL AS in_sem
+      FROM lex l
+      FULL OUTER JOIN sem s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN in_lex THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lexical_pairs,
+           CAST(sum(CASE WHEN in_sem THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_semantic_pairs,
+           CAST(sum(CASE WHEN in_lex AND in_sem THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CASE WHEN count(*) > 0
+                THEN floor(sum(CASE WHEN in_lex AND in_sem THEN 1 ELSE 0 END)
+                           * 1000000.0 / count(*) + 0.5) / 1000000
+                ELSE 0.0 END AS pair_set_jaccard
+    FROM u
+"""
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -2664,6 +2697,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the (r, b) tuning loop: one signature pass, per-config
         # candidates, one union verify
         "dedup_banding_sweep": dd.banding_sweep,
+        # cross-modal: do lexical and semantic near-dup passes agree?
+        "dedup_semantic_lexical_agreement": dd.semantic_lexical_agreement,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,

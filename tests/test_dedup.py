@@ -327,3 +327,25 @@ def test_banding_sweep_equals_python_brute_force(spark, tmp_path):
         for r in banding_sweep(spark, str(d)).collect()
     }
     assert got == expect
+
+
+def test_semantic_lexical_agreement_counts_are_consistent(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        MINHASH_PRECISION_THRESHOLD,
+        jaccard_verified_pairs,
+        semantic_lexical_agreement,
+    )
+    from tf_idf_mapreduce_spark.operators.similarity import lsh_bucket_pairs
+    from pyspark.sql import functions as F
+
+    r = semantic_lexical_agreement(spark, sf_dir).collect()[0]
+    n_lex = (
+        jaccard_verified_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= MINHASH_PRECISION_THRESHOLD)
+        .count()
+    )
+    n_sem = lsh_bucket_pairs(spark, sf_dir).count()
+    assert r.n_lexical_pairs == n_lex
+    assert r.n_semantic_pairs == n_sem
+    assert r.n_both <= min(n_lex, n_sem)
+    assert r.n_union == n_lex + n_sem - r.n_both

@@ -683,3 +683,44 @@ def minhash_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(hit / F.count("*") * 1_000_000 + F.lit(0.5)) / 1_000_000
         ).alias("precision"),
     )
+
+
+def semantic_lexical_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup diagnostic: how much do the LEXICAL near-dup
+    pairs (exact shingle-Jaccard over LSH candidates, >= threshold) and
+    the SEMANTIC near-dup pairs (embedding cosine over banded-LSH
+    candidates, >= threshold) agree? The 1-row report — pair counts per
+    modality, their intersection, and the Jaccard of the two pair SETS —
+    is what decides whether one dedup pass subsumes the other on a given
+    corpus, measured rather than assumed.
+
+    Both inputs are the engine's scale paths (banded candidates, never
+    all-pairs); the agreement join is between two candidate-sized pair
+    relations — broadcast-sized by LSH construction.
+    """
+    lex = (
+        jaccard_verified_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= MINHASH_PRECISION_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    sem = lsh_bucket_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    both = lex.withColumn("_lex", F.lit(1)).join(
+        sem.withColumn("_sem", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    n_lex = F.sum(F.coalesce(F.col("_lex"), F.lit(0))).cast("long")
+    n_sem = F.sum(F.coalesce(F.col("_sem"), F.lit(0))).cast("long")
+    n_both = F.sum(
+        F.when(F.col("_lex").isNotNull() & F.col("_sem").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    n_union = F.count("*").cast("long")
+    return both.agg(
+        n_lex.alias("n_lexical_pairs"),
+        n_sem.alias("n_semantic_pairs"),
+        n_both.alias("n_both"),
+        n_union.alias("n_union"),
+        F.when(n_union > 0, F.floor(n_both / n_union * 1_000_000 + F.lit(0.5)) / 1_000_000)
+        .otherwise(F.lit(0.0))
+        .alias("pair_set_jaccard"),
+    )
