@@ -162,7 +162,7 @@ def test_doc_freq_salted_joins_on_composite_key(spark):
 @pytest.mark.parametrize(
     "name",
     ["tfidf_docsim_lsh", "dedup_embedding_lsh_pairs", "sim_knn_graph_ann",
-     "mm_ahash_pairs"],
+     "mm_ahash_pairs", "dedup_semantic_lexical_agreement"],
 )
 def test_lsh_candidate_paths_have_no_allpairs_join(spark, name):
     # the whole point of the banded-LSH paths: candidates come from an
@@ -171,6 +171,15 @@ def test_lsh_candidate_paths_have_no_allpairs_join(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_banding_sweep_single_scalar_cross_join(spark):
+    # per-config candidates come from band equi-joins; the only nested
+    # loop allowed is the 1-row n_true_total broadcast for the recall
+    # denominator
+    plan = _plan(spark, "dedup_banding_sweep")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_ivf_topk_single_scalar_cross_join(spark):
