@@ -154,6 +154,23 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf with
+    deterministic tiebreaks — the doc-level summary an indexing pipeline
+    stores next to each document. The window partitions on doc (groups
+    bounded by document vocabulary, never corpus-sized), so the one
+    exchange is the same doc-keyed shuffle the totals already use."""
+    from pyspark.sql.window import Window
+
+    scored = q_tfidf_full(spark, sf_dir)
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("doc", "rank", "word", "tfidf")
+    )
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
@@ -2451,6 +2468,39 @@ _CURATION_ORACLE["curate_train_manifest"] = f"""
 """
 
 # Funnel time-to-convert percentiles — composed from the funnel oracle.
+# monetary is DECIMAL(38,2)-exact before the double cast, so round(.,6)
+# is a no-op on both engines; every ntile order carries a user_id tiebreak
+_EVENTS_ORACLE["events_rfm"] = f"""
+    WITH p AS (
+      SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+      SELECT user_id, max(ts_sec) AS last_sec,
+             count(*) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS monetary
+      FROM p GROUP BY user_id
+    ),
+    anchor AS (SELECT max(ts_sec) AS mx FROM p),
+    base AS (
+      SELECT user_id, mx - last_sec AS recency_sec, frequency,
+             round(monetary, 6) AS monetary
+      FROM per_user, anchor
+    )
+    SELECT user_id, recency_sec,
+      CAST(frequency AS BIGINT) AS frequency, monetary,
+      CAST(ntile({ev.RFM_BUCKETS})
+             OVER (ORDER BY recency_sec ASC, user_id ASC) AS BIGINT)
+        AS r_score,
+      CAST(ntile({ev.RFM_BUCKETS})
+             OVER (ORDER BY frequency DESC, user_id ASC) AS BIGINT)
+        AS f_score,
+      CAST(ntile({ev.RFM_BUCKETS})
+             OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT)
+        AS m_score
+    FROM base
+"""
+
 _EVENTS_ORACLE["events_conversion_lag"] = f"""
     WITH f AS ({_EVENTS_ORACLE["events_funnel"]})
     SELECT steps_completed, count(*) AS n_users,
@@ -2613,6 +2663,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_full": q_tfidf_full,
         "tfidf_top30": q_tfidf_top30,
         "tfidf_search": q_tfidf_search,
+        "tfidf_keywords": q_tfidf_keywords,
         "tfidf_bm25": rtv.bm25_search,
         "tfidf_postings": rtv.inverted_index,
         "tfidf_docsim": rtv.doc_similarity,
@@ -2680,6 +2731,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": ev.q_resample_hourly,
         "events_active_sessions": ev.q_active_sessions,
         "events_conversion_lag": ev.q_conversion_lag,
+        # RFM user segmentation: per-user triple + three ntile windows
+        # over the user-sized relation
+        "events_rfm": ev.q_rfm,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,
@@ -2811,6 +2865,15 @@ def oracle_sql() -> dict[str, str]:
         FROM scored JOIN top_terms USING (word)
         GROUP BY doc
         ORDER BY score DESC, doc ASC LIMIT 20
+        """,
+        "tfidf_keywords": _TOKENS_CTE
+        + """
+        SELECT doc, CAST(rank AS BIGINT) AS rank, word, tfidf FROM (
+          SELECT doc, word, tfidf,
+                 row_number() OVER (PARTITION BY doc
+                                    ORDER BY tfidf DESC, word ASC) AS rank
+          FROM scored)
+        WHERE rank <= 3
         """,
     }
     out.update(_RETRIEVAL_ORACLE)

@@ -219,3 +219,23 @@ def test_conversion_lag_orders_and_groups(spark, sf_dir):
         assert 0 <= r.lag_p25 <= r.lag_p50 <= r.lag_p75
     if 1 in rows:  # view-only users convert nowhere: lag is identically 0
         assert rows[1].lag_p75 == 0.0
+
+
+def test_rfm_scores_partition_users_into_quartiles(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.events import RFM_BUCKETS, q_rfm
+
+    rows = q_rfm(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for axis in ("r_score", "f_score", "m_score"):
+        scores = sorted(getattr(r, axis) for r in rows)
+        assert set(scores) <= set(range(1, RFM_BUCKETS + 1))
+        # ntile: bucket sizes differ by at most one
+        from collections import Counter
+
+        sizes = Counter(scores)
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sum(sizes.values()) == n
+    # the most recent purchaser must hold r_score 1
+    best = min(rows, key=lambda r: (r.recency_sec, r.user_id))
+    assert best.r_score == 1

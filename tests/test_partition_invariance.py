@@ -34,6 +34,9 @@ QUERIES = [
     "dedup_banding_sweep",
     # DECIMAL sum of @6dp KL terms — any-order addition must be exact
     "curate_source_kl",
+    # distributed two-phase exact ntile: value-interval buckets + offset
+    # join must rank identically under any layout
+    "events_rfm",
 ]
 
 

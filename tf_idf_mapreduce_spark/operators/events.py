@@ -457,3 +457,113 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("pct", 3), 6).alias("lag_p75"),
         )
     )
+
+
+RFM_BUCKETS = 4
+#: parallelism of the distributed exact-rank pass (value-interval
+#: buckets); any value >= 1 returns identical rows
+RFM_RANK_BUCKETS = 32
+
+
+def _exact_global_ntile(base: DataFrame, key: Column, score_name: str) -> DataFrame:
+    """Exact global ntile(RFM_BUCKETS) of ``base`` rows by ``key`` (asc,
+    user_id tiebreak) WITHOUT a single-partition window over the data.
+
+    Two-phase distributed rank (shard_pack's prefix-sum pattern, keyed
+    by VALUE instead of doc_id): rows bucket by deterministic equal-width
+    intervals of the key — a pure function of the value, so the result
+    is partition-invariant — local ranks come from per-bucket windows,
+    bucket counts (a |buckets|-row relation, the only single-partition
+    window) turn into exclusive offsets, and global_rank = offset +
+    local_rank. The ntile is then ARITHMETIC on (rank, n): the first
+    n % k buckets take ceil(n/k) rows, the rest floor(n/k) — identical
+    to the window function's semantics. Skewed keys degrade parallelism
+    of a bucket, never correctness.
+    """
+    s = base.select("user_id", key.cast("double").alias("_k"))
+    mm = s.groupBy().agg(
+        F.min("_k").alias("_mn"),
+        F.max("_k").alias("_mx"),
+        F.count("*").alias("_n"),
+    )
+    width = (F.col("_mx") - F.col("_mn")) / RFM_RANK_BUCKETS
+    b = s.crossJoin(F.broadcast(mm)).withColumn(
+        "_bkt",
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(RFM_RANK_BUCKETS - 1),
+                F.floor((F.col("_k") - F.col("_mn")) / width),
+            )
+        )
+        .cast("long"),
+    )
+    w_local = Window.partitionBy("_bkt").orderBy(F.asc("_k"), F.asc("user_id"))
+    local = b.withColumn("_lr", F.row_number().over(w_local))
+    totals = b.groupBy("_bkt").agg(F.count("*").alias("_c"))
+    w_prev = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_off")
+    )
+    rank = F.col("_off") + F.col("_lr")
+    q = F.floor(F.col("_n") / RFM_BUCKETS)
+    r = F.col("_n") % RFM_BUCKETS
+    big = r * (q + 1)
+    score = F.when(rank <= big, F.ceil(rank / (q + 1))).otherwise(
+        r + F.ceil((rank - big) / q)
+    )
+    return local.join(F.broadcast(offsets), "_bkt").select(
+        "user_id", score.cast("long").alias(score_name)
+    )
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM user segmentation — recency (seconds since the user's last
+    purchase, relative to the corpus max), frequency (purchase count),
+    monetary (DECIMAL-exact value sum) plus 1..4 quartile scores per
+    axis, the classic marketing/value segmentation a warehouse team
+    ships weekly.
+
+    One groupBy builds the per-user triple (the event scan partial-
+    aggregates map-side; only user rows shuffle). Each quartile score is
+    an exact global ntile computed by the DISTRIBUTED two-phase rank in
+    ``_exact_global_ntile`` — ``ntile() OVER (ORDER BY ...)`` with no
+    partition would funnel every user into one task, the same 100 TB
+    trap ``curate_shard_pack`` avoids. Recency anchors to max(event ts)
+    over the corpus (broadcast 1-row agg), not wall-clock; descending
+    axes rank on the negated key; all ties break by user_id.
+    """
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_sec").alias("last_sec"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.col("value").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    anchor = ev.agg(F.max("ts_sec").alias("corpus_max_sec"))
+    base = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.col("corpus_max_sec") - F.col("last_sec")).alias("recency_sec"),
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+    ).localCheckpoint(eager=False)
+    # fewer seconds since last purchase = better: recency ranks ASCENDING
+    # so score 1 is the best quartile on every axis
+    r_s = _exact_global_ntile(base, F.col("recency_sec"), "r_score")
+    f_s = _exact_global_ntile(base, -F.col("frequency"), "f_score")
+    m_s = _exact_global_ntile(base, -F.col("monetary"), "m_score")
+    return (
+        base.join(r_s, "user_id")
+        .join(f_s, "user_id")
+        .join(m_s, "user_id")
+        .select(
+            "user_id",
+            "recency_sec",
+            "frequency",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+        )
+    )
