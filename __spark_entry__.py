@@ -1210,6 +1210,41 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM embeddings, generate_series(1, {EMBED_DIM}) t(i)
         GROUP BY label, i
     """,
+    # centroids replayed at the same @6dp grid; best-other tie breaks to
+    # the lowest label on both engines
+    "sim_label_margin": f"""
+        WITH cent AS (
+          SELECT label, i - 1 AS dim, round(avg(embedding[i]), 6) AS c
+          FROM embeddings, generate_series(1, {EMBED_DIM}) t(i)
+          GROUP BY label, i
+        ),
+        cvec AS (
+          SELECT label AS c_label, list(c ORDER BY dim) AS cv
+          FROM cent GROUP BY label
+        ),
+        scored AS (
+          SELECT e.vec_id, e.label, c.c_label,
+                 round({_cos_sql('e.embedding', 'c.cv')}, 6) AS cos_c
+          FROM embeddings e CROSS JOIN cvec c
+        ),
+        own AS (
+          SELECT vec_id, label, max(cos_c) AS own_cos
+          FROM scored WHERE c_label = label GROUP BY 1, 2
+        ),
+        other AS (
+          SELECT vec_id, c_label, cos_c FROM (
+            SELECT vec_id, c_label, cos_c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_c DESC, c_label ASC) AS rn
+            FROM scored WHERE c_label <> label)
+          WHERE rn = 1
+        )
+        SELECT o.vec_id, o.label, o.own_cos,
+               CAST(t.c_label AS BIGINT) AS best_other_label,
+               t.cos_c AS best_other_cos,
+               round(o.own_cos - t.cos_c, 6) AS margin
+        FROM own o JOIN other t USING (vec_id)
+    """,
     "sim_knn_graph": _knn_graph_sql(sim.KNN_K),
     "sim_knn_graph_ann": _knn_graph_ann_sql(sim.KNN_K),
     "sim_knn_ann_recall": _knn_ann_recall_sql(sim.KNN_K),
@@ -2764,6 +2799,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_histogram": sim.ivf_cell_histogram,
         # nprobe tuning loop: one fit/assignment, per-probe recall
         "sim_ivf_probe_sweep": sim.ivf_probe_sweep,
+        # mislabel detection: own-centroid vs best-other-centroid margin
+        "sim_label_margin": sim.label_margin,
         "sim_label_centroids": sim.label_centroids,
         "sim_knn_graph": sim.knn_graph,
         "sim_knn_graph_ann": sim.knn_graph_ann,

@@ -319,3 +319,39 @@ def test_ivf_probe_sweep_recall_is_monotone(spark, sf_dir):
         assert a.recall <= b.recall
     for r in rows:
         assert 0 <= r.n_hits <= r.n_exact
+
+
+def test_label_margin_agrees_with_numpy_replay(spark, sf_dir):
+    """Margins must equal a from-scratch numpy replay: 6dp centroids,
+    cosine to every centroid, best-other with lowest-label tiebreak."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import label_margin
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: (r.label, np.array(r.embedding, dtype="float64")) for r in rows}
+    labels = sorted({l for l, _ in vecs.values()})
+    cents = {
+        l: np.round(
+            np.mean([v for lb, v in vecs.values() if lb == l], axis=0), 6
+        )
+        for l in labels
+    }
+
+    def cos(a, b):
+        return round(float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6)
+
+    got = {r.vec_id: r for r in label_margin(spark, sf_dir).collect()}
+    assert len(got) == len(vecs)
+    for vid, (lb, v) in list(vecs.items())[:50]:
+        scores = {l: cos(v, cents[l]) for l in labels}
+        own = scores[lb]
+        best_other = max(
+            (c, -l) for l, c in scores.items() if l != lb
+        )
+        r = got[vid]
+        assert r.own_cos == own
+        assert r.best_other_label == -best_other[1]
+        assert r.best_other_cos == best_other[0]
+        assert r.margin == round(own - best_other[0], 6)

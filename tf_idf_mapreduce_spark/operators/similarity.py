@@ -441,6 +441,67 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel detection by centroid margin: for every vector, cosine
+    to its OWN label's centroid minus cosine to the nearest OTHER
+    label's centroid. A negative margin means another class's prototype
+    explains the vector better than its own — the rows a labeling-QA
+    pass sends for re-annotation.
+
+    The |labels| x d centroid matrix is a broadcast (tiny by
+    construction); scoring is one map pass over the corpus with a
+    |labels|-way expansion — no shuffle touches vectors after the
+    centroid aggregate (itself |labels|·d partial-combined rows). The
+    best-other choice is a max over a struct (cos, -label): ties on
+    cosine break to the LOWEST other label, deterministically.
+    """
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = (
+        label_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s.centroid,
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    cos = F.round(
+        cosine(F.col("embedding").cast("array<double>"), F.col("cvec")), 6
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "c_label", cos.alias("cos_c")
+    )
+    own = F.max(
+        F.when(F.col("c_label") == F.col("label"), F.col("cos_c"))
+    ).alias("own_cos")
+    best_other = F.max(
+        F.when(
+            F.col("c_label") != F.col("label"),
+            F.struct(
+                F.col("cos_c").alias("c"), (-F.col("c_label")).alias("nl")
+            ),
+        )
+    )
+    return (
+        scored.groupBy("vec_id", "label")
+        .agg(own, best_other.alias("bo"))
+        .select(
+            "vec_id",
+            "label",
+            "own_cos",
+            (-F.col("bo.nl")).cast("long").alias("best_other_label"),
+            F.col("bo.c").alias("best_other_cos"),
+            F.round(F.col("own_cos") - F.col("bo.c"), 6).alias("margin"),
+        )
+    )
+
+
 KNN_K = 3
 KNN_BLOCK = 256
 
