@@ -1612,6 +1612,30 @@ _LLMDATA_ORACLE["dedup_semantic_lexical_agreement"] = f"""
     FROM u
 """
 
+#: CCNet-style tertiles: thresholds via quantile_cont (== Spark's exact
+#: interpolated percentile, the rel_percentiles convention) at the same
+#: 6dp grid; assignment compares identical rounded values on both sides
+_LLMDATA_ORACLE["curate_quality_buckets"] = f"""
+    WITH s AS (
+      SELECT doc_id, lm_score FROM ({_LLMDATA_ORACLE["text_lm_score"]})
+    ),
+    sl AS (
+      SELECT s.doc_id, d.lang, s.lm_score
+      FROM s JOIN documents d USING (doc_id)
+    ),
+    th AS (
+      SELECT lang,
+             round(quantile_cont(lm_score, 1.0/3), 6) AS t_head,
+             round(quantile_cont(lm_score, 2.0/3), 6) AS t_middle
+      FROM sl GROUP BY lang
+    )
+    SELECT doc_id, lang, lm_score, t_head, t_middle,
+      CASE WHEN lm_score <= t_head THEN 'head'
+           WHEN lm_score <= t_middle THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM sl JOIN th USING (lang)
+"""
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -2835,6 +2859,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_split": cur.split_report,
         # per-source unigram KL from the corpus distribution (drift)
         "curate_source_kl": cur.source_kl,
+        # CCNet-style per-language LM-score tertile buckets
+        "curate_quality_buckets": cur.quality_buckets,
         "curate_weighted_sample": cur.weighted_sample,
         # rows-only (HLL++/KLL sketch internals are engine-specific — no SQL
         # twin; accuracy vs exact is pinned in tests/test_curation.py)

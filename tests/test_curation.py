@@ -394,3 +394,30 @@ def test_novelty_flags_shared_ngrams_exactly(spark, planted_dir):
     for d in (2, 3):
         assert got[d].n_shared == 0
         assert got[d].novelty == 1.0
+
+
+def test_quality_buckets_are_language_tertiles(spark, sf_dir):
+    """Each language splits into head/middle/tail by its OWN thresholds:
+    bucket sizes within a language differ by at most the tie mass at a
+    threshold, and every head score <= every tail score per language."""
+    from collections import Counter
+
+    from tf_idf_mapreduce_spark.operators.curation import quality_buckets
+
+    rows = quality_buckets(spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        sizes = Counter(r.bucket for r in rs)
+        assert set(sizes) <= {"head", "middle", "tail"}
+        n = len(rs)
+        # an exact tertile split, modulo ties exactly at a threshold
+        assert sizes["head"] >= n // 3, (lang, sizes)
+        heads = [r.lm_score for r in rs if r.bucket == "head"]
+        tails = [r.lm_score for r in rs if r.bucket == "tail"]
+        if heads and tails:
+            assert max(heads) <= min(tails)
+        # thresholds are constant within the language
+        assert len({(r.t_head, r.t_middle) for r in rs}) == 1

@@ -654,3 +654,46 @@ def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing: every document lands
+    in the head / middle / tail TERTILE of its language's LM-score
+    (mean bigram surprisal) distribution — the canonical web-corpus
+    curation pass (Wenzek et al., "CCNet", 2020: perplexity tertiles
+    per language against a reference LM; here the corpus's own bigram
+    LM from ``lm_doc_scores`` plays the reference role).
+
+    Scale shape: per-language tertile THRESHOLDS come from one exact
+    ``percentile`` aggregate per language — |langs| rows broadcast back
+    onto the scored relation for a map-side bucket assignment. No
+    per-language window over the documents (a lang-partitioned ntile
+    would funnel each language's whole corpus slice into one task —
+    the dominant language at 100 TB is most of the corpus).
+    """
+    from .textstats import lm_doc_scores
+
+    scores = lm_doc_scores(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = scores.join(langs, "doc_id")
+    thresholds = scored.groupBy("lang").agg(
+        F.round(
+            F.percentile("lm_score", F.lit(1.0 / 3)), 6
+        ).alias("t_head"),
+        F.round(
+            F.percentile("lm_score", F.lit(2.0 / 3)), 6
+        ).alias("t_middle"),
+    )
+    bucket = (
+        F.when(F.col("lm_score") <= F.col("t_head"), "head")
+        .when(F.col("lm_score") <= F.col("t_middle"), "middle")
+        .otherwise("tail")
+    )
+    return scored.join(F.broadcast(thresholds), "lang").select(
+        "doc_id",
+        "lang",
+        "lm_score",
+        "t_head",
+        "t_middle",
+        bucket.alias("bucket"),
+    )
