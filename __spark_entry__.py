@@ -2527,6 +2527,20 @@ _CURATION_ORACLE["curate_train_manifest"] = f"""
 """
 
 # Funnel time-to-convert percentiles — composed from the funnel oracle.
+_EVENTS_ORACLE["events_seasonality"] = """
+    WITH prof AS (
+      SELECT event_type,
+             CAST((epoch_ns(ts) // 1000000000 // 3600) % 24 AS BIGINT)
+               AS hour_of_day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, sum(n_events) AS t FROM prof GROUP BY 1)
+    SELECT p.event_type, p.hour_of_day, p.n_events,
+           floor(p.n_events * 1000000.0 / t.t + 0.5) / 1000000 AS share
+    FROM prof p JOIN tot t USING (event_type)
+"""
+
 # monetary is DECIMAL(38,2)-exact before the double cast, so round(.,6)
 # is a no-op on both engines; every ntile order carries a user_id tiebreak
 _EVENTS_ORACLE["events_rfm"] = f"""
@@ -2793,6 +2807,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RFM user segmentation: per-user triple + three ntile windows
         # over the user-sized relation
         "events_rfm": ev.q_rfm,
+        # folded hour-of-day profile per type (|types| x 24 rows)
+        "events_seasonality": ev.q_seasonality,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,

@@ -239,3 +239,18 @@ def test_rfm_scores_partition_users_into_quartiles(spark, sf_dir):
     # the most recent purchaser must hold r_score 1
     best = min(rows, key=lambda r: (r.recency_sec, r.user_id))
     assert best.r_score == 1
+
+
+def test_seasonality_shares_sum_to_one_per_type(spark, sf_dir):
+    from collections import defaultdict
+
+    from tf_idf_mapreduce_spark.operators.events import q_seasonality
+
+    rows = q_seasonality(spark, sf_dir).collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23
+        by_type[r.event_type].append(r.share)
+    for t, shares in by_type.items():
+        assert abs(sum(shares) - 1.0) < 1e-4, t

@@ -567,3 +567,38 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_score",
         )
     )
+
+
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: volume and the
+    share of the type's traffic in each of the 24 periodic buckets (not
+    calendar hours — the folded profile capacity planning and
+    anomaly-baseline jobs consume).
+
+    One partial-combined aggregate to |types| x 24 rows; the per-type
+    totals broadcast back onto that tiny relation. Shares use the
+    repo's floor @6dp formula (k/n half-ties break identically on both
+    engines).
+    """
+    ev = load_events(spark, sf_dir)
+    prof = ev.groupBy(
+        "event_type",
+        F.pmod(F.floor(F.col("ts_sec") / 3600), F.lit(24))
+        .cast("long")
+        .alias("hour_of_day"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    totals = prof.groupBy("event_type").agg(
+        F.sum("n_events").alias("type_total")
+    )
+    return prof.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        (
+            F.floor(
+                F.col("n_events") / F.col("type_total") * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("share"),
+    )
