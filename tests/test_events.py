@@ -254,3 +254,39 @@ def test_seasonality_shares_sum_to_one_per_type(spark, sf_dir):
         by_type[r.event_type].append(r.share)
     for t, shares in by_type.items():
         assert abs(sum(shares) - 1.0) < 1e-4, t
+
+
+def test_exact_global_ntile_equals_window_ntile_on_random_inputs(spark):
+    """The two-phase distributed rank must reproduce ntile() OVER
+    (ORDER BY key, user_id) exactly — including heavy ties, negative
+    keys, and n not divisible by the bucket count."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tf_idf_mapreduce_spark.operators.events import (
+        RFM_BUCKETS,
+        _exact_global_ntile,
+    )
+
+    rng = random.Random(7)
+    for case in range(4):
+        n = rng.choice([5, 17, 50, 101])
+        vals = [
+            (f"u{i:03d}", float(rng.choice([-3, -1, 0, 0, 2, 2, 2, 9])))
+            for i in range(n)
+        ]
+        base = spark.createDataFrame(vals, "user_id string, k double")
+        got = {
+            r.user_id: r.s
+            for r in _exact_global_ntile(base, F.col("k"), "s").collect()
+        }
+        w = Window.orderBy(F.asc("k"), F.asc("user_id"))
+        want = {
+            r.user_id: r.s
+            for r in base.select(
+                "user_id", F.ntile(RFM_BUCKETS).over(w).cast("long").alias("s")
+            ).collect()
+        }
+        assert got == want, f"case {case} (n={n})"
