@@ -1579,6 +1579,37 @@ _LLMDATA_ORACLE["mm_scene_cuts"] = f"""
     FROM sads
 """
 
+#: one scored candidate relation (lowest threshold) re-filtered per
+#: cutoff; counts replayed from the same banded-LSH oracle
+_LLMDATA_ORACLE["dedup_threshold_sweep"] = f"""
+    WITH scored AS (
+      SELECT * FROM ({_embedding_lsh_pairs_sql(min(dd.THRESHOLD_SWEEP))})
+    ),
+    th AS (SELECT unnest([{", ".join(str(t) for t in dd.THRESHOLD_SWEEP)}])
+             AS threshold),
+    tagged AS (
+      SELECT t.threshold, s.vec_a, s.vec_b
+      FROM scored s JOIN th t ON s.cos_sim >= t.threshold
+    ),
+    np AS (
+      SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM tagged GROUP BY threshold
+    ),
+    nd AS (
+      SELECT threshold,
+             CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_involved
+      FROM (SELECT threshold, unnest([vec_a, vec_b]) AS doc FROM tagged)
+      GROUP BY threshold
+    )
+    SELECT t.threshold,
+           coalesce(np.n_pairs, 0) AS n_pairs,
+           coalesce(nd.n_docs_involved, 0) AS n_docs_involved
+    FROM th t
+    LEFT JOIN np USING (threshold)
+    LEFT JOIN nd USING (threshold)
+    ORDER BY threshold
+"""
+
 #: cross-modal agreement: both pair sets replayed by their own existing
 #: oracles, intersected with a full outer join
 _LLMDATA_ORACLE["dedup_semantic_lexical_agreement"] = f"""
@@ -2828,6 +2859,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_banding_sweep": dd.banding_sweep,
         # cross-modal: do lexical and semantic near-dup passes agree?
         "dedup_semantic_lexical_agreement": dd.semantic_lexical_agreement,
+        # cosine-cutoff aggressiveness curve over one candidate pass
+        "dedup_threshold_sweep": dd.threshold_sweep,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,

@@ -349,3 +349,19 @@ def test_semantic_lexical_agreement_counts_are_consistent(spark, sf_dir):
     assert r.n_semantic_pairs == n_sem
     assert r.n_both <= min(n_lex, n_sem)
     assert r.n_union == n_lex + n_sem - r.n_both
+
+
+def test_threshold_sweep_is_monotone_and_complete(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        THRESHOLD_SWEEP,
+        threshold_sweep,
+    )
+
+    rows = sorted(threshold_sweep(spark, sf_dir).collect(), key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == sorted(THRESHOLD_SWEEP)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs  # raising the cutoff only removes pairs
+        assert a.n_docs_involved >= b.n_docs_involved
+    for r in rows:
+        # each surviving pair touches at most 2 new docs
+        assert r.n_docs_involved <= 2 * r.n_pairs or r.n_pairs == 0

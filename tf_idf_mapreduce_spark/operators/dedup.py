@@ -724,3 +724,57 @@ def semantic_lexical_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("pair_set_jaccard"),
     )
+
+
+#: cosine thresholds swept by ``threshold_sweep`` — all >= the LSH
+#: candidate floor NEARDUP_MIN_COSINE, so one candidate pass covers all
+THRESHOLD_SWEEP = (0.45, 0.6, 0.75)
+
+
+def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup aggressiveness curve: near-dup pair count and the
+    number of documents touched at each cosine threshold — the report
+    that sets the production cutoff (too low deletes singletons' nearest
+    neighbors; too high ships duplicates). ``dedup_banding_sweep``'s
+    and ``sim_ivf_probe_sweep``'s sibling for the threshold axis.
+
+    ONE banded-LSH candidate pass (at the lowest swept threshold) feeds
+    every cutoff — the sweep re-filters the candidate-sized scored-pair
+    relation, never re-scans the corpus. Counts are monotone in the
+    threshold by construction.
+    """
+    pairs = lsh_bucket_pairs(
+        spark, sf_dir, min_cosine=min(THRESHOLD_SWEEP)
+    ).localCheckpoint(eager=False)
+    th = F.explode(
+        F.array(*[F.lit(t) for t in THRESHOLD_SWEEP])
+    ).alias("threshold")
+    tagged = pairs.select("vec_a", "vec_b", "cos_sim", th).where(
+        F.col("cos_sim") >= F.col("threshold")
+    )
+    n_pairs = tagged.groupBy("threshold").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    docs = tagged.select(
+        "threshold", F.explode(F.array("vec_a", "vec_b")).alias("doc")
+    )
+    n_docs = docs.groupBy("threshold").agg(
+        F.countDistinct("doc").cast("long").alias("n_docs_involved")
+    )
+    # a cutoff that kills every pair must still report its zero — left
+    # join from the swept threshold list
+    ths = spark.createDataFrame(
+        [(float(t),) for t in THRESHOLD_SWEEP], "threshold double"
+    )
+    return (
+        ths.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_involved", F.lit(0))
+            .cast("long")
+            .alias("n_docs_involved"),
+        )
+        .orderBy("threshold")
+    )
