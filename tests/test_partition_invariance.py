@@ -37,6 +37,10 @@ QUERIES = [
     # distributed two-phase exact ntile: value-interval buckets + offset
     # join must rank identically under any layout
     "events_rfm",
+    # one candidate pass re-filtered per cutoff; left-join zeros included
+    "dedup_threshold_sweep",
+    # per-language exact percentile thresholds (sort-based aggregate)
+    "curate_quality_buckets",
 ]
 
 
