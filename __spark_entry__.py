@@ -2531,6 +2531,35 @@ _CURATION_ORACLE["curate_keep_list"] = f"""
     JOIN q_t ON q_t.doc_id = d.doc_id
 """
 
+# the 4-row stage window is tiny by construction; drop_rate divides by
+# the population that REACHED the stage
+_CURATION_ORACLE["curate_attrition"] = f"""
+    WITH kl AS ({_CURATION_ORACLE["curate_keep_list"]}),
+    c AS (SELECT status, count(*) AS n FROM kl GROUP BY status),
+    st AS (SELECT * FROM (VALUES (0, 'benchmark'), (1, 'contaminated'),
+                                 (2, 'pii'), (3, 'low_quality'))
+             t(stage_idx, status)),
+    tot AS (SELECT count(*) AS n_total FROM kl),
+    j AS (
+      SELECT s.stage_idx, s.status, coalesce(c.n, 0) AS n_removed
+      FROM st s LEFT JOIN c USING (status)
+    ),
+    r AS (
+      SELECT stage_idx, status, n_removed,
+             sum(n_removed) OVER (ORDER BY stage_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM j
+    )
+    SELECT CAST(r.stage_idx AS BIGINT) AS stage_idx, r.status AS stage,
+           CAST(r.n_removed AS BIGINT) AS n_removed,
+           CAST(t.n_total - r.cum AS BIGINT) AS n_remaining,
+           floor(r.n_removed * 1000000.0
+                 / (t.n_total - r.cum + r.n_removed) + 0.5) / 1000000
+             AS drop_rate
+    FROM r, tot t
+    ORDER BY r.stage_idx
+"""
+
 _CURATION_ORACLE["curate_train_manifest"] = f"""
     WITH kl AS ({_CURATION_ORACLE["curate_keep_list"]}),
     t AS (
@@ -2910,6 +2939,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_source_kl": cur.source_kl,
         # CCNet-style per-language LM-score tertile buckets
         "curate_quality_buckets": cur.quality_buckets,
+        # stage-attrition funnel over the keep-list dispositions
+        "curate_attrition": cur.attrition_report,
         "curate_weighted_sample": cur.weighted_sample,
         # rows-only (HLL++/KLL sketch internals are engine-specific — no SQL
         # twin; accuracy vs exact is pinned in tests/test_curation.py)

@@ -421,3 +421,24 @@ def test_quality_buckets_are_language_tertiles(spark, sf_dir):
             assert max(heads) <= min(tails)
         # thresholds are constant within the language
         assert len({(r.t_head, r.t_middle) for r in rs}) == 1
+
+
+def test_attrition_report_reconciles_with_keep_list(spark, sf_dir):
+    from tf_idf_mapreduce_spark.operators.curation import (
+        ATTRITION_STAGES,
+        attrition_report,
+        keep_list,
+    )
+
+    kl = keep_list(spark, sf_dir)
+    total = kl.count()
+    kept = kl.where("status = 'kept'").count()
+    rows = sorted(attrition_report(spark, sf_dir).collect(), key=lambda r: r.stage_idx)
+    assert [r.stage for r in rows] == ATTRITION_STAGES
+    assert sum(r.n_removed for r in rows) == total - kept
+    assert rows[-1].n_remaining == kept
+    prev = total
+    for r in rows:
+        assert 0 <= r.n_removed <= prev
+        assert r.n_remaining == prev - r.n_removed
+        prev = r.n_remaining

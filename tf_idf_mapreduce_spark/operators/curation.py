@@ -697,3 +697,50 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_middle",
         bucket.alias("bucket"),
     )
+
+
+#: severity-ordered removal stages of the keep-list pipeline
+ATTRITION_STAGES = ["benchmark", "contaminated", "pii", "low_quality"]
+
+
+def attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attrition funnel of the curation pipeline: for each removal
+    stage (in ``keep_list``'s severity order), how many documents it
+    removed, how many remain after it, and its drop rate against the
+    population that REACHED it — the one-page summary a data lead reads
+    before approving a corpus build.
+
+    Pure rollup over the keep-list disposition (|stages| rows); the only
+    window runs over the 4-row stage relation — tiny by construction,
+    like ``shard_pack``'s offsets. The corpus total broadcasts as a
+    1-row aggregate.
+    """
+    kl = keep_list(spark, sf_dir)
+    counts = kl.groupBy("status").agg(F.count("*").alias("n"))
+    stages = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(ATTRITION_STAGES)],
+        "stage_idx long, status string",
+    )
+    total = kl.agg(F.count("*").alias("n_total"))
+    j = stages.join(counts, "status", "left").select(
+        "stage_idx",
+        F.col("status").alias("stage"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_removed"),
+    )
+    w = Window.orderBy("stage_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = j.withColumn("_cum", F.sum("n_removed").over(w)).crossJoin(
+        F.broadcast(total)
+    )
+    n_reached = F.col("n_total") - F.col("_cum") + F.col("n_removed")
+    return r.select(
+        "stage_idx",
+        "stage",
+        "n_removed",
+        (F.col("n_total") - F.col("_cum")).cast("long").alias("n_remaining"),
+        (
+            F.floor(F.col("n_removed") / n_reached * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("drop_rate"),
+    ).orderBy("stage_idx")
