@@ -1667,6 +1667,28 @@ _LLMDATA_ORACLE["curate_quality_buckets"] = f"""
     FROM sl JOIN th USING (lang)
 """
 
+#: replay the overlapping token windows: starts every CHUNK_STRIDE,
+#: width CHUNK_TOKENS, >= 1 window per doc even when empty
+_LLMDATA_ORACLE["text_chunks"] = f"""
+    WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    idx AS (
+      SELECT doc_id, words,
+        unnest(generate_series(0,
+          CAST(greatest(ceil((len(words) - {ts.CHUNK_TOKENS})
+                        / {float(ts.CHUNK_STRIDE)}), 0) AS BIGINT)))
+          AS chunk_idx
+      FROM docs
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(len(words[chunk_idx * {ts.CHUNK_STRIDE} + 1 :
+                     chunk_idx * {ts.CHUNK_STRIDE} + {ts.CHUNK_TOKENS}])
+           AS BIGINT) AS n_tokens,
+      array_to_string(words[chunk_idx * {ts.CHUNK_STRIDE} + 1 :
+                            chunk_idx * {ts.CHUNK_STRIDE} + {ts.CHUNK_TOKENS}],
+                      ' ') AS chunk_text
+    FROM idx
+"""
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -2925,6 +2947,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # memorization risk: per-doc shared-5-gram fraction (agg+join,
         # never pairwise)
         "text_novelty": ts.novelty_scores,
+        # overlapping token-window chunking (embedding/RAG prep)
+        "text_chunks": ts.chunk_documents,
         # --- LLM-data pipeline: corpus curation ---
         "curate_contamination": cur.contamination_check,
         "curate_hash_sample": cur.hash_sample,

@@ -442,3 +442,42 @@ def test_attrition_report_reconciles_with_keep_list(spark, sf_dir):
         assert 0 <= r.n_removed <= prev
         assert r.n_remaining == prev - r.n_removed
         prev = r.n_remaining
+
+
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    """Chunk windows must tile each document: chunk i starts at token
+    i*stride, all but possibly the last are full-width, consecutive
+    chunks overlap by size-stride tokens, and every doc appears."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.functions.hashing import norm_words
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    docs = {
+        r.doc_id: r.w
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", norm_words(F.col("text")).alias("w"))
+        .collect()
+    }
+    chunks = chunk_documents(spark, sf_dir).collect()
+    assert {c.doc_id for c in chunks} == set(docs)
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    for doc_id, cs in list(by_doc.items())[:50]:
+        words = docs[doc_id]
+        cs.sort(key=lambda c: c.chunk_idx)
+        assert [c.chunk_idx for c in cs] == list(range(len(cs)))
+        for c in cs:
+            start = c.chunk_idx * CHUNK_STRIDE
+            want = words[start : start + CHUNK_TOKENS]
+            assert c.n_tokens == len(want)
+            assert c.chunk_text == " ".join(want)
+        # full coverage: the last chunk reaches the document's end
+        last = cs[-1]
+        assert last.chunk_idx * CHUNK_STRIDE + last.n_tokens >= len(words)

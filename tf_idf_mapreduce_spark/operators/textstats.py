@@ -403,3 +403,46 @@ def novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the embedding/RAG prep pass
+    that turns each document into model-sized pieces (CHUNK_TOKENS-token
+    windows every CHUNK_STRIDE tokens, so consecutive chunks share the
+    overlap that keeps boundary context retrievable).
+
+    Entirely JVM codegen: one tokenize, a ``sequence`` of window starts,
+    ``slice`` per window, ``explode`` — no Python in the loop, and the
+    shuffle (if a consumer repartitions) carries chunks, never repeated
+    full documents. A doc shorter than one window yields exactly one
+    (possibly short) chunk; an empty doc one empty chunk — so every
+    document appears in the output (the invariant a downstream
+    embed-join relies on).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = norm_words(F.col("text"))
+    n = F.size(words)
+    last = F.greatest(
+        F.ceil((n - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))),
+        F.lit(0),
+    ).cast("int")
+    chunk = F.slice(
+        F.col("_words"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return (
+        d.select(
+            "doc_id",
+            words.alias("_words"),
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
