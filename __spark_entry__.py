@@ -1689,6 +1689,20 @@ _LLMDATA_ORACLE["text_chunks"] = f"""
     FROM idx
 """
 
+#: repeated chunks ranked by occurrence; deterministic (count, hash)
+#: tiebreak at the top-k boundary
+_LLMDATA_ORACLE["text_boilerplate_chunks"] = f"""
+    WITH ch AS ({_LLMDATA_ORACLE["text_chunks"]})
+    SELECT md5(chunk_text) AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(chunk_text) AS exemplar
+    FROM ch WHERE n_tokens > 0
+    GROUP BY 1 HAVING count(*) > 1
+    ORDER BY n_occurrences DESC, chunk_hash ASC
+    LIMIT {ts.BOILERPLATE_TOP_K}
+"""
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -2949,6 +2963,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": ts.novelty_scores,
         # overlapping token-window chunking (embedding/RAG prep)
         "text_chunks": ts.chunk_documents,
+        # repeated-chunk boilerplate ranking (sub-document dedup feed)
+        "text_boilerplate_chunks": ts.boilerplate_chunks,
         # --- LLM-data pipeline: corpus curation ---
         "curate_contamination": cur.contamination_check,
         "curate_hash_sample": cur.hash_sample,

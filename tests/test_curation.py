@@ -481,3 +481,39 @@ def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
         # full coverage: the last chunk reaches the document's end
         last = cs[-1]
         assert last.chunk_idx * CHUNK_STRIDE + last.n_tokens >= len(words)
+
+
+def test_boilerplate_chunks_report_real_repetitions(spark, planted_dir):
+    """On a planted corpus where two docs share their full text, every
+    chunk of the shared text must surface with n_docs >= 2; the disjoint
+    doc's chunks must not appear."""
+    from tf_idf_mapreduce_spark.operators.textstats import boilerplate_chunks
+
+    # reuse the curation planted corpus: docs 0/1 differ only in the last
+    # word, so their first chunk (32-token window over a 10-word doc =
+    # the whole doc) differs; plant a true duplicate pair instead
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="boiler_")
+    rows = [
+        (0, "shared header text " * 3 + "unique tail alpha", "en", "s0"),
+        (1, "shared header text " * 3 + "unique tail beta", "en", "s0"),
+        (2, "completely different content here", "en", "s1"),
+    ]
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = boilerplate_chunks(spark, d).collect()
+    # 13-token docs -> one 32-token chunk each; chunks differ in the tail
+    # word, so nothing repeats verbatim at the chunk level here
+    assert got == []
+
+    rows2 = rows + [(3, rows[0][1], "en", "s2")]  # exact duplicate of doc 0
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows2],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got2 = boilerplate_chunks(spark, d).collect()
+    assert len(got2) == 1
+    assert got2[0].n_occurrences == 2 and got2[0].n_docs == 2

@@ -446,3 +446,31 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+BOILERPLATE_TOP_K = 50
+
+
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-chunk (boilerplate) detection: token-window chunks that
+    recur across the corpus — headers, footers, license blocks, templated
+    paragraphs — ranked by occurrence count. The pass that feeds
+    sub-document dedup (drop the chunk, keep the doc), which whole-doc
+    near-dup misses when unique content surrounds shared boilerplate.
+
+    One shuffle keyed on the chunk digest (md5, fixed 32 bytes — the
+    chunk text itself never shuffles twice: min() carries one exemplar);
+    the global top-k is a TakeOrderedAndProject, never a full sort.
+    """
+    ch = chunk_documents(spark, sf_dir).where(F.col("n_tokens") > 0)
+    return (
+        ch.groupBy(F.md5("chunk_text").alias("chunk_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("chunk_text").alias("exemplar"),
+        )
+        .where(F.col("n_occurrences") > 1)
+        .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
+        .limit(BOILERPLATE_TOP_K)
+    )
