@@ -2623,6 +2623,31 @@ _CURATION_ORACLE["curate_train_manifest"] = f"""
 """
 
 # Funnel time-to-convert percentiles — composed from the funnel oracle.
+_EVENTS_ORACLE["events_stickiness"] = f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) // 1000000000 // 86400 AS day
+      FROM events
+    ),
+    ad AS (SELECT DISTINCT day FROM ud),
+    fanned AS (
+      SELECT u.user_id, u.day AS src_day, u.day + o.o AS day
+      FROM ud u,
+           (SELECT unnest(generate_series(0, {ev.MAU_WINDOW_DAYS - 1})) AS o) o
+    ),
+    counts AS (
+      SELECT f.day,
+        CAST(count(DISTINCT f.user_id) AS BIGINT) AS mau,
+        CAST(count(DISTINCT CASE WHEN f.src_day = f.day
+                                 THEN f.user_id END) AS BIGINT) AS dau
+      FROM fanned f JOIN ad USING (day)
+      GROUP BY f.day
+    )
+    SELECT day, dau, mau,
+           floor(dau * 1000000.0 / mau + 0.5) / 1000000 AS stickiness
+    FROM counts
+"""
+
 _EVENTS_ORACLE["events_seasonality"] = """
     WITH prof AS (
       SELECT event_type,
@@ -2905,6 +2930,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": ev.q_rfm,
         # folded hour-of-day profile per type (|types| x 24 rows)
         "events_seasonality": ev.q_seasonality,
+        # DAU/MAU per active day via one 30-day fan-out
+        "events_stickiness": ev.q_stickiness,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,

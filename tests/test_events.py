@@ -290,3 +290,28 @@ def test_exact_global_ntile_equals_window_ntile_on_random_inputs(spark):
             ).collect()
         }
         assert got == want, f"case {case} (n={n})"
+
+
+def test_stickiness_bounds_and_dau_subset(spark, sf_dir):
+    """DAU <= MAU on every day, ratio in (0, 1], and the zero-offset DAU
+    must equal an independent per-day distinct count."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators.events import load_events, q_stickiness
+
+    rows = {r.day: r for r in q_stickiness(spark, sf_dir).collect()}
+    assert rows
+    daily = {
+        r.day: r.n
+        for r in load_events(spark, sf_dir)
+        .select("user_id", (F.col("ts_sec") / 86400).cast("long").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(daily)
+    for day, r in rows.items():
+        assert r.dau == daily[day]
+        assert 1 <= r.dau <= r.mau
+        assert 0 < r.stickiness <= 1.0

@@ -602,3 +602,52 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("share"),
     )
+
+
+MAU_WINDOW_DAYS = 30
+
+
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per active day — the engagement ratio product
+    teams track (1.0 = every monthly user shows up daily).
+
+    Same fan-out shape as ``q_wau``: the deduped (user, active-day)
+    relation explodes to the {0..29} future days each appearance keeps
+    the user "monthly active" for; DAU is the zero-offset slice of the
+    same relation, so ONE fan-out feeds both counts (the offset-0 copy
+    tags as ``is_today``). Shuffle volume is 30x the user-day relation,
+    never 30x raw events. The ratio uses the repo's floor @6dp formula.
+    """
+    ev = load_events(spark, sf_dir)
+    user_days = ev.select(
+        "user_id", (F.col("ts_sec") / 86400).cast("long").alias("day")
+    ).distinct()
+    active_days = user_days.select("day").distinct()
+    fanned = user_days.select(
+        "user_id",
+        F.col("day").alias("src_day"),
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (MAU_WINDOW_DAYS - 1))
+        ).alias("day"),
+    )
+    counts = (
+        fanned.join(active_days, "day")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("mau"),
+            F.countDistinct(
+                F.when(F.col("src_day") == F.col("day"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("dau"),
+        )
+    )
+    return counts.select(
+        "day",
+        "dau",
+        "mau",
+        (
+            F.floor(F.col("dau") / F.col("mau") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("stickiness"),
+    )
