@@ -2815,7 +2815,9 @@ _CURATION_ORACLE["curate_source_kl"] = f"""
     terms AS (
       SELECT s.source, s.n_sw, ps.n_s,
         CAST(round((s.n_sw / ps.n_s)
-                   * ln((s.n_sw * t.n_total) / (ps.n_s * pw.n_w)), 6)
+                   * ln((CAST(s.n_sw AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+                        / (CAST(ps.n_s AS DOUBLE) * CAST(pw.n_w AS DOUBLE))),
+                   6)
              AS DECIMAL(38,6)) AS term
       FROM per_sw s
       JOIN per_s ps USING (source)

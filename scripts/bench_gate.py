@@ -43,15 +43,25 @@ def _retime(names: list[str], sf: float) -> dict[str, float]:
     import __spark_entry__ as entrymod
     from tf_idf_mapreduce_spark.session import get_spark
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
+    # ALWAYS the detail file's scale factor — an SPARK_GRAFT_SF_DIR left
+    # over from local iteration must not re-time a flagged sf0.1 query on
+    # a 10x-smaller fixture and clear a real regression
+    sf_dir = f"/root/testdata/sf{sf}"
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+
+    def run(name):
+        # the SAME action bench.py times: a noop-datasource full write.
+        # count() would let Catalyst prune the non-grouping expressions —
+        # exactly where a projection/aggregate regression lives
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     out = {}
     for name in names:
-        qs[name](spark, sf_dir).count()  # warm the session + scans
+        run(name)  # warm the session + scans
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        run(name)
         out[name] = time.time() - t0
     return out
 
@@ -80,6 +90,15 @@ def main(argv: list[str]) -> int:
         print(f"ungated (new, no baseline): {', '.join(new)}")
     if gone:
         print(f"missing from this run: {', '.join(gone)}")
+
+    # a query that ERRORED during the bench records the -1.0 sentinel —
+    # the hardest regression there is; it must never pass the ratio math
+    errored = sorted(n for n, v in cur.items() if v < 0)
+    for name in errored:
+        print(f"FAIL {name}: errored during the bench run (recorded {cur[name]})")
+    if errored:
+        print(f"RESULT: FAIL ({len(errored)} queries errored)")
+        return 1
 
     failures = []
     for name in sorted(set(cur) & set(ref)):

@@ -54,9 +54,10 @@ def main(argv: list[str]) -> int:
     names = [a for a in argv[1:] if not a.isdigit()]
     if os.path.exists("BENCH_DETAIL.json"):
         with open("BENCH_DETAIL.json") as f:
-            times = json.load(f)["queries"]
+            detail = json.load(f)
+        times, bench_sf = detail["queries"], detail.get("sf")
     else:
-        times = {}
+        times, bench_sf = {}, None
     slowest = sorted(times, key=lambda k: -times[k])[:n]
     targets = list(dict.fromkeys(slowest + names))
 
@@ -82,7 +83,9 @@ def main(argv: list[str]) -> int:
             continue
         s = summarize(plan)
         t = times.get(name)
-        out.append(f"## {name}" + (f" — {t:.2f}s at sf0.1" if t else "") + "\n")
+        out.append(
+            f"## {name}" + (f" — {t:.2f}s at sf{bench_sf}" if t else "") + "\n"
+        )
         out.append(
             "| exchanges | 1-part exch | bcast joins | SMJ | NLJ | cartesian |"
             " aggs | scans | pushed-filter scans | codegen spans |\n"

@@ -627,11 +627,16 @@ def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_w = per_sw.groupBy("w").agg(F.sum("n_sw").alias("n_w"))
     total = per_w.agg(F.sum("n_w").alias("n_total"))
 
+    # the log ratio multiplies as DOUBLE, not BIGINT: n_sw * n_total
+    # overflows int64 once the corpus holds ~1e13 tokens and a word
+    # reaches ~1e6 source occurrences (ANSI mode would kill the job;
+    # non-ANSI would wrap silently). The oracle casts in the same order,
+    # so the IEEE sequence stays identical.
     term = F.round(
         (F.col("n_sw") / F.col("n_s"))
         * F.log(
-            (F.col("n_sw") * F.col("n_total"))
-            / (F.col("n_s") * F.col("n_w"))
+            (F.col("n_sw").cast("double") * F.col("n_total").cast("double"))
+            / (F.col("n_s").cast("double") * F.col("n_w").cast("double"))
         ),
         6,
     ).cast("decimal(38,6)")

@@ -331,6 +331,23 @@ def _nearest_centroid_udf(cents):
     return nearest
 
 
+def _probe_order(e: DataFrame, cents, query_vec_id: int):
+    """Centroid probe ORDER for a query vector — the rounded modified-
+    distance key (lowest-cid tiebreak), the same convention as cell
+    assignment, so the DuckDB oracle replays it exactly. ONE definition:
+    ``ivf_topk`` and ``ivf_probe_sweep`` must probe identical cells for
+    the same nprobe or the sweep's equivalence claim silently breaks."""
+    import numpy as np
+
+    cmat = np.asarray(cents)
+    qvec = np.array(
+        e.where(F.col("vec_id") == query_vec_id).head().embedding,
+        dtype="float64",
+    )
+    qkey = np.floor((-2.0 * (cmat @ qvec) + (cmat**2).sum(axis=1)) * 1e6 + 0.5)
+    return np.argsort(qkey * len(cmat) + np.arange(len(cmat)))
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -344,20 +361,10 @@ def ivf_topk(
     The scan-side filter is an IN over nprobe cell ids — at 100 TB the
     index table is partitioned by cid, so probing is partition pruning, not
     a filter over the full corpus.
-
-    Probe choice uses the same rounded modified-distance key (lowest-cid
-    tiebreak) as cell assignment, so the DuckDB oracle replays it exactly.
     """
-    import numpy as np
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = kmeans_fit(e)
-    cmat = np.asarray(cents)
-    qvec = np.array(
-        e.where(F.col("vec_id") == query_vec_id).head().embedding, dtype="float64"
-    )
-    qkey = np.floor((-2.0 * (cmat @ qvec) + (cmat**2).sum(axis=1)) * 1e6 + 0.5)
-    probe = [int(c) for c in np.argsort(qkey * len(cmat) + np.arange(len(cmat)))[:nprobe]]
+    probe = [int(c) for c in _probe_order(e, cents, query_vec_id)[:nprobe]]
 
     assigned = e.select(
         "vec_id", "embedding", _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid")
@@ -778,17 +785,9 @@ def ivf_probe_sweep(
     cells only ADDS candidates, and exact-top-k members can never be
     displaced by lower-cosine ones.
     """
-    import numpy as np
-
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = kmeans_fit(e)
-    cmat = np.asarray(cents)
-    qvec = np.array(
-        e.where(F.col("vec_id") == query_vec_id).head().embedding,
-        dtype="float64",
-    )
-    qkey = np.floor((-2.0 * (cmat @ qvec) + (cmat**2).sum(axis=1)) * 1e6 + 0.5)
-    order = np.argsort(qkey * len(cmat) + np.arange(len(cmat)))
+    order = _probe_order(e, cents, query_vec_id)
 
     assigned = e.select(
         "vec_id",

@@ -59,14 +59,20 @@ def run_to_memory(
                 )
         finally:
             query.stop()
+        # copy the sink's rows into block storage: a long session (the
+        # full-surface bench) otherwise accumulates one live MemorySink
+        # per streaming run, and that creep shows up as per-query
+        # slowdown late in the bench. The returned DF is backed by its
+        # own checkpointed RDD, independent of the dropped view.
+        out = spark.table(table).localCheckpoint(eager=True)
+        return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
         shutil.rmtree(ckpt, ignore_errors=True)
-    # copy the sink's rows into block storage and drop the temp view: a
-    # long session (the 119-query bench) otherwise accumulates one live
-    # MemorySink per streaming run, and that creep shows up as per-query
-    # slowdown late in the bench. The returned DF is backed by its own
-    # checkpointed RDD, independent of the dropped view.
-    out = spark.table(table).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(table)
-    return out
+        # drop the sink's temp view on EVERY exit path — a timed-out or
+        # failed drain must not leave its MemorySink (and buffered rows)
+        # registered for the session's lifetime
+        try:
+            spark.catalog.dropTempView(table)
+        except Exception:
+            pass
