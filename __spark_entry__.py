@@ -1126,13 +1126,16 @@ _LLMDATA_ORACLE: dict[str, str] = {
           WHERE jaccard >= {dd.MINHASH_PRECISION_THRESHOLD}
         ),
         rep AS (
-          SELECT c.r, count(*) AS n_candidates,
-                 sum(CASE WHEN coalesce(j.jaccard, 0)
+          -- left join from the swept-r list so a zero-candidate config
+          -- still reports its zero row (mirrors the Spark side)
+          SELECT g.r, count(c.doc_a) AS n_candidates,
+                 coalesce(sum(CASE WHEN coalesce(j.jaccard, 0)
                                >= {dd.MINHASH_PRECISION_THRESHOLD}
-                          THEN 1 ELSE 0 END) AS n_true
-          FROM cand_cfg c
+                          THEN 1 ELSE 0 END), 0) AS n_true
+          FROM cfg g
+          LEFT JOIN cand_cfg c ON c.r = g.r
           LEFT JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-          GROUP BY c.r
+          GROUP BY g.r
         )
         SELECT CAST(r AS BIGINT) AS r,
                CAST({MINHASH_K} // r AS BIGINT) AS b,

@@ -59,10 +59,16 @@ def _retime(names: list[str], sf: float) -> dict[str, float]:
 
     out = {}
     for name in names:
-        run(name)  # warm the session + scans
-        t0 = time.time()
-        run(name)
-        out[name] = time.time() - t0
+        # a query that THROWS during re-time (e.g. it regressed into an
+        # intermittent error) is a confirmed failure, not a gate crash
+        try:
+            run(name)  # warm the session + scans
+            t0 = time.time()
+            run(name)
+            out[name] = time.time() - t0
+        except Exception as exc:  # noqa: BLE001 — any error = regression
+            print(f"ERROR during isolated re-time of {name}: {exc}")
+            out[name] = float("inf")
     return out
 
 
@@ -76,9 +82,16 @@ def main(argv: list[str]) -> int:
     with open(base_path) as f:
         base = json.load(f)
 
-    if detail.get("sf") != base.get("sf"):
+    sf = detail.get("sf")
+    if sf is None or base.get("sf") is None:
         print(
-            f"SKIP: detail sf={detail.get('sf')} != baseline sf={base.get('sf')}"
+            f"ERROR: missing 'sf' key (detail={sf!r}, baseline={base.get('sf')!r})"
+            " — cannot confirm the runs are comparable"
+        )
+        return 1
+    if sf != base.get("sf"):
+        print(
+            f"SKIP: detail sf={sf} != baseline sf={base.get('sf')}"
             " — run bench.py at the baseline's scale factor to gate"
         )
         return 0
@@ -106,7 +119,7 @@ def main(argv: list[str]) -> int:
         if c > r * RATIO_MAX and c - r > ABS_FLOOR_SEC:
             failures.append((name, r, c))
     if failures and not no_retime:
-        isolated = _retime([n for n, _, _ in failures], detail["sf"])
+        isolated = _retime([n for n, _, _ in failures], sf)
         confirmed = []
         for name, r, c in failures:
             i = isolated[name]

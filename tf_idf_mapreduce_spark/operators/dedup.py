@@ -643,18 +643,29 @@ def banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0)
     ).cast("long")
-    return (
+    per_r = (
         cands.join(jacc, ["doc_a", "doc_b"], "left")
         .groupBy("r")
         .agg(F.count("*").cast("long").alias("n_candidates"), n_true.alias("n_true"))
+    )
+    # a swept (r, b) config with ZERO candidates must still report its
+    # zero row — left join from the literal swept-r list, exactly as
+    # threshold_sweep does for thresholds (precision is NULL at 0/0 in
+    # both engines)
+    swept = spark.createDataFrame([(int(r),) for r in BANDING_SWEEP_ROWS], "r long")
+    nc = F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long")
+    nt = F.coalesce(F.col("n_true"), F.lit(0)).cast("long")
+    return (
+        F.broadcast(swept)
+        .join(per_r, "r", "left")
         .crossJoin(F.broadcast(truth_total))
         .select(
             F.col("r").cast("long").alias("r"),
             F.floor(F.lit(MINHASH_K) / F.col("r")).cast("long").alias("b"),
-            "n_candidates",
-            "n_true",
-            r6(F.col("n_true") / F.col("n_candidates")).alias("precision_at_05"),
-            r6(F.col("n_true") / F.col("n_true_total")).alias("recall_vs_union"),
+            nc.alias("n_candidates"),
+            nt.alias("n_true"),
+            r6(nt / nc).alias("precision_at_05"),
+            r6(nt / F.col("n_true_total")).alias("recall_vs_union"),
         )
         .orderBy("r")
     )

@@ -782,6 +782,8 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
         if payload[idx : idx + 6] != b"FRAME\n":
             raise ValueError("malformed FRAME marker")
         idx += 6
+        if len(payload) - idx < frame_bytes:
+            raise ValueError("truncated frame")
         frames.append(payload[idx : idx + frame_bytes])
         idx += frame_bytes
     return w, h, frames

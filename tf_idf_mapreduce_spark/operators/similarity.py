@@ -340,10 +340,10 @@ def _probe_order(e: DataFrame, cents, query_vec_id: int):
     import numpy as np
 
     cmat = np.asarray(cents)
-    qvec = np.array(
-        e.where(F.col("vec_id") == query_vec_id).head().embedding,
-        dtype="float64",
-    )
+    qrow = e.where(F.col("vec_id") == query_vec_id).head()
+    if qrow is None:
+        raise ValueError(f"unknown query_vec_id {query_vec_id}")
+    qvec = np.array(qrow.embedding, dtype="float64")
     qkey = np.floor((-2.0 * (cmat @ qvec) + (cmat**2).sum(axis=1)) * 1e6 + 0.5)
     return np.argsort(qkey * len(cmat) + np.arange(len(cmat)))
 
