@@ -31,6 +31,7 @@ from ..functions.hashing import (
     word_hash32,
 )
 from ..sources.io import load_table
+from .guard import EXACT_QUADRATIC_MAX_ROWS, guard_exact_quadratic
 from .similarity import NEARDUP_MIN_COSINE, lsh_bucket_pairs
 
 
@@ -422,7 +423,10 @@ EMBED_BLOCK = 256
 
 
 def embedding_near_pairs(
-    spark: SparkSession, sf_dir: str, min_cosine: float = NEARDUP_MIN_COSINE
+    spark: SparkSession,
+    sf_dir: str,
+    min_cosine: float = NEARDUP_MIN_COSINE,
+    max_rows: int | None = EXACT_QUADRATIC_MAX_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all-pairs) via blocked
     matrix multiply.
@@ -435,6 +439,9 @@ def embedding_near_pairs(
     per-pair folds. Exactness is unchanged — this is the verification
     baseline for the LSH-bucketed scale path (similarity.lsh_bucket_pairs).
     Rounded @6dp (summation-order differences across engines are ~1e-15).
+
+    Still quadratic by design: ``max_rows`` refuses inputs past the
+    exact-path cap with a pointer to the bucketed twin.
     """
     from collections.abc import Iterator
 
@@ -442,6 +449,12 @@ def embedding_near_pairs(
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    guard_exact_quadratic(
+        e,
+        what="dedup.embedding_near_pairs",
+        twin="similarity.lsh_bucket_pairs",
+        max_rows=max_rows,
+    )
     blocks = (
         e.groupBy((F.col("vec_id") / EMBED_BLOCK).cast("long").alias("blk"))
         .agg(

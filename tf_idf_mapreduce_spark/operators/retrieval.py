@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize
 from ..sources.io import documents_as_corpus, load_table
+from .guard import EXACT_QUADRATIC_MAX_ROWS, guard_exact_quadratic
 from .tfidf import doc_freq, doc_totals, tfidf_pipeline, word_count
 
 #: Standard BM25 free parameters (Robertson et al., TREC-3).
@@ -106,7 +107,10 @@ DOCSIM_N_BLOCKS = 16
 
 
 def doc_similarity(
-    spark: SparkSession, sf_dir: str, vec: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    vec: DataFrame | None = None,
+    max_rows: int | None = EXACT_QUADRATIC_MAX_ROWS,
 ) -> DataFrame:
     """All-pairs document cosine similarity over pruned TF-IDF vectors —
     top ``DOCSIM_TOP_PAIRS`` most-similar document pairs.
@@ -151,6 +155,14 @@ def doc_similarity(
 
     if vec is None:
         vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
+    # quadratic in DOCUMENT count — guard on the corpus row count (a
+    # parquet count-star, metadata-only), pointing to the LSH twin
+    guard_exact_quadratic(
+        load_table(spark, sf_dir, "documents"),
+        what="retrieval.doc_similarity",
+        twin="retrieval.doc_similarity_lsh",
+        max_rows=max_rows,
+    )
     vecid = vec.withColumn("wid", F.xxhash64("word"))
     norms = vecid.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot, fold_dot_matrix_udf
 from ..sources.io import load_table
+from .guard import EXACT_QUADRATIC_MAX_ROWS, guard_exact_quadratic
 
 EMBED_DIM = 64
 BAND_BITS = 4
@@ -514,7 +515,10 @@ KNN_BLOCK = 256
 
 
 def knn_graph(
-    spark: SparkSession, sf_dir: str, k: int = KNN_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    max_rows: int | None = EXACT_QUADRATIC_MAX_ROWS,
 ) -> DataFrame:
     """Exact k-NN graph over the embedding corpus: for every vector its k
     nearest neighbors by cosine (rank included) — the edge list behind
@@ -529,6 +533,8 @@ def knn_graph(
     volume drops from O(n²) scored pairs to O(n²k/B). At 100 TB swap the
     tile cross-join for the LSH candidate join — implemented as
     ``knn_graph_ann``, with ``knn_ann_recall`` measuring the trade.
+    Still quadratic by design: ``max_rows`` refuses inputs past the
+    exact-path cap with a pointer to the ANN twin.
     """
     from collections.abc import Iterator
 
@@ -538,6 +544,12 @@ def knn_graph(
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    guard_exact_quadratic(
+        e,
+        what="similarity.knn_graph",
+        twin="similarity.knn_graph_ann",
+        max_rows=max_rows,
+    )
     blocks = e.groupBy(
         (F.col("vec_id") / KNN_BLOCK).cast("long").alias("blk")
     ).agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
