@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import norm_words, shingle_rows
 from ..sources.io import load_table
+from .prefix import two_phase_running_sum
 
 #: PII regexes, written in the common Java-regex ∩ RE2 dialect so Spark and
 #: any RE2-based oracle (DuckDB) agree: no backrefs, no lookaround.
@@ -390,14 +391,12 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic packing a dataloader uses to cut a corpus into
     fixed-token-budget files.
 
-    The global running sum is a DISTRIBUTED TWO-PHASE PREFIX SUM, never
-    a single-partition global window (the classic 100 TB trap: ``sum()
-    over (order by ...)`` with no partition puts the whole corpus in one
-    task). Docs bucket by doc_id range; phase 1 computes bucket-LOCAL
-    running sums (window groups bounded by SHARD_PREFIX_BUCKET rows);
-    phase 2 turns per-bucket totals — a |buckets|-row relation — into
-    exclusive prefix offsets (that tiny window IS single-partition, by
-    design) and broadcasts them back. cum = offset + local_cum.
+    The global running sum is the DISTRIBUTED TWO-PHASE PREFIX SUM
+    (``prefix.two_phase_running_sum`` — bucket-local windows bounded by
+    SHARD_PREFIX_BUCKET rows + a broadcast |buckets|-row offsets
+    relation), never a single-partition global window (the classic
+    100 TB trap: ``sum() over (order by ...)`` with no partition puts
+    the whole corpus in one task).
     """
     from .textstats import BPE_ISH_PATTERN
 
@@ -410,28 +409,20 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "bucket", F.floor(F.col("doc_id") / SHARD_PREFIX_BUCKET).cast("long")
     )
-    w_local = Window.partitionBy("bucket").orderBy("doc_id")
-    local = tok.withColumn("local_cum", F.sum("n_tokens").over(w_local))
-    totals = tok.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
-    w_prev = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    cum = two_phase_running_sum(
+        tok,
+        bucket="bucket",
+        order_by=["doc_id"],
+        value=F.col("n_tokens"),
+        out="cum_tokens",
     )
-    offsets = totals.select(
-        "bucket",
-        F.coalesce(F.sum("btot").over(w_prev), F.lit(0)).alias("offset"),
-    )
-    cum = F.col("offset") + F.col("local_cum")
-    return (
-        local.join(F.broadcast(offsets), "bucket")
-        .select(
-            "doc_id",
-            "n_tokens",
-            cum.alias("cum_tokens"),
-            F.floor((cum - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
-            .cast("long")
-            .alias("shard_id"),
-        )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard_id"),
     )
 
 
@@ -500,9 +491,9 @@ def train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard manifest a dataloader consumes: document count, token
     count, and the covered doc_id range.
 
-    Same distributed two-phase prefix sum as ``shard_pack`` (bucket-local
-    windows + a broadcast offsets relation — never a single-partition
-    global window), but over the FILTERED corpus, which is the realistic
+    Same distributed two-phase prefix sum as ``shard_pack`` (the shared
+    ``prefix.two_phase_running_sum`` — never a single-partition global
+    window), but over the FILTERED corpus, which is the realistic
     shape: at 100 TB the keep-list filter drops 30-60% of rows before
     any token is counted, and the filter rides the same scan as the
     token count (one exchange for the bucket window, one tiny offsets
@@ -528,19 +519,17 @@ def train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket", F.floor(F.col("doc_id") / SHARD_PREFIX_BUCKET).cast("long")
         )
     )
-    w_local = Window.partitionBy("bucket").orderBy("doc_id")
-    local = tok.withColumn("local_cum", F.sum("n_tokens").over(w_local))
-    totals = tok.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
-    w_prev = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "bucket",
-        F.coalesce(F.sum("btot").over(w_prev), F.lit(0)).alias("offset"),
+    cum = two_phase_running_sum(
+        tok,
+        bucket="bucket",
+        order_by=["doc_id"],
+        value=F.col("n_tokens"),
+        out="cum_tokens",
     )
-    cum = F.col("offset") + F.col("local_cum")
-    packed = local.join(F.broadcast(offsets), "bucket").select(
+    packed = cum.select(
         "doc_id",
         "n_tokens",
-        F.floor((cum - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
         .cast("long")
         .alias("shard_id"),
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.io import load_events
+from .prefix import two_phase_running_sum
 
 SESSION_GAP_SEC = 30 * 60
 
@@ -498,23 +499,23 @@ def _exact_global_ntile(base: DataFrame, key: Column, score_name: str) -> DataFr
         )
         .cast("long"),
     )
-    w_local = Window.partitionBy("_bkt").orderBy(F.asc("_k"), F.asc("user_id"))
-    local = b.withColumn("_lr", F.row_number().over(w_local))
-    totals = b.groupBy("_bkt").agg(F.count("*").alias("_c"))
-    w_prev = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_bkt", F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_off")
+    # a running count with a tie-free order IS row_number — the global
+    # rank rides the shared two-phase prefix sum
+    ranked = two_phase_running_sum(
+        b,
+        bucket="_bkt",
+        order_by=[F.asc("_k"), F.asc("user_id")],
+        value=F.lit(1),
+        out="_rank",
     )
-    rank = F.col("_off") + F.col("_lr")
+    rank = F.col("_rank")
     q = F.floor(F.col("_n") / RFM_BUCKETS)
     r = F.col("_n") % RFM_BUCKETS
     big = r * (q + 1)
     score = F.when(rank <= big, F.ceil(rank / (q + 1))).otherwise(
         r + F.ceil((rank - big) / q)
     )
-    return local.join(F.broadcast(offsets), "_bkt").select(
-        "user_id", score.cast("long").alias(score_name)
-    )
+    return ranked.select("user_id", score.cast("long").alias(score_name))
 
 
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
