@@ -74,6 +74,77 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+def _bounded_oracles() -> dict[str, dict]:
+    """Bounded-accuracy oracles for queries whose VALUES are engine-
+    specific sketches (no hash-exact twin exists by nature). The exact
+    twin runs on DuckDB and the check asserts every approximate column
+    lands within the sketch's advertised error bound — a checked
+    accuracy contract instead of an unqualified rows-only skip.
+
+    Spec: ``key`` joins the two frames; ``bounds`` maps a Spark approx
+    column -> (exact DuckDB column, max relative error). HLL++ at
+    rsd=0.02 has σ≈2%; 0.06 is the 3σ bound. percentile_approx at
+    accuracy=10000 has rank error ≤ n/10000 (~2 ranks at sf0.01) —
+    0.01 relative value error is generous for a smooth distribution.
+    """
+    from tf_idf_mapreduce_spark.operators.curation import PROFILE_COLUMNS
+
+    profile_exact = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+        for c in PROFILE_COLUMNS
+    )
+    return {
+        "curate_profile_sketch": {
+            "sql": f"""
+                WITH prof AS ({profile_exact}),
+                pct AS (
+                  SELECT round(quantile_disc(o_totalprice, 0.5), 2) AS p50,
+                         round(quantile_disc(o_totalprice, 0.95), 2) AS p95,
+                         round(quantile_disc(o_totalprice, 0.99), 2) AS p99
+                  FROM orders
+                )
+                SELECT prof.*, pct.p50, pct.p95, pct.p99 FROM prof, pct
+            """,
+            "key": ["col_name"],
+            "bounds": {
+                "n_rows": ("n_rows", 0.0),
+                "approx_distinct": ("n_distinct", 0.06),
+                "price_p50": ("p50", 0.01),
+                "price_p95": ("p95", 0.01),
+                "price_p99": ("p99", 0.01),
+            },
+        }
+    }
+
+
+def compare_bounded(
+    spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, spec: dict
+) -> tuple[list[str], dict[str, float]]:
+    problems: list[str] = []
+    key = spec["key"]
+    exact = duck_pdf.rename(
+        columns={c: f"__x_{c}" for c in duck_pdf.columns if c not in key}
+    )
+    merged = spark_pdf.merge(exact, on=key, how="outer", indicator=True)
+    if (merged["_merge"] != "both").any():
+        problems.append(
+            f"key mismatch: {merged.loc[merged['_merge'] != 'both', key].to_dict('records')}"
+        )
+        return problems, {}
+    errs: dict[str, float] = {}
+    for approx_col, (exact_col, bound) in spec["bounds"].items():
+        a = merged[approx_col].astype("float64")
+        e = merged[f"__x_{exact_col}"].astype("float64")
+        rel = float(((a - e).abs() / e.abs().clip(lower=1e-12)).max())
+        errs[approx_col] = round(rel, 6)
+        if rel > bound:
+            problems.append(
+                f"bounded col {approx_col}: max rel err {rel:.4f} > bound {bound}"
+            )
+    return problems, errs
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--json")]
     json_path = None
@@ -106,11 +177,39 @@ def main() -> int:
             continue
         t1 = time.time()
         if name not in oracles:
-            print(f"SKIP {name}: rows-only ({len(spark_pdf)} rows, {t1-t0:.1f}s)")
+            spec = _bounded_oracles().get(name)
+            if spec is None:
+                print(f"SKIP {name}: rows-only ({len(spark_pdf)} rows, {t1-t0:.1f}s)")
+                results[name] = {
+                    "status": "rows_only", "rows": len(spark_pdf),
+                    "spark_sec": round(t1 - t0, 2),
+                }
+                continue
+            try:
+                duck_pdf = con.execute(spec["sql"]).df()
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error (bounded oracle): {e}")
+                results[name] = {"status": "duckdb_error", "err": str(e)[:500]}
+                failures += 1
+                continue
+            problems, errs = compare_bounded(spark_pdf, duck_pdf, spec)
             results[name] = {
-                "status": "rows_only", "rows": len(spark_pdf),
+                "status": "fail" if problems else "bounded",
+                "rows": len(spark_pdf),
+                "rel_err": errs,
+                "bounds": {a: b for a, (_, b) in spec["bounds"].items()},
                 "spark_sec": round(t1 - t0, 2),
             }
+            if problems:
+                failures += 1
+                results[name]["problems"] = problems
+                print(f"FAIL {name} (bounded): {problems}")
+            else:
+                worst = max(errs.values()) if errs else 0.0
+                print(
+                    f"OK   {name} (bounded: max rel err {worst:.4f} within "
+                    f"sketch bounds, {len(spark_pdf)} rows, spark {t1-t0:.1f}s)"
+                )
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()

@@ -125,14 +125,20 @@ def q_stream_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WordCount → CountTF → CalcTFIDF, TfidfMapReduce.java:36-100) with
     its STATEFUL stage kept by Structured Streaming.
 
-    The (word, doc) count and the distinct-document count drain over four
+    The (word, doc) count and the per-document registry drain over four
     micro-batches (``maxFilesPerTrigger=1`` against the 4-file corpus
-    split), accumulating in the state store across triggers — the shape
-    of a live index absorbing a document feed. The TF/TF-IDF math is a
-    deterministic batch post-pass over the drained counts: every input it
-    needs (counts, totals, df, N) is a pure function of the maintained
-    state, so re-deriving it per refresh is how an incremental index
-    actually publishes. The final relation must hash-match the batch
+    split) as ONE union-tagged stateful aggregation — word rows keyed
+    ('w', word, doc), one registry row per document keyed ('d', _, doc) —
+    accumulating in a single state store across triggers: the shape of a
+    live index absorbing a document feed, and one drain instead of two.
+    The registry rows exist because streaming has no exact countDistinct
+    and a doc with zero surviving tokens still raises the IDF denominator
+    (same caveat as tfidf_pipeline), so total_docs cannot be derived from
+    the wordcount state alone. The TF/TF-IDF math is a deterministic
+    batch post-pass over the drained state: every input it needs (counts,
+    totals, df, N) is a pure function of the maintained state, so
+    re-deriving it per refresh is how an incremental index actually
+    publishes. The final relation must hash-match the batch
     ``tfidf_full`` oracle.
     """
     from ..functions.tokenize import tokenize
@@ -150,20 +156,26 @@ def q_stream_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(split_dir)
         )
 
-    words = tokenize(documents_as_corpus(src()))
-    wc = words.groupBy("word", "doc").agg(F.count("*").alias("count"))
-    counts = run_to_memory(wc, "stream_tfidf_wc", output_mode="complete")
-    # total_docs comes from its own maintained per-doc state (streaming
-    # has no exact countDistinct): a doc with zero surviving tokens still
-    # raises the IDF denominator, so it cannot be derived from the
-    # wordcount state (same caveat as tfidf_pipeline). The drained state
-    # is one row per doc; counting it is a batch agg over the tiny table.
-    docs_seen = run_to_memory(
-        src().groupBy("doc_id").agg(F.count("*").alias("n_rows")),
-        "stream_tfidf_docs",
+    words = tokenize(documents_as_corpus(src())).select(
+        F.lit("w").alias("kind"), "word", "doc"
+    )
+    registry = src().select(
+        F.lit("d").alias("kind"),
+        F.lit("").alias("word"),
+        F.col("doc_id").cast("string").alias("doc"),
+    )
+    state = run_to_memory(
+        words.unionByName(registry)
+        .groupBy("kind", "word", "doc")
+        .agg(F.count("*").alias("count")),
+        "stream_tfidf_state",
         output_mode="complete",
     )
-    ndocs = docs_seen.agg(F.count("*").alias("total_docs"))
+    counts = state.where(F.col("kind") == "w").select("word", "doc", "count")
+    ndocs = (
+        state.where(F.col("kind") == "d")
+        .agg(F.count("*").alias("total_docs"))
+    )
     scored = tfidf(
         doc_freq(doc_totals(counts)).crossJoin(F.broadcast(ndocs)),
         F.col("total_docs"),

@@ -19,11 +19,12 @@ _SEQ = itertools.count()
 #: State partition count stamped into each run's checkpoint at its first
 #: micro-batch. Stateful operators create one state-store directory per
 #: shuffle partition per trigger — at fixture scale that file overhead
-#: dominates (measured 3.2s → 1.7s per run, 14s → 4.5s for a 4-trigger
-#: drain, going from 32 → 4). At real feed rates size this to state
-#: volume instead (state partitions are fixed for a checkpoint's lifetime,
-#: so pick for the target scale up front).
-STREAM_STATE_PARTITIONS = 4
+#: dominates (measured 3.2s → 1.7s per run going 32 → 4, and another
+#: ~40% off a 4-trigger drain going 4 → 2; 1 loses Arrow-kernel
+#: parallelism in applyInPandasWithState and regresses). At real feed
+#: rates size this to state volume instead (state partitions are fixed
+#: for a checkpoint's lifetime, so pick for the target scale up front).
+STREAM_STATE_PARTITIONS = 2
 
 
 def run_to_memory(
