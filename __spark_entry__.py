@@ -1148,6 +1148,21 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM rep, tot
         ORDER BY r
     """,
+    # per-band bucket stats: the verify-stage load report — integer
+    # exact, same bands relation as the candidate join
+    "dedup_bucket_stats": _DEDUP_CTE
+    + """
+        , bs AS (
+          SELECT band, key, count(*) AS sz FROM bands GROUP BY band, key
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_singleton,
+               CAST(max(sz) AS BIGINT) AS max_bucket,
+               CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS candidate_pairs
+        FROM bs GROUP BY band ORDER BY band
+    """,
     "dedup_simhash": _SIMHASH_CTE
     + "SELECT doc_id, simhash, n_words FROM sv_all",
     "dedup_simhash_pairs": _SIMHASH_CTE
@@ -2958,6 +2973,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_lexical_agreement": dd.semantic_lexical_agreement,
         # cosine-cutoff aggressiveness curve over one candidate pass
         "dedup_threshold_sweep": dd.threshold_sweep,
+        # per-band bucket-size / verify-load monitoring report
+        "dedup_bucket_stats": dd.lsh_bucket_stats,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,

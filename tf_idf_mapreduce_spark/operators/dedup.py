@@ -119,6 +119,54 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket-size distribution: bucket count, singleton
+    count, max bucket, and the verify-stage candidate-pair load
+    Σ sz·(sz-1)/2 — the monitoring report a production dedup pipeline
+    reads BEFORE the verify join runs (SCALE_PROBE.md P2: the max bucket
+    bounds one join task's fanout; a corpus whose duplication inflates
+    buckets shows up here first, and the mitigation — exact-hash dedup
+    before MinHash, or bucket splitting — is chosen from this table).
+
+    Same signature/banding relation as ``minhash_candidate_pairs``
+    (one scan, map-only band keys); the stats are one (band, key)
+    aggregate plus a |bands|-row rollup. Integer-exact, no rounding.
+    """
+    sh = shingle_rows(_docs(spark, sf_dir), ["doc_id"])
+    hashed = sh.select("doc_id", word_hash32(F.col("shingle")).alias("h"))
+    sigs = hashed.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P)
+                for a, b in MINHASH_PERMS
+            ]
+        ).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(band_keys(F.col("sig"))).alias("bk")
+    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bs = bands.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    return (
+        bs.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum((F.col("sz") == 1).cast("long")).alias("n_singleton"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .select(
+            F.col("band").cast("long").alias("band"),
+            "n_buckets",
+            "n_singleton",
+            "max_bucket",
+            "candidate_pairs",
+        )
+        .orderBy("band")
+    )
+
+
 def jaccard_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard for the LSH candidates only (the verify stage
     of the dedup pipeline — never all-pairs).
