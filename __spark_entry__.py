@@ -742,6 +742,104 @@ def _ivf_topk_sql(query_vec_id: int, k: int, nprobe: int) -> str:
     """
 
 
+def _pq_cent_ctes(m: int, k: int, iters: int) -> str:
+    """Unrolled-CTE replay of one PQ subspace codebook (``_pq_codebooks``
+    → ``kmeans_fit`` on the m-th 16-dim slice) — the ``_ivf_cent_ctes``
+    generator specialized to a sliced input relation and suffixed names.
+    """
+    ip = "list_inner_product"
+    lo, hi = m * sim.PQ_SUBDIM + 1, (m + 1) * sim.PQ_SUBDIM
+    key = (
+        f"floor((-2*{ip}(e.v, c.c) + {ip}(c.c, c.c))*1000000 + 0.5)*{k} + c.cid"
+    )
+    ctes = [
+        f"emb_p{m} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb)",
+        f"""pcent{m}_0 AS (
+          SELECT vec_id AS cid,
+                 list_transform(v, x -> floor(x*1000000 + 0.5)/1000000) AS c
+          FROM emb_p{m} WHERE vec_id < {k})""",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"pcent{m}_{i-1}"
+        ctes += [
+            f"""passign{m}_{i} AS (
+              SELECT e.vec_id, e.v, min_by(c.cid, {key}) AS cid
+              FROM emb_p{m} e CROSS JOIN {prev} c GROUP BY e.vec_id, e.v)""",
+            f"""pmeans{m}_{i} AS (
+              SELECT cid, list(floor(s/n*1000000 + 0.5)/1000000 ORDER BY dim) AS c
+              FROM (SELECT cid, dim, sum(val) AS s, count(*) AS n
+                    FROM (SELECT a.cid, unnest(a.v) AS val,
+                                 generate_subscripts(a.v, 1) AS dim
+                          FROM passign{m}_{i} a)
+                    GROUP BY cid, dim)
+              GROUP BY cid)""",
+            f"""pcent{m}_{i} AS (
+              SELECT p.cid, coalesce(mm.c, p.c) AS c
+              FROM {prev} p LEFT JOIN pmeans{m}_{i} mm USING (cid))""",
+        ]
+    return ",\n".join(ctes)
+
+
+def _pq_topk_sql(query_vec_id: int, k: int) -> str:
+    """Oracle for ``similarity.pq_topk`` — full per-subspace codebook
+    replay, the same rounded assignment key, per-subspace dot-table
+    entries rounded @6dp BEFORE the Σ_m (so both engines sum identical
+    grid values), true-norm cosine normalization."""
+    ip = "list_inner_product"
+    kk, iters, M = sim.PQ_K, sim.PQ_ITERS, sim.PQ_M
+    akey = (
+        f"floor((-2*{ip}(e.v, c.c) + {ip}(c.c, c.c))*1000000 + 0.5)*{kk} + c.cid"
+    )
+    parts = ["emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for m in range(M):
+        parts.append(_pq_cent_ctes(m, kk, iters))
+    parts.append(f"q AS (SELECT v AS qv FROM emb WHERE vec_id = {query_vec_id})")
+    for m in range(M):
+        lo, hi = m * sim.PQ_SUBDIM + 1, (m + 1) * sim.PQ_SUBDIM
+        parts.append(
+            f"""pcode{m} AS (
+              SELECT e.vec_id, min_by(c.cid, {akey}) AS code
+              FROM emb_p{m} e CROSS JOIN pcent{m}_{iters} c
+              GROUP BY e.vec_id, e.v)"""
+        )
+        parts.append(
+            f"""dt{m} AS (
+              SELECT c.cid,
+                     floor({ip}(q.qv[{lo}:{hi}], c.c)*1000000 + 0.5)/1000000 AS d
+              FROM pcent{m}_{iters} c, q)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT co.vec_id, dm.d FROM pcode{m} co JOIN dt{m} dm ON dm.cid = co.code"
+        for m in range(M)
+    )
+    parts.append(f"adc AS (SELECT vec_id, sum(d) AS adc_dot FROM ({union}) GROUP BY vec_id)")
+    with_body = ",\n".join(parts)
+    return f"""
+        WITH {with_body}
+        SELECT a.vec_id,
+               floor(a.adc_dot
+                     / (sqrt({ip}(e.v, e.v)) * sqrt({ip}(q.qv, q.qv)))
+                     * 1000000 + 0.5) / 1000000 AS adc_cos
+        FROM adc a JOIN emb e USING (vec_id), q
+        WHERE a.vec_id <> {query_vec_id}
+        ORDER BY adc_cos DESC, a.vec_id LIMIT {k}
+    """
+
+
+def _pq_recall_sql(query_vec_id: int, k: int) -> str:
+    """Oracle for ``similarity.pq_recall`` — exact vs PQ top-k overlap."""
+    return f"""
+        WITH exact_side AS ({_cosine_topk_sql(query_vec_id, k)}),
+        pq_side AS ({_pq_topk_sql(query_vec_id, k)}),
+        h AS (SELECT count(*) AS n_hits FROM exact_side e
+              WHERE e.vec_id IN (SELECT vec_id FROM pq_side)),
+        ne AS (SELECT count(*) AS n_exact FROM exact_side)
+        SELECT h.n_hits, CAST({k} AS BIGINT) AS k, ne.n_exact,
+               floor(h.n_hits / ne.n_exact * 1000000 + 0.5)/1000000 AS recall
+        FROM h, ne
+    """
+
+
 def _ivf_histogram_sql() -> str:
     """Oracle for ``similarity.ivf_cell_histogram`` — same k-means replay,
     assignment counts per cell."""
@@ -1206,6 +1304,8 @@ _LLMDATA_ORACLE: dict[str, str] = {
         sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
     ),
     "sim_ivf_histogram": _ivf_histogram_sql(),
+    "sim_pq_topk": _pq_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
+    "sim_pq_recall": _pq_recall_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     # the nprobe tuning loop: each block replays fit+probe at its own
     # nprobe (the deterministic fit reaches the same model every time)
     "sim_ivf_probe_sweep": "\nUNION ALL\n".join(
@@ -2986,6 +3086,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_histogram": sim.ivf_cell_histogram,
         # nprobe tuning loop: one fit/assignment, per-probe recall
         "sim_ivf_probe_sweep": sim.ivf_probe_sweep,
+        # PQ completes the ANN trio (LSH planes, IVF cells, PQ codes);
+        # per-subspace codebooks fully replayed by the oracle
+        "sim_pq_topk": sim.pq_topk,
+        "sim_pq_recall": sim.pq_recall,
         # mislabel detection: own-centroid vs best-other-centroid margin
         "sim_label_margin": sim.label_margin,
         "sim_label_centroids": sim.label_centroids,

@@ -29,6 +29,9 @@ QUERIES = [
     # k-means fit sums members via Spark partial sums — the @6dp grid
     # must absorb the partition-count-dependent association order
     "sim_ivf_topk",
+    # four per-subspace fits + ADC lookups: same grid argument, four
+    # chances to leak a partitioning dependence
+    "sim_pq_topk",
     # checkpointed signature base + per-config band joins + a left-join
     # precision denominator — candidate SETS must not depend on layout
     "dedup_banding_sweep",

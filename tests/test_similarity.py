@@ -355,3 +355,40 @@ def test_label_margin_agrees_with_numpy_replay(spark, sf_dir):
         assert r.best_other_label == -best_other[1]
         assert r.best_other_cos == best_other[0]
         assert r.margin == round(own - best_other[0], 6)
+
+
+def test_pq_adc_tracks_true_cosine(spark, sf_dir):
+    """PQ-ADC scores must positively track exact cosine (the codes carry
+    signal even on random fixtures), stay in a sane range, and the
+    deterministic fit must reproduce bit-identical results on a rerun."""
+    import numpy as np
+
+    import tf_idf_mapreduce_spark.operators.similarity as sim
+
+    top = sim.pq_topk(spark, sf_dir, k=10).collect()
+    assert len(top) == 10
+    assert all(-1.001 <= r.adc_cos <= 1.001 for r in top)
+    rerun = sim.pq_topk(spark, sf_dir, k=10).collect()
+    assert [(r.vec_id, r.adc_cos) for r in top] == [
+        (r.vec_id, r.adc_cos) for r in rerun
+    ]
+    # correlation of ADC vs exact cosine over the full corpus
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id")
+    rows = e.collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.array(r.embedding) for r in rows])
+    q = X[ids == sim.DEFAULT_QUERY_VEC][0]
+    cos = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    adc = {r.vec_id: r.adc_cos for r in sim.pq_topk(spark, sf_dir, k=len(ids)).collect()}
+    mask = ids != sim.DEFAULT_QUERY_VEC
+    got = np.array([adc[i] for i in ids[mask]])
+    assert np.corrcoef(got, cos[mask])[0, 1] > 0.2
+
+
+def test_pq_unknown_query_raises(spark, sf_dir):
+    import pytest as _pytest
+
+    import tf_idf_mapreduce_spark.operators.similarity as sim
+
+    with _pytest.raises(ValueError, match="unknown query_vec_id"):
+        sim.pq_topk(spark, sf_dir, query_vec_id=10**9)
