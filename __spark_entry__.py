@@ -840,6 +840,41 @@ def _pq_recall_sql(query_vec_id: int, k: int) -> str:
     """
 
 
+def _pq_rerank_sql(query_vec_id: int, k: int, shortlist: int) -> str:
+    """Oracle for ``similarity.pq_rerank_report`` — ADC shortlist from
+    the full PQ replay, exact-cosine rerank of the shortlist, both
+    top-k sets scored against the exact scan."""
+    ip = "list_inner_product"
+    return f"""
+        WITH pqs AS ({_pq_topk_sql(query_vec_id, shortlist)}),
+        adc_top AS (
+          SELECT vec_id FROM pqs ORDER BY adc_cos DESC, vec_id LIMIT {k}),
+        emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q2 AS (SELECT v AS qv FROM emb2 WHERE vec_id = {query_vec_id}),
+        rr AS (
+          SELECT p.vec_id,
+                 round({ip}(e.v, q2.qv)
+                       / (sqrt({ip}(e.v, e.v)) * sqrt({ip}(q2.qv, q2.qv))), 6)
+                   AS cos_sim
+          FROM pqs p JOIN emb2 e USING (vec_id), q2
+          ORDER BY cos_sim DESC, p.vec_id LIMIT {k}),
+        exact_side AS ({_cosine_topk_sql(query_vec_id, k)}),
+        ha AS (SELECT count(*) AS n_hits_adc FROM exact_side
+               WHERE vec_id IN (SELECT vec_id FROM adc_top)),
+        hr AS (SELECT count(*) AS n_hits_rerank FROM exact_side
+               WHERE vec_id IN (SELECT vec_id FROM rr)),
+        ne AS (SELECT count(*) AS n_exact FROM exact_side)
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST({shortlist} AS BIGINT) AS shortlist,
+               ne.n_exact, ha.n_hits_adc, hr.n_hits_rerank,
+               floor(ha.n_hits_adc / ne.n_exact * 1000000 + 0.5)/1000000
+                 AS recall_adc,
+               floor(hr.n_hits_rerank / ne.n_exact * 1000000 + 0.5)/1000000
+                 AS recall_rerank
+        FROM ha, hr, ne
+    """
+
+
 def _ivf_histogram_sql() -> str:
     """Oracle for ``similarity.ivf_cell_histogram`` — same k-means replay,
     assignment counts per cell."""
@@ -1306,6 +1341,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
     "sim_ivf_histogram": _ivf_histogram_sql(),
     "sim_pq_topk": _pq_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_pq_recall": _pq_recall_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
+    "sim_pq_rerank": _pq_rerank_sql(
+        sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.PQ_SHORTLIST
+    ),
     # the nprobe tuning loop: each block replays fit+probe at its own
     # nprobe (the deterministic fit reaches the same model every time)
     "sim_ivf_probe_sweep": "\nUNION ALL\n".join(
@@ -3090,6 +3128,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-subspace codebooks fully replayed by the oracle
         "sim_pq_topk": sim.pq_topk,
         "sim_pq_recall": sim.pq_recall,
+        # PQ-then-rerank: the production pattern, priced in one report
+        "sim_pq_rerank": sim.pq_rerank_report,
         # mislabel detection: own-centroid vs best-other-centroid margin
         "sim_label_margin": sim.label_margin,
         "sim_label_centroids": sim.label_centroids,

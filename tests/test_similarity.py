@@ -392,3 +392,15 @@ def test_pq_unknown_query_raises(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="unknown query_vec_id"):
         sim.pq_topk(spark, sf_dir, query_vec_id=10**9)
+
+
+def test_pq_rerank_dominates_adc(spark, sf_dir):
+    """The reranked top-k recovers every exact-top-k member the ADC
+    shortlist contains, so recall_rerank >= recall_adc always (adc_top
+    is a subset of the shortlist the rerank scans)."""
+    import tf_idf_mapreduce_spark.operators.similarity as sim
+
+    r = sim.pq_rerank_report(spark, sf_dir).collect()[0]
+    assert r.n_exact == r.k
+    assert 0 <= r.n_hits_adc <= r.n_hits_rerank <= r.k
+    assert r.recall_rerank >= r.recall_adc

@@ -1120,3 +1120,76 @@ def pq_recall(
             / 1_000_000
         ).alias("recall"),
     )
+
+
+#: ADC shortlist size for the rerank stage (shortlist/k = 5 here; at
+#: 100 TB think 10k-100k shortlist for a billion-vector corpus).
+PQ_SHORTLIST = 50
+
+
+def pq_rerank_report(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    k: int = DEFAULT_TOPK,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """PQ-then-rerank — the pattern that makes PQ production-grade — and
+    the 1-row report that prices it: ADC shortlists ``shortlist``
+    candidates from codes alone (codes + norms scan, embeddings
+    untouched), exact cosine re-ranks ONLY the shortlist, and both the
+    ADC-only top-k and the reranked top-k are scored against the exact
+    scan. The recall_rerank − recall_adc gap is what the rerank stage
+    buys; its cost is ``shortlist`` full-vector reads instead of n.
+
+    One codebook fit and one ADC pass feed everything; the rerank join
+    touches ``shortlist`` rows (broadcast), the three top-k relations
+    are k-row semi-joins — cost ~0 beyond the base ADC scan.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    short = pq_topk(
+        spark, sf_dir, query_vec_id=query_vec_id, k=shortlist
+    ).localCheckpoint(eager=False)
+    adc_top = (
+        short.orderBy(F.desc("adc_cos"), F.asc("vec_id")).limit(k).select("vec_id")
+    )
+    q = _query_vector(e, query_vec_id)
+    rerank_top = (
+        F.broadcast(short.select("vec_id"))
+        .join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
+        "vec_id"
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits_adc = exact.join(adc_top, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hits_adc")
+    )
+    hits_rer = exact.join(rerank_top, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hits_rerank")
+    )
+
+    def r6(c: Column) -> Column:
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    return (
+        hits_adc.crossJoin(F.broadcast(hits_rer))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(shortlist).cast("long").alias("shortlist"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "n_hits_adc",
+            "n_hits_rerank",
+            r6(F.col("n_hits_adc") / F.col("n_exact")).alias("recall_adc"),
+            r6(F.col("n_hits_rerank") / F.col("n_exact")).alias("recall_rerank"),
+        )
+    )
