@@ -136,6 +136,16 @@ def compare_bounded(
     for approx_col, (exact_col, bound) in spec["bounds"].items():
         a = merged[approx_col].astype("float64")
         e = merged[f"__x_{exact_col}"].astype("float64")
+        # a NULL/NaN approximate value is a broken sketch, not a small
+        # error — pandas .max() would silently skip it (and NaN > bound
+        # is False), so check explicitly before the bound math
+        if a.isna().any() or e.isna().any():
+            problems.append(
+                f"bounded col {approx_col}: "
+                f"{int(a.isna().sum())} NULL approx / "
+                f"{int(e.isna().sum())} NULL exact values"
+            )
+            continue
         rel = float(((a - e).abs() / e.abs().clip(lower=1e-12)).max())
         errs[approx_col] = round(rel, 6)
         if rel > bound:

@@ -199,34 +199,18 @@ def build_skewed_corpus(spark: SparkSession, replicas: int) -> str:
 
 
 def probe_lsh_buckets(spark: SparkSession, quick: bool) -> None:
-    from tf_idf_mapreduce_spark.functions.hashing import (
-        MINHASH_K,
-        MINHASH_P,
-        MINHASH_PERMS,
-        band_keys,
-        word_hash32,
-    )
-    from tf_idf_mapreduce_spark.operators.dedup import doc_shingles
+    # the ENGINE's banding relation, not a probe-local copy — the probe
+    # measures exactly what the candidate join and lsh_bucket_stats use
+    from tf_idf_mapreduce_spark.operators.dedup import minhash_bands
 
     replicas = 5 if quick else 20
     emit(f"## P2 — MinHash LSH bucket packing at {replicas}x duplication")
     emit()
     scratch = build_skewed_corpus(spark, replicas)
-    n_docs = spark.read.parquet(f"{scratch}/documents.parquet").count()
+    docs = spark.read.parquet(f"{scratch}/documents.parquet")
+    n_docs = docs.count()
 
-    sh = doc_shingles(spark, scratch)
-    hashed = sh.select("doc_id", word_hash32(F.col("shingle")).alias("h"))
-    sigs = hashed.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P)
-                for a, b in MINHASH_PERMS
-            ]
-        ).alias("sig")
-    )
-    bands = sigs.select(
-        "doc_id", F.explode(band_keys(F.col("sig"))).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = minhash_bands(docs).select("doc_id", "band", "key")
     t0 = time.time()
     sizes = (
         bands.groupBy("band", "key")

@@ -61,19 +61,20 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_rows(_docs(spark, sf_dir), ["doc_id"]).distinct()
 
 
-def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidates.
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """The shared signature/banding relation — (doc_id, sig, band, key),
+    one row per (doc, band). SINGLE definition read by the candidate
+    join (``minhash_candidate_pairs``), the load report
+    (``lsh_bucket_stats``), and ``scripts/scale_probe.py``, so the
+    monitoring surfaces can never disagree with the join they monitor.
 
-    Pipeline: signature (map-only) → explode b band keys → self-join on
-    (band, key) → distinct pairs + signature-agreement estimate of Jaccard.
-    Returns (doc_a, doc_b, n_bands_shared, est_jaccard).
+    Row-level shingles → 12 plain min() aggregates: stays inside
+    whole-stage codegen end to end (both the shingle transform and the
+    signature fold run ~12x slower interpreted) and partial-aggregates
+    map-side, so the shuffle carries one 12-int row per doc regardless
+    of doc length.
     """
-    # row-level shingles → 12 plain min() aggregates: stays inside
-    # whole-stage codegen end to end (both the shingle transform and the
-    # signature fold run ~12x slower interpreted) and partial-aggregates
-    # map-side, so the shuffle carries one 12-int row per doc regardless of
-    # doc length.
-    sh = shingle_rows(_docs(spark, sf_dir), ["doc_id"])
+    sh = shingle_rows(docs, ["doc_id"])
     hashed = sh.select("doc_id", word_hash32(F.col("shingle")).alias("h"))
     sigs = hashed.groupBy("doc_id").agg(
         F.array(
@@ -83,13 +84,25 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("sig")
     )
-    # NB: measured — a localCheckpoint barrier here to dedupe the
-    # self-join's two subtree computations costs MORE than the recompute
-    # (serialization + lost plan fusion); at 100 TB persist the signature
-    # table explicitly instead
-    bands = sigs.select(
+    return sigs.select(
         "doc_id", "sig", F.explode(band_keys(F.col("sig"))).alias("bk")
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates.
+
+    Pipeline: signature (map-only) → explode b band keys → self-join on
+    (band, key) → distinct pairs + signature-agreement estimate of Jaccard.
+    Returns (doc_a, doc_b, n_bands_shared, est_jaccard).
+    """
+    # NB: measured — a localCheckpoint barrier on the bands relation to
+    # dedupe the self-join's two subtree computations costs MORE than the
+    # recompute (serialization + lost plan fusion); at 100 TB persist the
+    # signature table explicitly instead
+    bands = minhash_bands(_docs(spark, sf_dir))
 
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "key"
@@ -128,23 +141,12 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets shows up here first, and the mitigation — exact-hash dedup
     before MinHash, or bucket splitting — is chosen from this table).
 
-    Same signature/banding relation as ``minhash_candidate_pairs``
-    (one scan, map-only band keys); the stats are one (band, key)
-    aggregate plus a |bands|-row rollup. Integer-exact, no rounding.
+    Same signature/banding relation as ``minhash_candidate_pairs`` —
+    literally: both read ``minhash_bands`` (one scan, map-only band
+    keys); the stats are one (band, key) aggregate plus a |bands|-row
+    rollup. Integer-exact, no rounding.
     """
-    sh = shingle_rows(_docs(spark, sf_dir), ["doc_id"])
-    hashed = sh.select("doc_id", word_hash32(F.col("shingle")).alias("h"))
-    sigs = hashed.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P)
-                for a, b in MINHASH_PERMS
-            ]
-        ).alias("sig")
-    )
-    bands = sigs.select(
-        "doc_id", F.explode(band_keys(F.col("sig"))).alias("bk")
-    ).select(F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = minhash_bands(_docs(spark, sf_dir)).select("band", "key")
     bs = bands.groupBy("band", "key").agg(F.count("*").alias("sz"))
     return (
         bs.groupBy("band")

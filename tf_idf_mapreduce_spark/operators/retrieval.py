@@ -153,16 +153,19 @@ def doc_similarity(
     import numpy as np
     import pandas as pd
 
-    if vec is None:
-        vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
     # quadratic in DOCUMENT count — guard on the corpus row count (a
-    # parquet count-star, metadata-only), pointing to the LSH twin
+    # parquet count-star, metadata-only), pointing to the LSH twin.
+    # BEFORE the vec branch: the pruned-vector localCheckpoint is eager,
+    # and refusing an oversized corpus must not first run a corpus-scale
+    # tokenize->TF-IDF job
     guard_exact_quadratic(
         load_table(spark, sf_dir, "documents"),
         what="retrieval.doc_similarity",
         twin="retrieval.doc_similarity_lsh",
         max_rows=max_rows,
     )
+    if vec is None:
+        vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
     vecid = vec.withColumn("wid", F.xxhash64("word"))
     norms = vecid.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")

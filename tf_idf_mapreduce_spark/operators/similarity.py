@@ -988,7 +988,7 @@ def personalized_pagerank(
 
 
 #: Product quantization: M subspaces of SUBDIM dims each (M*SUBDIM = the
-#: embedding dim), K codewords per subspace, ITERS k-means rounds. 16
+#: embedding dim), K codewords per subspace, ITERS k-means rounds. 8
 #: codewords x 4 subspaces compresses a 64-dim float64 vector to 4 x 3
 #: bits of code — the memory-bound ANN regime (IVF probes cells, LSH
 #: hashes planes, PQ compresses the vectors themselves).
