@@ -1027,6 +1027,50 @@ def _knn_ann_recall_sql(k: int) -> str:
     """
 
 
+def _triangles_sql(k: int) -> str:
+    """Oracle for ``similarity.triangle_report`` — same degree-oriented
+    construction over the replayed ANN graph: orientation keys pack
+    (deg, node) as deg*2^32 + node, each triangle counted once at its
+    minimum-key apex."""
+    return f"""
+        WITH g AS ({_knn_graph_ann_sql(k)}),
+        und AS (
+          SELECT DISTINCT least(vec_a, vec_b) AS u, greatest(vec_a, vec_b) AS v
+          FROM g),
+        deg AS (
+          SELECT node, count(*) AS deg
+          FROM (SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+          GROUP BY node),
+        okey AS (SELECT node, deg * 4294967296 + node AS okey FROM deg),
+        orient AS (
+          SELECT CASE WHEN ku.okey < kv.okey THEN und.u ELSE und.v END AS src,
+                 CASE WHEN ku.okey < kv.okey THEN und.v ELSE und.u END AS dst,
+                 CASE WHEN ku.okey < kv.okey THEN kv.okey ELSE ku.okey END AS kd
+          FROM und
+          JOIN okey ku ON ku.node = und.u
+          JOIN okey kv ON kv.node = und.v),
+        wedges_rel AS (
+          SELECT e1.dst AS b, e2.dst AS c
+          FROM orient e1 JOIN orient e2
+            ON e1.src = e2.src AND e1.kd < e2.kd),
+        tri AS (
+          SELECT count(*) AS n_triangles
+          FROM wedges_rel w
+          WHERE EXISTS (SELECT 1 FROM orient o
+                        WHERE o.src = w.b AND o.dst = w.c)),
+        nn AS (SELECT count(*) AS n_nodes FROM deg),
+        ne AS (SELECT count(*) AS n_edges FROM und),
+        wd AS (SELECT sum((deg * (deg - 1)) // 2) AS n_wedges FROM deg)
+        SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+               CAST(ne.n_edges AS BIGINT) AS n_edges,
+               CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+               CAST(wd.n_wedges AS BIGINT) AS n_wedges,
+               floor(3.0 * tri.n_triangles / wd.n_wedges * 1000000 + 0.5)
+                 / 1000000 AS clustering_coeff
+        FROM tri, nn, ne, wd
+    """
+
+
 def _pagerank_sql(iters: int, damp_pct: int, k: int) -> str:
     """Oracle for ``similarity.pagerank`` — unrolled replay of the
     FIXED-POINT iteration: BIGINT nano-unit ranks, integer division
@@ -1403,6 +1447,7 @@ _LLMDATA_ORACLE: dict[str, str] = {
     """,
     "sim_knn_graph": _knn_graph_sql(sim.KNN_K),
     "sim_knn_graph_ann": _knn_graph_ann_sql(sim.KNN_K),
+    "sim_triangles": _triangles_sql(sim.KNN_K),
     "sim_knn_ann_recall": _knn_ann_recall_sql(sim.KNN_K),
     "text_bigrams": f"""
         WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
@@ -3135,6 +3180,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroids": sim.label_centroids,
         "sim_knn_graph": sim.knn_graph,
         "sim_knn_graph_ann": sim.knn_graph_ann,
+        # degree-oriented triangle count over the ANN graph — the
+        # neighborhood-cohesion report; hubs receive edges, never expand
+        "sim_triangles": sim.triangle_report,
         "sim_knn_ann_recall": sim.knn_ann_recall,
         "sim_pagerank": sim.pagerank,
         "sim_personalized_pagerank": sim.personalized_pagerank,

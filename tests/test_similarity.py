@@ -404,3 +404,34 @@ def test_pq_rerank_dominates_adc(spark, sf_dir):
     assert r.n_exact == r.k
     assert 0 <= r.n_hits_adc <= r.n_hits_rerank <= r.k
     assert r.recall_rerank >= r.recall_adc
+
+
+def test_triangle_report_matches_brute_force(spark, sf_dir):
+    """Triangle count must equal a Python brute force over the same
+    undirected ANN edge set, and the wedge identity must hold."""
+    from itertools import combinations
+
+    import tf_idf_mapreduce_spark.operators.similarity as sim
+
+    edges = {
+        (min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b))
+        for r in sim.knn_graph_ann(spark, sf_dir).select("vec_a", "vec_b").collect()
+    }
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    brute = sum(
+        1
+        for u, v in edges
+        for w in adj[u] & adj[v]
+        if w > v  # count each triangle once: u < v < w
+        if u < v
+    )
+    r = sim.triangle_report(spark, sf_dir).collect()[0]
+    assert r.n_triangles == brute
+    assert r.n_edges == len(edges)
+    assert r.n_nodes == len(adj)
+    assert r.n_wedges == sum(
+        len(nb) * (len(nb) - 1) // 2 for nb in adj.values()
+    )

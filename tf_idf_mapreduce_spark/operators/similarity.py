@@ -1193,3 +1193,80 @@ def pq_rerank_report(
             r6(F.col("n_hits_rerank") / F.col("n_exact")).alias("recall_rerank"),
         )
     )
+
+
+def triangle_report(
+    spark: SparkSession, sf_dir: str, k: int = KNN_K
+) -> DataFrame:
+    """Degree-oriented triangle count + global clustering coefficient
+    over the ANN k-NN graph — the semantic-neighborhood cohesion report
+    (a corpus whose kNN graph closes many triangles has tight topic
+    clusters; one that doesn't is diffuse — the number that decides
+    whether cluster-then-dedup is worth a pass).
+
+    The scale story is the ORIENTATION: every undirected edge points
+    from its lower-(degree, id) endpoint to the higher, so each
+    triangle is counted exactly once (at its minimum-key apex) and —
+    the classic result — every node's oriented out-degree is O(sqrt(m))
+    on any graph: hubs RECEIVE edges, never expand them, so the wedge
+    self-join's per-key fanout is bounded no matter how skewed the
+    degree distribution. A raw neighbor self-join would square the
+    hottest node instead. Orientation keys pack (deg, node) as
+    deg·2³² + node — exact in int64 up to 2³¹ nodes; widen to a struct
+    comparison past that.
+
+    wedges = Σ deg·(deg−1)/2 (undirected); coefficient = 3·triangles /
+    wedges, rounded @6dp. Integer-exact otherwise.
+    """
+    g = knn_graph_ann(spark, sf_dir, k=k).select("vec_a", "vec_b")
+    und = g.select(
+        F.least("vec_a", "vec_b").alias("u"),
+        F.greatest("vec_a", "vec_b").alias("v"),
+    ).distinct()
+    nodes = und.select(F.col("u").alias("node")).union(
+        und.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("deg"))
+    key = deg.select(
+        "node", (F.col("deg") * F.lit(1 << 32) + F.col("node")).alias("okey")
+    )
+    e = (
+        und.join(key.select(F.col("node").alias("u"), F.col("okey").alias("ku")), "u")
+        .join(key.select(F.col("node").alias("v"), F.col("okey").alias("kv")), "v")
+    )
+    fwd = F.col("ku") < F.col("kv")
+    oriented = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("kv")).otherwise(F.col("ku")).alias("kd"),
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("kd").alias("kb"))
+    e2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("kd").alias("kc"))
+    wedges_rel = e1.join(e2, "a").where(F.col("kb") < F.col("kc"))
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    n_tri = wedges_rel.join(closing, ["b", "c"], "left_semi").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").cast("long").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return (
+        n_tri.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            (
+                F.floor(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges") * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("clustering_coeff"),
+        )
+    )
