@@ -3033,6 +3033,42 @@ _CURATION_ORACLE["curate_source_kl"] = f"""
     GROUP BY source
 """
 
+_CURATION_ORACLE["curate_importance_weights"] = f"""
+    WITH words AS (
+      SELECT doc_id, lang, unnest({_WORDS_SQL}) AS w FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, lang,
+             ({_hex_to_int_sql("substr(md5(w), 1, 8)", 8)})
+               % {cur.IMPORTANCE_BUCKETS} AS b
+      FROM words
+    ),
+    doc_b AS (SELECT doc_id, b, count(*) AS cnt FROM bucketed GROUP BY 1, 2),
+    tgt AS (SELECT b, count(*) AS n_t FROM bucketed
+            WHERE lang = '{cur.IMPORTANCE_TARGET_LANG}' GROUP BY b),
+    cor AS (SELECT b, count(*) AS n_c FROM bucketed GROUP BY b),
+    ntt AS (SELECT sum(n_t) AS n_t_total FROM tgt),
+    nct AS (SELECT sum(n_c) AS n_c_total FROM cor),
+    terms AS (
+      SELECT d.doc_id, d.cnt,
+        CAST(round(d.cnt
+          * (ln(CAST(coalesce(t.n_t, 0) + 1 AS DOUBLE)
+                / CAST(ntt.n_t_total + {cur.IMPORTANCE_BUCKETS} AS DOUBLE))
+             - ln(CAST(c.n_c + 1 AS DOUBLE)
+                  / CAST(nct.n_c_total + {cur.IMPORTANCE_BUCKETS} AS DOUBLE))),
+          6) AS DECIMAL(38,6)) AS term
+      FROM doc_b d
+      JOIN cor c USING (b)
+      LEFT JOIN tgt t USING (b)
+      CROSS JOIN ntt CROSS JOIN nct
+    )
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(term) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS log_weight
+    FROM terms GROUP BY doc_id
+"""
+
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries in STABLE declaration order (grouped by family), the
@@ -3218,6 +3254,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_split": cur.split_report,
         # per-source unigram KL from the corpus distribution (drift)
         "curate_source_kl": cur.source_kl,
+        # DSIR-style hashed-unigram importance weights toward the target
+        "curate_importance_weights": cur.importance_weights,
         # CCNet-style per-language LM-score tertile buckets
         "curate_quality_buckets": cur.quality_buckets,
         # stage-attrition funnel over the keep-list dispositions

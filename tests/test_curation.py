@@ -517,3 +517,26 @@ def test_boilerplate_chunks_report_real_repetitions(spark, planted_dir):
     got2 = boilerplate_chunks(spark, d).collect()
     assert len(got2) == 1
     assert got2[0].n_occurrences == 2 and got2[0].n_docs == 2
+
+
+def test_importance_weights_favor_target_language(spark, sf_dir):
+    """The weight's defining property: English documents must score
+    higher on average than non-English ones (the weights aim the corpus
+    at the lang='en' target slice), and token counts must match the
+    whitespace tokenization."""
+    from pyspark.sql import functions as F
+
+    import tf_idf_mapreduce_spark.operators.curation as cur
+
+    w = cur.importance_weights(spark, sf_dir)
+    docs = cur.load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = w.join(docs, "doc_id")
+    means = {
+        r.is_en: r.mean_w
+        for r in joined.groupBy(
+            (F.col("lang") == cur.IMPORTANCE_TARGET_LANG).alias("is_en")
+        )
+        .agg(F.avg(F.col("log_weight") / F.col("n_tokens")).alias("mean_w"))
+        .collect()
+    }
+    assert means[True] > means[False]

@@ -738,3 +738,76 @@ def attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("drop_rate"),
     ).orderBy("stage_idx")
+
+
+#: DSIR-style importance weighting: hashed-unigram buckets and the
+#: target slice the weights aim the corpus at.
+IMPORTANCE_BUCKETS = 1024
+IMPORTANCE_TARGET_LANG = "en"
+
+
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    reduced to its engine shape: per-document log importance weight
+    ``Σ_b cnt_doc(b) · (ln p_target(b) − ln p_corpus(b))`` over hashed
+    unigram buckets, Laplace-smoothed — the score that resamples a raw
+    corpus toward a target distribution (here: the ``lang = 'en'``
+    slice stands in for the high-quality target set). Feed the weights
+    to ``weighted_sample`` and the pipeline IS importance resampling.
+
+    Scale shape: one (doc, bucket) shuffle with map-side partials; the
+    two distribution tables are ≤ IMPORTANCE_BUCKETS rows each —
+    broadcast; the per-doc sum reuses the doc key. Nothing driver-side,
+    no second corpus pass. Per-bucket terms round @6dp BEFORE the
+    DECIMAL sum (the ``source_kl`` convention) so both engines add
+    identical values in any order.
+    """
+    from ..functions.hashing import word_hash32
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(norm_words(F.col("text"))).alias("w")
+    )
+    bucketed = words.select(
+        "doc_id",
+        "lang",
+        F.pmod(word_hash32(F.col("w")), F.lit(IMPORTANCE_BUCKETS)).alias("b"),
+    )
+    doc_b = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+    tgt = (
+        bucketed.where(F.col("lang") == IMPORTANCE_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("n_t"))
+    )
+    cor = bucketed.groupBy("b").agg(F.count("*").alias("n_c"))
+    n_t_total = tgt.agg(F.sum("n_t").alias("n_t_total"))
+    n_c_total = cor.agg(F.sum("n_c").alias("n_c_total"))
+    j = (
+        doc_b.join(F.broadcast(cor), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(n_t_total))
+        .crossJoin(F.broadcast(n_c_total))
+    )
+    n_t = F.coalesce(F.col("n_t"), F.lit(0))
+    lp = F.log(
+        (n_t + 1).cast("double")
+        / (F.col("n_t_total") + IMPORTANCE_BUCKETS).cast("double")
+    ) - F.log(
+        (F.col("n_c") + 1).cast("double")
+        / (F.col("n_c_total") + IMPORTANCE_BUCKETS).cast("double")
+    )
+    term = F.round(F.col("cnt") * lp, 6).cast("decimal(38,6)")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(term).cast("double").alias("_lw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.floor(F.col("_lw") * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+                "log_weight"
+            ),
+        )
+    )
