@@ -3068,6 +3068,26 @@ _CURATION_ORACLE["curate_importance_weights"] = f"""
     FROM terms GROUP BY doc_id
 """
 
+_IW_BODY = _CURATION_ORACLE["curate_importance_weights"]
+_CURATION_ORACLE["curate_importance_resample"] = f"""
+    WITH iw AS ({_IW_BODY}),
+    keyed AS (
+      SELECT iw.doc_id, iw.n_tokens, iw.log_weight,
+             ({_hex_to_int_sql(
+                 "substr(md5(CAST(d.doc_id AS VARCHAR) || ':' "
+                 "|| coalesce(d.text, '')), 1, 8)", 8)} + 0.5)
+               / 4294967296.0 AS u
+      FROM iw JOIN documents d ON d.doc_id = iw.doc_id
+    )
+    SELECT doc_id, n_tokens, log_weight,
+           floor((log_weight + -ln(-ln(u))) * 1000000 + 0.5) / 1000000
+             AS sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT {cur.WEIGHTED_SAMPLE_M}
+"""
+
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3256,6 +3276,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_source_kl": cur.source_kl,
         # DSIR-style hashed-unigram importance weights toward the target
         "curate_importance_weights": cur.importance_weights,
+        # Gumbel-top-m resampling on those weights (DSIR end to end)
+        "curate_importance_resample": cur.importance_resample,
         # CCNet-style per-language LM-score tertile buckets
         "curate_quality_buckets": cur.quality_buckets,
         # stage-attrition funnel over the keep-list dispositions

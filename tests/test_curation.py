@@ -540,3 +540,27 @@ def test_importance_weights_favor_target_language(spark, sf_dir):
         .collect()
     }
     assert means[True] > means[False]
+
+
+def test_importance_resample_is_weight_biased_and_deterministic(spark, sf_dir):
+    """The Gumbel-top-m sample must re-run bit-identically (hash-derived
+    randomness) and be biased toward high-weight documents: the sampled
+    docs' mean per-token weight exceeds the corpus mean."""
+    from pyspark.sql import functions as F
+
+    import tf_idf_mapreduce_spark.operators.curation as cur
+
+    s1 = cur.importance_resample(spark, sf_dir).collect()
+    s2 = cur.importance_resample(spark, sf_dir).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+    assert len(s1) == cur.WEIGHTED_SAMPLE_M
+
+    w = cur.importance_weights(spark, sf_dir).select(
+        "doc_id", (F.col("log_weight") / F.col("n_tokens")).alias("ptw")
+    )
+    corpus_mean = w.agg(F.avg("ptw")).collect()[0][0]
+    sampled_ids = {r.doc_id for r in s1}
+    sample_mean = (
+        w.where(F.col("doc_id").isin(sampled_ids)).agg(F.avg("ptw")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean

@@ -811,3 +811,41 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def importance_resample(
+    spark: SparkSession, sf_dir: str, m: int = WEIGHTED_SAMPLE_M
+) -> DataFrame:
+    """DSIR end to end: sample m documents with probability ∝
+    exp(log_weight) via the Gumbel-top-m trick — key = log_weight +
+    Gumbel(u), u the deterministic md5-derived uniform ``hash_sample``
+    and ``weighted_sample`` already use. Working in LOG space is what
+    makes it well-posed: exp(log_weight) overflows float64 past |lw| ≈
+    700 (easily reached — the weight grows with document length), while
+    the Gumbel key never leaves the weight's own scale.
+
+    Same 100 TB shape as ``weighted_sample``: the weight pass is
+    ``importance_weights``' one shuffle; the key is map-only on top; the
+    top-m plans as TakeOrderedAndProject. Keys land on the @6dp grid
+    with doc_id tiebreak so engine ulp differences in ln cannot flip
+    the selection.
+    """
+    w = importance_weights(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    u = (
+        F.conv(F.substring(_sample_bucket_md5(), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    keyed = w.join(d, "doc_id").select(
+        "doc_id", "n_tokens", "log_weight", u.alias("u")
+    )
+    gumbel = -F.log(-F.log(F.col("u")))
+    key6 = (
+        F.floor((F.col("log_weight") + gumbel) * 1_000_000 + F.lit(0.5))
+        / 1_000_000
+    )
+    return (
+        keyed.select("doc_id", "n_tokens", "log_weight", key6.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(m)
+    )
