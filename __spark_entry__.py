@@ -840,6 +840,71 @@ def _pq_recall_sql(query_vec_id: int, k: int) -> str:
     """
 
 
+def _ivf_pq_topk_sql(query_vec_id: int, k: int, nprobe: int) -> str:
+    """Oracle for ``similarity.ivf_pq_topk`` — the composed index: coarse
+    k-means replay (probe + cell assignment) from the IVF oracle, all
+    four PQ codebook replays, ADC ranking restricted to probed cells."""
+    ip = "list_inner_product"
+    kk, iters = sim.IVF_K, sim.IVF_ITERS
+    pk, piters, M = sim.PQ_K, sim.PQ_ITERS, sim.PQ_M
+    ckey = (
+        f"floor((-2*{ip}(e.v, c.c) + {ip}(c.c, c.c))*1000000 + 0.5)*{kk} + c.cid"
+    )
+    akey = (
+        f"floor((-2*{ip}(e.v, c.c) + {ip}(c.c, c.c))*1000000 + 0.5)*{pk} + c.cid"
+    )
+    parts = [_ivf_cent_ctes(kk, iters)]
+    for m in range(M):
+        parts.append(_pq_cent_ctes(m, pk, piters))
+    parts.append(f"q AS (SELECT v AS qv FROM emb WHERE vec_id = {query_vec_id})")
+    parts.append(
+        f"""probe AS (
+          SELECT c.cid FROM cent{iters} c, q
+          ORDER BY floor((-2*{ip}(q.qv, c.c) + {ip}(c.c, c.c))*1000000 + 0.5),
+                   c.cid
+          LIMIT {nprobe})"""
+    )
+    parts.append(
+        f"""assigned AS (
+          SELECT e.vec_id, min_by(c.cid, {ckey}) AS cid
+          FROM emb e CROSS JOIN cent{iters} c GROUP BY e.vec_id, e.v)"""
+    )
+    for m in range(M):
+        lo, hi = m * sim.PQ_SUBDIM + 1, (m + 1) * sim.PQ_SUBDIM
+        parts.append(
+            f"""pcode{m} AS (
+              SELECT e.vec_id, min_by(c.cid, {akey}) AS code
+              FROM emb_p{m} e CROSS JOIN pcent{m}_{piters} c
+              GROUP BY e.vec_id, e.v)"""
+        )
+        parts.append(
+            f"""dt{m} AS (
+              SELECT c.cid,
+                     floor({ip}(q.qv[{lo}:{hi}], c.c)*1000000 + 0.5)/1000000 AS d
+              FROM pcent{m}_{piters} c, q)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT co.vec_id, dm.d FROM pcode{m} co JOIN dt{m} dm ON dm.cid = co.code"
+        for m in range(M)
+    )
+    parts.append(
+        f"adc AS (SELECT vec_id, sum(d) AS adc_dot FROM ({union}) GROUP BY vec_id)"
+    )
+    with_body = ",\n".join(parts)
+    return f"""
+        WITH {with_body}
+        SELECT a.vec_id, s.cid,
+               floor(a.adc_dot
+                     / (sqrt({ip}(e.v, e.v)) * sqrt({ip}(q.qv, q.qv)))
+                     * 1000000 + 0.5) / 1000000 AS adc_cos
+        FROM adc a
+        JOIN assigned s USING (vec_id)
+        JOIN emb e USING (vec_id), q
+        WHERE s.cid IN (SELECT cid FROM probe) AND a.vec_id <> {query_vec_id}
+        ORDER BY adc_cos DESC, a.vec_id LIMIT {k}
+    """
+
+
 def _pq_rerank_sql(query_vec_id: int, k: int, shortlist: int) -> str:
     """Oracle for ``similarity.pq_rerank_report`` — ADC shortlist from
     the full PQ replay, exact-cosine rerank of the shortlist, both
@@ -1387,6 +1452,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
     "sim_pq_recall": _pq_recall_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_pq_rerank": _pq_rerank_sql(
         sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.PQ_SHORTLIST
+    ),
+    "sim_ivf_pq_topk": _ivf_pq_topk_sql(
+        sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
     ),
     # the nprobe tuning loop: each block replays fit+probe at its own
     # nprobe (the deterministic fit reaches the same model every time)
@@ -3231,6 +3299,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_recall": sim.pq_recall,
         # PQ-then-rerank: the production pattern, priced in one report
         "sim_pq_rerank": sim.pq_rerank_report,
+        # the composed billion-scale index: IVF cells pruned, PQ-ADC ranked
+        "sim_ivf_pq_topk": sim.ivf_pq_topk,
         # mislabel detection: own-centroid vs best-other-centroid margin
         "sim_label_margin": sim.label_margin,
         "sim_label_centroids": sim.label_centroids,

@@ -435,3 +435,31 @@ def test_triangle_report_matches_brute_force(spark, sf_dir):
     assert r.n_wedges == sum(
         len(nb) * (len(nb) - 1) // 2 for nb in adj.values()
     )
+
+
+def test_ivf_pq_is_pq_ranking_restricted_to_probed_cells(spark, sf_dir):
+    """The composed index's result must equal the plain PQ ranking
+    filtered to the probed IVF cells — the composition adds pruning,
+    never different scores."""
+    from pyspark.sql import functions as F
+
+    import tf_idf_mapreduce_spark.operators.similarity as sim
+
+    composed = sim.ivf_pq_topk(spark, sf_dir, k=10).collect()
+    e = sim.load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sim.kmeans_fit(e)
+    probe = {int(c) for c in sim._probe_order(e, cents, sim.DEFAULT_QUERY_VEC)[: sim.IVF_NPROBE]}
+    assigned = {
+        r.vec_id: r.cid
+        for r in e.select(
+            "vec_id", sim._nearest_centroid_udf(cents)(F.col("embedding")).alias("cid")
+        ).collect()
+    }
+    full_pq = sim.pq_topk(spark, sf_dir, k=10_000).collect()
+    expect = [
+        (r.vec_id, r.adc_cos)
+        for r in full_pq
+        if assigned[r.vec_id] in probe
+    ][:10]
+    assert [(r.vec_id, r.adc_cos) for r in composed] == expect
+    assert all(assigned[r.vec_id] == r.cid and r.cid in probe for r in composed)

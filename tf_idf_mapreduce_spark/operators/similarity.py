@@ -1270,3 +1270,78 @@ def triangle_report(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    k: int = DEFAULT_TOPK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF + PQ composed — the billion-scale index architecture (FAISS's
+    IVFADC shape): the coarse k-means quantizer prunes the corpus to
+    ``nprobe`` cells, and WITHIN the probed cells candidates rank by
+    PQ-ADC table lookups instead of full-vector cosine. At 100 TB the
+    probed scan reads cid + codes + norms — the embeddings themselves
+    are touched only by a final rerank stage (``pq_rerank_report``'s
+    pattern) if one is configured.
+
+    This variant quantizes raw vectors, not cell residuals; residual
+    encoding (codebooks fit on x − centroid[cid]) is the classical
+    refinement and drops in here without changing the plan shape — only
+    the codebook fit's input changes.
+
+    Both quantizers are the deterministic @6dp k-means, so the oracle
+    replays the coarse centroids AND all four codebooks exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = kmeans_fit(e)
+    probe = [int(c) for c in _probe_order(e, cents, query_vec_id)[:nprobe]]
+    books = _pq_codebooks(e)
+    qrow = e.where(F.col("vec_id") == query_vec_id).head()
+    if qrow is None:
+        raise ValueError(f"unknown query_vec_id {query_vec_id}")
+    q = np.array(qrow.embedding, dtype="float64")
+    qn = np.linalg.norm(q)
+    dtabs = [
+        _round6(books[m] @ q[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM])
+        for m in range(PQ_M)
+    ]
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
+    ).where(F.col("cid").isin(probe))
+
+    out_schema = "vec_id long, cid long, adc_cos double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            adc = np.zeros(len(x), dtype="float64")
+            for m in range(PQ_M):
+                xs = x[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                cmat = books[m]
+                code = _assign_cids(xs, cmat, (cmat**2).sum(axis=1))
+                adc += dtabs[m][code]
+            nx = np.linalg.norm(x, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": pdf["cid"].to_numpy(),
+                    "adc_cos": np.floor(adc / (nx * qn) * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    return (
+        assigned.mapInPandas(kernel, out_schema)
+        .where(F.col("vec_id") != query_vec_id)
+        .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
+        .limit(k)
+    )
