@@ -780,8 +780,15 @@ def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_t"))
     )
     cor = bucketed.groupBy("b").agg(F.count("*").alias("n_c"))
-    n_t_total = tgt.agg(F.sum("n_t").alias("n_t_total"))
-    n_c_total = cor.agg(F.sum("n_c").alias("n_c_total"))
+    # coalesce: an empty target slice (no document with the target lang)
+    # must degrade to the smoothed floor (n_t+1)/(0+BUCKETS), not NULL
+    # out every weight silently
+    n_t_total = tgt.agg(
+        F.coalesce(F.sum("n_t"), F.lit(0)).alias("n_t_total")
+    )
+    n_c_total = cor.agg(
+        F.coalesce(F.sum("n_c"), F.lit(0)).alias("n_c_total")
+    )
     j = (
         doc_b.join(F.broadcast(cor), "b")
         .join(F.broadcast(tgt), "b", "left")

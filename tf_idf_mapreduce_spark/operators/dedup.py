@@ -154,9 +154,11 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_buckets"),
             F.sum((F.col("sz") == 1).cast("long")).alias("n_singleton"),
             F.max("sz").cast("long").alias("max_bucket"),
-            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
-            .cast("long")
-            .alias("candidate_pairs"),
+            # integer-exact (sum of sz*(sz-1) is even; double division
+            # only matches the DuckDB //2 oracle below 2^53)
+            F.expr("sum(cast(sz * (sz - 1) as bigint)) div 2").alias(
+                "candidate_pairs"
+            ),
         )
         .select(
             F.col("band").cast("long").alias("band"),

@@ -153,19 +153,29 @@ def doc_similarity(
     import numpy as np
     import pandas as pd
 
-    # quadratic in DOCUMENT count — guard on the corpus row count (a
-    # parquet count-star, metadata-only), pointing to the LSH twin.
-    # BEFORE the vec branch: the pruned-vector localCheckpoint is eager,
-    # and refusing an oversized corpus must not first run a corpus-scale
-    # tokenize->TF-IDF job
-    guard_exact_quadratic(
-        load_table(spark, sf_dir, "documents"),
-        what="retrieval.doc_similarity",
-        twin="retrieval.doc_similarity_lsh",
-        max_rows=max_rows,
-    )
+    # quadratic in DOCUMENT count — guard on the relation that actually
+    # squares. With no explicit vec, that's the corpus (a parquet
+    # count-star, metadata-only), and the check runs BEFORE the
+    # pruned-vector localCheckpoint: refusing an oversized corpus must
+    # not first run a corpus-scale tokenize->TF-IDF job. With a caller-
+    # supplied vec, guard its distinct doc count instead — a small
+    # pre-pruned vec over a large sf_dir is legitimate and must not be
+    # spuriously refused.
     if vec is None:
+        guard_exact_quadratic(
+            load_table(spark, sf_dir, "documents"),
+            what="retrieval.doc_similarity",
+            twin="retrieval.doc_similarity_lsh",
+            max_rows=max_rows,
+        )
         vec = _pruned_vectors(spark, sf_dir).localCheckpoint()
+    else:
+        guard_exact_quadratic(
+            vec.select("doc").distinct(),
+            what="retrieval.doc_similarity",
+            twin="retrieval.doc_similarity_lsh",
+            max_rows=max_rows,
+        )
     vecid = vec.withColumn("wid", F.xxhash64("word"))
     norms = vecid.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")

@@ -1006,6 +1006,28 @@ PQ_ITERS = 3
 _PQ_BOOK_CACHE: dict[tuple, list] = {}
 
 
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """Cheap data fingerprint for the PQ cache key: (mtime_ns, size) of
+    every file under the embeddings parquet path. A regenerated fixture
+    at the same path (e.g. an in-process test rebuild) changes the
+    fingerprint and invalidates the cached codebooks instead of silently
+    reusing stale ones. Pure os.stat — no Spark job."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    stats = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        stats.append((path, st.st_mtime_ns, st.st_size))
+    elif os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                stats.append((p, st.st_mtime_ns, st.st_size))
+    return tuple(stats)
+
+
 def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:
     """Per-subspace codebooks: the SAME deterministic @6dp k-means as IVF
     (``kmeans_fit``), run on each 16-dim slice — so a SQL oracle replays
@@ -1017,6 +1039,7 @@ def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:
     if cache_key is not None:
         key = (
             cache_key,
+            _embeddings_fingerprint(cache_key),
             spark.conf.get("spark.sql.shuffle.partitions"),
             spark.conf.get("spark.sql.adaptive.enabled"),
         )
@@ -1082,6 +1105,8 @@ def pq_topk(
 
     def kernel(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack raises on zero-row Arrow batches
+                continue
             x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             vid = pdf["vec_id"].to_numpy()
             adc = np.zeros(len(x), dtype="float64")
@@ -1271,8 +1296,11 @@ def triangle_report(
     )
     n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
     n_edges = und.agg(F.count("*").cast("long").alias("n_edges"))
+    # integer-exact: sum deg*(deg-1) as bigint, then integer-divide by 2
+    # (the sum is always even). Double true-division matches the DuckDB
+    # //2 oracle only below 2^53 — a real parity risk at graph scale.
     n_wedges = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+        F.expr("sum(cast(deg * (deg - 1) as bigint)) div 2").alias("n_wedges")
     )
     return (
         n_tri.crossJoin(F.broadcast(n_nodes))
