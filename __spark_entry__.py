@@ -1972,6 +1972,66 @@ _LLMDATA_ORACLE["text_boilerplate_chunks"] = f"""
     LIMIT {ts.BOILERPLATE_TOP_K}
 """
 
+#: the cleaning pass: RAW whitespace tokens (case kept) tile into
+#: non-overlapping windows; a tile whose lowercase-join md5 recurs in
+#: >= CLEAN_MIN_DOCS docs is dropped; a doc with zero removals passes
+#: through byte-for-byte (original text column)
+_LLMDATA_ORACLE["text_clean_corpus"] = f"""
+    WITH docs AS (
+      SELECT doc_id, text,
+        list_filter(string_split_regex(text, '[ \\t\\n\\r\\f]+'),
+                    w -> w <> '') AS words
+      FROM documents),
+    idx AS (
+      SELECT doc_id, words,
+        unnest(generate_series(0,
+          CAST(greatest(ceil((len(words) - {ts.CLEAN_TILE_TOKENS})
+                        / {float(ts.CLEAN_TILE_TOKENS)}), 0) AS BIGINT)))
+          AS tile_idx
+      FROM docs),
+    keyed AS (
+      SELECT doc_id, tile_idx,
+        words[tile_idx * {ts.CLEAN_TILE_TOKENS} + 1 :
+              tile_idx * {ts.CLEAN_TILE_TOKENS} + {ts.CLEAN_TILE_TOKENS}] AS tw,
+        len(words[tile_idx * {ts.CLEAN_TILE_TOKENS} + 1 :
+                  tile_idx * {ts.CLEAN_TILE_TOKENS} + {ts.CLEAN_TILE_TOKENS}])
+          AS nt,
+        md5(lower(array_to_string(
+          words[tile_idx * {ts.CLEAN_TILE_TOKENS} + 1 :
+                tile_idx * {ts.CLEAN_TILE_TOKENS} + {ts.CLEAN_TILE_TOKENS}],
+          ' '))) AS k
+      FROM idx),
+    rep AS (
+      SELECT k, min(doc_id) AS d0 FROM keyed WHERE nt > 0
+      GROUP BY k HAVING count(DISTINCT doc_id) >= {ts.CLEAN_MIN_DOCS}),
+    rep2 AS (
+      SELECT r.k, r.d0, min(f.tile_idx) AS t0
+      FROM rep r JOIN keyed f ON f.k = r.k AND f.doc_id = r.d0 AND f.nt > 0
+      GROUP BY r.k, r.d0),
+    flagged AS (
+      SELECT f.doc_id, f.tile_idx, f.tw, f.nt,
+             (r.k IS NOT NULL AND f.nt > 0
+              AND NOT (f.doc_id = r.d0 AND f.tile_idx = r.t0)) AS rm
+      FROM keyed f LEFT JOIN rep2 r USING (k)),
+    agg AS (
+      SELECT doc_id,
+        CAST(sum(nt) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_tiles,
+        CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tiles_removed,
+        CAST(sum(CASE WHEN rm THEN nt ELSE 0 END) AS BIGINT)
+          AS n_tokens_removed,
+        coalesce(array_to_string(
+          flatten(list(tw ORDER BY tile_idx) FILTER (WHERE NOT rm)), ' '),
+          '') AS rebuilt
+      FROM flagged GROUP BY doc_id)
+    SELECT a.doc_id, a.n_tokens, a.n_tiles, a.n_tiles_removed,
+           a.n_tokens_removed,
+           CASE WHEN a.n_tiles_removed = 0 THEN d.text ELSE a.rebuilt END
+             AS cleaned_text
+    FROM agg a JOIN documents d USING (doc_id)
+"""
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -2123,6 +2183,52 @@ _LLMDATA_ORACLE["dedup_keeper_quality"] = (
     FROM ranked WHERE rn = 1
 """
 )
+
+# SemDeDup end-to-end: the IVF k-means replay (same unrolled CTEs as
+# sim_ivf_topk) blocks candidates within cells, 6dp-floored cosine edges,
+# recursive-CTE components, keeper by (n_words DESC, doc_id ASC)
+_SEMKEEP_KEY = (
+    "floor((-2*list_inner_product(e.v, c.c) + list_inner_product(c.c, c.c))"
+    f"*1000000 + 0.5)*{sim.IVF_K} + c.cid"
+)
+_LLMDATA_ORACLE["dedup_semantic_keep"] = f"""
+    WITH RECURSIVE {_ivf_cent_ctes(sim.IVF_K, sim.IVF_ITERS)},
+    assigned AS (
+      SELECT e.vec_id, e.v, min_by(c.cid, {_SEMKEEP_KEY}) AS cid
+      FROM emb e CROSS JOIN cent{sim.IVF_ITERS} c GROUP BY e.vec_id, e.v),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE floor({_cos_sql('a.v', 'b.v')} * 1000000 + 0.5) / 1000000
+            >= {dd.SEMDEDUP_COSINE}),
+    edges AS (
+      SELECT va AS a, vb AS b FROM pairs
+      UNION
+      SELECT vb AS a, va AS b FROM pairs),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+    labels AS (
+      SELECT v.doc_id, CAST(coalesce(min(r.b), v.doc_id) AS BIGINT)
+               AS cluster_id
+      FROM (SELECT vec_id AS doc_id FROM embeddings) v
+      LEFT JOIN reach r ON r.a = v.doc_id
+      GROUP BY v.doc_id),
+    qual AS (
+      SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words
+      FROM documents),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id,
+             row_number() OVER (
+               PARTITION BY l.cluster_id
+               ORDER BY q.n_words DESC, l.doc_id ASC) AS rn
+      FROM labels l JOIN qual q USING (doc_id))
+    SELECT r.doc_id, d.lang, d.source,
+           CASE WHEN r.rn = 1 THEN 'kept' ELSE 'semantic_dup' END AS status
+    FROM ranked r JOIN documents d USING (doc_id)
+"""
 
 # --------------------------------------------------------------------------
 # Temporal join oracles — DuckDB has a native ASOF JOIN and executes
@@ -2838,11 +2944,29 @@ _CURATION_ORACLE["curate_keep_list"] = f"""
 
 # the 4-row stage window is tiny by construction; drop_rate divides by
 # the population that REACHED the stage
-_CURATION_ORACLE["curate_attrition"] = f"""
-    WITH kl AS ({_CURATION_ORACLE["curate_keep_list"]}),
+# the funnel composes the keep-list screens with the SemDeDup stage:
+# rewrap the semantic-keep oracle's final SELECT as a CTE (same trick as
+# dedup_keeper_quality), merge dispositions with first-stage-wins, then
+# the 5-stage rollup
+_SEMKEEP_HEAD, _SEMKEEP_FINAL = _LLMDATA_ORACLE["dedup_semantic_keep"].rsplit(
+    "SELECT r.doc_id", 1
+)
+_CURATION_ORACLE["curate_attrition"] = (
+    _SEMKEEP_HEAD
+    + ", sk AS (\nSELECT r.doc_id"
+    + _SEMKEEP_FINAL
+    + f"""),
+    kl0 AS ({_CURATION_ORACLE["curate_keep_list"]}),
+    kl AS (
+      SELECT kl0.doc_id,
+             CASE WHEN kl0.status <> 'kept' THEN kl0.status
+                  WHEN sk.status = 'semantic_dup' THEN 'semantic_dup'
+                  ELSE 'kept' END AS status
+      FROM kl0 LEFT JOIN sk USING (doc_id)),
     c AS (SELECT status, count(*) AS n FROM kl GROUP BY status),
     st AS (SELECT * FROM (VALUES (0, 'benchmark'), (1, 'contaminated'),
-                                 (2, 'pii'), (3, 'low_quality'))
+                                 (2, 'pii'), (3, 'low_quality'),
+                                 (4, 'semantic_dup'))
              t(stage_idx, status)),
     tot AS (SELECT count(*) AS n_total FROM kl),
     j AS (
@@ -2864,6 +2988,7 @@ _CURATION_ORACLE["curate_attrition"] = f"""
     FROM r, tot t
     ORDER BY r.stage_idx
 """
+)
 
 _CURATION_ORACLE["curate_train_manifest"] = f"""
     WITH kl AS ({_CURATION_ORACLE["curate_keep_list"]}),
@@ -3155,6 +3280,84 @@ _CURATION_ORACLE["curate_importance_resample"] = f"""
     LIMIT {cur.WEIGHTED_SAMPLE_M}
 """
 
+# The composed pipeline manifest: every stage is an already-verified
+# oracle nested as a scoped CTE (DuckDB allows WITH RECURSIVE inside a
+# CTE body, so the k-means replay and both transitive closures keep
+# their own namespaces), glued by the same doc_id joins as the Spark
+# plan. Stage order: benchmark -> exact_dup -> lexical_dup ->
+# semantic_dup -> low_quality -> pii -> contaminated -> kept.
+_CURATION_ORACLE["curate_e2e_manifest"] = f"""
+    WITH kl AS ({_CURATION_ORACLE["curate_keep_list"]}),
+    sk AS ({_LLMDATA_ORACLE["dedup_semantic_keep"]}),
+    cl AS ({_LLMDATA_ORACLE["dedup_clusters"]}),
+    nw AS (
+      SELECT doc_id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words
+      FROM documents),
+    lex AS (
+      SELECT c.doc_id,
+             (count(*) OVER (PARTITION BY c.cluster_id) > 1 AND
+              row_number() OVER (
+                PARTITION BY c.cluster_id
+                ORDER BY q.n_words DESC, c.doc_id ASC) > 1) AS is_lex_dup
+      FROM cl c JOIN nw q USING (doc_id)),
+    ex AS (
+      SELECT doc_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+               AS is_exact_dup
+      FROM documents),
+    base AS (
+      SELECT d.doc_id,
+        CASE WHEN kl.status = 'benchmark' THEN 'benchmark'
+             WHEN ex.is_exact_dup THEN 'exact_dup'
+             WHEN lex.is_lex_dup THEN 'lexical_dup'
+             WHEN coalesce(sk.status, '') = 'semantic_dup'
+               THEN 'semantic_dup'
+             WHEN kl.status = 'low_quality' THEN 'low_quality'
+             WHEN kl.status = 'pii' THEN 'pii'
+             WHEN kl.status = 'contaminated' THEN 'contaminated'
+             ELSE 'kept' END AS status
+      FROM documents d
+      JOIN kl ON kl.doc_id = d.doc_id
+      JOIN ex ON ex.doc_id = d.doc_id
+      JOIN lex ON lex.doc_id = d.doc_id
+      LEFT JOIN sk ON sk.doc_id = d.doc_id),
+    iw AS ({_IW_BODY}),
+    surv AS (
+      SELECT b.doc_id,
+             floor((iw.log_weight + -ln(-ln(
+               ({_hex_to_int_sql(
+                   "substr(md5(CAST(d.doc_id AS VARCHAR) || ':' "
+                   "|| coalesce(d.text, '')), 1, 8)", 8)} + 0.5)
+                 / 4294967296.0))) * 1000000 + 0.5) / 1000000
+               AS sample_key
+      FROM base b
+      JOIN iw ON iw.doc_id = b.doc_id
+      JOIN documents d ON d.doc_id = b.doc_id
+      WHERE b.status = 'kept'),
+    sel AS (
+      SELECT doc_id, sample_key FROM surv
+      ORDER BY sample_key DESC, doc_id ASC LIMIT {cur.E2E_RESAMPLE_M}),
+    tok AS (
+      SELECT d.doc_id,
+             CAST(len(regexp_extract_all(d.text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+      FROM documents d JOIN sel ON sel.doc_id = d.doc_id),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS cum_tokens
+      FROM tok)
+    SELECT b.doc_id, b.status,
+           sel.doc_id IS NOT NULL AS selected,
+           sel.sample_key,
+           cum.n_tokens,
+           CAST((cum.cum_tokens - cum.n_tokens)
+                // {cur.SHARD_TOKEN_BUDGET} AS BIGINT) AS shard_id
+    FROM base b
+    LEFT JOIN sel ON sel.doc_id = b.doc_id
+    LEFT JOIN cum ON cum.doc_id = b.doc_id
+"""
+
 
 
 
@@ -3282,6 +3485,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": dd.threshold_sweep,
         # per-band bucket-size / verify-load monitoring report
         "dedup_bucket_stats": dd.lsh_bucket_stats,
+        # SemDeDup end-to-end: IVF-cell blocking -> cosine edges ->
+        # components -> quality keeper; keep_list-shaped manifest rows
+        "dedup_semantic_keep": dd.semantic_keep,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,
@@ -3332,6 +3538,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": ts.chunk_documents,
         # repeated-chunk boilerplate ranking (sub-document dedup feed)
         "text_boilerplate_chunks": ts.boilerplate_chunks,
+        # sub-document dedup that CLEANS: cross-doc repeated tiles removed,
+        # untouched docs pass through byte-for-byte (Lee-et-al-style output)
+        "text_clean_corpus": ts.clean_corpus,
         # --- LLM-data pipeline: corpus curation ---
         "curate_contamination": cur.contamination_check,
         "curate_hash_sample": cur.hash_sample,
@@ -3348,6 +3557,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_importance_weights": cur.importance_weights,
         # Gumbel-top-m resampling on those weights (DSIR end to end)
         "curate_importance_resample": cur.importance_resample,
+        # the whole pipeline as ONE lazy plan: dedup (exact/lexical/
+        # semantic) -> screens -> DSIR resample -> shard pack
+        "curate_e2e_manifest": cur.e2e_manifest,
         # CCNet-style per-language LM-score tertile buckets
         "curate_quality_buckets": cur.quality_buckets,
         # stage-attrition funnel over the keep-list dispositions

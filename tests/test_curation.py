@@ -430,9 +430,25 @@ def test_attrition_report_reconciles_with_keep_list(spark, sf_dir):
         keep_list,
     )
 
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators.dedup import semantic_keep
+
     kl = keep_list(spark, sf_dir)
     total = kl.count()
-    kept = kl.where("status = 'kept'").count()
+    # final survivors = keep-list kept MINUS the SemDeDup stage's drops
+    # (the funnel's last stage; docs without embeddings pass it)
+    sem_dropped = {
+        r.doc_id
+        for r in semantic_keep(spark, sf_dir)
+        .where("status = 'semantic_dup'")
+        .collect()
+    }
+    kept = (
+        kl.where("status = 'kept'")
+        .where(~F.col("doc_id").isin(sem_dropped) if sem_dropped else F.lit(True))
+        .count()
+    )
     rows = sorted(attrition_report(spark, sf_dir).collect(), key=lambda r: r.stage_idx)
     assert [r.stage for r in rows] == ATTRITION_STAGES
     assert sum(r.n_removed for r in rows) == total - kept
@@ -564,3 +580,89 @@ def test_importance_resample_is_weight_biased_and_deterministic(spark, sf_dir):
         w.where(F.col("doc_id").isin(sampled_ids)).agg(F.avg("ptw")).collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+#: Planted cleaning fixture: a tile-aligned 32-token boilerplate header
+#: shared by docs 10/11 (11's copy lowercased — matching is
+#: case-insensitive, removal preserves raw bytes), a fully-unique doc
+#: with odd whitespace (byte-for-byte passthrough), and an exact-dup
+#: pair (first copy survives untouched, second empties).
+_BOILER = [f"Tok{i:02d}" for i in range(32)]
+CLEAN_DOCS = [
+    (10, " ".join(_BOILER + ["unique", "ten", "words", "here", "now"])),
+    (11, " ".join([t.lower() for t in _BOILER] + ["other", "tail", "content"])),
+    (12, "entirely  unique   text with   odd   spacing"),
+    (13, " ".join(f"unique{i}" for i in range(40))),
+    (14, " ".join(f"unique{i}" for i in range(40))),
+]
+
+
+@pytest.fixture(scope="module")
+def clean_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cleaning")
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in CLEAN_DOCS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_clean_corpus_removes_planted_span_keeps_first(spark, clean_dir):
+    from tf_idf_mapreduce_spark.operators.textstats import clean_corpus
+
+    rows = {r.doc_id: r for r in clean_corpus(spark, clean_dir).collect()}
+    assert set(rows) == {10, 11, 12, 13, 14}
+
+    # first occurrence of the shared header (doc 10) survives untouched —
+    # byte-for-byte the original text, case intact
+    assert rows[10].n_tiles_removed == 0
+    assert rows[10].cleaned_text == CLEAN_DOCS[0][1]
+
+    # doc 11's lowercased copy matched case-insensitively and is removed;
+    # its unique tail survives with original bytes
+    assert rows[11].n_tiles_removed == 1
+    assert rows[11].n_tokens_removed == 32
+    assert rows[11].cleaned_text == "other tail content"
+
+    # non-duplicated text passes through byte-for-byte, odd spacing and all
+    assert rows[12].n_tiles_removed == 0
+    assert rows[12].cleaned_text == CLEAN_DOCS[2][1]
+
+    # exact-dup pair: the lower-doc_id copy keeps everything, the other
+    # loses every tile (both the full 32-token tile and the 8-token tail)
+    assert rows[13].n_tiles_removed == 0
+    assert rows[13].cleaned_text == CLEAN_DOCS[3][1]
+    assert rows[14].n_tiles_removed == rows[14].n_tiles == 2
+    assert rows[14].n_tokens_removed == 40
+    assert rows[14].cleaned_text == ""
+
+
+def test_e2e_manifest_invariants(spark, sf_dir):
+    """The composed pipeline manifest must be internally consistent:
+    statuses from the declared stage set, selection only among kept docs,
+    exactly min(m, kept) selected, shard ids dense from 0 in doc order."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        E2E_RESAMPLE_M,
+        SHARD_TOKEN_BUDGET,
+        e2e_manifest,
+    )
+
+    rows = e2e_manifest(spark, sf_dir).collect()
+    stages = {
+        "benchmark", "exact_dup", "lexical_dup", "semantic_dup",
+        "low_quality", "pii", "contaminated", "kept",
+    }
+    assert {r.status for r in rows} <= stages
+    kept = [r for r in rows if r.status == "kept"]
+    sel = [r for r in rows if r.selected]
+    assert all(r.status == "kept" for r in sel)
+    assert len(sel) == min(E2E_RESAMPLE_M, len(kept))
+    assert all(r.shard_id is not None and r.n_tokens > 0 for r in sel)
+    assert all(r.shard_id is None and r.n_tokens is None
+               for r in rows if not r.selected)
+    # shard assignment replays the running-sum rule in doc order
+    cum = 0
+    for r in sorted(sel, key=lambda r: r.doc_id):
+        assert r.shard_id == cum // SHARD_TOKEN_BUDGET
+        cum += r.n_tokens

@@ -388,3 +388,41 @@ def test_bucket_stats_bounds_the_candidate_join(spark, sf_dir):
         # via the pair identity only when every bucket is size<=2; use
         # the weaker invariant n_buckets <= n_docs
         assert r.n_buckets <= n_docs
+
+
+def test_semantic_keep_planted_cluster(spark, tmp_path_factory):
+    """SemDeDup end-to-end on a planted corpus: two near-identical
+    embeddings (cos ~1) must land in one cluster, the higher-word-count
+    doc keeps, the other drops; an orthogonal vector stays kept."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.dedup import semantic_keep
+    from tf_idf_mapreduce_spark.operators.similarity import EMBED_DIM, IVF_K
+
+    rng = np.random.default_rng(7)
+    n = IVF_K + 4  # k-means init needs vec_id < IVF_K present
+    vecs = rng.normal(size=(n, EMBED_DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # vec 17 = vec 5 + tiny noise -> same cell, cosine ~0.9999
+    vecs[IVF_K + 1] = vecs[5] + rng.normal(scale=1e-3, size=EMBED_DIM)
+
+    d = tmp_path_factory.mktemp("semdedup")
+    spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    docs = [
+        (i, " ".join(f"w{i}x{j}" for j in range(5 if i != 5 else 9)), "en", "s0")
+        for i in range(n)
+    ]  # doc 5 has more words than doc 17 -> doc 5 is the keeper
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = {r.doc_id: r.status for r in semantic_keep(spark, str(d)).collect()}
+    assert len(rows) == n
+    assert rows[5] == "kept"
+    assert rows[IVF_K + 1] == "semantic_dup"
+    # every other vector is random -> its own singleton cluster -> kept
+    assert all(v == "kept" for k, v in rows.items() if k not in (IVF_K + 1,))

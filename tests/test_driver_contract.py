@@ -25,3 +25,16 @@ def test_entry_runs_and_has_stable_schema(spark):
     df = entrymod.entry(spark)
     assert df.columns == ["word", "doc", "tfidf"]
     assert df.count() > 0
+
+
+def test_queries_md_in_sync():
+    """QUERIES.md is generated from the registry; a new queries() entry
+    without a regenerated doc fails here (run scripts/gen_queries_md.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_queries_md", "/root/repo/scripts/gen_queries_md.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert open("/root/repo/QUERIES.md").read() == mod.render()

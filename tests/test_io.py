@@ -133,3 +133,58 @@ def test_jsonl_corpus_reads_lines_and_prunes(spark, tmp_path):
     words = tokenize(df.where(F.col("doc").isNotNull()))
     got = sorted(map(tuple, words.collect()))
     assert got == [("a", "hello"), ("a", "world"), ("b", "beta")]
+
+
+def test_parquet_loader_corruption_contract(spark, tmp_path):
+    """load_table is FAIL-FAST on a corrupt parquet file by default and
+    best-effort (valid files only, damage visible as missing rows) with
+    ignore_corrupt_files=True — per-reader, not session-wide."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [(1, "good row", "en", "s0", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d))
+    (d / "part-corrupt.parquet").write_bytes(b"PAR1 this is not a footer")
+
+    with pytest.raises(Py4JJavaError):
+        load_table(spark, str(tmp_path), "documents").count()
+    ok = load_table(
+        spark, str(tmp_path), "documents", ignore_corrupt_files=True
+    )
+    assert [r.doc_id for r in ok.collect()] == [1]
+    # the lenient read must NOT have relaxed the session default
+    assert (
+        spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false") == "false"
+    )
+
+
+def test_text_corpus_invalid_utf8_survives_visibly(spark, tmp_path):
+    """Invalid UTF-8 bytes in a text corpus are replaced (U+FFFD), not
+    fatal and not dropped — every line stays a row."""
+    from tf_idf_mapreduce_spark.sources.io import read_text_corpus
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "doc1.txt").write_bytes(b"good line\nbad \xff\xfe bytes\nlast line\n")
+    rows = read_text_corpus(spark, str(p)).collect()
+    assert len(rows) == 3
+    texts = sorted(r.text for r in rows)
+    assert "good line" in texts and "last line" in texts
+    assert any("�" in t for t in texts)
+
+
+def test_kv_text_reader_handles_tabless_lines(spark, tmp_path):
+    """A KV line without a TAB parses as (whole line, '') — the documented
+    degradation, matching KeyValueTextInputFormat."""
+    from tf_idf_mapreduce_spark.sources.io import read_kv_text
+
+    p = tmp_path / "kv"
+    p.mkdir()
+    (p / "part-0.txt").write_text("a|d\t1.5\nno-tab-here\nk\t\n")
+    rows = {r.key: r.val for r in read_kv_text(spark, str(p)).collect()}
+    assert rows == {"a|d": "1.5", "no-tab-here": "", "k": ""}

@@ -303,3 +303,22 @@ def test_sql_q15_max_subquery_is_not_a_rescan(spark):
     plan = _plan(spark, "rel_sql_q15")
     assert plan.count("FileScan parquet") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_e2e_manifest_plan_no_new_barriers(spark):
+    """The composed pipeline must stay ONE lazy plan: no cartesian
+    products, the m-row selected set and its shard relation join as
+    broadcasts, and the only materialization barriers are the component
+    algorithms' own localCheckpoints (visible as Scan ExistingRDD), not
+    new ones added by the composition glue."""
+    plan = _plan(spark, "curate_e2e_manifest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every data-sized join in the final assembly is a hash equi-join;
+    # the DSIR scalar cross-attaches live behind the selected-set
+    # barrier, so the assembled plan has NO nested-loop span at all
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    # the assembly reads exactly the two owned barriers (disposition +
+    # selected set, the latter twice: broadcast + shard branch) plus the
+    # shard branch's re-read — no further materialization sneaks in
+    assert plan.count("Scan ExistingRDD") <= 6

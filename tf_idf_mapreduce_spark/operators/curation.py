@@ -694,7 +694,13 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: severity-ordered removal stages of the keep-list pipeline
-ATTRITION_STAGES = ["benchmark", "contaminated", "pii", "low_quality"]
+ATTRITION_STAGES = [
+    "benchmark",
+    "contaminated",
+    "pii",
+    "low_quality",
+    "semantic_dup",
+]
 
 
 def attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,12 +710,36 @@ def attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     population that REACHED it — the one-page summary a data lead reads
     before approving a corpus build.
 
-    Pure rollup over the keep-list disposition (|stages| rows); the only
-    window runs over the 4-row stage relation — tiny by construction,
+    The funnel now includes the SemDeDup stage: documents that survive
+    every keep-list screen but lose their semantic cluster's keeper vote
+    (``dedup.semantic_keep``) drop at the final ``semantic_dup`` stage —
+    stage order is severity order, so a doc removed earlier never reaches
+    the semantic screen (and a semantic cluster whose quality keeper was
+    itself removed earlier still counts its other members here: funnels
+    attribute each doc to its FIRST removing stage). Docs without an
+    embedding pass the semantic stage by construction.
+
+    Pure rollup over the composed disposition (|stages| rows); the only
+    window runs over the 5-row stage relation — tiny by construction,
     like ``shard_pack``'s offsets. The corpus total broadcasts as a
     1-row aggregate.
     """
-    kl = keep_list(spark, sf_dir)
+    from .dedup import semantic_keep
+
+    sem = semantic_keep(spark, sf_dir).select(
+        "doc_id", F.col("status").alias("sem_status")
+    )
+    kl = (
+        keep_list(spark, sf_dir)
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("status") != "kept", F.col("status"))
+            .when(F.col("sem_status") == "semantic_dup", F.lit("semantic_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
     counts = kl.groupBy("status").agg(F.count("*").alias("n"))
     stages = spark.createDataFrame(
         [(i, s) for i, s in enumerate(ATTRITION_STAGES)],
@@ -855,4 +885,168 @@ def importance_resample(
         keyed.select("doc_id", "n_tokens", "log_weight", key6.alias("sample_key"))
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
         .limit(m)
+    )
+
+
+#: Survivor resample size for the composed pipeline — larger than
+#: WEIGHTED_SAMPLE_M so the shard packer has something to pack.
+E2E_RESAMPLE_M = 200
+
+
+def e2e_manifest(
+    spark: SparkSession, sf_dir: str, m: int = E2E_RESAMPLE_M
+) -> DataFrame:
+    """The training-data pipeline composed end to end as ONE lazy plan —
+    raw corpus → benchmark holdout → exact dedup → lexical (MinHash)
+    near-dup → semantic (SemDeDup) near-dup → quality / PII /
+    contamination screens → DSIR importance resample over the survivors
+    → token-budget shard pack of the selected set — the product story
+    the individual queries rehearse, emitted as one per-document
+    manifest row: (doc_id, status, selected, sample_key, n_tokens,
+    shard_id).
+
+    Stage order is the pipeline's: dedup passes run before the content
+    screens (dedup is cheap-per-byte and shrinks everything downstream;
+    the severity order of ``keep_list`` is preserved within the screens).
+    First matching stage wins:
+    benchmark → exact_dup → lexical_dup → semantic_dup → low_quality →
+    pii → contaminated → kept. Dedup keepers use the corpus quality rule
+    (most words, doc_id tiebreak); exact dedup keeps the lowest doc_id
+    (identical text ties the quality rule to the same choice).
+
+    Everything is a composition of already-verified operators —
+    ``keep_list``, ``exact_dedup_groups``'s hash rule,
+    ``duplicate_clusters`` + the ``keeper_by_quality`` rank,
+    ``dedup.semantic_keep``, ``importance_weights`` + the Gumbel-top-m
+    key, and ``shard_pack``'s two-phase prefix sum — glued by doc_id
+    equi-joins. Besides the barriers the component algorithms already
+    own (the iterative component loops' ``localCheckpoint``s), the
+    composition owns exactly TWO, both priced: the (doc_id, status)
+    disposition (2 narrow columns, consumed by the resample branch AND
+    the final annotate join — the manifest temp table a production
+    pipeline writes anyway) and the m-row selected set (O(m); collapses
+    the DSIR pass to one run). ``tests/test_plans.py`` pins that no
+    further barrier or cartesian sneaks in, and that the m-row selected
+    set broadcasts into the final annotate-joins.
+    """
+    from .dedup import duplicate_clusters, semantic_keep
+    from .textstats import BPE_ISH_PATTERN
+
+    d = load_table(spark, sf_dir, "documents")
+    kl = keep_list(spark, sf_dir).select(
+        "doc_id", F.col("status").alias("kl_status")
+    )
+    ex = d.select("doc_id", F.md5("text").alias("h"))
+    keep0 = ex.groupBy("h").agg(F.min("doc_id").alias("keep0"))
+    ex = ex.join(keep0, "h").select(
+        "doc_id", (F.col("doc_id") != F.col("keep0")).alias("is_exact_dup")
+    )
+    clusters = duplicate_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    nw = d.select(
+        "doc_id", F.size(norm_words(F.col("text"))).cast("long").alias("n_words")
+    )
+    wq = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_words"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    lex = (
+        clusters.join(nw, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(wq).alias("rn"),
+            F.count("*").over(wc).alias("csz"),
+        )
+        .select(
+            "doc_id", ((F.col("csz") > 1) & (F.col("rn") > 1)).alias("is_lex_dup")
+        )
+    )
+    sem = semantic_keep(spark, sf_dir).select(
+        "doc_id", (F.col("status") == "semantic_dup").alias("is_sem_dup")
+    )
+    status = (
+        F.when(F.col("kl_status") == "benchmark", F.lit("benchmark"))
+        .when(F.col("is_exact_dup"), F.lit("exact_dup"))
+        .when(F.col("is_lex_dup"), F.lit("lexical_dup"))
+        .when(F.coalesce(F.col("is_sem_dup"), F.lit(False)), F.lit("semantic_dup"))
+        .when(F.col("kl_status") == "low_quality", F.lit("low_quality"))
+        .when(F.col("kl_status") == "pii", F.lit("pii"))
+        .when(F.col("kl_status") == "contaminated", F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    # consumed by BOTH the survivor/resample branch and the final
+    # annotate join — materialize the (doc_id, status) disposition once
+    # (2 narrow columns; at 100 TB this is the manifest temp table a
+    # real pipeline writes anyway) instead of re-running every dedup
+    # pass per consumer
+    base = (
+        d.select("doc_id")
+        .join(kl, "doc_id")
+        .join(ex, "doc_id")
+        .join(lex, "doc_id")
+        .join(sem, "doc_id", "left")
+        .select("doc_id", status.alias("status"))
+        .localCheckpoint()
+    )
+    iw = importance_weights(spark, sf_dir).select("doc_id", "log_weight")
+    u = (
+        F.conv(F.substring(_sample_bucket_md5(), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(F.col("u")))
+    key6 = (
+        F.floor((F.col("log_weight") + gumbel) * 1_000_000 + F.lit(0.5))
+        / 1_000_000
+    )
+    surv = (
+        base.where(F.col("status") == "kept")
+        .join(iw, "doc_id")
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "log_weight", u.alias("u"))
+        .select("doc_id", key6.alias("sample_key"))
+    )
+    # m rows — the selected-set barrier is O(m) and collapses the DSIR
+    # weight pass to one run (its two consumers below would otherwise
+    # each recompute the (doc, bucket) shuffle)
+    sel = (
+        surv.orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(m)
+        .select("doc_id", "sample_key")
+        .localCheckpoint()
+    )
+    tok = (
+        d.join(sel.select("doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "bucket", F.floor(F.col("doc_id") / SHARD_PREFIX_BUCKET).cast("long")
+        )
+    )
+    shards = two_phase_running_sum(
+        tok,
+        bucket="bucket",
+        order_by=["doc_id"],
+        value=F.col("n_tokens"),
+        out="cum_tokens",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / SHARD_TOKEN_BUDGET)
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        base.join(F.broadcast(sel), "doc_id", "left")
+        .join(F.broadcast(shards), "doc_id", "left")
+        .select(
+            "doc_id",
+            "status",
+            F.col("sample_key").isNotNull().alias("selected"),
+            "sample_key",
+            "n_tokens",
+            "shard_id",
+        )
     )

@@ -854,3 +854,99 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+#: SemDeDup prune threshold — the same cosine floor as the lexical
+#: embedding family, so the two prune passes answer at one scale.
+SEMDEDUP_COSINE = NEARDUP_MIN_COSINE
+
+
+def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """SemDeDup-style semantic prune, end to end: IVF-cell candidate
+    blocking → within-cell cosine edges → connected components → one
+    keeper per semantic cluster by the corpus quality rule (most words,
+    doc_id tiebreak — the same rule as ``keeper_by_quality``). Output is
+    shaped exactly like ``curate_keep_list`` — (doc_id, lang, source,
+    status) with status in {kept, semantic_dup} — so the lexical and
+    semantic prune passes compose into one manifest join.
+
+    Scale shape (the SemDeDup recipe, Abbas et al. 2023): candidate
+    pairs form ONLY within a k-means cell — the quadratic is per-cell
+    (|cell| ~ n/k; at 100 TB k grows with n, pinned by
+    ``ivf_cell_histogram``'s occupancy report), never corpus-wide, and
+    the pair relation is an equi-join on cid. Components run on the
+    candidate subgraph only (tiny by construction); the corpus-sized
+    remainder is labeled by a broadcast join, identical to
+    ``duplicate_clusters``. The k-means fit is the deterministic @6dp
+    ``kmeans_fit``, so a DuckDB oracle replays cells, edges, components
+    (recursive closure), and keeper choice exactly.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine
+    from .similarity import _nearest_centroid_udf, ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e, cache_key=sf_dir)
+    # consumed by both sides of the pair join — materialize the (tiny)
+    # assignment once instead of re-running the cell UDF per side
+    assigned = e.select(
+        "vec_id",
+        "embedding",
+        _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
+    ).localCheckpoint()
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb")
+    )
+    # the repo-wide 6dp grid convention (floor(x*1e6+0.5), exact for
+    # negatives too, unlike round()) — the oracle replays it verbatim
+    cos6 = (
+        F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000 + F.lit(0.5))
+        / 1_000_000
+    )
+    edges = (
+        a.join(b, "cid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(cos6 >= SEMDEDUP_COSINE)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    conn_nodes = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    conn = connected_components(conn_nodes, edges, max_iter=max_iter)
+    labeled = (
+        e.select(F.col("vec_id").alias("doc_id"))
+        .join(
+            F.broadcast(conn.withColumnRenamed("label", "cluster_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(norm_words(F.col("text"))).cast("long").alias("n_words"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_words"), F.asc("doc_id"))
+    return (
+        labeled.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("rn") == 1, F.lit("kept"))
+            .otherwise(F.lit("semantic_dup"))
+            .alias("status"),
+        )
+    )

@@ -308,6 +308,36 @@ def kmeans_fit(
     return cents.tolist()
 
 
+#: IVF centroid cache — same contract as ``_PQ_BOOK_CACHE``: the fit is a
+#: deterministic pure function of the embeddings table, keyed by
+#: (sf_dir, data fingerprint, partition conf) so a regenerated fixture or
+#: a partition-invariance config refits while one bench session's many
+#: IVF-family queries (topk, histogram, sweep, recall, IVF+PQ, SemDeDup)
+#: fit ONCE — which is also the production shape: an index is fit once
+#: and reused, not refit per query.
+_IVF_CENT_CACHE: dict[tuple, list] = {}
+
+
+def ivf_centroids(e: DataFrame, cache_key: str | None = None) -> list:
+    """``kmeans_fit`` with the process-lifetime model cache in front."""
+    spark = e.sparkSession
+    key = None
+    if cache_key is not None:
+        key = (
+            cache_key,
+            _embeddings_fingerprint(cache_key),
+            spark.conf.get("spark.sql.shuffle.partitions"),
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        )
+        cached = _IVF_CENT_CACHE.get(key)
+        if cached is not None:
+            return cached
+    cents = kmeans_fit(e)
+    if key is not None:
+        _IVF_CENT_CACHE[key] = cents
+    return cents
+
+
 def _nearest_centroid_udf(cents):
     """argmin_c ||x - c||² as an Arrow-batched pandas UDF; the centroid
     matrix rides the closure (broadcast to workers with the task)."""
@@ -364,7 +394,7 @@ def ivf_topk(
     a filter over the full corpus.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_fit(e)
+    cents = ivf_centroids(e, cache_key=sf_dir)
     probe = [int(c) for c in _probe_order(e, cents, query_vec_id)[:nprobe]]
 
     assigned = e.select(
@@ -389,7 +419,7 @@ def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     more centroids or rebalance). One map pass over the corpus with the
     fitted centroids riding the closure; the aggregate is k rows."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_fit(e)
+    cents = ivf_centroids(e, cache_key=sf_dir)
     assigned = e.select(
         _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid")
     )
@@ -798,7 +828,7 @@ def ivf_probe_sweep(
     displaced by lower-cosine ones.
     """
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_fit(e)
+    cents = ivf_centroids(e, cache_key=sf_dir)
     order = _probe_order(e, cents, query_vec_id)
 
     assigned = e.select(
@@ -1349,7 +1379,7 @@ def ivf_pq_topk(
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = kmeans_fit(e)
+    cents = ivf_centroids(e, cache_key=sf_dir)
     probe = [int(c) for c in _probe_order(e, cents, query_vec_id)[:nprobe]]
     books = _pq_codebooks(e, cache_key=sf_dir)
     qrow = e.where(F.col("vec_id") == query_vec_id).head()

@@ -474,3 +474,127 @@ def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("chunk_hash"))
         .limit(BOILERPLATE_TOP_K)
     )
+
+
+CLEAN_TILE_TOKENS = 32  # non-overlapping tiles — removal is unambiguous
+CLEAN_MIN_DOCS = 2  # a tile recurring in >= this many docs is boilerplate
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup that CLEANS, not just detects: the rewritten
+    corpus with cross-document repeated spans (boilerplate headers /
+    footers / license blocks / templated paragraphs) removed — the
+    Lee-et-al-style exact-substring-dedup output stage a training
+    pipeline feeds to the tokenizer, downstream of the detection pass
+    ``boilerplate_chunks`` reports on.
+
+    Removal rule (deterministic, oracle-replayable): documents tile into
+    NON-overlapping CLEAN_TILE_TOKENS-token windows over the RAW
+    whitespace tokens (case preserved — surviving text keeps its
+    original bytes up to whitespace collapse); a tile whose
+    case-insensitive content hash recurs in >= CLEAN_MIN_DOCS distinct
+    documents is boilerplate: every occurrence EXCEPT the first — the
+    lexicographically-least (doc_id, tile_idx) — is dropped, so each
+    repeated span survives exactly once corpus-wide (the keep-one
+    variant of Lee et al.'s ExactSubstr; removing all copies would
+    delete content no document retains). Detection deliberately uses
+    the same lowercase-join hashing as ``boilerplate_chunks``; the
+    non-overlapping stride (vs the detector's overlapping windows) is
+    what makes removal well-defined — overlapping matches would leave
+    "remove half a window" ambiguity. A document with NO removed tile
+    passes through byte-for-byte (the original ``text`` column, not a
+    token-rejoined copy).
+
+    Plan shape: one corpus scan explodes to tiles (JVM ``sequence`` /
+    ``slice``, no Python); the repeated-key relation is one (hash)
+    aggregate; the verdict join is hash-keyed and the rebuild is one
+    doc_id-keyed aggregate using ``collect_list`` of (tile_idx, tokens)
+    structs — null-skipping, so removed tiles never re-shuffle their
+    text. At 100 TB: tiles shuffle once keyed by 32-byte digests, the
+    rebuild shuffle carries only surviving token arrays, and the final
+    documents join is doc-keyed (sort-merge, both sides already large).
+    """
+    from ..functions.hashing import _WS
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = F.filter(F.split(F.col("text"), _WS), lambda w: w != "")
+    n = F.size(F.col("_words"))
+    last = F.greatest(
+        F.ceil((n - F.lit(CLEAN_TILE_TOKENS)) / F.lit(float(CLEAN_TILE_TOKENS))),
+        F.lit(0),
+    ).cast("int")
+    keyed = (
+        d.select("doc_id", raw.alias("_words"))
+        .select(
+            "doc_id",
+            "_words",
+            F.explode(F.sequence(F.lit(0), last)).alias("tile_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("tile_idx").cast("long").alias("tile_idx"),
+            F.slice(
+                "_words", F.col("tile_idx") * CLEAN_TILE_TOKENS + 1, CLEAN_TILE_TOKENS
+            ).alias("tw"),
+        )
+        .select(
+            "doc_id",
+            "tile_idx",
+            "tw",
+            F.size("tw").cast("long").alias("nt"),
+            F.md5(F.lower(F.array_join("tw", " "))).alias("k"),
+        )
+    )
+    rep = (
+        keyed.where(F.col("nt") > 0)
+        .groupBy("k")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            # struct min = lexicographic (doc_id, tile_idx) — the one
+            # occurrence of a repeated span that survives
+            F.min(F.struct("doc_id", "tile_idx")).alias("first_occ"),
+        )
+        .where(F.col("nd") >= CLEAN_MIN_DOCS)
+        .select("k", "first_occ")
+    )
+    flagged = keyed.join(rep, "k", "left").select(
+        "doc_id",
+        "tile_idx",
+        "tw",
+        "nt",
+        (
+            F.col("first_occ").isNotNull()
+            & (F.col("nt") > 0)
+            & ~(
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("tile_idx") == F.col("first_occ.tile_idx"))
+            )
+        ).alias("rm"),
+    )
+    kept_struct = F.when(~F.col("rm"), F.struct("tile_idx", "tw"))
+    agg = flagged.groupBy("doc_id").agg(
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_tiles"),
+        F.sum(F.col("rm").cast("int")).cast("long").alias("n_tiles_removed"),
+        F.sum(F.when(F.col("rm"), F.col("nt")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_removed"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s.tw
+                )
+            ),
+            " ",
+        ).alias("_rebuilt"),
+    )
+    return agg.join(d, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_tiles",
+        "n_tiles_removed",
+        "n_tokens_removed",
+        F.when(F.col("n_tiles_removed") == 0, F.col("text"))
+        .otherwise(F.col("_rebuilt"))
+        .alias("cleaned_text"),
+    )

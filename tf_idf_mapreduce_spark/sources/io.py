@@ -82,10 +82,30 @@ def ensure_worker_imports(spark: SparkSession) -> None:
     _PYFILES_SENT.add(app_id)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan; Catalyst pushes filters/projections into it."""
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ignore_corrupt_files: bool = False,
+) -> DataFrame:
+    """Columnar parquet scan; Catalyst pushes filters/projections into it.
+
+    Corruption contract (documented, tested in ``tests/test_io.py``):
+    FAIL-FAST by default — a file with a broken footer/magic raises at
+    action time rather than silently dropping rows, because at 100 TB a
+    quietly-skipped shard is worse than a retried job. Pass
+    ``ignore_corrupt_files=True`` to opt into best-effort reads (sets
+    the per-reader ``ignoreCorruptFiles`` option, NOT the session-wide
+    conf, so one lenient scan can't relax every other query's
+    guarantee); the contract then matches ``read_jsonl_corpus``'s
+    PERMISSIVE mode: damage is visible (missing files' rows) but not
+    fatal.
+    """
     ensure_worker_imports(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    reader = spark.read
+    if ignore_corrupt_files:
+        reader = reader.option("ignoreCorruptFiles", "true")
+    return reader.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -152,6 +172,12 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     Matches S1+S2: TextInputFormat line scan (WordCount.java:90) and
     ``((FileSplit) ...).getPath().getName()`` doc identity (WordCount.java:89).
     Returns ``(doc string, text string)``.
+
+    Corruption contract (tested): there is no "malformed line" for a
+    text scan — every byte sequence is a line — but invalid UTF-8 is
+    REPLACED (U+FFFD), never fatal and never silently dropped: the row
+    survives with its damage visible, the same
+    damage-visible-not-fatal posture as ``read_jsonl_corpus``.
     """
     return spark.read.text(path).select(
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("doc"),
