@@ -636,6 +636,21 @@ def _cosine_topk_sql(query_vec_id: int, k: int) -> str:
     """
 
 
+def _range_search_sql(query_vec_id: int, min_cos: float) -> str:
+    """Oracle for ``similarity.range_search`` — the same cosine/rounding
+    conventions as ``_cosine_topk_sql`` with a radius filter instead of
+    a top-k limit."""
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings
+                   WHERE vec_id = {query_vec_id})
+        SELECT vec_id, round({_cos_sql('embedding', 'qe')}, 6) AS cos_sim
+        FROM embeddings, q
+        WHERE vec_id <> {query_vec_id}
+          AND round({_cos_sql('embedding', 'qe')}, 6) >= {min_cos}
+        ORDER BY cos_sim DESC, vec_id ASC
+    """
+
+
 def _lsh_bands_sql() -> str:
     """Shared CTE body: per-vector LSH signature exploded to 6 4-bit
     band rows (sigs, bands)."""
@@ -667,6 +682,27 @@ def _lsh_topk_sql(query_vec_id: int, k: int) -> str:
         SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
         FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
         ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+    """
+
+
+def _range_search_lsh_sql(query_vec_id: int, min_cos: float) -> str:
+    """Oracle for ``similarity.range_search_lsh`` — the ``_lsh_topk_sql``
+    candidate join with the radius filter instead of a top-k limit."""
+    return f"""
+        WITH {_lsh_bands_sql()},
+        qb AS (SELECT band_idx, band_val FROM bands
+               WHERE vec_id = {query_vec_id}),
+        cand AS (
+          SELECT DISTINCT s.vec_id FROM bands s
+          JOIN qb ON s.band_idx = qb.band_idx AND s.band_val = qb.band_val
+          WHERE s.vec_id <> {query_vec_id}
+        ),
+        q AS (SELECT embedding AS qe FROM embeddings
+              WHERE vec_id = {query_vec_id})
+        SELECT e.vec_id, round({_cos_sql('e.embedding', 'qe')}, 6) AS cos_sim
+        FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id, q
+        WHERE round({_cos_sql('e.embedding', 'qe')}, 6) >= {min_cos}
+        ORDER BY cos_sim DESC, e.vec_id ASC
     """
 
 
@@ -1429,6 +1465,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
         sim.NEARDUP_MIN_COSINE
     ),
     "sim_cosine_topk": _cosine_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
+    "sim_range_search": _range_search_sql(
+        sim.DEFAULT_QUERY_VEC, sim.RANGE_SEARCH_MIN_COS
+    ),
     "sim_lsh_histogram": f"""
         WITH sigs AS (
           SELECT vec_id, {_lsh_sig_sql('embedding')} AS lsh_sig FROM embeddings
@@ -1441,6 +1480,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM bands GROUP BY 1, 2
     """,
     "sim_lsh_topk": _lsh_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
+    "sim_range_search_lsh": _range_search_lsh_sql(
+        sim.DEFAULT_QUERY_VEC, sim.RANGE_SEARCH_MIN_COS
+    ),
     "sim_ivf_topk": _ivf_topk_sql(
         sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
     ),
@@ -2030,6 +2072,23 @@ _LLMDATA_ORACLE["text_clean_corpus"] = f"""
            CASE WHEN a.n_tiles_removed = 0 THEN d.text ELSE a.rebuilt END
              AS cleaned_text
     FROM agg a JOIN documents d USING (doc_id)
+"""
+
+#: first BPE merge iteration: adjacent pre-token pairs, one aggregate
+_LLMDATA_ORACLE["text_bpe_pairs"] = f"""
+    WITH toks AS (
+      SELECT regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS t
+      FROM documents),
+    pairs AS (
+      SELECT t[i] AS tok_left, t[i + 1] AS tok_right
+      FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0)))
+                       AS i
+            FROM toks WHERE len(t) >= 2))
+    SELECT tok_left, tok_right, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n DESC, tok_left ASC, tok_right ASC
+    LIMIT {ts.BPE_PAIR_TOP_K}
 """
 
 #: same 5-gram build as the contamination oracle; novelty joins the
@@ -3358,6 +3417,32 @@ _CURATION_ORACLE["curate_e2e_manifest"] = f"""
     LEFT JOIN cum ON cum.doc_id = b.doc_id
 """
 
+# Feature-store export: every per-doc scalar signal oracle nested as a
+# CTE and left-joined from documents — totality by construction, and the
+# composition can never drift from its parts.
+_CURATION_ORACLE["curate_features"] = f"""
+    WITH q AS ({_LLMDATA_ORACLE["text_quality"]}),
+    lg AS ({_LLMDATA_ORACLE["text_lang_id"]}),
+    lm AS ({_LLMDATA_ORACLE["text_lm_score"]}),
+    rep AS ({_CURATION_ORACLE["text_repetition"]}),
+    nov AS ({_LLMDATA_ORACLE["text_novelty"]}),
+    rd AS ({_CURATION_ORACLE["text_readability"]}),
+    pii AS ({_CURATION_ORACLE["text_pii_scan"]})
+    SELECT d.doc_id, d.lang, d.source, lg.pred_lang,
+           q.n_chars, q.n_words, q.mean_word_len, q.punct_ratio,
+           q.stopword_ratio, q.keep AS quality_keep,
+           lm.lm_score, rep.distinct_ratio, nov.novelty, rd.flesch,
+           pii.has_pii
+    FROM documents d
+    LEFT JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN lg ON lg.doc_id = d.doc_id
+    LEFT JOIN lm ON lm.doc_id = d.doc_id
+    LEFT JOIN rep ON rep.doc_id = d.doc_id
+    LEFT JOIN nov ON nov.doc_id = d.doc_id
+    LEFT JOIN rd ON rd.doc_id = d.doc_id
+    LEFT JOIN pii ON pii.doc_id = d.doc_id
+"""
+
 
 
 
@@ -3490,8 +3575,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_keep": dd.semantic_keep,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
+        # radius query: everything within min_cos of the query (linear
+        # scan + broadcast, the recall-1.0 baseline for pruned variants)
+        "sim_range_search": sim.range_search,
         "sim_lsh_histogram": sim.lsh_bucket_histogram,
         "sim_lsh_topk": sim.lsh_topk,
+        # radius query over LSH-band candidates (the scale twin; delta
+        # vs sim_range_search is the pruning recall cost, measured)
+        "sim_range_search_lsh": sim.range_search_lsh,
         # fully oracled since round 3: the k-means fit is deterministic on
         # the @6dp grid, so DuckDB replays the whole model (unrolled CTEs)
         "sim_ivf_topk": sim.ivf_topk,
@@ -3541,6 +3632,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sub-document dedup that CLEANS: cross-doc repeated tiles removed,
         # untouched docs pass through byte-for-byte (Lee-et-al-style output)
         "text_clean_corpus": ts.clean_corpus,
+        # first BPE merge iteration: ranked adjacent pre-token pair counts
+        "text_bpe_pairs": ts.bpe_pair_counts,
         # --- LLM-data pipeline: corpus curation ---
         "curate_contamination": cur.contamination_check,
         "curate_hash_sample": cur.hash_sample,
@@ -3560,6 +3653,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the whole pipeline as ONE lazy plan: dedup (exact/lexical/
         # semantic) -> screens -> DSIR resample -> shard pack
         "curate_e2e_manifest": cur.e2e_manifest,
+        # per-doc wide feature export (train table for a learned filter)
+        "curate_features": cur.features_table,
         # CCNet-style per-language LM-score tertile buckets
         "curate_quality_buckets": cur.quality_buckets,
         # stage-attrition funnel over the keep-list dispositions

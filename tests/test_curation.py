@@ -666,3 +666,25 @@ def test_e2e_manifest_invariants(spark, sf_dir):
     for r in sorted(sel, key=lambda r: r.doc_id):
         assert r.shard_id == cum // SHARD_TOKEN_BUDGET
         cum += r.n_tokens
+
+
+def test_features_table_total_and_consistent(spark, sf_dir):
+    """The feature export is TOTAL (one row per document, left joins) and
+    each scalar column agrees with the operator that owns it."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        features_table,
+        pii_scan,
+    )
+    from tf_idf_mapreduce_spark.operators.textstats import quality_scores
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    feats = {r.doc_id: r for r in features_table(spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(feats) == n_docs
+
+    q = {r.doc_id: r for r in quality_scores(spark, sf_dir).collect()}
+    p = {r.doc_id: r for r in pii_scan(spark, sf_dir).collect()}
+    for doc_id, f in feats.items():
+        assert f.quality_keep == q[doc_id].keep
+        assert f.n_words == q[doc_id].n_words
+        assert f.has_pii == p[doc_id].has_pii

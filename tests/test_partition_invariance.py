@@ -44,6 +44,16 @@ QUERIES = [
     "dedup_threshold_sweep",
     # per-language exact percentile thresholds (sort-based aggregate)
     "curate_quality_buckets",
+    # keep-first tile removal: the min-(doc,tile) keeper choice and the
+    # collect_list/array_sort rebuild must not depend on layout
+    "text_clean_corpus",
+    # k-means cells + cosine edges + label propagation + keeper window
+    "dedup_semantic_keep",
+    # the full composition: every invariance above stacked, plus the
+    # Gumbel-top-m boundary and the selected-set prefix sum
+    "curate_e2e_manifest",
+    # corpus-wide pair aggregate with a top-k boundary tiebreak
+    "text_bpe_pairs",
 ]
 
 

@@ -463,3 +463,52 @@ def test_ivf_pq_is_pq_ranking_restricted_to_probed_cells(spark, sf_dir):
     ][:10]
     assert [(r.vec_id, r.adc_cos) for r in composed] == expect
     assert all(assigned[r.vec_id] == r.cid and r.cid in probe for r in composed)
+
+
+def test_range_search_matches_bruteforce(spark, sf_dir):
+    """Range search must return EXACTLY the vectors whose 6dp-rounded
+    cosine to the query clears the radius — verified against a numpy
+    brute force over the whole fixture."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        DEFAULT_QUERY_VEC,
+        RANGE_SEARCH_MIN_COS,
+        range_search,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    e = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    q = e[DEFAULT_QUERY_VEC]
+    want = {}
+    for vid, v in e.items():
+        if vid == DEFAULT_QUERY_VEC:
+            continue
+        c = round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+        if c >= RANGE_SEARCH_MIN_COS:
+            want[vid] = c
+    got = {r.vec_id: r.cos_sim for r in range_search(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for vid in got:
+        assert abs(got[vid] - want[vid]) <= 1e-6
+
+
+def test_range_search_lsh_subset_of_exact(spark, sf_dir):
+    """The pruned radius query returns a SUBSET of the exact one (same
+    rounding, same radius — pruning can only lose candidates, never
+    invent or rescore them)."""
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        range_search,
+        range_search_lsh,
+    )
+
+    exact = {r.vec_id: r.cos_sim for r in range_search(spark, sf_dir).collect()}
+    pruned = {
+        r.vec_id: r.cos_sim for r in range_search_lsh(spark, sf_dir).collect()
+    }
+    assert set(pruned) <= set(exact)
+    for vid, c in pruned.items():
+        assert c == exact[vid]

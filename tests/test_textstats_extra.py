@@ -1,0 +1,102 @@
+"""Round-6 textstats additions on planted corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bpe_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bpe")
+    docs = [
+        (0, "ab cd ab cd ab", "en", "s0"),  # (ab,cd) x2, (cd,ab) x2
+        (1, "x-y", "en", "s0"),  # pre-tokens x, -, y -> (x,-), (-,y)
+        (2, "solo", "en", "s0"),  # single token: no pair
+    ]
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bpe_pair_counts_planted(spark, bpe_dir):
+    from tf_idf_mapreduce_spark.operators.textstats import bpe_pair_counts
+
+    rows = {(r.tok_left, r.tok_right): r.n for r in bpe_pair_counts(spark, bpe_dir).collect()}
+    assert rows == {
+        ("ab", "cd"): 2,
+        ("cd", "ab"): 2,
+        ("x", "-"): 1,
+        ("-", "y"): 1,
+    }
+
+
+def _python_clean(docs):
+    """Reference implementation of the keep-first tile-removal rule."""
+    import hashlib
+
+    T = 32
+    tiles = {}  # key -> list[(doc_id, tile_idx)]
+    per_doc = {}
+    for doc_id, text in docs:
+        toks = [w for w in __import__("re").split(r"[ \t\n\r\f]+", text) if w]
+        n_tiles = max((len(toks) - T + T - 1) // T, 0) + 1
+        tl = []
+        for i in range(n_tiles):
+            tw = toks[i * T : i * T + T]
+            k = hashlib.md5(" ".join(tw).lower().encode()).hexdigest()
+            tl.append((i, tw, k))
+            if tw:
+                tiles.setdefault(k, []).append((doc_id, i))
+        per_doc[doc_id] = (text, toks, tl)
+    repeated = {
+        k: min(occ)
+        for k, occ in tiles.items()
+        if len({d for d, _ in occ}) >= 2
+    }
+    out = {}
+    for doc_id, (text, toks, tl) in per_doc.items():
+        kept, removed_tiles, removed_toks = [], 0, 0
+        for i, tw, k in tl:
+            rm = tw and k in repeated and repeated[k] != (doc_id, i)
+            if rm:
+                removed_tiles += 1
+                removed_toks += len(tw)
+            else:
+                kept.extend(tw)
+        cleaned = text if removed_tiles == 0 else " ".join(kept)
+        out[doc_id] = (len(toks), removed_tiles, removed_toks, cleaned)
+    return out
+
+
+def test_clean_corpus_property_random_corpora(spark, tmp_path_factory):
+    """clean_corpus agrees with a direct Python implementation of its
+    declared rule on randomized corpora with forced tile collisions."""
+    import random
+
+    from tf_idf_mapreduce_spark.operators.textstats import clean_corpus
+
+    rng = random.Random(42)
+    vocab = [f"W{i}" for i in range(8)]  # tiny alphabet -> real collisions
+    shared_block = " ".join(rng.choice(vocab) for _ in range(32))
+    docs = []
+    for i in range(12):
+        n = rng.randrange(0, 80)
+        body = " ".join(rng.choice(vocab) for _ in range(n))
+        if i % 3 == 0:  # plant the shared tile at the tile-aligned head
+            body = f"{shared_block} {body}".strip()
+        docs.append((i, body))
+
+    d = tmp_path_factory.mktemp("cleanprop")
+    spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    want = _python_clean(docs)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_tiles_removed, r.n_tokens_removed, r.cleaned_text)
+        for r in clean_corpus(spark, str(d)).collect()
+    }
+    assert got == want

@@ -1050,3 +1050,71 @@ def e2e_manifest(
             "shard_id",
         )
     )
+
+
+def features_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document feature-store export: every scalar quality / language
+    / repetition / novelty / readability / PII / length signal the engine
+    computes, joined into ONE wide row per document — the training table
+    for a learned quality filter (the fastText/logreg classifier stage of
+    a production corpus pipeline), and the audit surface a human samples
+    when a threshold misbehaves.
+
+    Pure composition of already-verified per-doc operators on doc_id
+    equi-joins, LEFT from ``documents`` so the export is total (a doc
+    missing from a signal relation surfaces as NULLs, visible, never
+    silently dropped). At 100 TB each input is map-only or one-shuffle
+    over the same corpus scan; the joins are co-partitioned on doc_id.
+    """
+    from .textstats import (
+        lang_id,
+        lm_doc_scores,
+        novelty_scores,
+        quality_scores,
+        readability,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    q = quality_scores(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        F.col("keep").alias("quality_keep"),
+    )
+    lg = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    lm = lm_doc_scores(spark, sf_dir).select("doc_id", "lm_score")
+    rep = repetition_scores(spark, sf_dir).select("doc_id", "distinct_ratio")
+    nov = novelty_scores(spark, sf_dir).select("doc_id", "novelty")
+    rd = readability(spark, sf_dir).select("doc_id", "flesch")
+    pii = pii_scan(spark, sf_dir).select("doc_id", "has_pii")
+    return (
+        d.join(q, "doc_id", "left")
+        .join(lg, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(nov, "doc_id", "left")
+        .join(rd, "doc_id", "left")
+        .join(pii, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "pred_lang",
+            "n_chars",
+            "n_words",
+            "mean_word_len",
+            "punct_ratio",
+            "stopword_ratio",
+            "quality_keep",
+            "lm_score",
+            "distinct_ratio",
+            "novelty",
+            "flesch",
+            "has_pii",
+        )
+    )

@@ -1425,3 +1425,77 @@ def ivf_pq_topk(
         .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+#: Radius for the range (radius) search — low enough that the
+#: near-uniform random fixture returns a non-trivial neighborhood.
+RANGE_SEARCH_MIN_COS = 0.25
+
+
+def range_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    min_cos: float = RANGE_SEARCH_MIN_COS,
+) -> DataFrame:
+    """Radius (range) query: ALL vectors with cosine >= ``min_cos`` to
+    the query — the retrieval primitive under dedup-at-ingest ("does
+    anything this similar already exist?") and near-dup lookup, where
+    top-k's fixed k either truncates a dense neighborhood or pads a
+    sparse one.
+
+    Unlike the all-PAIRS operators, a single-query range search is
+    LINEAR: one corpus scan with the 1-row query broadcast, JVM cosine,
+    codegen filter — no shuffle, no heap. At 100 TB the same filter runs
+    after LSH-band or IVF-cell partition pruning cuts the scan (the
+    ``lsh_topk`` / ``ivf_topk`` machinery, unchanged); the exact scan
+    here is the recall-1.0 baseline those would be measured against.
+    Same @6dp rounding + vec_id ordering conventions as ``cosine_topk``.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _query_vector(e, query_vec_id)
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= min_cos)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )
+
+
+def range_search_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    min_cos: float = RANGE_SEARCH_MIN_COS,
+) -> DataFrame:
+    """``range_search``'s scale twin: the radius filter runs only over
+    vectors sharing >= 1 LSH band with the query (the ``lsh_topk``
+    candidate join), so the 100 TB corpus scan becomes an equi-join
+    against the query's 6 band keys + an exact-cosine pass over the
+    pruned set. Same output shape and rounding as the exact operator —
+    the difference between the two result sets IS the measured recall
+    cost of the pruning, per the engine's exact-baseline convention.
+    """
+    sigs = lsh_signatures(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_bands = _band_rows(sigs.where(F.col("vec_id") == query_vec_id)).select(
+        "band_idx", "band_val"
+    )
+    cand = (
+        _band_rows(sigs)
+        .join(F.broadcast(q_bands), ["band_idx", "band_val"])
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id")
+        .distinct()
+    )
+    q = _query_vector(e, query_vec_id)
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        cand.join(e, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= min_cos)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    )

@@ -598,3 +598,51 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("_rebuilt"))
         .alias("cleaned_text"),
     )
+
+
+BPE_PAIR_TOP_K = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training, as a relation:
+    count every ADJACENT pre-token pair across the corpus and rank the
+    merge candidates — the step a tokenizer-training pipeline repeats
+    (count, merge, re-count); one iteration is the engine-shaped unit,
+    and the ranked table doubles as a collocation report.
+
+    Pre-tokens are the engine's BPE-ish regex (letter runs / digit
+    runs / single punctuation — the ``shard_pack`` token convention).
+    One corpus scan explodes each doc's token array into adjacent
+    (left, right) structs via ``transform`` over an index sequence
+    (JVM codegen, no Python); ONE (left, right) shuffle with map-side
+    partial aggregation; the top-k plans as TakeOrderedAndProject. At
+    100 TB this is scan + one exchange keyed on bounded-width token
+    pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    idx = F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(0)))
+    pairs = (
+        d.select(toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("tok_left"),
+                        F.element_at("_t", i + F.lit(1)).alias("tok_right"),
+                    ),
+                )
+            ).alias("p")
+        )
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.tok_left").alias("tok_left"),
+            F.col("p.tok_right").alias("tok_right"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok_left"), F.asc("tok_right"))
+        .limit(BPE_PAIR_TOP_K)
+    )
