@@ -2289,6 +2289,42 @@ _LLMDATA_ORACLE["dedup_semantic_keep"] = f"""
     FROM ranked r JOIN documents d USING (doc_id)
 """
 
+# Per-IVF-cell corpus profile: the same k-means replay + assignment as the
+# IVF family, joined to documents (vec_id == doc_id) and aggregated; the
+# dominant source is a row_number window over per-(cid, source) counts
+# with the (count DESC, source ASC) tiebreak the Spark side uses.
+_LLMDATA_ORACLE["sim_cluster_profile"] = f"""
+    WITH {_ivf_cent_ctes(sim.IVF_K, sim.IVF_ITERS)},
+    assigned AS (
+      SELECT e.vec_id AS doc_id, min_by(c.cid, {_SEMKEEP_KEY}) AS cid
+      FROM emb e CROSS JOIN cent{sim.IVF_ITERS} c GROUP BY e.vec_id, e.v),
+    docs AS (
+      SELECT doc_id, source,
+             CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
+             CAST((len({_WORDS_SQL}) >= 10 AND
+               CASE WHEN length(text) > 0
+                    THEN (length(text)
+                          - length(regexp_replace(text, '\\pP', '', 'g')))
+                         / length(text) < 0.3
+                    ELSE FALSE END) AS BIGINT) AS keep
+      FROM documents),
+    j AS (SELECT a.cid, d.source, d.n_words, d.keep
+          FROM assigned a JOIN docs d USING (doc_id)),
+    prof AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(keep) AS BIGINT) AS n_quality_keep,
+             CAST(sum(n_words) AS BIGINT) AS total_words
+      FROM j GROUP BY cid),
+    top AS (
+      SELECT cid, source AS top_source FROM (
+        SELECT cid, source, row_number() OVER (
+          PARTITION BY cid ORDER BY count(*) DESC, source ASC) AS rn
+        FROM j GROUP BY cid, source)
+      WHERE rn = 1)
+    SELECT p.cid, p.n_docs, p.n_quality_keep, p.total_words, t.top_source
+    FROM prof p JOIN top t USING (cid) ORDER BY p.cid
+"""
+
 # --------------------------------------------------------------------------
 # Temporal join oracles — DuckDB has a native ASOF JOIN and executes
 # inequality range joins directly; the Spark side must reproduce both with
@@ -3588,6 +3624,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": sim.ivf_topk,
         "sim_ivf_recall": sim.ivf_recall,
         "sim_ivf_histogram": sim.ivf_cell_histogram,
+        # per-cell corpus profile (size, quality pass-rate, word mass,
+        # dominant source) — the cluster-curation report behind
+        # SemDeDup pruning and domain-mixture reweighting
+        "sim_cluster_profile": sim.cluster_profile,
         # nprobe tuning loop: one fit/assignment, per-probe recall
         "sim_ivf_probe_sweep": sim.ivf_probe_sweep,
         # PQ completes the ANN trio (LSH planes, IVF cells, PQ codes);

@@ -156,11 +156,17 @@ def compare_bounded(
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
-    json_path = None
+    args = [
+        a
+        for a in sys.argv[1:]
+        if not (a.startswith("--json") or a.startswith("--merge-json"))
+    ]
+    json_path, merge = None, False
     for a in sys.argv[1:]:
         if a.startswith("--json="):
             json_path = a.split("=", 1)[1]
+        elif a.startswith("--merge-json="):
+            json_path, merge = a.split("=", 1)[1], True
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark(app_name="oracle-check")
@@ -245,7 +251,19 @@ def main() -> int:
     print("RESULT:", "FAIL" if failures else "PASS", f"({failures} failing)")
     if json_path:
         import json as _json
+        import os as _os
 
+        # --merge-json=PATH: fold a targeted run (a new query's
+        # same-commit artifact entry) into the existing round artifact
+        # instead of truncating it to the targeted subset. Entries are
+        # re-ordered to the live registry order so the artifact stays
+        # diffable across regenerations.
+        if merge and _os.path.exists(json_path):
+            with open(json_path) as f:
+                prior = _json.load(f)
+            merged = dict(prior.get("results", {}))
+            merged.update(results)
+            results = {n: merged[n] for n in qs if n in merged}
         with open(json_path, "w") as f:
             _json.dump(
                 {"sf_dir": sf_dir, "n_queries": len(results), "results": results},

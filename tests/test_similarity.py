@@ -512,3 +512,30 @@ def test_range_search_lsh_subset_of_exact(spark, sf_dir):
     assert set(pruned) <= set(exact)
     for vid, c in pruned.items():
         assert c == exact[vid]
+
+
+def test_cluster_profile_is_a_partition_of_the_corpus(spark, sf_dir):
+    """Cells partition the joined corpus: doc counts sum to the corpus
+    size, quality-keep never exceeds the cell count, word mass matches
+    the corpus total, and the dominant source is one of the real ones."""
+    from tf_idf_mapreduce_spark.functions.hashing import norm_words
+    from tf_idf_mapreduce_spark.operators.similarity import cluster_profile
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = cluster_profile(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    joined = d.join(e, "doc_id")
+    assert sum(r.n_docs for r in rows) == joined.count()
+    assert sum(r.total_words for r in rows) == (
+        joined.select(F.sum(F.size(norm_words(F.col("text")))).alias("s"))
+        .head()
+        .s
+    )
+    sources = {r.source for r in d.select("source").distinct().collect()}
+    for r in rows:
+        assert 0 <= r.cid < sim.IVF_K
+        assert 0 <= r.n_quality_keep <= r.n_docs
+        assert r.top_source in sources

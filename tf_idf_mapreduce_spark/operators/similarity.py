@@ -426,6 +426,71 @@ def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cid").agg(F.count("*").alias("n_vectors"))
 
 
+def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell CORPUS profile: join the cell assignment back to the
+    documents table (vec_id == doc_id, the repo-wide convention) and
+    report, per cell, how many docs it holds, how many pass the quality
+    filter, the total word mass, and the dominant source — the
+    cluster-level curation report behind SemDeDup-style pruning and
+    domain-mixture decisions (which clusters are big, low-quality, or
+    single-source is exactly what a data-mixture pass reweights).
+
+    One corpus scan for the assignment (centroids ride the closure, the
+    fit is the cached deterministic ``kmeans_fit``), one doc_id equi-join
+    against the documents scan, one k-row aggregate; dominant source is
+    a (cid, source) count topped by a k×|sources| window. All output
+    columns are exact ints/strings — no float surface beyond the proven
+    cell-assignment replay.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import norm_words
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e, cache_key=sf_dir)
+    assigned = e.select(
+        F.col("vec_id").alias("doc_id"),
+        _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(norm_words(F.col("text"))).cast("long").alias("n_words"),
+        (
+            (F.size(norm_words(F.col("text"))) >= 10)
+            & F.when(
+                F.length("text") > 0,
+                (
+                    F.length("text")
+                    - F.length(F.regexp_replace(F.col("text"), r"\p{P}", ""))
+                )
+                / F.length("text")
+                < 0.3,
+            ).otherwise(F.lit(False))
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+    j = assigned.join(d, "doc_id")
+    prof = j.groupBy("cid").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").alias("n_quality_keep"),
+        F.sum("n_words").alias("total_words"),
+    )
+    src = j.groupBy("cid", "source").agg(F.count("*").alias("n_src"))
+    w = Window.partitionBy("cid").orderBy(F.desc("n_src"), F.asc("source"))
+    top = (
+        src.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cid", F.col("source").alias("top_source"))
+    )
+    return (
+        prof.join(top, "cid")
+        .select("cid", "n_docs", "n_quality_keep", "total_words", "top_source")
+        .orderBy("cid")
+    )
+
+
 def lsh_topk(
     spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK
 ) -> DataFrame:
