@@ -3480,6 +3480,67 @@ _CURATION_ORACLE["curate_features"] = f"""
 """
 
 
+def _quality_classifier_sql() -> str:
+    """Oracle for ``curation.quality_classifier``: the full fixed-step
+    GD replayed as unrolled CTEs — features on the @6dp grid, per-row
+    INTEGER gradient contributions (exact order-independent sums), the
+    weight update written with the IDENTICAL operation order as the
+    Spark/driver side (w − 10.0*g/n/1e6, left-associative), so after
+    ``QC_ITERS`` unrolled iterations both engines hold the same float64
+    weight vector; the final scoring select then matches bit-for-bit
+    modulo exp()'s ~1 ulp, absorbed by the grid."""
+    z = "(w.w0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3)"
+    p = f"floor((1.0/(1.0 + exp(-{z})))*1000000 + 0.5)/1000000"
+    ctes = [
+        f"""feat AS MATERIALIZED (
+          SELECT doc_id,
+            floor((CASE WHEN len(words) > 0
+                        THEN len(list_filter(words, w -> w IN ({_STOP_IN})))
+                             / len(words)
+                        ELSE 0.0 END) * 20 * 1000000 + 0.5)/1000000 AS x1,
+            floor((least(len(words), {cur.QC_LEN_CAP}) / {cur.QC_LEN_CAP})
+                  * 2 * 1000000 + 0.5)/1000000 AS x2,
+            floor((CASE WHEN length(text) > 0
+                        THEN (length(text)
+                              - length(regexp_replace(text, '\\pP', '', 'g')))
+                             / length(text)
+                        ELSE 0.0 END) * 4 * 1000000 + 0.5)/1000000 AS x3,
+            CAST(len(list_filter(words, w -> w IN ({_STOP_IN})))
+                 >= {cur.QC_HITS_MIN} AS BIGINT) AS y
+          FROM (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents))""",
+        "w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    for i in range(1, cur.QC_ITERS + 1):
+        ctes += [
+            f"""g{i} AS MATERIALIZED (
+              SELECT sum(floor((p - y)*1000000 + 0.5)) AS g0,
+                     sum(floor((p - y)*x1*1000000 + 0.5)) AS g1,
+                     sum(floor((p - y)*x2*1000000 + 0.5)) AS g2,
+                     sum(floor((p - y)*x3*1000000 + 0.5)) AS g3,
+                     count(*) AS n
+              FROM (SELECT f.y, f.x1, f.x2, f.x3, {p} AS p
+                    FROM feat f CROSS JOIN w{i-1} w))""",
+            f"""w{i} AS MATERIALIZED (
+              SELECT floor((w.w0 - {cur.QC_LR}*g.g0/g.n/1000000)*1000000 + 0.5)
+                       /1000000 AS w0,
+                     floor((w.w1 - {cur.QC_LR}*g.g1/g.n/1000000)*1000000 + 0.5)
+                       /1000000 AS w1,
+                     floor((w.w2 - {cur.QC_LR}*g.g2/g.n/1000000)*1000000 + 0.5)
+                       /1000000 AS w2,
+                     floor((w.w3 - {cur.QC_LR}*g.g3/g.n/1000000)*1000000 + 0.5)
+                       /1000000 AS w3
+              FROM w{i-1} w, g{i} g)""",
+        ]
+    joined = ",\n".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT f.doc_id, {p} AS prob,
+               ({p} >= 0.5) AS pred, (f.y = 1) AS label
+        FROM feat f CROSS JOIN w{cur.QC_ITERS} w
+    """
+
+
+_CURATION_ORACLE["curate_quality_classifier"] = _quality_classifier_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3695,6 +3756,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_e2e_manifest": cur.e2e_manifest,
         # per-doc wide feature export (train table for a learned filter)
         "curate_features": cur.features_table,
+        # the learned filter itself: fixed-step logistic regression
+        # trained in-engine (grid-exact distributed GD, oracle-replayed)
+        "curate_quality_classifier": cur.quality_classifier,
         # CCNet-style per-language LM-score tertile buckets
         "curate_quality_buckets": cur.quality_buckets,
         # stage-attrition funnel over the keep-list dispositions

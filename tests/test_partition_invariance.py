@@ -54,6 +54,9 @@ QUERIES = [
     "curate_e2e_manifest",
     # corpus-wide pair aggregate with a top-k boundary tiebreak
     "text_bpe_pairs",
+    # grid-integer gradient sums: the GD trajectory must not depend on
+    # partition count or row order (exact integer arithmetic claim)
+    "curate_quality_classifier",
 ]
 
 

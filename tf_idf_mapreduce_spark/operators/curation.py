@@ -1118,3 +1118,134 @@ def features_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_pii",
         )
     )
+
+
+# --- learned quality classifier (distilled linear model) -------------------
+
+#: Classifier hyperparameters. The label is "the doc carries >= QC_HITS_MIN
+#: English function-word hits" (the lang-id lexicon's evidence signal);
+#: features are cheap per-doc ratios, so the learned model is the
+#: distilled-classifier stage of a production pipeline (the fastText /
+#: logreg quality filter trained on expensive labels, applied at scan
+#: speed). lr/iteration count picked where the @6dp-grid GD below reaches
+#: a stable ~0.83 accuracy on the fixtures (Newton's method tops out at
+#: ~0.97 — the gap is the price of the oracle-replayable fixed-step GD).
+QC_LR = 10.0
+QC_ITERS = 25
+QC_HITS_MIN = 2
+QC_LEN_CAP = 1000
+
+
+def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (x1, x2, x3, y) on the repo-wide @6dp grid: scaled
+    English-hit ratio, capped length fraction, scaled punctuation ratio,
+    and the >=QC_HITS_MIN-hits label. Every value is either an exact
+    int/int division or a grid-rounded product, so DuckDB lands on the
+    identical float64s."""
+    from .textstats import STOPWORDS_EN
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", norm_words(F.col("text")).alias("words")
+    )
+    n_words = F.size("words").cast("long")
+    hits = F.size(F.filter(F.col("words"), lambda w: w.isin(*STOPWORDS_EN))).cast(
+        "long"
+    )
+    n_chars = F.length("text").cast("long")
+    n_punct = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"\p{P}", ""))
+    ).cast("long")
+    en_r = F.when(n_words > 0, hits / n_words).otherwise(F.lit(0.0))
+    lenf = F.least(n_words, F.lit(QC_LEN_CAP)) / F.lit(QC_LEN_CAP)
+    punct = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+
+    def grid(c: Column) -> Column:
+        return F.floor(c * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000)
+
+    return d.select(
+        "doc_id",
+        grid(en_r * F.lit(20)).alias("x1"),
+        grid(lenf * F.lit(2)).alias("x2"),
+        grid(punct * F.lit(4)).alias("x3"),
+        (hits >= QC_HITS_MIN).cast("long").alias("y"),
+    )
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression quality/language classifier ON the
+    corpus and score every document with it — the learned-filter stage of
+    a training-data pipeline (heuristic labels in, a cheap linear scorer
+    out), as one deterministic relational computation.
+
+    Fixed-step batch gradient descent, ``QC_ITERS`` iterations: each
+    iteration is ONE tiny aggregate over the (checkpointed) feature
+    relation — per-row grid-rounded sigmoid, per-row INTEGER gradient
+    contributions floor((p−y)·x·1e6+0.5) summed exactly (grid units, so
+    the sum is order-independent integer arithmetic, immune to FP
+    reassociation across partitions), then a 4-number weight update on
+    the driver. Only the weight vector (model state, 4 doubles) ever
+    reaches the driver — the MLlib driver/executor split; the n-row
+    feature relation never moves. At 100 TB each iteration is a map-side
+    partial aggregate over the corpus scan — the classic distributed-GD
+    shape — and the scoring pass is map-only.
+
+    Fully oracle-replayable for the same reason as ``kmeans_fit``:
+    weights live on the @6dp grid, gradients are exact integers, and the
+    update expression is written with identical operation order in both
+    engines; the only cross-engine surface is exp() (~1 ulp), absorbed
+    by the grid everywhere except within ~1e-10 of a rounding boundary.
+    """
+    import math
+
+    feats = _qc_features(spark, sf_dir).localCheckpoint()
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(QC_ITERS):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.floor(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1_000_000)
+            + F.lit(0.5)
+        ) / F.lit(1_000_000)
+        diff = p - F.col("y")
+        row = (
+            feats.select(
+                F.sum(F.floor(diff * F.lit(1_000_000) + F.lit(0.5))).alias("g0"),
+                F.sum(
+                    F.floor(diff * F.col("x1") * F.lit(1_000_000) + F.lit(0.5))
+                ).alias("g1"),
+                F.sum(
+                    F.floor(diff * F.col("x2") * F.lit(1_000_000) + F.lit(0.5))
+                ).alias("g2"),
+                F.sum(
+                    F.floor(diff * F.col("x3") * F.lit(1_000_000) + F.lit(0.5))
+                ).alias("g3"),
+                F.count("*").alias("n"),
+            )
+            .head()
+        )
+        n = row.n
+        w = [
+            math.floor((w[j] - QC_LR * row[f"g{j}"] / n / 1_000_000) * 1_000_000 + 0.5)
+            / 1_000_000
+            for j in range(4)
+        ]
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    prob = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1_000_000) + F.lit(0.5)
+    ) / F.lit(1_000_000)
+    return feats.select(
+        "doc_id",
+        prob.alias("prob"),
+        (prob >= F.lit(0.5)).alias("pred"),
+        (F.col("y") == 1).alias("label"),
+    )
