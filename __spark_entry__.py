@@ -2091,6 +2091,41 @@ _LLMDATA_ORACLE["text_bpe_pairs"] = f"""
     LIMIT {ts.BPE_PAIR_TOP_K}
 """
 
+# Greedy merge-application pricing for the top candidates: positioned
+# pairs, candidate semi-join, gaps-and-islands per (doc, pair), then
+# floor((k+1)/2) merges per k-run — integer // to match the Spark side.
+_LLMDATA_ORACLE["text_bpe_merge_gain"] = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS t
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, i AS pos, t[i] AS tok_left, t[i + 1] AS tok_right
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+            FROM toks WHERE len(t) >= 2)),
+    top AS (
+      SELECT tok_left, tok_right
+      FROM ({_LLMDATA_ORACLE["text_bpe_pairs"]})
+      ORDER BY n DESC, tok_left ASC, tok_right ASC
+      LIMIT {ts.BPE_MERGE_TOP}),
+    m AS (SELECT p.doc_id, p.pos, p.tok_left, p.tok_right
+          FROM pairs p JOIN top USING (tok_left, tok_right)),
+    isl AS (
+      SELECT doc_id, tok_left, tok_right,
+             pos - row_number() OVER (
+               PARTITION BY doc_id, tok_left, tok_right ORDER BY pos) AS grp
+      FROM m),
+    runs AS (
+      SELECT doc_id, tok_left, tok_right, grp, count(*) AS k
+      FROM isl GROUP BY doc_id, tok_left, tok_right, grp)
+    SELECT tok_left, tok_right,
+           CAST(sum(k) AS BIGINT) AS n_adjacent,
+           CAST(sum((k + 1) // 2) AS BIGINT) AS n_merges
+    FROM runs GROUP BY tok_left, tok_right
+    ORDER BY n_adjacent DESC, tok_left ASC, tok_right ASC
+"""
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -3735,6 +3770,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_corpus": ts.clean_corpus,
         # first BPE merge iteration: ranked adjacent pre-token pair counts
         "text_bpe_pairs": ts.bpe_pair_counts,
+        # greedy non-overlapping application count per merge candidate
+        # (self-pair runs: "aaa" = two pairs but ONE merge)
+        "text_bpe_merge_gain": ts.bpe_merge_gain,
         # --- LLM-data pipeline: corpus curation ---
         "curate_contamination": cur.contamination_check,
         "curate_hash_sample": cur.hash_sample,

@@ -100,3 +100,40 @@ def test_clean_corpus_property_random_corpora(spark, tmp_path_factory):
         for r in clean_corpus(spark, str(d)).collect()
     }
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def merge_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("merge")
+    docs = [
+        # "aa aa aa": pair (aa,aa) at pos 1,2 -> one island k=2 -> 1 merge
+        (0, "aa aa aa", "en", "s0"),
+        # "aa aa aa aa": k=3 -> 2 merges (greedy at pos 1 and 3)
+        (1, "aa aa aa aa", "en", "s0"),
+        # "x y x y": (x,y) at pos 1,3 — separate islands, 2 merges
+        (2, "x y x y", "en", "s0"),
+    ]
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bpe_merge_gain_greedy_vs_naive(spark, merge_dir):
+    """Self-pair runs must be corrected: naive adjacent counts exceed
+    greedy merge counts exactly on (a,a) islands; distinct-token pairs
+    are untouched."""
+    from tf_idf_mapreduce_spark.operators.textstats import bpe_merge_gain
+
+    rows = {
+        (r.tok_left, r.tok_right): (r.n_adjacent, r.n_merges)
+        for r in bpe_merge_gain(spark, merge_dir).collect()
+    }
+    # doc0: island k=2 -> 1 merge; doc1: island k=3 -> 2 merges
+    assert rows[("aa", "aa")] == (5, 3)
+    # distinct pair: every occurrence mergeable
+    assert rows[("x", "y")] == (2, 2)
+    # greedy never exceeds naive anywhere
+    for n_adj, n_m in rows.values():
+        assert n_m <= n_adj

@@ -646,3 +646,67 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok_left"), F.asc("tok_right"))
         .limit(BPE_PAIR_TOP_K)
     )
+
+
+BPE_MERGE_TOP = 10
+
+
+def bpe_merge_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price the top-``BPE_MERGE_TOP`` merge candidates: for each, the
+    NAIVE adjacent-pair count vs the number of merges a left-to-right
+    greedy non-overlapping application would actually perform (= tokens
+    actually saved). The two differ exactly on self-pairs (a,a) inside
+    runs — "aaa" counts two (a,a) pairs but supports one merge — which
+    is why a tokenizer trainer applies merges greedily instead of
+    trusting raw pair counts; this report is that correction, per
+    candidate, computed independently per pair (the gain of applying
+    only that merge to the current token stream).
+
+    Shape: one corpus scan explodes positioned pairs (JVM ``transform``
+    over an index sequence), a broadcast semi-join keeps only candidate
+    pairs (10 rows), then gaps-and-islands per (doc, pair) — consecutive
+    match positions form an island; greedy yields floor((k+1)/2) merges
+    per k-length island. The window partitions by (doc, pair) — bounded
+    partitions, no corpus-wide ordering — and the final aggregate is 10
+    rows. At 100 TB: scan + ONE bounded exchange on (doc, pair).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    idx = F.sequence(F.lit(1), F.greatest(F.size("_t") - 1, F.lit(0)))
+    pairs = (
+        d.select("doc_id", toks.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.element_at("_t", i).alias("tok_left"),
+                        F.element_at("_t", i + F.lit(1)).alias("tok_right"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.pos", "p.tok_left", "p.tok_right")
+    )
+    top = bpe_pair_counts(spark, sf_dir).limit(BPE_MERGE_TOP).select(
+        "tok_left", "tok_right"
+    )
+    matched = pairs.join(F.broadcast(top), ["tok_left", "tok_right"])
+    w = Window.partitionBy("doc_id", "tok_left", "tok_right").orderBy("pos")
+    islands = matched.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("doc_id", "tok_left", "tok_right", "grp").agg(
+        F.count("*").alias("k")
+    )
+    return (
+        runs.groupBy("tok_left", "tok_right")
+        .agg(
+            F.sum("k").cast("long").alias("n_adjacent"),
+            F.sum(F.floor((F.col("k") + 1) / 2)).cast("long").alias("n_merges"),
+        )
+        .orderBy(F.desc("n_adjacent"), F.asc("tok_left"), F.asc("tok_right"))
+    )
