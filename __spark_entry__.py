@@ -3577,6 +3577,35 @@ def _quality_classifier_sql() -> str:
 
 _CURATION_ORACLE["curate_quality_classifier"] = _quality_classifier_sql()
 
+# Confusion matrix + grid-rounded derived metrics over the scored
+# relation; expression order mirrors curation.classifier_eval exactly.
+_CURATION_ORACLE["curate_classifier_eval"] = f"""
+    WITH s AS ({_quality_classifier_sql()}),
+    c AS (
+      SELECT CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT)
+               AS tp,
+             CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tn
+      FROM s)
+    SELECT tp, fp, fn, tn,
+      CASE WHEN tp + fp > 0
+           THEN floor((tp / (tp + fp)) * 1000000 + 0.5)/1000000
+           ELSE 0.0 END AS precision,
+      CASE WHEN tp + fn > 0
+           THEN floor((tp / (tp + fn)) * 1000000 + 0.5)/1000000
+           ELSE 0.0 END AS recall,
+      floor(((tp + tn) / (tp + fp + fn + tn)) * 1000000 + 0.5)/1000000
+        AS accuracy,
+      CASE WHEN 2*tp + fp + fn > 0
+           THEN floor((2*tp / (2*tp + fp + fn)) * 1000000 + 0.5)/1000000
+           ELSE 0.0 END AS f1
+    FROM c
+"""
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries in STABLE declaration order (grouped by family), the
@@ -3797,6 +3826,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the learned filter itself: fixed-step logistic regression
         # trained in-engine (grid-exact distributed GD, oracle-replayed)
         "curate_quality_classifier": cur.quality_classifier,
+        # its go/no-go report: confusion matrix + precision/recall/F1
+        "curate_classifier_eval": cur.classifier_eval,
         # CCNet-style per-language LM-score tertile buckets
         "curate_quality_buckets": cur.quality_buckets,
         # stage-attrition funnel over the keep-list dispositions

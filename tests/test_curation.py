@@ -738,3 +738,28 @@ def test_quality_classifier_matches_numpy_replay(spark, sf_dir):
     assert acc >= 0.75
     # and must not be the degenerate always-one-class model
     assert 0.05 < (p >= 0.5).mean() < 0.95
+
+
+def test_classifier_eval_consistent_with_scores(spark, sf_dir):
+    """The confusion matrix must tie out against the scored relation and
+    the derived ratios against their integer definitions."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        classifier_eval,
+        quality_classifier,
+    )
+
+    scored = quality_classifier(spark, sf_dir).toPandas()
+    r = classifier_eval(spark, sf_dir).head()
+    tp = int(((scored.pred) & (scored.label)).sum())
+    fp = int(((scored.pred) & (~scored.label)).sum())
+    fn = int(((~scored.pred) & (scored.label)).sum())
+    tn = int(((~scored.pred) & (~scored.label)).sum())
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    assert r.tp + r.fp + r.fn + r.tn == len(scored)
+    import math
+
+    assert r.accuracy == math.floor((tp + tn) / len(scored) * 1e6 + 0.5) / 1e6
+    if tp + fp:
+        assert r.precision == math.floor(tp / (tp + fp) * 1e6 + 0.5) / 1e6
+    # the fixture model is a real separator, not a constant predictor
+    assert r.accuracy >= 0.75

@@ -1249,3 +1249,47 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (prob >= F.lit(0.5)).alias("pred"),
         (F.col("y") == 1).alias("label"),
     )
+
+
+def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation report for ``quality_classifier``: the confusion matrix
+    and the derived precision / recall / accuracy / F1, as one tiny
+    relation — the go/no-go table a pipeline owner reads before swapping
+    a learned filter in for the heuristic it distills.
+
+    One aggregate over the scored relation (which is itself one more
+    pass over the checkpointed features); ratios are computed from exact
+    integer counts and grid-rounded, so the oracle replays them exactly.
+    At 100 TB this is a map-side-combined count — evaluation is never
+    the bottleneck.
+    """
+    scored = quality_classifier(spark, sf_dir)
+    p, l = F.col("pred"), F.col("label")  # noqa: E741 — l mirrors the math
+    agg = scored.agg(
+        F.sum((p & l).cast("long")).alias("tp"),
+        F.sum((p & ~l).cast("long")).alias("fp"),
+        F.sum((~p & l).cast("long")).alias("fn"),
+        F.sum((~p & ~l).cast("long")).alias("tn"),
+    )
+
+    def grid(c: Column) -> Column:
+        return F.floor(c * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000)
+
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    precision = F.when(tp + fp > 0, grid(tp / (tp + fp))).otherwise(F.lit(0.0))
+    recall = F.when(tp + fn > 0, grid(tp / (tp + fn))).otherwise(F.lit(0.0))
+    accuracy = grid((tp + tn) / n)
+    f1 = F.when(
+        2 * tp + fp + fn > 0, grid(2 * tp / (2 * tp + fp + fn))
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        accuracy.alias("accuracy"),
+        f1.alias("f1"),
+    )
