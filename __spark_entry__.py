@@ -3577,6 +3577,34 @@ def _quality_classifier_sql() -> str:
 
 _CURATION_ORACLE["curate_quality_classifier"] = _quality_classifier_sql()
 
+# Threshold sweep over the scored relation: one fan-out cross join
+# against the constant threshold list, then per-threshold confusion
+# counts + grid ratios (same expression order as curation.classifier_roc).
+_CURATION_ORACLE["curate_classifier_roc"] = f"""
+    WITH s AS ({{CLS}}),
+    t AS (SELECT unnest([{", ".join(repr(x) for x in cur.ROC_THRESHOLDS)}])
+                   AS threshold),
+    agg AS (
+      SELECT threshold,
+        CAST(sum(CASE WHEN prob >= threshold AND label THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+        CAST(sum(CASE WHEN prob >= threshold AND NOT label THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+        CAST(sum(CASE WHEN prob < threshold AND label THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn,
+        CAST(sum(CASE WHEN prob < threshold AND NOT label THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn
+      FROM s CROSS JOIN t GROUP BY threshold)
+    SELECT threshold, tp, fp, fn, tn,
+      CASE WHEN tp + fp > 0
+           THEN floor((tp / (tp + fp)) * 1000000 + 0.5)/1000000
+           ELSE 0.0 END AS precision,
+      CASE WHEN tp + fn > 0
+           THEN floor((tp / (tp + fn)) * 1000000 + 0.5)/1000000
+           ELSE 0.0 END AS recall
+    FROM agg ORDER BY threshold
+""".replace("{CLS}", _quality_classifier_sql())
+
 # Confusion matrix + grid-rounded derived metrics over the scored
 # relation; expression order mirrors curation.classifier_eval exactly.
 _CURATION_ORACLE["curate_classifier_eval"] = f"""
@@ -3828,6 +3856,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_quality_classifier": cur.quality_classifier,
         # its go/no-go report: confusion matrix + precision/recall/F1
         "curate_classifier_eval": cur.classifier_eval,
+        # and the operating curve: per-threshold confusion + P/R
+        "curate_classifier_roc": cur.classifier_roc,
         # CCNet-style per-language LM-score tertile buckets
         "curate_quality_buckets": cur.quality_buckets,
         # stage-attrition funnel over the keep-list dispositions

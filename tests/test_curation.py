@@ -763,3 +763,26 @@ def test_classifier_eval_consistent_with_scores(spark, sf_dir):
         assert r.precision == math.floor(tp / (tp + fp) * 1e6 + 0.5) / 1e6
     # the fixture model is a real separator, not a constant predictor
     assert r.accuracy >= 0.75
+
+
+def test_classifier_roc_monotone_and_ties_out(spark, sf_dir):
+    """Recall must be non-increasing in the threshold, every row's
+    confusion counts must sum to the corpus, and the 0.5 row must equal
+    the point-estimate eval report."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        classifier_eval,
+        classifier_roc,
+    )
+
+    rows = classifier_roc(spark, sf_dir).collect()
+    assert [r.threshold for r in rows] == [
+        0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9
+    ]
+    n = rows[0].tp + rows[0].fp + rows[0].fn + rows[0].tn
+    recalls = [r.recall for r in rows]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    for r in rows:
+        assert r.tp + r.fp + r.fn + r.tn == n
+    ev = classifier_eval(spark, sf_dir).head()
+    mid = next(r for r in rows if r.threshold == 0.5)
+    assert (mid.tp, mid.fp, mid.fn, mid.tn) == (ev.tp, ev.fp, ev.fn, ev.tn)

@@ -1293,3 +1293,47 @@ def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         accuracy.alias("accuracy"),
         f1.alias("f1"),
     )
+
+
+#: Decision thresholds swept by ``classifier_roc`` (inclusive 6dp grid
+#: values — prob >= t keeps the doc).
+ROC_THRESHOLDS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def classifier_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-curve sweep for the learned filter: per candidate
+    decision threshold, the confusion counts and grid-rounded
+    precision / recall — the table a pipeline owner reads to PICK the
+    threshold (trade kept-volume against label fidelity) instead of
+    defaulting to 0.5.
+
+    ONE pass over the scored relation: each row explodes into the 9
+    (threshold, outcome) pairs — a 9× map-side fan-out of 2 small
+    columns, NOT 9 scans — then one aggregate keyed by threshold.
+    At 100 TB: the same single corpus-scan shape as training, fan-out
+    bounded by the constant threshold list.
+    """
+    scored = quality_classifier(spark, sf_dir)
+    t = F.explode(
+        F.array(*[F.lit(x) for x in ROC_THRESHOLDS])
+    ).alias("threshold")
+    e = scored.select("prob", "label", t)
+    pred = F.col("prob") >= F.col("threshold")
+
+    def grid(c: Column) -> Column:
+        return F.floor(c * F.lit(1_000_000) + F.lit(0.5)) / F.lit(1_000_000)
+
+    agg = e.groupBy("threshold").agg(
+        F.sum((pred & F.col("label")).cast("long")).alias("tp"),
+        F.sum((pred & ~F.col("label")).cast("long")).alias("fp"),
+        F.sum((~pred & F.col("label")).cast("long")).alias("fn"),
+        F.sum((~pred & ~F.col("label")).cast("long")).alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision = F.when(tp + fp > 0, grid(tp / (tp + fp))).otherwise(F.lit(0.0))
+    recall = F.when(tp + fn > 0, grid(tp / (tp + fn))).otherwise(F.lit(0.0))
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+    ).orderBy("threshold")
