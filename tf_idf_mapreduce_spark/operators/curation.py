@@ -1172,6 +1172,69 @@ def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Trained-weights cache — same contract as the IVF centroid / PQ
+#: codebook caches: keyed by (sf_dir, documents fingerprint, partition
+#: conf) so a regenerated fixture or invariance config refits while one
+#: session's train/eval/sweep queries fit ONCE.
+_QC_WEIGHTS_CACHE: dict[tuple, list] = {}
+
+
+def _qc_fit(spark: SparkSession, sf_dir: str) -> list:
+    """The ``QC_ITERS``-step grid GD described in ``quality_classifier``,
+    with the process-lifetime model cache in front. Returns the 4-double
+    weight vector (the only state that ever reaches the driver)."""
+    import math
+
+    from ..sources.io import table_fingerprint
+
+    key = (
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    cached = _QC_WEIGHTS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    feats = _qc_features(spark, sf_dir).localCheckpoint()
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(QC_ITERS):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.floor(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1_000_000)
+            + F.lit(0.5)
+        ) / F.lit(1_000_000)
+        diff = p - F.col("y")
+        row = feats.select(
+            F.sum(F.floor(diff * F.lit(1_000_000) + F.lit(0.5))).alias("g0"),
+            F.sum(
+                F.floor(diff * F.col("x1") * F.lit(1_000_000) + F.lit(0.5))
+            ).alias("g1"),
+            F.sum(
+                F.floor(diff * F.col("x2") * F.lit(1_000_000) + F.lit(0.5))
+            ).alias("g2"),
+            F.sum(
+                F.floor(diff * F.col("x3") * F.lit(1_000_000) + F.lit(0.5))
+            ).alias("g3"),
+            F.count("*").alias("n"),
+        ).head()
+        n = row.n
+        w = [
+            math.floor(
+                (w[j] - QC_LR * row[f"g{j}"] / n / 1_000_000) * 1_000_000 + 0.5
+            )
+            / 1_000_000
+            for j in range(4)
+        ]
+    _QC_WEIGHTS_CACHE[key] = w
+    return w
+
+
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a logistic-regression quality/language classifier ON the
     corpus and score every document with it — the learned-filter stage of
@@ -1195,45 +1258,15 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     update expression is written with identical operation order in both
     engines; the only cross-engine surface is exp() (~1 ulp), absorbed
     by the grid everywhere except within ~1e-10 of a rounding boundary.
-    """
-    import math
 
-    feats = _qc_features(spark, sf_dir).localCheckpoint()
-    w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(QC_ITERS):
-        z = (
-            F.lit(w[0])
-            + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2")
-            + F.lit(w[3]) * F.col("x3")
-        )
-        p = F.floor(
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) * F.lit(1_000_000)
-            + F.lit(0.5)
-        ) / F.lit(1_000_000)
-        diff = p - F.col("y")
-        row = (
-            feats.select(
-                F.sum(F.floor(diff * F.lit(1_000_000) + F.lit(0.5))).alias("g0"),
-                F.sum(
-                    F.floor(diff * F.col("x1") * F.lit(1_000_000) + F.lit(0.5))
-                ).alias("g1"),
-                F.sum(
-                    F.floor(diff * F.col("x2") * F.lit(1_000_000) + F.lit(0.5))
-                ).alias("g2"),
-                F.sum(
-                    F.floor(diff * F.col("x3") * F.lit(1_000_000) + F.lit(0.5))
-                ).alias("g3"),
-                F.count("*").alias("n"),
-            )
-            .head()
-        )
-        n = row.n
-        w = [
-            math.floor((w[j] - QC_LR * row[f"g{j}"] / n / 1_000_000) * 1_000_000 + 0.5)
-            / 1_000_000
-            for j in range(4)
-        ]
+    The fit is cached per (sf_dir, data fingerprint, partition conf) —
+    the same process-lifetime model-cache contract as the IVF centroids
+    and PQ codebooks: train once, score/evaluate/sweep many times (the
+    production shape; also what keeps ``classifier_eval`` /
+    ``classifier_roc`` from re-paying the 25-job fit in one session).
+    """
+    w = _qc_fit(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
     z = (
         F.lit(w[0])
         + F.lit(w[1]) * F.col("x1")

@@ -287,3 +287,25 @@ def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
         .alias("val"),
     )
 
+
+
+def table_fingerprint(sf_dir: str, table: str) -> tuple:
+    """Cheap data fingerprint for process-lifetime model caches:
+    (path, mtime_ns, size) of every file under the table's parquet path.
+    A regenerated fixture at the same path (e.g. an in-process test
+    rebuild) changes the fingerprint and invalidates cached model state
+    instead of silently reusing stale fits. Pure os.stat — no Spark job.
+    (Same contract as the similarity module's embeddings fingerprint,
+    generalized to any table.)"""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    stats = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        stats.append((path, st.st_mtime_ns, st.st_size))
+    elif os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                stats.append((p, st.st_mtime_ns, st.st_size))
+    return tuple(stats)
