@@ -539,3 +539,32 @@ def test_cluster_profile_is_a_partition_of_the_corpus(spark, sf_dir):
         assert 0 <= r.cid < sim.IVF_K
         assert 0 <= r.n_quality_keep <= r.n_docs
         assert r.top_source in sources
+
+
+def test_cosine_corrupt_vector_contract(spark):
+    """Zero-norm, NULL, and dimension-mismatched embeddings must yield
+    NULL cosine (visible damage), never an ANSI DIVIDE_BY_ZERO job
+    abort — and valid rows must be bit-identical to the raw division."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # query
+            (1, [3.0, 4.0]),   # valid
+            (2, [0.0, 0.0]),   # zero norm: the 100 TB dead-doc case
+            (3, None),         # null embedding
+            (4, [1.0]),        # dimension mismatch
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    got = {
+        r.vec_id: r.cos
+        for r in df.crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("embedding"), F.col("q_emb")).alias("cos"))
+        .collect()
+    }
+    assert got[1] == pytest.approx(3.0 / 5.0, abs=0)  # exact division
+    assert got[2] is None
+    assert got[3] is None
+    assert got[4] is None

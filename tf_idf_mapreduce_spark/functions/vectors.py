@@ -27,8 +27,19 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity in float64. Callers that cross an engine boundary
-    should round (the oracle's summation order differs at ~1e-15)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    should round (the oracle's summation order differs at ~1e-15).
+
+    Corrupt-row contract (the reader-contract convention, extended to
+    vectors): a ZERO-NORM embedding — which a 100 TB corpus will contain
+    (dead doc, failed encoder) — yields NULL instead of aborting the job
+    with ANSI DIVIDE_BY_ZERO; NULL and dimension-mismatched embeddings
+    propagate NULL through the fold the same way. Damage is visible
+    (null cos, naturally excluded by every >= threshold), never fatal,
+    never silently scored. For valid rows the guarded expression is the
+    IDENTICAL division — bit-for-bit unchanged, so every oracle holds.
+    """
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 # NB: the type object, not the "double" DDL string — string parsing needs an
