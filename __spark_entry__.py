@@ -2693,6 +2693,42 @@ _RETRIEVAL_ORACLE: dict[str, str] = {
            string_agg(doc || ':' || "count", ' ' ORDER BY doc) AS postings
     FROM wc GROUP BY word
     """,
+    # exact-phrase search: the ordered token ARRAY per doc (same two-level
+    # normalization chain as _TOKENS_CTE, list form so order is explicit —
+    # list_transform/list_filter/flatten preserve it), then an adjacency
+    # count over an index list. Phrase constants = retrieval.PHRASE_QUERY.
+    "tfidf_phrase_search": f"""
+    WITH corpus AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc, text FROM documents
+    ),
+    toks AS (
+      SELECT doc, flatten(list_transform(
+        list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'),
+                    t -> t <> ''),
+        t -> list_filter(regexp_split_to_array(lower(
+          regexp_replace(
+          regexp_replace(
+          regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              CASE WHEN regexp_matches(t, '\\d') THEN '' ELSE t END,
+              '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&apos;', ''''), '&nbsp;', ' '),
+            '<[^>]+>', '', 'g'),
+            '^[\\pP$+\\-=<>]+', ''),
+            '[\\pP$+\\-=<>]+$', '')
+        ), '[ \\t\\n\\r\\f]+'), w -> w <> '')
+      )) AS words
+      FROM corpus)
+    SELECT doc, n_occurrences FROM (
+      SELECT doc,
+        CAST(len(list_filter(generate_series(1, len(words) - 1),
+             i -> words[i] = '{rtv.PHRASE_QUERY[0]}'
+                  AND words[i + 1] = '{rtv.PHRASE_QUERY[1]}')) AS BIGINT)
+          AS n_occurrences
+      FROM toks WHERE len(words) >= 2)
+    WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc ASC
+    """,
     # sparse cosine over top-K pruned tf-idf vectors; K / result size must
     # match retrieval.DOCSIM_TOP_TERMS / DOCSIM_TOP_PAIRS. `scored.tfidf`
     # is already rounded @6dp, matching the Spark side's pre-dot rounding.
@@ -3667,6 +3703,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docsim": rtv.doc_similarity,
         "tfidf_docsim_lsh": rtv.doc_similarity_lsh,
         "tfidf_docsim_lsh_overlap": rtv.doc_similarity_lsh_overlap,
+        # exact-phrase (positional) search — map-only adjacency over the
+        # ordered reference-tokenizer stream
+        "tfidf_phrase_search": rtv.phrase_search,
         # --- relational surface (SURVEY.md §2.5-2.7 gaps) ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_distinct_agg": rel.distinct_agg_by_nation,

@@ -21,7 +21,8 @@ def _plan(spark, name: str) -> str:
     "name",
     ["rel_revenue_by_nation", "rel_brand_revenue", "temporal_range_join",
      "dedup_minhash_pairs", "rel_sql_q18", "curate_train_manifest",
-     "text_clean_corpus", "curate_features", "text_bpe_pairs"],
+     "text_clean_corpus", "curate_features", "text_bpe_pairs",
+     "tfidf_phrase_search"],
 )
 def test_no_nested_loop_joins(spark, name):
     plan = _plan(spark, name)

@@ -136,3 +136,29 @@ def test_doc_similarity_identical_docs_score_one(spark, tmp_path_factory):
     top = doc_similarity(spark, str(d)).collect()
     assert (top[0].doc_a, top[0].doc_b) == ("1", "2")
     assert abs(top[0].cosine - 1.0) < 1e-6
+
+
+def test_phrase_search_planted(spark, tmp_path):
+    """Adjacency is post-normalization (reference word slots): case
+    folds, digit tokens VANISH (so words around them become adjacent),
+    and overlapping occurrences each count."""
+    from pyspark.sql import functions as F  # noqa: F811 — local clarity
+
+    from tf_idf_mapreduce_spark.operators.retrieval import phrase_search
+
+    docs = [
+        (0, "table hash table hash", "en", "s0", 21),   # 2 occurrences
+        (1, "Table HASH!", "en", "s0", 11),             # case + trail punct
+        (2, "table 123 hash", "en", "s0", 14),          # digit drop -> adjacent
+        (3, "table of hash", "en", "s0", 13),           # NOT adjacent
+        (4, "hash table", "en", "s0", 10),              # wrong order
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc: r.n_occurrences
+        for r in phrase_search(spark, str(tmp_path)).collect()
+    }
+    assert got == {"0": 2, "1": 1, "2": 1}

@@ -421,3 +421,61 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("count").alias("total_tf"),
         postings.alias("postings"),
     )
+
+
+#: The exact-phrase query served by ``phrase_search`` (a corpus-frequent
+#: bigram; the oracle builder takes the SAME constant).
+PHRASE_QUERY = ("table", "hash")
+
+
+def phrase_search(
+    spark: SparkSession, sf_dir: str, phrase: tuple[str, str] = PHRASE_QUERY
+) -> DataFrame:
+    """Exact-phrase search: documents containing the two query words
+    ADJACENT in reference-tokenizer order, with the occurrence count —
+    the positional-postings capability (Lucene PhraseQuery shape) the
+    bag-of-words pipeline cannot express, served here without building
+    a positional index at all.
+
+    Row-level formulation — the tokenizer's codegen explode chain (the
+    measured 10-100x winner over the interpreted higher-order-function
+    array form: 60.8s -> sub-second at sf0.1) with positions carried as
+    (outer_pos, inner_pos) posexplode indices, then ONE ``lead`` window
+    per doc (bounded partitions — a doc's token stream, the textstats
+    windowing convention) to pair each word with its successor in
+    reference order. At 100 TB this is the scan-speed grep tier; a
+    served system would front it with the ``tfidf_postings`` index to
+    prune candidate docs (df of the rarest term), then run THIS check
+    only on candidates — the standard two-tier phrase plan, of which
+    this is the exact tier. Cites: WordCount.java:77-98 tokenizer
+    semantics (positions are post-normalization word slots; dropped
+    tokens — digits, emptied punctuation — close the gap, so words
+    around them ARE adjacent, exactly the reference's stream order).
+    """
+    from ..functions.tokenize import _WS, standardize_token
+
+    d = documents_as_corpus(load_table(spark, sf_dir, "documents"))
+    outer = d.select(
+        "doc",
+        F.posexplode(F.split(F.col("text"), _WS)).alias("opos", "tok"),
+    ).where(F.col("tok") != "")
+    std = outer.select(
+        "doc", "opos", standardize_token(F.col("tok")).alias("norm")
+    )
+    words = std.select(
+        "doc",
+        "opos",
+        F.posexplode(F.split(F.col("norm"), _WS)).alias("ipos", "word"),
+    ).where(F.col("word") != "")
+    w = Window.partitionBy("doc").orderBy("opos", "ipos")
+    paired = words.select(
+        "doc", "word", F.lead("word").over(w).alias("next_word")
+    )
+    return (
+        paired.where(
+            (F.col("word") == phrase[0]) & (F.col("next_word") == phrase[1])
+        )
+        .groupBy("doc")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("doc"))
+    )
