@@ -57,6 +57,9 @@ QUERIES = [
     # grid-integer gradient sums: the GD trajectory must not depend on
     # partition count or row order (exact integer arithmetic claim)
     "curate_quality_classifier",
+    # per-doc lead window over (opos, ipos): adjacency must not depend
+    # on how the exploded token rows are partitioned
+    "tfidf_phrase_search",
 ]
 
 
