@@ -3072,6 +3072,40 @@ _CURATION_ORACLE: dict[str, str] = {
                (cum_tokens - n_tokens) // {cur.SHARD_TOKEN_BUDGET} AS shard_id
         FROM c
     """,
+    # sequence packing: same prefix sum, docs SPLIT across fixed-length
+    # sequence windows; all-integer clipping arithmetic (greatest/least)
+    # mirrored from curation.sequence_pack.
+    "curate_sequence_pack": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t
+        ),
+        spans AS (
+          SELECT doc_id, n_tokens, cum_tokens - n_tokens AS st,
+                 unnest(generate_series(
+                   (cum_tokens - n_tokens) // {cur.SEQ_PACK_LEN},
+                   (cum_tokens - 1) // {cur.SEQ_PACK_LEN})) AS seq_id
+          FROM c WHERE n_tokens > 0
+        )
+        SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+          CAST(greatest(st, seq_id * {cur.SEQ_PACK_LEN})
+               - seq_id * {cur.SEQ_PACK_LEN} AS BIGINT) AS seq_offset,
+          CAST(greatest(st, seq_id * {cur.SEQ_PACK_LEN}) - st AS BIGINT)
+            AS doc_offset,
+          CAST(least(st + n_tokens, (seq_id + 1) * {cur.SEQ_PACK_LEN})
+               - greatest(st, seq_id * {cur.SEQ_PACK_LEN}) AS BIGINT)
+            AS piece_len
+        FROM spans ORDER BY seq_id, seq_offset
+    """,
     "curate_stratified_sample": f"""
         WITH b AS (
           SELECT doc_id, lang,
@@ -3877,6 +3911,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_mixture": cur.mixture_report,
         "curate_profile": cur.profile_table,
         "curate_shard_pack": cur.shard_pack,
+        # fixed-length sequence packing with document splits — the
+        # dataloader index between the shard manifest and the tokenizer
+        "curate_sequence_pack": cur.sequence_pack,
         "curate_train_manifest": cur.train_manifest,
         "curate_split": cur.split_report,
         # per-source unigram KL from the corpus distribution (drift)

@@ -786,3 +786,54 @@ def test_classifier_roc_monotone_and_ties_out(spark, sf_dir):
     ev = classifier_eval(spark, sf_dir).head()
     mid = next(r for r in rows if r.threshold == 0.5)
     assert (mid.tp, mid.fp, mid.fn, mid.tn) == (ev.tp, ev.fp, ev.fn, ev.tn)
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """Pieces tile the token stream exactly: per doc they sum to
+    n_tokens with contiguous doc offsets; per sequence they fit in
+    SEQ_PACK_LEN without overlap; every interior sequence is full."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SEQ_PACK_LEN,
+        sequence_pack,
+    )
+    from tf_idf_mapreduce_spark.operators.textstats import BPE_ISH_PATTERN
+
+    rows = sequence_pack(spark, sf_dir).collect()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("n"),
+        ).collect()
+        if r.n > 0
+    }
+    by_doc, by_seq = defaultdict(list), defaultdict(list)
+    for r in rows:
+        assert r.piece_len > 0
+        by_doc[r.doc_id].append(r)
+        by_seq[r.seq_id].append(r)
+    assert set(by_doc) == set(want)
+    for doc, ps in by_doc.items():
+        ps.sort(key=lambda r: r.doc_offset)
+        assert sum(p.piece_len for p in ps) == want[doc]
+        off = 0
+        for p in ps:
+            assert p.doc_offset == off
+            off += p.piece_len
+    full = max(by_seq)
+    for seq, ps in by_seq.items():
+        ps.sort(key=lambda r: r.seq_offset)
+        off = ps[0].seq_offset
+        for p in ps:
+            assert p.seq_offset == off
+            off += p.piece_len
+        assert off <= SEQ_PACK_LEN
+        if seq < full:  # interior sequences are packed to the brim
+            assert ps[0].seq_offset == 0 and off == SEQ_PACK_LEN

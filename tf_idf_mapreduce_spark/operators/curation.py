@@ -1370,3 +1370,75 @@ def classifier_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
         precision.alias("precision"),
         recall.alias("recall"),
     ).orderBy("threshold")
+
+
+#: Fixed training-sequence length for ``sequence_pack`` (tokens).
+SEQ_PACK_LEN = 256
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the stage BETWEEN the shard manifest and the
+    tokenizer: lay the corpus token stream (doc_id order, the
+    ``shard_pack`` convention) into fixed-``SEQ_PACK_LEN`` training
+    sequences, SPLITTING documents across sequence boundaries, and emit
+    one row per (document, sequence) piece: where in the sequence the
+    piece sits (``seq_offset``), where in the document it starts
+    (``doc_offset``), and its length — exactly the index a dataloader
+    needs to materialize packed examples with document-boundary masks.
+
+    Unlike ``shard_pack`` (whole docs, budget-sized files), packing must
+    split: a doc spanning [start, start+n) in the global stream covers
+    sequences floor(start/L)..floor((start+n-1)/L), each piece clipped
+    to its sequence window. The global positions come from the SAME
+    distributed two-phase prefix sum; the spans explode into at most
+    ceil(n/L)+1 pieces per doc — bounded fan-out, no shuffle beyond the
+    prefix sum's two bounded exchanges. Every output column is exact
+    integer arithmetic, so the DuckDB oracle replays it verbatim.
+    """
+    from .textstats import BPE_ISH_PATTERN
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    ).withColumn(
+        "bucket", F.floor(F.col("doc_id") / SHARD_PREFIX_BUCKET).cast("long")
+    )
+    cum = two_phase_running_sum(
+        tok,
+        bucket="bucket",
+        order_by=["doc_id"],
+        value=F.col("n_tokens"),
+        out="cum_tokens",
+    ).where(F.col("n_tokens") > 0)
+    L = F.lit(SEQ_PACK_LEN)
+    start = (F.col("cum_tokens") - F.col("n_tokens")).alias("start")
+    spans = cum.select(
+        "doc_id",
+        "n_tokens",
+        start,
+        F.col("cum_tokens").alias("end"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / L).cast("long"),
+                F.floor((F.col("end") - 1) / L).cast("long"),
+            )
+        ).alias("seq_id"),
+    )
+    piece_start = F.greatest(F.col("start"), F.col("seq_id") * L)
+    piece_end = F.least(
+        F.col("start") + F.col("n_tokens"), (F.col("seq_id") + 1) * L
+    )
+    return spans.select(
+        "doc_id",
+        "seq_id",
+        (piece_start - F.col("seq_id") * L).cast("long").alias("seq_offset"),
+        (piece_start - F.col("start")).cast("long").alias("doc_offset"),
+        (piece_end - piece_start).cast("long").alias("piece_len"),
+    ).orderBy("seq_id", "seq_offset")
