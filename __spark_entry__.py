@@ -3106,6 +3106,55 @@ _CURATION_ORACLE: dict[str, str] = {
             AS piece_len
         FROM spans ORDER BY seq_id, seq_offset
     """,
+    # materialized packed sequences: sequence_pack's CTEs + per-doc token
+    # lists, pieces cut by 1-based inclusive slicing, assembled in
+    # seq_offset order (string_agg ORDER BY — deterministic, not arrival)
+    "curate_packed_sequences": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS toks,
+                 CAST(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, toks, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t
+        ),
+        spans AS (
+          SELECT doc_id, toks, n_tokens, cum_tokens - n_tokens AS st,
+                 unnest(generate_series(
+                   (cum_tokens - n_tokens) // {cur.SEQ_PACK_LEN},
+                   (cum_tokens - 1) // {cur.SEQ_PACK_LEN})) AS seq_id
+          FROM c WHERE n_tokens > 0
+        ),
+        pieces AS (
+          SELECT CAST(seq_id AS BIGINT) AS seq_id,
+            CAST(greatest(st, seq_id * {cur.SEQ_PACK_LEN})
+                 - seq_id * {cur.SEQ_PACK_LEN} AS BIGINT) AS seq_offset,
+            CAST(least(st + n_tokens, (seq_id + 1) * {cur.SEQ_PACK_LEN})
+                 - greatest(st, seq_id * {cur.SEQ_PACK_LEN}) AS BIGINT)
+              AS piece_len,
+            toks[CAST(greatest(st, seq_id * {cur.SEQ_PACK_LEN}) - st + 1
+                      AS BIGINT)
+                 :CAST(greatest(st, seq_id * {cur.SEQ_PACK_LEN}) - st
+                       + least(st + n_tokens, (seq_id + 1) * {cur.SEQ_PACK_LEN})
+                       - greatest(st, seq_id * {cur.SEQ_PACK_LEN})
+                       AS BIGINT)] AS piece
+          FROM spans
+        )
+        SELECT seq_id,
+               CAST(count(*) AS BIGINT) AS n_pieces,
+               CAST(sum(piece_len) AS BIGINT) AS n_tokens,
+               string_agg(array_to_string(piece, ' '), ' '
+                          ORDER BY seq_offset) AS packed_text
+        FROM pieces GROUP BY seq_id
+        ORDER BY seq_id
+    """,
     "curate_stratified_sample": f"""
         WITH b AS (
           SELECT doc_id, lang,
@@ -3914,6 +3963,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-length sequence packing with document splits — the
         # dataloader index between the shard manifest and the tokenizer
         "curate_sequence_pack": cur.sequence_pack,
+        # ...and the materialized packed sequences that index describes
+        "curate_packed_sequences": cur.packed_sequences,
         "curate_train_manifest": cur.train_manifest,
         "curate_split": cur.split_report,
         # per-source unigram KL from the corpus distribution (drift)

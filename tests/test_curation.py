@@ -837,3 +837,37 @@ def test_sequence_pack_invariants(spark, sf_dir):
         assert off <= SEQ_PACK_LEN
         if seq < full:  # interior sequences are packed to the brim
             assert ps[0].seq_offset == 0 and off == SEQ_PACK_LEN
+
+
+def test_packed_sequences_reconstruct_the_corpus(spark, sf_dir):
+    """Concatenating the packed sequences in seq_id order must
+    reproduce the corpus token stream in doc_id order exactly, with
+    every interior sequence holding exactly SEQ_PACK_LEN tokens."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SEQ_PACK_LEN,
+        packed_sequences,
+    )
+    from tf_idf_mapreduce_spark.operators.textstats import BPE_ISH_PATTERN
+
+    rows = packed_sequences(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.seq_id)
+    stream = " ".join(r.packed_text for r in rows).split(" ")
+    want = []
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.regexp_extract_all(
+                F.col("text"), F.lit(BPE_ISH_PATTERN), 0
+            ).alias("t"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    ):
+        want.extend(r.t)
+    assert stream == want
+    for r in rows[:-1]:
+        assert r.n_tokens == SEQ_PACK_LEN
+        assert len(r.packed_text.split(" ")) == SEQ_PACK_LEN

@@ -1442,3 +1442,57 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (piece_start - F.col("start")).cast("long").alias("doc_offset"),
         (piece_end - piece_start).cast("long").alias("piece_len"),
     ).orderBy("seq_id", "seq_offset")
+
+
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile: MATERIALIZE the packed training sequences the
+    ``sequence_pack`` index describes — per sequence, the concatenated
+    token stream (space-joined, the engine's hashable interchange
+    render), how many document pieces it holds, and its token count.
+    What a dataloader would actually feed the trainer, produced by the
+    engine end to end.
+
+    One corpus scan re-derives each doc's ordered token list
+    (regexp_extract_all — same convention as the pack), an equi-join
+    attaches it to the piece index, ``slice`` cuts each piece, and ONE
+    exchange on seq_id assembles sequences (rows bounded by
+    ``SEQ_PACK_LEN`` tokens by construction — the group can never
+    exceed the sequence window, so the wide row is capped). Order
+    within a sequence is the deterministic (seq_offset) sort, not
+    arrival order.
+    """
+    from .textstats import BPE_ISH_PATTERN
+
+    pieces = sequence_pack(spark, sf_dir)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0).alias(
+            "toks"
+        ),
+    )
+    cut = pieces.join(toks, "doc_id").select(
+        "seq_id",
+        "seq_offset",
+        "piece_len",
+        F.slice(
+            F.col("toks"), F.col("doc_offset") + 1, F.col("piece_len")
+        ).alias("piece"),
+    )
+    assembled = F.array_join(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq_offset", "piece"))),
+                lambda s: s["piece"],
+            )
+        ),
+        " ",
+    )
+    return (
+        cut.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pieces"),
+            F.sum("piece_len").cast("long").alias("n_tokens"),
+            assembled.alias("packed_text"),
+        )
+        .orderBy("seq_id")
+    )
