@@ -66,3 +66,53 @@ def test_chaos_corpus_never_aborts(spark, chaos_dir, name):
     df = entrymod.queries()[name](spark, chaos_dir)
     rows = df.collect()  # the assertion IS completing without an abort
     assert rows is not None
+
+
+@pytest.fixture(scope="module")
+def chaos_events_dir(spark, tmp_path_factory):
+    import datetime
+
+    d = tmp_path_factory.mktemp("chaos_events")
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    ts = datetime.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (0, ts, 1, "click", 1.0, "{}"),
+        (1, None, 1, "purchase", 2.0, "{}"),          # null timestamp
+        (2, ts, None, "click", 3.0, "{}"),            # null user
+        (3, ts, 2, None, None, None),                 # null type/value/props
+        (4, ts + datetime.timedelta(days=400), 2, "click",
+         float("nan"), "{}"),                         # NaN value, far future
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return str(d)
+
+
+# representative spread: windows, sessionize, funnel, as-of joins, SCD2,
+# CDC, anomaly — the operators where a null ts/user or NaN value would
+# poison a window frame or an ANSI comparison
+NASTY_EVENT_QUERIES = [
+    "events_sessionize",
+    "events_funnel",
+    "events_retention",
+    "events_anomaly",
+    "events_rfm",
+    "temporal_asof_join",
+    "temporal_latest_snapshot",
+    "temporal_range_join",
+]
+
+
+@pytest.mark.parametrize("name", NASTY_EVENT_QUERIES)
+def test_chaos_events_never_abort(spark, chaos_events_dir, name):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()[name](spark, chaos_events_dir).collect()
+    assert rows is not None
