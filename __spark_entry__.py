@@ -2729,6 +2729,44 @@ _RETRIEVAL_ORACLE: dict[str, str] = {
     WHERE n_occurrences > 0
     ORDER BY n_occurrences DESC, doc ASC
     """,
+    # unordered NEAR/k proximity: the same ordered-list tokenizer replay,
+    # per-term position lists joined per doc with |pa - pb| <= k.
+    # Constants = retrieval.PHRASE_QUERY / NEAR_WINDOW.
+    "tfidf_near_search": f"""
+    WITH corpus AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc, text FROM documents
+    ),
+    toks AS (
+      SELECT doc, flatten(list_transform(
+        list_filter(regexp_split_to_array(text, '[ \\t\\n\\r\\f]+'),
+                    t -> t <> ''),
+        t -> list_filter(regexp_split_to_array(lower(
+          regexp_replace(
+          regexp_replace(
+          regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              CASE WHEN regexp_matches(t, '\\d') THEN '' ELSE t END,
+              '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&apos;', ''''), '&nbsp;', ' '),
+            '<[^>]+>', '', 'g'),
+            '^[\\pP$+\\-=<>]+', ''),
+            '[\\pP$+\\-=<>]+$', '')
+        ), '[ \\t\\n\\r\\f]+'), w -> w <> '')
+      )) AS words
+      FROM corpus),
+    pos AS (
+      SELECT doc, i AS p, words[i] AS w
+      FROM (SELECT doc, words,
+                   unnest(generate_series(1, len(words))) AS i
+            FROM toks WHERE len(words) >= 1)),
+    a AS (SELECT doc, p FROM pos WHERE w = '{rtv.PHRASE_QUERY[0]}'),
+    b AS (SELECT doc, p FROM pos WHERE w = '{rtv.PHRASE_QUERY[1]}')
+    SELECT a.doc, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.doc = b.doc
+    WHERE abs(a.p - b.p) <= {rtv.NEAR_WINDOW}
+    GROUP BY a.doc
+    ORDER BY n_pairs DESC, a.doc ASC
+    """,
     # sparse cosine over top-K pruned tf-idf vectors; K / result size must
     # match retrieval.DOCSIM_TOP_TERMS / DOCSIM_TOP_PAIRS. `scored.tfidf`
     # is already rounded @6dp, matching the Spark side's pre-dot rounding.
@@ -3789,6 +3827,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-phrase (positional) search — map-only adjacency over the
         # ordered reference-tokenizer stream
         "tfidf_phrase_search": rtv.phrase_search,
+        # unordered NEAR/k proximity over per-term position lists
+        "tfidf_near_search": rtv.near_search,
         # --- relational surface (SURVEY.md §2.5-2.7 gaps) ---
         "rel_pricing_summary": rel.pricing_summary,
         "rel_distinct_agg": rel.distinct_agg_by_nation,

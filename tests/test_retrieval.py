@@ -162,3 +162,30 @@ def test_phrase_search_planted(spark, tmp_path):
         for r in phrase_search(spark, str(tmp_path)).collect()
     }
     assert got == {"0": 2, "1": 1, "2": 1}
+
+
+def test_near_search_planted(spark, tmp_path):
+    """NEAR/k is unordered and window-bounded: both orders count, pairs
+    beyond k don't, and every phrase match is also a NEAR match."""
+    from tf_idf_mapreduce_spark.operators.retrieval import (
+        near_search,
+        phrase_search,
+    )
+
+    docs = [
+        (0, "table x hash", "en", "s0", 13),       # distance 2: within k=3
+        (1, "hash x y table", "en", "s0", 14),     # reversed, distance 3
+        (2, "table x y z hash", "en", "s0", 16),   # distance 4: outside
+        (3, "table hash", "en", "s0", 10),         # adjacent (phrase too)
+        (4, "table table hash", "en", "s0", 16),   # 2 pairs within k
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc: r.n_pairs for r in near_search(spark, str(tmp_path)).collect()
+    }
+    assert got == {"0": 1, "1": 1, "3": 1, "4": 2}
+    phrase = {r.doc for r in phrase_search(spark, str(tmp_path)).collect()}
+    assert phrase <= set(got)  # phrase matches are a subset of NEAR

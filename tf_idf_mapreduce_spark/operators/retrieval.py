@@ -479,3 +479,61 @@ def phrase_search(
         .agg(F.count("*").cast("long").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("doc"))
     )
+
+
+#: Unordered proximity window for ``near_search`` (token positions).
+NEAR_WINDOW = 3
+
+
+def near_search(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, str] = PHRASE_QUERY,
+    k: int = NEAR_WINDOW,
+) -> DataFrame:
+    """Proximity (NEAR/k) search: documents where the two query terms
+    occur within ``k`` token positions of each other IN EITHER ORDER,
+    with the co-occurrence pair count — the relevance tier between
+    bag-of-words AND and the exact phrase, same capability family as
+    Lucene's SpanNearQuery (unordered).
+
+    Positions are dense ranks over the reference-token stream (the
+    ``phrase_search`` explode chain + one per-doc row_number window).
+    The two term-position relations are FILTERED BEFORE the join — each
+    is the term's per-doc occurrence list, posting-list sized, so the
+    per-doc position join is bounded by tf(term) not doc length; at
+    100 TB both sides prune at the scan (pushed `word = term` filters)
+    and co-partition on doc. Counting PAIRS (not matched occurrences)
+    makes the score symmetric in the terms.
+    """
+    from ..functions.tokenize import _WS, standardize_token
+
+    d = documents_as_corpus(load_table(spark, sf_dir, "documents"))
+    outer = d.select(
+        "doc",
+        F.posexplode(F.split(F.col("text"), _WS)).alias("opos", "tok"),
+    ).where(F.col("tok") != "")
+    words = (
+        outer.select(
+            "doc", "opos", standardize_token(F.col("tok")).alias("norm")
+        )
+        .select(
+            "doc",
+            "opos",
+            F.posexplode(F.split(F.col("norm"), _WS)).alias("ipos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    w = Window.partitionBy("doc").orderBy("opos", "ipos")
+    pos = words.select(
+        "doc", "word", F.row_number().over(w).alias("p")
+    ).where(F.col("word").isin(*terms))
+    a = pos.where(F.col("word") == terms[0]).select("doc", F.col("p").alias("pa"))
+    b = pos.where(F.col("word") == terms[1]).select("doc", F.col("p").alias("pb"))
+    return (
+        a.join(b, "doc")
+        .where(F.abs(F.col("pa") - F.col("pb")) <= k)
+        .groupBy("doc")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("doc"))
+    )
