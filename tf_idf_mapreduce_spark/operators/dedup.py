@@ -861,6 +861,12 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_COSINE = NEARDUP_MIN_COSINE
 
 
+#: Session-lifetime cache of the composed SemDeDup disposition — a
+#: checkpointed DataFrame (executor-side blocks, never driver rows),
+#: keyed by data fingerprints + partition conf like the model caches.
+_SEMKEEP_RESULT_CACHE: dict[tuple, DataFrame] = {}
+
+
 def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
     """SemDeDup-style semantic prune, end to end: IVF-cell candidate
     blocking → within-cell cosine edges → connected components → one
@@ -880,11 +886,31 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
     ``duplicate_clusters``. The k-means fit is the deterministic @6dp
     ``kmeans_fit``, so a DuckDB oracle replays cells, edges, components
     (recursive closure), and keeper choice exactly.
+    The composed relation is cached per (sf_dir, documents+embeddings
+    fingerprints, partition conf) as a session-lifetime ``localCheckpoint``
+    — the SemDeDup disposition is consumed by this query, the attrition
+    funnel, the e2e manifest, and the agreement report in one bench
+    session, and a production pipeline writes it to disk once for the
+    same reason. The cache holds a checkpointed DataFrame (executor-side
+    blocks), NOT driver-collected rows — corpus-sized data never moves.
     """
     from pyspark.sql.window import Window
 
     from ..functions.vectors import cosine
+    from ..sources.io import table_fingerprint
     from .similarity import _nearest_centroid_udf, ivf_centroids
+
+    cache_key = (
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        table_fingerprint(sf_dir, "embeddings"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        max_iter,
+    )
+    cached = _SEMKEEP_RESULT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = ivf_centroids(e, cache_key=sf_dir)
@@ -938,7 +964,7 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
         F.size(norm_words(F.col("text"))).cast("long").alias("n_words"),
     )
     w = Window.partitionBy("cluster_id").orderBy(F.desc("n_words"), F.asc("doc_id"))
-    return (
+    result = (
         labeled.join(docs, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .select(
@@ -949,4 +975,7 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
             .otherwise(F.lit("semantic_dup"))
             .alias("status"),
         )
+        .localCheckpoint()
     )
+    _SEMKEEP_RESULT_CACHE[cache_key] = result
+    return result
