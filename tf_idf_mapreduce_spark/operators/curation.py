@@ -48,6 +48,17 @@ CONTAM_NGRAM = 5
 SAMPLE_BUCKET_MAX = "19"
 
 
+def has_pii_expr(text: Column) -> Column:
+    """The redaction flag as ONE column expression — any PII pattern hit.
+    Single definition shared by ``pii_scan`` and the fused
+    ``features_table`` scan."""
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(p), F.lit(0))).cast("long")
+        for p in PII_PATTERNS.values()
+    ]
+    return sum(counts, F.lit(0).cast("long")) > 0
+
+
 def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc PII signal counts (emails, IPv4s, URLs, phone-shaped) and a
     redaction flag. Map-only: regex counting inside codegen, no shuffle —
@@ -1060,46 +1071,68 @@ def features_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     a production corpus pipeline), and the audit surface a human samples
     when a threshold misbehaves.
 
-    Pure composition of already-verified per-doc operators on doc_id
-    equi-joins, LEFT from ``documents`` so the export is total (a doc
-    missing from a signal relation surfaces as NULLs, visible, never
-    silently dropped). At 100 TB each input is map-only or one-shuffle
-    over the same corpus scan; the joins are co-partitioned on doc_id.
+    The four MAP-ONLY signals (lang decision, quality ratios, Flesch,
+    PII flag) are computed in ONE fused select over a single corpus scan
+    — their expressions are the SAME shared definitions the standalone
+    operators use (``pred_lang_expr`` / ``quality_exprs`` /
+    ``flesch_expr`` / ``has_pii_expr``), so the export can never drift
+    from the per-signal queries; the previous per-signal LEFT-join form
+    read the documents table SEVEN times, which at 100 TB is 7x corpus
+    IO for one export. Only the three shuffle-bearing signals (bigram
+    LM score, repetition, novelty) remain doc_id LEFT joins — total by
+    construction on the fused side, NULL-visible on the joined side.
     """
     from .textstats import (
-        lang_id,
+        LANG_LEXICONS,
+        flesch_expr,
         lm_doc_scores,
         novelty_scores,
-        quality_scores,
-        readability,
+        pred_lang_from_hits,
+        quality_exprs,
     )
 
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source"
+        "doc_id", "lang", "source", "text",
+        norm_words(F.col("text")).alias("words"),
     )
-    q = quality_scores(spark, sf_dir).select(
+    q = quality_exprs(F.col("text"), F.col("words"))
+    # two chained selects, ONE scan: the hits columns materialize once
+    # (pred_lang_expr over raw words would re-evaluate each lexicon
+    # filter twice — in the argmax and in the tiebreak comparisons)
+    fused = d.select(
         "doc_id",
-        "n_chars",
-        "n_words",
-        "mean_word_len",
-        "punct_ratio",
-        "stopword_ratio",
-        F.col("keep").alias("quality_keep"),
+        "lang",
+        "source",
+        F.struct(
+            *[
+                F.size(
+                    F.filter(F.col("words"), lambda w: w.isin(*lex))
+                ).cast("long").alias(code)
+                for code, lex in LANG_LEXICONS.items()
+            ]
+        ).alias("_hits"),
+        q["n_chars"].alias("n_chars"),
+        q["n_words"].alias("n_words"),
+        q["mean_word_len"].alias("mean_word_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["keep"].alias("quality_keep"),
+        flesch_expr(F.col("text")).alias("flesch"),
+        has_pii_expr(F.col("text")).alias("has_pii"),
     )
-    lg = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    fused = fused.withColumn(
+        "pred_lang",
+        pred_lang_from_hits(
+            {c: F.col(f"_hits.{c}") for c in LANG_LEXICONS}
+        ),
+    ).drop("_hits")
     lm = lm_doc_scores(spark, sf_dir).select("doc_id", "lm_score")
     rep = repetition_scores(spark, sf_dir).select("doc_id", "distinct_ratio")
     nov = novelty_scores(spark, sf_dir).select("doc_id", "novelty")
-    rd = readability(spark, sf_dir).select("doc_id", "flesch")
-    pii = pii_scan(spark, sf_dir).select("doc_id", "has_pii")
     return (
-        d.join(q, "doc_id", "left")
-        .join(lg, "doc_id", "left")
-        .join(lm, "doc_id", "left")
+        fused.join(lm, "doc_id", "left")
         .join(rep, "doc_id", "left")
         .join(nov, "doc_id", "left")
-        .join(rd, "doc_id", "left")
-        .join(pii, "doc_id", "left")
         .select(
             "doc_id",
             "lang",

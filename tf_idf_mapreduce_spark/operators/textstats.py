@@ -36,6 +36,21 @@ def _hits(words: Column, lexicon: tuple[str, ...]) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*lexicon))).cast("long")
 
 
+def pred_lang_from_hits(hits: dict[str, Column]) -> Column:
+    """The lang-id DECISION as one expression over already-computed hit
+    columns — argmax with lexicographic tiebreak, 'und' when no lexicon
+    hits. The single definition shared by ``lang_id`` and the fused
+    ``curation.features_table`` scan, so the two can never disagree;
+    callers materialize the hits once (a column or struct field) so each
+    lexicon filter evaluates once, not once per comparison."""
+    # argmax via greatest + first-match-wins over sorted codes
+    best = F.greatest(*hits.values())
+    pred = F.coalesce(
+        *[F.when(hits[c] == best, F.lit(c)) for c in sorted(LANG_LEXICONS)]
+    )
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: function-word hits per language, argmax with
     lexicographic tiebreak. Emits the per-language evidence columns so the
@@ -51,60 +66,67 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             for code, lex in LANG_LEXICONS.items()
         ],
     )
-    # argmax via greatest + first-match-wins over sorted codes
-    best = F.greatest(*[F.col(f"hits_{c}") for c in LANG_LEXICONS])
-    pred = F.coalesce(
-        *[
-            F.when(F.col(f"hits_{c}") == best, F.lit(c))
-            for c in sorted(LANG_LEXICONS)
-        ]
-    )
     return scored.select(
         "doc_id",
         "labeled_lang",
         *[f"hits_{c}" for c in LANG_LEXICONS],
-        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        pred_lang_from_hits(
+            {c: F.col(f"hits_{c}") for c in LANG_LEXICONS}
+        ).alias("pred_lang"),
     )
+
+
+def quality_exprs(text: Column, words: Column) -> dict[str, Column]:
+    """The per-doc quality signals as a named column-expression bundle —
+    ONE definition shared by ``quality_scores`` and the fused
+    ``curation.features_table`` scan. Ratios are exact int/int divisions
+    — engine-portable."""
+    n_chars = F.length(text).cast("long")
+    n_words = F.size(words).cast("long")
+    n_punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\p{P}", ""))
+    ).cast("long")
+    n_stop = _hits(words, STOPWORDS_EN)
+    mean_word_len = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_punct": n_punct,
+        "n_stopwords": n_stop,
+        "mean_word_len": mean_word_len,
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(
+            F.lit(0.0)
+        ),
+        "stopword_ratio": F.when(n_words > 0, n_stop / n_words).otherwise(
+            F.lit(0.0)
+        ),
+        "keep": (
+            (n_words >= 10)
+            & F.when(n_chars > 0, n_punct / n_chars < 0.3).otherwise(
+                F.lit(False)
+            )
+        ),
+    }
 
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals: token counts, length stats, punctuation and
     stopword ratios, plus a composite keep/drop flag (the C4-style filter
-    shape). Ratios are exact int/int divisions — engine-portable."""
+    shape). Expressions live in ``quality_exprs`` (shared single
+    definition)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", norm_words(F.col("text")).alias("words")
     )
-    n_chars = F.length("text").cast("long")
-    n_words = F.size("words").cast("long")
-    n_punct = (
-        F.length("text")
-        - F.length(F.regexp_replace(F.col("text"), r"\p{P}", ""))
-    ).cast("long")
-    n_stop = _hits(F.col("words"), STOPWORDS_EN)
-    mean_word_len = F.when(
-        n_words > 0,
-        F.aggregate(
-            F.col("words"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-        )
-        / n_words,
-    ).otherwise(F.lit(0.0))
+    q = quality_exprs(F.col("text"), F.col("words"))
     return d.select(
-        "doc_id",
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        n_punct.alias("n_punct"),
-        n_stop.alias("n_stopwords"),
-        mean_word_len.alias("mean_word_len"),
-        F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)).alias(
-            "punct_ratio"
-        ),
-        F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0)).alias(
-            "stopword_ratio"
-        ),
-        (
-            (n_words >= 10)
-            & F.when(n_chars > 0, n_punct / n_chars < 0.3).otherwise(F.lit(False))
-        ).alias("keep"),
+        "doc_id", *[q[k].alias(k) for k in (
+            "n_chars", "n_words", "n_punct", "n_stopwords", "mean_word_len",
+            "punct_ratio", "stopword_ratio", "keep",
+        )]
     )
 
 
@@ -320,6 +342,28 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def flesch_expr(text: Column) -> Column:
+    """The Flesch reading-ease estimate as ONE column expression (6dp
+    grid; NULL for zero-word docs) — single definition shared by
+    ``readability`` and the fused ``curation.features_table`` scan."""
+    words = F.size(norm_words(text)).cast("double")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("double")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit("[aeiouy]+"), 0)
+    ).cast("double")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return F.when(
+        words > 0, F.floor(score * 1_000_000 + F.lit(0.5)) / 1_000_000
+    )
+
+
 def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Flesch reading-ease estimate — the classic readability
     quality signal (a pre-training filter axis orthogonal to length,
@@ -338,20 +382,12 @@ def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     syllables = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
     ).cast("double")
-    score = (
-        F.lit(206.835)
-        - F.lit(1.015) * (words / sentences)
-        - F.lit(84.6) * (syllables / words)
-    )
     return d.select(
         "doc_id",
         words.cast("long").alias("n_words"),
         sentences.cast("long").alias("n_sentences"),
         syllables.cast("long").alias("n_syllables"),
-        F.when(
-            words > 0,
-            F.floor(score * 1_000_000 + F.lit(0.5)) / 1_000_000,
-        ).alias("flesch"),
+        flesch_expr(F.col("text")).alias("flesch"),
     )
 
 
