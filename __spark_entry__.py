@@ -1280,6 +1280,48 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM cand c LEFT JOIN agree g
           ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b
     """,
+    # Incremental batch-vs-corpus screen: the batch slice is the SAME
+    # md5-bucket rule as curate_hash_sample; candidates pair batch docs
+    # against corpus docs only (never corpus x corpus), and the match
+    # threshold is the shared minhash-precision constant.
+    "dedup_incremental": _DEDUP_CTE
+    + f"""
+        , tag AS (
+          SELECT doc_id,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
+                        1, 2) <= '{cur.SAMPLE_BUCKET_MAX}' AS is_batch
+          FROM documents
+        ),
+        icand AS (
+          SELECT b.doc_id AS b_doc, c.doc_id AS c_doc
+          FROM bands b
+          JOIN tag tb ON tb.doc_id = b.doc_id AND tb.is_batch
+          JOIN bands c ON c.band = b.band AND c.key = b.key
+          JOIN tag tc ON tc.doc_id = c.doc_id AND NOT tc.is_batch
+          GROUP BY 1, 2
+        ),
+        imatch AS (
+          SELECT i.b_doc, i.c_doc, g.n_agree
+          FROM icand i
+          JOIN agree g ON g.doc_a = least(i.b_doc, i.c_doc)
+                      AND g.doc_b = greatest(i.b_doc, i.c_doc)
+          WHERE g.n_agree / {MINHASH_K} >= {dd.INCREMENTAL_EST_JACCARD}
+        ),
+        per_batch AS (
+          SELECT b_doc, min(c_doc) AS match_doc_id,
+                 count(*) AS n_matches,
+                 max(n_agree) / {MINHASH_K} AS best_est
+          FROM imatch GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CASE WHEN p.match_doc_id IS NOT NULL
+                    THEN 'drop' ELSE 'keep' END AS status,
+               p.match_doc_id,
+               CAST(coalesce(p.n_matches, 0) AS BIGINT) AS n_matches,
+               p.best_est
+        FROM tag t LEFT JOIN per_batch p ON p.b_doc = t.doc_id
+        WHERE t.is_batch
+    """,
     "dedup_jaccard_pairs": _DEDUP_CTE
     + """
         , ds AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows),
@@ -3900,6 +3942,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stickiness": ev.q_stickiness,
         # --- LLM-data pipeline: dedup ---
         "dedup_exact": dd.exact_dedup_groups,
+        "dedup_incremental": dd.incremental_dedup,
         "dedup_minhash_pairs": dd.minhash_candidate_pairs,
         "dedup_jaccard_pairs": dd.jaccard_verified_pairs,
         "dedup_containment_pairs": dd.containment_pairs,

@@ -426,3 +426,76 @@ def test_semantic_keep_planted_cluster(spark, tmp_path_factory):
     assert rows[IVF_K + 1] == "semantic_dup"
     # every other vector is random -> its own singleton cluster -> kept
     assert all(v == "kept" for k, v in rows.items() if k not in (IVF_K + 1,))
+
+
+def test_incremental_dedup_contract(spark, sf_dir):
+    """Batch slice == the hash_sample slice; statuses are consistent with
+    the match columns; every drop's match is a CORPUS doc (never another
+    batch doc); est clears the shared threshold."""
+    from tf_idf_mapreduce_spark.operators import curation as cur
+    from tf_idf_mapreduce_spark.operators import dedup as dd
+
+    res = dd.incremental_dedup(spark, sf_dir)
+    rows = res.collect()
+    batch_ids = {
+        r.doc_id for r in cur.hash_sample(spark, sf_dir).select("doc_id").collect()
+    }
+    assert {r.doc_id for r in rows} == batch_ids
+    assert len(rows) == len(batch_ids)
+    for r in rows:
+        if r.status == "drop":
+            assert r.match_doc_id is not None
+            assert r.match_doc_id not in batch_ids  # corpus side only
+            assert r.n_matches >= 1
+            assert r.best_est >= dd.INCREMENTAL_EST_JACCARD
+        else:
+            assert r.status == "keep"
+            assert r.match_doc_id is None and r.n_matches == 0
+            assert r.best_est is None
+
+
+def test_incremental_dedup_flags_planted_corpus_dup(spark, tmp_path):
+    """A batch doc whose text near-duplicates a corpus doc is dropped;
+    unrelated batch docs are kept. The planted corpus is written through
+    the same parquet path the operator reads."""
+    import shutil
+
+    from tf_idf_mapreduce_spark.operators import curation as cur
+    from tf_idf_mapreduce_spark.operators import dedup as dd
+
+    # find doc_ids landing on each side of the deterministic bucket rule
+    def bucket_of(i, text):
+        import hashlib
+
+        return hashlib.md5(f"{i}:{text}".encode()).hexdigest()[:2]
+
+    batch_dup = batch_far = corpus_id = None
+    for i in range(2000):
+        side = bucket_of(i, BASE) <= cur.SAMPLE_BUCKET_MAX
+        if side and batch_dup is None:
+            batch_dup = i
+        elif not side and corpus_id is None:
+            corpus_id = i
+        if bucket_of(i, FAR) <= cur.SAMPLE_BUCKET_MAX and i not in (
+            batch_dup,
+            corpus_id,
+        ):
+            if batch_far is None and i != batch_dup:
+                batch_far = i
+        if None not in (batch_dup, batch_far, corpus_id):
+            break
+    docs = spark.createDataFrame(
+        [
+            (batch_dup, BASE, "en", "web", len(BASE)),
+            (batch_far, FAR, "en", "web", len(FAR)),
+            (corpus_id, NEAR, "en", "web", len(NEAR)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "inc")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in dd.incremental_dedup(spark, d).collect()}
+    assert set(out) == {batch_dup, batch_far}
+    assert out[batch_dup].status == "drop"
+    assert out[batch_dup].match_doc_id == corpus_id
+    assert out[batch_far].status == "keep"
