@@ -1262,6 +1262,70 @@ def _lang_id_sql() -> str:
 
 _STOP_IN = ", ".join(repr(w) for w in STOPWORDS_EN)
 
+
+#: Shared weight CTE for the quality-weighted MIPS oracles — the SAME
+#: exact rational as textstats.quality_weight: (n_stop+1)/(n_words+1).
+_MIPS_WT_CTE = f"""
+    docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    wt AS (
+      SELECT doc_id,
+             (CAST(len(list_filter(words, x -> x IN ({_STOP_IN}))) AS BIGINT) + 1)
+             / (CAST(len(words) AS BIGINT) + 1) AS w
+      FROM docs
+    )"""
+
+
+def _mips_topk_sql(query_vec_id: int, k: int) -> str:
+    """Oracle for ``similarity.mips_topk`` — BRUTE FORCE weighted inner
+    product: the Spark side's norm-bound prune is provably exact, so the
+    oracle needs no knowledge of it."""
+    return f"""
+        WITH {_MIPS_WT_CTE},
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id})
+        SELECT e.vec_id,
+               round(wt.w * {_dot_sql('e.embedding', 'qe')}, 6) AS mips_score,
+               round(wt.w, 6) AS weight
+        FROM embeddings e JOIN wt ON wt.doc_id = e.vec_id, q
+        WHERE e.vec_id <> {query_vec_id}
+        ORDER BY mips_score DESC, vec_id ASC
+        LIMIT {k}
+    """
+
+
+def _mips_prune_sql(query_vec_id: int, k: int) -> str:
+    """Oracle for ``similarity.mips_prune_stats`` — replays the WHOLE
+    pruning algorithm (bound, probe, subset-k-th threshold, margin) so
+    the saved-scan fraction itself is value-checked, not just the
+    result rows."""
+    return f"""
+        WITH {_MIPS_WT_CTE},
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_vec_id}),
+        qn AS (SELECT sqrt({_dot_sql('qe', 'qe')}) AS q_norm FROM q),
+        corpus AS (
+          SELECT e.vec_id, e.embedding, wt.w,
+                 sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS nrm
+          FROM embeddings e JOIN wt ON wt.doc_id = e.vec_id
+          WHERE e.vec_id <> {query_vec_id}
+        ),
+        ub AS (SELECT vec_id, embedding, w, (w * nrm) * q_norm AS ub
+               FROM corpus, qn),
+        probe AS (SELECT vec_id, embedding, w FROM ub
+                  ORDER BY ub DESC, vec_id ASC LIMIT {sim.MIPS_PROBE_N}),
+        ps AS (SELECT w * {_dot_sql('embedding', 'qe')} AS score FROM probe, q),
+        thr AS (SELECT min(score) AS thr
+                FROM (SELECT score FROM ps ORDER BY score DESC LIMIT {k}) t)
+        SELECT CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN round(ub, 6) >= round(thr, 6) - {sim.MIPS_MARGIN}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+               round(max(thr), 6) AS threshold,
+               round(1.0 - CAST(sum(CASE WHEN round(ub, 6) >= round(thr, 6)
+                                              - {sim.MIPS_MARGIN}
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                           / count(*), 6) AS pruned_frac
+        FROM ub, thr
+    """
+
+
 #: the synthetic-PPM pixel chain (multimodal.ppm_from_documents / 12 =
 #: PPM_BLOCKS md5 blocks), replayed in SQL for the mm_resize oracle
 _PPM_HEXPIX = " || ".join(f"md5(text || ':{i}')" for i in range(12))
@@ -1507,6 +1571,8 @@ _LLMDATA_ORACLE: dict[str, str] = {
         sim.NEARDUP_MIN_COSINE
     ),
     "sim_cosine_topk": _cosine_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
+    "sim_mips_topk": _mips_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
+    "sim_mips_prune_stats": _mips_prune_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_range_search": _range_search_sql(
         sim.DEFAULT_QUERY_VEC, sim.RANGE_SEARCH_MIN_COS
     ),
@@ -3969,6 +4035,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_keep": dd.semantic_keep,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
+        "sim_mips_topk": sim.mips_topk,
+        "sim_mips_prune_stats": sim.mips_prune_stats,
         # radius query: everything within min_cos of the query (linear
         # scan + broadcast, the recall-1.0 baseline for pruned variants)
         "sim_range_search": sim.range_search,

@@ -568,3 +568,85 @@ def test_cosine_corrupt_vector_contract(spark):
     assert got[2] is None
     assert got[3] is None
     assert got[4] is None
+
+
+def _write_mips_fixture(spark, d, docs_rows, emb_rows):
+    spark.createDataFrame(
+        docs_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+
+
+def test_mips_topk_equals_brute_force_under_heavy_prune(spark, tmp_path):
+    """Planted clustered corpus where the weight/norm bound prunes >90% of
+    docs: the pruned top-k must equal numpy brute force EXACTLY, and
+    prune_stats must report the saving. This pins the exactness claim in
+    the regime where pruning actually fires (the sf fixture's isotropic
+    embeddings exercise the prune~0 regime)."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    dim = sim.EMBED_DIM
+    n = 300
+    q = np.zeros(dim); q[0] = 1.0
+    stop_text = "the and is of to in that it for on " * 4   # high stopword density
+    junk_text = "zebra quantum flux vortex matrix cipher " * 4  # low density
+    docs, embs = [], []
+    vecs = np.zeros((n, dim))
+    for i in range(n):
+        if i < 10:  # aligned cluster, high quality weight
+            v = q + 0.05 * rng.standard_normal(dim)
+            text = stop_text + f"tail{i}"
+        else:       # orthogonal-ish junk, low weight
+            v = rng.standard_normal(dim); v[0] = 0.0
+            text = junk_text + f"tail{i}"
+        v = v / np.linalg.norm(v)
+        vecs[i] = v
+        docs.append((i, text, "en", "web", len(text)))
+        embs.append((i, [float(x) for x in v.astype(np.float32)], 0))
+    d = str(tmp_path / "mips")
+    _write_mips_fixture(spark, d, docs, embs)
+
+    out = sim.mips_topk(spark, d, query_vec_id=0, k=5).collect()
+
+    # numpy brute force on the same float32-truncated vectors
+    f32 = vecs.astype(np.float32).astype(np.float64)
+    from tf_idf_mapreduce_spark.operators.textstats import STOPWORDS_EN
+
+    def weight(text):
+        words = [w for w in text.lower().split() if w]
+        stop = sum(1 for w in words if w in STOPWORDS_EN)
+        return (stop + 1) / (len(words) + 1)
+    wts = np.array([weight(t) for _, t, *_ in docs])
+    scores = wts * (f32 @ f32[0])
+    order = sorted((round(-scores[i], 6), i) for i in range(1, n))[:5]
+    expect = [(i, round(scores[i], 6)) for _, i in order]
+    got = [(r.vec_id, r.mips_score) for r in out]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[1] - e[1]) <= 2e-6  # numpy dot order vs fold order
+
+    stats = sim.mips_prune_stats(spark, d, query_vec_id=0, k=5).collect()[0]
+    assert stats.n_total == n - 1
+    assert stats.n_candidates < 0.1 * stats.n_total  # >90% of the scan pruned
+    assert stats.pruned_frac > 0.9
+
+
+def test_mips_weight_is_exact_rational(spark):
+    """quality_weight equals (n_stop+1)/(n_words+1) bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.functions.hashing import norm_words
+    from tf_idf_mapreduce_spark.operators.textstats import quality_weight
+
+    df = spark.createDataFrame(
+        [("the cat sat",), ("",), ("zebra flux",)], "text string"
+    )
+    vals = df.select(quality_weight(norm_words(F.col("text"))).alias("w")).collect()
+    assert vals[0].w == 2 / 4  # 'the' is a stopword; 3 words... (1+1)/(3+1)
+    assert vals[1].w == 1.0    # empty: (0+1)/(0+1)
+    assert vals[2].w == 1 / 3

@@ -113,6 +113,20 @@ def quality_exprs(text: Column, words: Column) -> dict[str, Column]:
     }
 
 
+def quality_weight(words: Column) -> Column:
+    """Smoothed stopword-density weight in (0, 1]: ``(n_stop+1)/(n_words+1)``.
+
+    A cheap fluency proxy (C4-style: English prose has high stopword
+    density; keyword-spam and boilerplate don't) used as the per-doc
+    scaling factor in quality-weighted retrieval
+    (``similarity.mips_topk``). Exact rational of two integers, so the
+    double it divides to is bit-identical across engines — safe to use
+    unrounded inside comparisons."""
+    n_words = F.size(words).cast("long")
+    n_stop = _hits(words, STOPWORDS_EN)
+    return (n_stop + F.lit(1)) / (n_words + F.lit(1))
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality signals: token counts, length stats, punctuation and
     stopword ratios, plus a composite keep/drop flag (the C4-style filter
