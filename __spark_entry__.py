@@ -42,6 +42,7 @@ from tf_idf_mapreduce_spark.operators.textstats import LANG_LEXICONS, STOPWORDS_
 from tf_idf_mapreduce_spark.operators.tfidf import (
     doc_freq,
     doc_totals,
+    incremental_index,
     tfidf_pipeline,
     tfidf_sorted,
     word_count,
@@ -4178,6 +4179,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tfidf": st.q_stream_tfidf,
         # bounded-state dedup (state evicted past the watermark)
         "stream_dedup_watermarked": st.q_stream_dedup_watermarked,
+        # batch-incremental index maintenance (appended post-r5; keep new
+        # entries at the tail so the driver's sampled prefix stays stable)
+        "tfidf_incremental_index": incremental_index,
     }
 
 
@@ -4227,4 +4231,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(_STREAMING_ORACLE)
     # the streaming index drain must land on the batch pipeline's relation
     out["stream_tfidf"] = out["tfidf_full"]
+    # the incremental merge must land on the one-shot index, bit-for-bit
+    out["tfidf_incremental_index"] = out["tfidf_full"]
     return out

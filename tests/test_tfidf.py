@@ -135,3 +135,18 @@ def test_doc_freq_salted_equals_unsalted(spark):
     # and under a different salt count — top-k/sum distributes over salts
     salted3 = sorted(map(tuple, doc_freq_salted(base, n_salts=3).collect()))
     assert plain == salted3
+
+
+def test_incremental_index_equals_one_shot_rebuild(spark, sf_dir):
+    """The batch-merge (old postings + batch postings, df added, N added,
+    idf re-multiplied) must reproduce the full rebuild row-for-row —
+    including idf=0 rows and the 6dp rounding convention."""
+    import __spark_entry__ as entrymod
+
+    from tf_idf_mapreduce_spark.operators.tfidf import incremental_index
+
+    inc = incremental_index(spark, sf_dir)
+    full = entrymod.queries()["tfidf_full"](spark, sf_dir)
+    assert inc.columns == full.columns
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0

@@ -154,3 +154,63 @@ def tfidf_pipeline(
         scored = with_df.crossJoin(F.broadcast(n))
         return tfidf(scored, F.col("total_docs")).drop("total_docs")
     return tfidf(with_df, F.lit(total_docs))
+
+
+def incremental_index(spark, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE: fold a new document batch into an existing
+    TF-IDF index without re-tokenizing the corpus — the daily-arrival
+    twin of ``dedup.incremental_dedup`` (same deterministic ~10% batch
+    slice, ``curation.hash_sample``'s bucket rule).
+
+    What an index update actually touches: per-doc stats (count,
+    doc_total) are LOCAL to each doc — the existing postings rows are
+    reused verbatim. Only the corpus-global stats move: df (additive:
+    df_new = df_old + df_batch, a full-outer word join of two word-count
+    tables) and N (scalar add). The idf re-multiply is then a map-only
+    pass over postings. At 100 TB the old side's (postings, df, N) is
+    the PERSISTED index — the daily cost is tokenizing the ~0.1% batch
+    plus one word-keyed outer join against a df table of vocabulary
+    size, instead of re-scanning the corpus. Here both sides are built
+    in-plan (nothing persisted at fixture scale), but the merge topology
+    — the part that matters — is identical.
+
+    Must reproduce the one-shot ``tfidf_full`` EXACTLY (its oracle is
+    the one-shot SQL): same (word, doc, count, doc_total, df) rows, same
+    ln-idf double math, idf=0 rows kept (CalcTFIDF.java:124-132 parity).
+    """
+    from ..sources.io import documents_as_corpus, load_table
+    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
+
+    def side(corpus):
+        wtc = doc_totals(word_count(tokenize(corpus)))
+        dfx = wtc.groupBy("word").agg(F.count("*").alias("dfx"))
+        n = corpus.agg(F.countDistinct("doc").alias("nx"))
+        return wtc, dfx, n
+
+    old_wtc, old_df, old_n = side(documents_as_corpus(docs.where(~is_batch)))
+    new_wtc, new_df, new_n = side(documents_as_corpus(docs.where(is_batch)))
+
+    postings = old_wtc.unionByName(new_wtc)
+    df_merged = (
+        old_df.withColumnRenamed("dfx", "df_old")
+        .join(new_df.withColumnRenamed("dfx", "df_new"), "word", "full_outer")
+        .select(
+            "word",
+            (
+                F.coalesce("df_old", F.lit(0)) + F.coalesce("df_new", F.lit(0))
+            ).alias("df"),
+        )
+    )
+    n_total = old_n.crossJoin(
+        new_n.withColumnRenamed("nx", "nx_new")
+    ).select((F.col("nx") + F.col("nx_new")).alias("total_docs"))
+    scored = tfidf(
+        postings.join(df_merged, "word").crossJoin(F.broadcast(n_total)),
+        F.col("total_docs"),
+    )
+    return scored.select(
+        "word", "doc", "count", "doc_total", "df", F.round("tfidf", 6).alias("tfidf")
+    )
