@@ -530,6 +530,11 @@ _WORDS_SQL = (
 )
 
 #: MinHash affine-permutation coefficients as SQL VALUES rows.
+#: First CMS_D MinHash permutations — the count-min sketch's hash rows.
+_CMS_PERM_ROWS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS[: ts.CMS_D])
+)
+
 _MINHASH_PERM_ROWS = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS)
 )
@@ -1752,6 +1757,36 @@ _LLMDATA_ORACLE: dict[str, str] = {
                AS BIGINT) AS n_bpe_tokens,
           CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
+    """,
+    # Count-min sketch audit — the sketch is deterministic (md5-affine
+    # hashes), so the DuckDB twin replays counters, estimates, AND the
+    # overcount bit-for-bit.
+    "text_word_cms": f"""
+        WITH wc AS (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+          GROUP BY 1
+        ),
+        hb AS (
+          SELECT word, n, seed AS i,
+                 (({_hex_to_int_sql("substr(md5(word), 1, 8)", 8)} * a + b)
+                  % {MINHASH_P}) % {ts.CMS_W} AS bucket
+          FROM wc CROSS JOIN (VALUES {_CMS_PERM_ROWS}) seeds(seed, a, b)
+        ),
+        counters AS (SELECT i, bucket, CAST(sum(n) AS BIGINT) AS c
+                     FROM hb GROUP BY 1, 2),
+        top AS (SELECT word, n FROM wc ORDER BY n DESC, word ASC
+                LIMIT {ts.CMS_TOP_K}),
+        est AS (
+          SELECT t.word, min(c.c) AS cms_est, max(t.n) AS n
+          FROM top t
+          JOIN hb h ON h.word = t.word
+          JOIN counters c ON c.i = h.i AND c.bucket = h.bucket
+          GROUP BY t.word
+        )
+        SELECT word, CAST(n AS BIGINT) AS n, CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(cms_est - n AS BIGINT) AS overcount
+        FROM est ORDER BY n DESC, word ASC
     """,
     "text_fingerprints": f"""
         WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
@@ -4182,6 +4217,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-incremental index maintenance (appended post-r5; keep new
         # entries at the tail so the driver's sampled prefix stays stable)
         "tfidf_incremental_index": incremental_index,
+        "text_word_cms": ts.word_cms_report,
     }
 
 

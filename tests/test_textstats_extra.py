@@ -137,3 +137,64 @@ def test_bpe_merge_gain_greedy_vs_naive(spark, merge_dir):
     # greedy never exceeds naive anywhere
     for n_adj, n_m in rows.values():
         assert n_m <= n_adj
+
+
+def test_cms_one_sided_error_for_every_word(spark, sf_dir):
+    """CMS law: estimate >= true count for EVERY vocabulary word (not just
+    the reported top-k) — min over rows can never undercount."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.functions.hashing import norm_words
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        _cms_hashed,
+        cms_counters,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(norm_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    est = (
+        _cms_hashed(wc)
+        .join(cms_counters(wc), ["i", "bucket"])
+        .groupBy("word")
+        .agg(F.min("c").alias("est"), F.first("n").alias("n"))
+    )
+    assert est.where(F.col("est") < F.col("n")).count() == 0
+
+
+def test_cms_counters_merge_by_addition(spark, sf_dir):
+    """The 100 TB claim: per-shard sketches sum elementwise to the corpus
+    sketch. Split the corpus by doc parity, sketch each half, add."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.functions.hashing import norm_words
+    from tf_idf_mapreduce_spark.operators.textstats import cms_counters
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def wc(d):
+        return (
+            d.select(F.explode(norm_words(F.col("text"))).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("n"))
+        )
+
+    whole = cms_counters(wc(docs))
+    a = cms_counters(wc(docs.where(F.col("doc_id") % 2 == 0)))
+    b = cms_counters(wc(docs.where(F.col("doc_id") % 2 == 1)))
+    merged = (
+        a.withColumnRenamed("c", "ca")
+        .join(b.withColumnRenamed("c", "cb"), ["i", "bucket"], "full_outer")
+        .select(
+            "i",
+            "bucket",
+            (F.coalesce("ca", F.lit(0)) + F.coalesce("cb", F.lit(0))).alias("c"),
+        )
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0

@@ -760,3 +760,87 @@ def bpe_merge_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_adjacent"), F.asc("tok_left"), F.asc("tok_right"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch word frequencies — the mergeable-sketch path
+# ---------------------------------------------------------------------------
+
+#: Count-min geometry: d independent hash rows x w counters. Hashes reuse
+#: the first CMS_D MinHash affine permutations mod MINHASH_P, then mod
+#: CMS_W — all-integer, engine-portable, no RNG state.
+CMS_D = 4
+CMS_W = 1024
+CMS_TOP_K = 20
+
+
+def _cms_hashed(wc: DataFrame) -> DataFrame:
+    """(word, n) -> one row per (word, n, i, bucket) for the d hash rows."""
+    from ..functions.hashing import MINHASH_P, MINHASH_PERMS, word_hash32
+
+    h = word_hash32(F.col("word"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (((h * F.lit(a) + F.lit(b)) % MINHASH_P) % CMS_W).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(MINHASH_PERMS[:CMS_D])
+        ]
+    )
+    return wc.select("word", "n", F.explode(buckets).alias("hb")).select(
+        "word", "n", F.col("hb.i").alias("i"), F.col("hb.bucket").alias("bucket")
+    )
+
+
+def cms_counters(wc: DataFrame) -> DataFrame:
+    """The count-min state itself: (i, bucket, c) — d*w rows of mergeable
+    longs. Sketches of disjoint corpora merge by elementwise addition
+    (pinned by the mergeability pytest), which is what makes this the
+    bounded-state path for shard/day/stream frequency aggregation."""
+    return _cms_hashed(wc).groupBy("i", "bucket").agg(F.sum("n").alias("c"))
+
+
+def word_cms_report(
+    spark: SparkSession, sf_dir: str, k: int = CMS_TOP_K
+) -> DataFrame:
+    """Count-min sketch audit for word frequencies: the top-k exact words
+    with their CMS estimates and the overcount — value-checking the
+    sketch's one-sided error (``cms_est >= n`` always; overshoot is the
+    collision mass in the word's luckiest row).
+
+    Why a sketch query at all: exact word counts at 100 TB need a
+    vocabulary-sized shuffle per batch, and a STREAM can't keep exact
+    counts in bounded state. The CMS is d*w = 4096 longs of MERGEABLE
+    state — per-partition sketches sum elementwise (partial aggregation
+    applies, the same map-side-combine story as A1), shards and days
+    merge by addition, and the estimate is a d-way min over one row per
+    hash. This query builds the sketch from the per-word count relation
+    (vocab-sized, already one shuffle) rather than re-hashing every
+    token occurrence — at fixture scale both are cheap; at 100 TB the
+    word-count relation is the persisted index the sketch summarizes.
+
+    Determinism: hashes are md5-derived affine permutations
+    (``MINHASH_PERMS[:CMS_D]``), so the DuckDB oracle replays the sketch
+    bit-for-bit — the error itself is value-checked, not bounded.
+    """
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(norm_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    counters = cms_counters(wc)
+    top = wc.orderBy(F.desc("n"), F.asc("word")).limit(k)
+    top_hashed = _cms_hashed(top)
+    est = (
+        top_hashed.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("word")
+        .agg(F.min("c").alias("cms_est"), F.first("n").alias("n"))
+    )
+    return est.select(
+        "word",
+        F.col("n").cast("long").alias("n"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("n")).cast("long").alias("overcount"),
+    ).orderBy(F.desc("n"), F.asc("word"))
