@@ -2644,6 +2644,20 @@ _STREAMING_ORACLE: dict[str, str] = {
 _STREAMING_ORACLE["stream_incremental_wordcount"] = _STREAMING_ORACLE[
     "stream_wordcount"
 ]
+# the drained stream sketch must equal the batch sketch's counter table
+_STREAMING_ORACLE["stream_word_cms"] = f"""
+    WITH wc AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+      GROUP BY 1
+    )
+    SELECT seed AS i,
+           (({_hex_to_int_sql("substr(md5(word), 1, 8)", 8)} * a + b)
+            % {MINHASH_P}) % {ts.CMS_W} AS bucket,
+           CAST(sum(n) AS BIGINT) AS c
+    FROM wc CROSS JOIN (VALUES {_CMS_PERM_ROWS}) seeds(seed, a, b)
+    GROUP BY 1, 2
+"""
 _STREAMING_ORACLE["stream_tumbling_hourly"] = _EVENTS_ORACLE["events_tumbling_hourly"]
 # the streaming half is only the stateful hourly count; the z-score pass is
 # a batch post-pass over the drained aggregate, so the batch oracle applies
@@ -4218,6 +4232,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries at the tail so the driver's sampled prefix stays stable)
         "tfidf_incremental_index": incremental_index,
         "text_word_cms": ts.word_cms_report,
+        "stream_word_cms": st.q_stream_word_cms,
     }
 
 

@@ -334,3 +334,21 @@ def test_stream_dedup_watermarked_matches_batch_on_unique_ids(spark, sf_dir):
     want = st.q_stream_dedup(spark, sf_dir)
     cols = ["event_id", "user_id", "ts_sec"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_word_cms_matches_batch_sketch(spark, sf_dir):
+    """The drained streaming CMS counters equal the batch sketch built
+    from the word-count relation — the mergeable-state equivalence that
+    makes the sketch the bounded-state streaming path."""
+    from tf_idf_mapreduce_spark.operators.textstats import cms_counters
+
+    got = st.q_stream_word_cms(spark, sf_dir)
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(norm_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    want = cms_counters(wc)
+    cols = ["i", "bucket", "c"]
+    assert _rows(got, cols) == _rows(want, cols)

@@ -575,3 +575,41 @@ def q_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 2).alias("value"),
     )
+
+
+def q_stream_word_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch counters over the documents STREAM — the bounded-
+    state answer to ``q_stream_wordcount``'s unbounded vocabulary state.
+
+    The aggregation state is exactly d*w = 4096 counter rows no matter
+    how many distinct words the stream ever sees: each token maps to its
+    CMS_D (row, bucket) cells and the groupBy folds them with map-side
+    partial aggregation. This is why sketches exist in streams — word
+    count state grows with vocabulary (unbounded on an open crawl), the
+    sketch's doesn't. The drained counters hash-match the BATCH sketch
+    (``textstats.cms_counters``) on the same corpus; the estimate/audit
+    surface is the batch ``text_word_cms`` query over these counters.
+    """
+    from ..operators.textstats import CMS_D, CMS_W
+
+    from ..functions.hashing import MINHASH_P, MINHASH_PERMS, word_hash32
+
+    docs = stream_documents(spark, sf_dir)
+    words = docs.select(F.explode(norm_words(F.col("text"))).alias("word"))
+    h = word_hash32(F.col("word"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (((h * F.lit(a) + F.lit(b)) % MINHASH_P) % CMS_W).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(MINHASH_PERMS[:CMS_D])
+        ]
+    )
+    counters = (
+        words.select(F.explode(cells).alias("hb"))
+        .select(F.col("hb.i").alias("i"), F.col("hb.bucket").alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return run_to_memory(counters, "stream_word_cms", output_mode="complete")
