@@ -3387,6 +3387,35 @@ _CURATION_ORACLE["curate_keep_list"] = f"""
     JOIN q_t ON q_t.doc_id = d.doc_id
 """
 
+# batch-admission manifest: the keep-list screens restricted to the
+# arriving batch slice plus the batch-vs-corpus near-dup stage; status
+# computed once in a CTE so the match attach can condition on it
+_CURATION_ORACLE["curate_incremental_manifest"] = f"""
+    WITH inc AS ({_LLMDATA_ORACLE["dedup_incremental"]}),
+    contam_t AS ({_CURATION_ORACLE["curate_contamination"]}),
+    pii_t AS ({_CURATION_ORACLE["text_pii_scan"]}),
+    q_t AS ({_LLMDATA_ORACLE["text_quality"]}),
+    mx AS (SELECT doc_id, max(overlap_frac) AS max_overlap
+           FROM contam_t GROUP BY doc_id),
+    sel AS (
+      SELECT d.doc_id, d.lang, d.source, inc.match_doc_id AS mdid,
+        CASE WHEN d.doc_id % {cur.CONTAM_BENCH_MOD} = 0 THEN 'benchmark'
+             WHEN inc.status = 'drop' THEN 'near_dup'
+             WHEN mx.max_overlap >= {cur.KEEP_CONTAM_FRAC} THEN 'contaminated'
+             WHEN pii_t.has_pii THEN 'pii'
+             WHEN NOT q_t.keep THEN 'low_quality'
+             ELSE 'admitted' END AS status
+      FROM inc
+      JOIN documents d ON d.doc_id = inc.doc_id
+      LEFT JOIN mx ON mx.doc_id = d.doc_id
+      JOIN pii_t ON pii_t.doc_id = d.doc_id
+      JOIN q_t ON q_t.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, source, status,
+           CASE WHEN status = 'near_dup' THEN mdid END AS match_doc_id
+    FROM sel
+"""
+
 # the 4-row stage window is tiny by construction; drop_rate divides by
 # the population that REACHED the stage
 # the funnel composes the keep-list screens with the SemDeDup stage:
@@ -4233,6 +4262,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_incremental_index": incremental_index,
         "text_word_cms": ts.word_cms_report,
         "stream_word_cms": st.q_stream_word_cms,
+        "curate_incremental_manifest": cur.incremental_manifest,
     }
 
 

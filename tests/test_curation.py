@@ -871,3 +871,26 @@ def test_packed_sequences_reconstruct_the_corpus(spark, sf_dir):
     for r in rows[:-1]:
         assert r.n_tokens == SEQ_PACK_LEN
         assert len(r.packed_text.split(" ")) == SEQ_PACK_LEN
+
+
+def test_incremental_manifest_composes_the_screens(spark, sf_dir):
+    """Row set == the batch slice; every status agrees with the component
+    operator that owns it, under first-reason-wins severity."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators import curation as cur
+    from tf_idf_mapreduce_spark.operators import dedup as dd
+
+    man = {r.doc_id: r for r in cur.incremental_manifest(spark, sf_dir).collect()}
+    inc = {r.doc_id: r for r in dd.incremental_dedup(spark, sf_dir).collect()}
+    assert set(man) == set(inc)
+    for i, r in man.items():
+        if r.status == "benchmark":
+            assert i % cur.CONTAM_BENCH_MOD == 0
+        if r.status == "near_dup":
+            assert inc[i].status == "drop"
+            assert r.match_doc_id == inc[i].match_doc_id
+        else:
+            assert r.match_doc_id is None
+        if r.status == "admitted":
+            assert inc[i].status == "keep" or i % cur.CONTAM_BENCH_MOD == 0

@@ -1529,3 +1529,60 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+def incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ADMISSION manifest — the incremental twin of ``keep_list``:
+    for each document in the arriving batch slice (the deterministic
+    ~10% ``hash_sample`` bucket), the decision a daily ingest makes
+    before anything enters the training pool, first matching reason
+    wins: ``benchmark`` (held-out member), ``near_dup`` (matches an
+    existing corpus doc per ``dedup.incremental_dedup``, with the
+    matched doc attached), ``contaminated``, ``pii``, ``low_quality``,
+    else ``admitted``.
+
+    Composition only — every screen is an existing operator; the new
+    stage vs ``keep_list`` is the batch-vs-corpus near-dup join, which
+    is the one check a one-shot manifest cannot express. All joins are
+    doc_id-keyed on the batch slice (arrival-sized, not corpus-sized);
+    at 100 TB the corpus-side signature index is persisted and this
+    whole manifest costs one pass over the day's arrivals.
+    """
+    from .dedup import incremental_dedup
+    from .textstats import quality_scores
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    inc = incremental_dedup(spark, sf_dir).select(
+        "doc_id", F.col("status").alias("dup_status"), "match_doc_id"
+    )
+    contam = (
+        contamination_check(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.max("overlap_frac").alias("max_overlap"))
+    )
+    pii = pii_scan(spark, sf_dir).select("doc_id", "has_pii")
+    q = quality_scores(spark, sf_dir).select("doc_id", "keep")
+    status = (
+        F.when(F.col("doc_id") % CONTAM_BENCH_MOD == 0, "benchmark")
+        .when(F.col("dup_status") == "drop", "near_dup")
+        .when(F.col("max_overlap") >= KEEP_CONTAM_FRAC, "contaminated")
+        .when(F.col("has_pii"), "pii")
+        .when(~F.col("keep"), "low_quality")
+        .otherwise("admitted")
+    )
+    return (
+        inc.join(d, "doc_id")
+        .join(contam, "doc_id", "left")
+        .join(pii, "doc_id")
+        .join(q, "doc_id")
+        .withColumn("status", status)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "status",
+            F.when(F.col("status") == "near_dup", F.col("match_doc_id")).alias(
+                "match_doc_id"
+            ),
+        )
+    )
