@@ -2953,6 +2953,53 @@ _RETRIEVAL_ORACLE: dict[str, str] = {
     """,
 }
 
+# Hybrid retrieval: the tf-idf chain and the embedding cosine live in
+# separate subquery scopes (CTE-name hygiene, same trick as docsim_lsh);
+# ranks are row_numbers over rounded scores, fusion is rank-only RRF.
+_RETRIEVAL_ORACLE["tfidf_hybrid_search"] = f"""
+    WITH tv AS (
+      {_TOKENS_CTE}
+      SELECT doc, word, tfidf AS wt FROM scored
+    ),
+    norms AS (SELECT doc, sqrt(sum(wt * wt)) AS nrm FROM tv GROUP BY doc),
+    qv AS (SELECT word, wt AS qwt FROM tv WHERE doc = '{rtv.HYBRID_QUERY_DOC}'),
+    dots AS (
+      SELECT t.doc, sum(t.wt * q.qwt) AS dot
+      FROM tv t JOIN qv q ON q.word = t.word
+      WHERE t.doc <> '{rtv.HYBRID_QUERY_DOC}'
+      GROUP BY t.doc
+    ),
+    lex AS (
+      SELECT d.doc, round(dot / (n.nrm * qn.nrm), 6) AS lex_cos
+      FROM dots d
+      JOIN norms n ON n.doc = d.doc,
+           (SELECT nrm FROM norms WHERE doc = '{rtv.HYBRID_QUERY_DOC}') qn(nrm)
+    ),
+    lexr AS (
+      SELECT doc, row_number() OVER (ORDER BY lex_cos DESC, doc ASC) AS lex_rank
+      FROM lex QUALIFY lex_rank <= {rtv.HYBRID_SIDE_K}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings
+          WHERE vec_id = {rtv.HYBRID_QUERY_DOC}),
+    vecs AS (
+      SELECT CAST(vec_id AS VARCHAR) AS doc,
+             round({_cos_sql('embedding', 'qe')}, 6) AS vec_cos
+      FROM embeddings, q WHERE vec_id <> {rtv.HYBRID_QUERY_DOC}
+    ),
+    vecr AS (
+      SELECT doc, row_number() OVER (ORDER BY vec_cos DESC, doc ASC) AS vec_rank
+      FROM vecs QUALIFY vec_rank <= {rtv.HYBRID_SIDE_K}
+    )
+    SELECT coalesce(l.doc, v.doc) AS doc,
+           round(coalesce(1.0 / ({rtv.RRF_K} + l.lex_rank), 0)
+                 + coalesce(1.0 / ({rtv.RRF_K} + v.vec_rank), 0), 6) AS rrf_score,
+           CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           CAST(v.vec_rank AS BIGINT) AS vec_rank
+    FROM lexr l FULL OUTER JOIN vecr v ON v.doc = l.doc
+    ORDER BY rrf_score DESC, doc ASC
+    LIMIT {rtv.HYBRID_TOP}
+"""
+
 # LSH-prefiltered docsim: MinHash-band candidates (the _DEDUP_CTE chain,
 # nested — its CTE names collide with _TOKENS_CTE's, so each chain lives
 # in its own subquery scope), scored on the same pruned vectors. Pair
@@ -4263,6 +4310,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_word_cms": ts.word_cms_report,
         "stream_word_cms": st.q_stream_word_cms,
         "curate_incremental_manifest": cur.incremental_manifest,
+        "tfidf_hybrid_search": rtv.hybrid_search,
     }
 
 

@@ -189,3 +189,26 @@ def test_near_search_planted(spark, tmp_path):
     assert got == {"0": 1, "1": 1, "3": 1, "4": 2}
     phrase = {r.doc for r in phrase_search(spark, str(tmp_path)).collect()}
     assert phrase <= set(got)  # phrase matches are a subset of NEAR
+
+
+def test_hybrid_search_rrf_laws(spark, sf_dir):
+    """RRF output is internally consistent: scores recompute from the
+    attached ranks; every row cites at least one side; both-sides rows
+    dominate the score a single equal rank could give."""
+    from tf_idf_mapreduce_spark.operators import retrieval as rtv
+
+    rows = rtv.hybrid_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= rtv.HYBRID_TOP
+    for r in rows:
+        assert r.lex_rank is not None or r.vec_rank is not None
+        expect = 0.0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= rtv.HYBRID_SIDE_K
+            expect += 1.0 / (rtv.RRF_K + r.lex_rank)
+        if r.vec_rank is not None:
+            assert 1 <= r.vec_rank <= rtv.HYBRID_SIDE_K
+            expect += 1.0 / (rtv.RRF_K + r.vec_rank)
+        assert abs(r.rrf_score - round(expect, 6)) < 1e-9
+    # descending, doc-tiebroken order
+    keys = [(-r.rrf_score, r.doc) for r in rows]
+    assert keys == sorted(keys)

@@ -537,3 +537,113 @@ def near_search(
         .agg(F.count("*").cast("long").alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), F.asc("doc"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + vector rankings
+# ---------------------------------------------------------------------------
+
+#: Standard RRF constant (Cormack et al.: k=60 dampens rank-1 dominance).
+RRF_K = 60
+#: Query document (shares similarity.DEFAULT_QUERY_VEC's id space).
+HYBRID_QUERY_DOC = 0
+#: Depth of each side's ranked list entering the fusion.
+HYBRID_SIDE_K = 20
+#: Fused results returned.
+HYBRID_TOP = 10
+
+
+def hybrid_search(
+    spark: SparkSession, sf_dir: str, query_doc: int = HYBRID_QUERY_DOC
+) -> DataFrame:
+    """Related-document retrieval for one query doc, fused across BOTH
+    index families: the lexical ranking (cosine over the reference
+    pipeline's tf-idf vectors, TfidfMapReduce.java:63-97 extended to a
+    similarity surface) and the vector ranking (embedding cosine), each
+    truncated at ``HYBRID_SIDE_K`` and merged by reciprocal-rank fusion
+    ``Σ 1/(RRF_K + rank)`` — the standard hybrid-search shape (lexical
+    recalls exact-term matches that embeddings blur; embeddings recall
+    paraphrases that share no terms).
+
+    Scale design: each side is the already-scalable ranking primitive —
+    the tf-idf side is a broadcast join of the query doc's vocabulary
+    (one doc's terms) onto the scored relation plus one per-doc agg; the
+    vector side is the one-scan broadcast-query cosine. Both ends in
+    TakeOrderedAndProject at depth 20; the fusion joins two 20-row lists
+    (trivially broadcast). RRF works on ranks, not scores, so no
+    cross-family score calibration is needed — the reason production
+    hybrid search uses it.
+
+    Determinism: ranks are row_numbers over (rounded score DESC, doc
+    ASC); rrf = sum of 1/(60+int) doubles — bit-identical cross-engine.
+    """
+    qd = str(query_doc)
+    scored = tfidf_pipeline(
+        documents_as_corpus(load_table(spark, sf_dir, "documents"))
+    )
+    v = scored.select("doc", "word", F.round("tfidf", 6).alias("wt"))
+    norms = v.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    qv = v.where(F.col("doc") == qd).select("word", F.col("wt").alias("qwt"))
+    qn = norms.where(F.col("doc") == qd).select(F.col("nrm").alias("qnrm"))
+    dots = (
+        v.where(F.col("doc") != qd)
+        .join(F.broadcast(qv), "word")
+        .groupBy("doc")
+        .agg(F.sum(F.col("wt") * F.col("qwt")).alias("dot"))
+    )
+    lex = (
+        dots.join(norms, "doc")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias(
+                "lex_cos"
+            ),
+        )
+        .orderBy(F.desc("lex_cos"), F.asc("doc"))
+        .limit(HYBRID_SIDE_K)
+    )
+    w_lex = Window.orderBy(F.desc("lex_cos"), F.asc("doc"))
+    lexr = lex.withColumn("lex_rank", F.row_number().over(w_lex)).select(
+        "doc", "lex_rank"
+    )
+
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") == query_doc).select(
+        F.col("embedding").alias("q_emb")
+    )
+    vec = (
+        e.where(F.col("vec_id") != query_doc)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").cast("string").alias("doc"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("vec_cos"),
+        )
+        .orderBy(F.desc("vec_cos"), F.asc("doc"))
+        .limit(HYBRID_SIDE_K)
+    )
+    w_vec = Window.orderBy(F.desc("vec_cos"), F.asc("doc"))
+    vecr = vec.withColumn("vec_rank", F.row_number().over(w_vec)).select(
+        "doc", "vec_rank"
+    )
+
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        lexr.join(vecr, "doc", "full_outer")
+        .select(
+            "doc",
+            rrf.alias("rrf_score"),
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc"))
+        .limit(HYBRID_TOP)
+    )
