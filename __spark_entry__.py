@@ -3088,6 +3088,30 @@ _RELATIONAL_ORACLE["rel_q20_nested"] = """
     JOIN nation n ON s.s_nationkey = n.n_nationkey
 """
 
+_RELATIONAL_ORACLE["rel_skew_report"] = f"""
+    WITH per_key AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    top AS (
+      SELECT CAST(sum(n) AS BIGINT) AS top_mass
+      FROM (SELECT n FROM per_key
+            ORDER BY n DESC, l_orderkey ASC LIMIT {rel.SKEW_TOP_KEYS})
+    ),
+    s AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(n) AS BIGINT) AS max_rows
+      FROM per_key
+    )
+    SELECT n_rows, n_keys, max_rows, top_mass AS top10_rows,
+           round(max_rows / n_rows, 6) AS hot_share,
+           round(top_mass / n_rows, 6) AS top10_share,
+           round(max_rows / (n_rows / n_keys), 6) AS skew_ratio,
+           (max_rows / n_rows > {rel.skew_salt_threshold()!r}) AS recommend_salt
+    FROM s, top
+"""
+
 _RELATIONAL_ORACLE["rel_sql_q3"] = rel.Q3_SQL
 _RELATIONAL_ORACLE["rel_sql_q1"] = rel.Q1_SQL
 _RELATIONAL_ORACLE["rel_sql_q18"] = rel.Q18_SQL
@@ -4311,6 +4335,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_word_cms": st.q_stream_word_cms,
         "curate_incremental_manifest": cur.incremental_manifest,
         "tfidf_hybrid_search": rtv.hybrid_search,
+        "rel_skew_report": rel.join_skew_report,
     }
 
 

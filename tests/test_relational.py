@@ -198,3 +198,29 @@ def test_scalar_subquery_threshold_filters_correctly(spark, sf_dir):
             n += 1
     assert row.n_small == n
     assert abs(row.avg_yearly - round(total / 7.0, 6)) < 1e-3
+
+
+def test_skew_report_recommends_salt_on_a_planted_hot_key(spark, tmp_path):
+    """A relation with one key holding >1/sqrt(P) of rows flips
+    recommend_salt; a uniform relation doesn't. Laws: shares in [0,1],
+    top10 mass >= hottest key, ratio >= 1."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators import relational as rel
+
+    def report(rows, subdir):
+        d = str(tmp_path / subdir)
+        spark.range(0).sparkSession.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).coalesce(1).write.parquet(f"{d}/lineitem.parquet")
+        return rel.join_skew_report(spark, d).collect()[0]
+
+    hot = report([(0, i) for i in range(400)] + [(k, 0) for k in range(1, 101)], "hot")
+    assert hot.recommend_salt  # 400/500 = 0.8 > 1/sqrt(32) ~ 0.177
+    assert hot.max_rows == 400 and hot.n_keys == 101
+    assert 0 <= hot.hot_share <= 1 and hot.top10_rows >= hot.max_rows
+    assert hot.skew_ratio >= 1
+
+    flat = report([(k, 0) for k in range(500)], "flat")
+    assert not flat.recommend_salt  # 1/500 each
+    assert flat.skew_ratio == 1.0

@@ -1232,3 +1232,72 @@ def large_volume_customer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(Q18_SQL)
+
+
+#: Parallelism assumed by the skew report's salting recommendation — the
+#: test rig's core count; a cluster deployment passes its executor-core
+#: total. The rule itself (hot share vs 1/sqrt(parallelism)) is the
+#: measured SCALE_PROBE.md P1 crossover.
+SKEW_REPORT_PARALLELISM = 32
+SKEW_TOP_KEYS = 10
+
+
+def skew_salt_threshold(parallelism: int = SKEW_REPORT_PARALLELISM) -> float:
+    """1/sqrt(parallelism) — computed once in Python and embedded as the
+    SAME literal in the Spark comparison and the SQL oracle, so an
+    engine-level sqrt/pow ulp difference can't flip the recommendation."""
+    import math
+
+    return 1.0 / math.sqrt(parallelism)
+
+
+def join_skew_report(
+    spark: SparkSession, sf_dir: str, parallelism: int = SKEW_REPORT_PARALLELISM
+) -> DataFrame:
+    """Pre-join skew diagnostic for the lineitem join key — the report a
+    pipeline reads BEFORE choosing between the plain and salted
+    aggregate paths (the monitoring twin of ``doc_freq_salted``, the
+    same role ``dedup.lsh_bucket_stats`` plays for the verify join and
+    ``similarity.mips_prune_stats`` for the bound scan).
+
+    One row: relation size, distinct keys, the hottest key's row count
+    and share, top-10-key mass, max/avg skew ratio, and the salt
+    recommendation per the MEASURED crossover rule (SCALE_PROBE.md P1:
+    salt once the hottest key exceeds ~1/sqrt(parallelism) of the
+    relation — below that the salt's extra exchange costs more than the
+    imbalance). One shuffle on the key; the top-10 mass rides a
+    TakeOrdered over the per-key counts, never a global sort.
+    """
+    per_key = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+    )
+    top = (
+        per_key.orderBy(F.desc("n"), F.asc("l_orderkey"))
+        .limit(SKEW_TOP_KEYS)
+        .agg(F.sum("n").alias("top_mass"))
+    )
+    hot_share = F.col("max_rows") / F.col("n_rows")
+    return (
+        per_key.agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("n").cast("long").alias("max_rows"),
+        )
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_rows",
+            F.col("top_mass").cast("long").alias("top10_rows"),
+            F.round(hot_share, 6).alias("hot_share"),
+            F.round(F.col("top_mass") / F.col("n_rows"), 6).alias("top10_share"),
+            F.round(
+                F.col("max_rows") / (F.col("n_rows") / F.col("n_keys")), 6
+            ).alias("skew_ratio"),
+            (hot_share > skew_salt_threshold(parallelism)).alias(
+                "recommend_salt"
+            ),
+        )
+    )
