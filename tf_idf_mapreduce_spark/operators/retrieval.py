@@ -581,7 +581,12 @@ def hybrid_search(
     scored = tfidf_pipeline(
         documents_as_corpus(load_table(spark, sf_dir, "documents"))
     )
-    v = scored.select("doc", "word", F.round("tfidf", 6).alias("wt"))
+    # three consumers (norms, query vector, dots) — materialize the pruned
+    # weight relation once instead of re-running the tokenize→tf-idf DAG
+    # per branch (docsim's measured localCheckpoint pattern)
+    v = scored.select(
+        "doc", "word", F.round("tfidf", 6).alias("wt")
+    ).localCheckpoint()
     norms = v.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
     )
