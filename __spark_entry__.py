@@ -3301,6 +3301,34 @@ _CURATION_ORACLE: dict[str, str] = {
     # A-ES weighted sample: u from the same md5 preimage as hash_sample,
     # key = u^(1/w) on the @6dp grid, doc_id tiebreak — engine pow/ln ulp
     # differences cannot flip a 1e-6-grid comparison
+    # cluster-balanced diversity sample: the IVF assignment replay (same
+    # CTEs as sim_cluster_profile) + the weighted_sample md5 uniform,
+    # per-cell row_number quota
+    "curate_cluster_sample": f"""
+        WITH {_ivf_cent_ctes(sim.IVF_K, sim.IVF_ITERS)},
+        assigned AS (
+          SELECT e.vec_id AS doc_id, min_by(c.cid, {_SEMKEEP_KEY}) AS cid
+          FROM emb e CROSS JOIN cent{sim.IVF_ITERS} c GROUP BY e.vec_id, e.v),
+        uu AS (
+          SELECT doc_id,
+                 ({_hex_to_int_sql(
+                     "substr(md5(CAST(doc_id AS VARCHAR) || ':' "
+                     "|| coalesce(text, '')), 1, 8)", 8)} + 0.5)
+                   / 4294967296.0 AS u
+          FROM documents),
+        sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_cell
+                  FROM assigned GROUP BY 1),
+        ranked AS (
+          SELECT a.doc_id, a.cid,
+                 row_number() OVER (PARTITION BY a.cid
+                                    ORDER BY u.u ASC, a.doc_id ASC)
+                   AS sample_rank
+          FROM assigned a JOIN uu u USING (doc_id))
+        SELECT r.doc_id, r.cid, CAST(r.sample_rank AS BIGINT) AS sample_rank,
+               s.n_cell
+        FROM ranked r JOIN sizes s USING (cid)
+        WHERE r.sample_rank <= {cur.CLUSTER_SAMPLE_QUOTA}
+    """,
     "curate_weighted_sample": f"""
         WITH t AS (
           SELECT doc_id,
@@ -4336,6 +4364,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_incremental_manifest": cur.incremental_manifest,
         "tfidf_hybrid_search": rtv.hybrid_search,
         "rel_skew_report": rel.join_skew_report,
+        "curate_cluster_sample": cur.cluster_balanced_sample,
     }
 
 

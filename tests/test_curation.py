@@ -894,3 +894,24 @@ def test_incremental_manifest_composes_the_screens(spark, sf_dir):
             assert r.match_doc_id is None
         if r.status == "admitted":
             assert inc[i].status == "keep" or i % cur.CONTAM_BENCH_MOD == 0
+
+
+def test_cluster_balanced_sample_laws(spark, sf_dir):
+    """Quota respected per cell; ranks dense from 1; sample size =
+    min(quota, cell size) per cell; every doc belongs to its cell per
+    the shared assignment."""
+    from collections import Counter
+
+    from tf_idf_mapreduce_spark.operators import curation as cur
+
+    rows = cur.cluster_balanced_sample(spark, sf_dir).collect()
+    by_cell = Counter(r.cid for r in rows)
+    n_cell = {r.cid: r.n_cell for r in rows}
+    for cid, n in by_cell.items():
+        assert n == min(cur.CLUSTER_SAMPLE_QUOTA, n_cell[cid])
+        ranks = sorted(r.sample_rank for r in rows if r.cid == cid)
+        assert ranks == list(range(1, n + 1))
+    # every non-empty cell appears (it contributes >= 1 sampled row), so
+    # the attached cell sizes must sum to the full embedding count
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(n_cell.values()) == emb_n

@@ -1586,3 +1586,53 @@ def incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: Docs kept per IVF cell by the cluster-balanced sample.
+CLUSTER_SAMPLE_QUOTA = 20
+
+
+def cluster_balanced_sample(
+    spark: SparkSession, sf_dir: str, quota: int = CLUSTER_SAMPLE_QUOTA
+) -> DataFrame:
+    """Diversity sampling: an equal per-cluster quota over the IVF cells —
+    the cluster-balanced subsample that keeps tail topics a uniform
+    hash-sample would drown (the SemDeDup-adjacent move: clusters are
+    semantic regions, so capping each region flattens topical skew).
+
+    Per cell, the ``quota`` docs with the smallest deterministic uniform
+    (the ``weighted_sample`` md5 uniform — reproducible, no RNG state,
+    stable under repartitioning), doc_id tiebreak; cell population is
+    attached so the sampling rate per region is auditable. One corpus
+    scan for the assignment (cached deterministic k-means fit, centroids
+    ride the closure), one doc_id join for the uniform, one k-bounded
+    window — the window partitions are cell-sized, and the per-cell
+    top-``quota`` is the two-level top-k shape at scale.
+    """
+    from .similarity import _nearest_centroid_udf, ivf_centroids
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e, cache_key=sf_dir)
+    assigned = e.select(
+        F.col("vec_id").alias("doc_id"),
+        _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
+    )
+    u = (
+        F.conv(F.substring(_sample_bucket_md5(), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    d = load_table(spark, sf_dir, "documents").select("doc_id", u.alias("u"))
+    sizes = assigned.groupBy("cid").agg(F.count("*").cast("long").alias("n_cell"))
+    w = Window.partitionBy("cid").orderBy(F.asc("u"), F.asc("doc_id"))
+    return (
+        assigned.join(d, "doc_id")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= quota)
+        .join(F.broadcast(sizes), "cid")
+        .select(
+            "doc_id",
+            "cid",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            "n_cell",
+        )
+    )
