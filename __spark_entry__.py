@@ -2644,6 +2644,10 @@ _STREAMING_ORACLE: dict[str, str] = {
 _STREAMING_ORACLE["stream_incremental_wordcount"] = _STREAMING_ORACLE[
     "stream_wordcount"
 ]
+# the live arrival screen must equal the batch incremental dedup
+_STREAMING_ORACLE["stream_incremental_dedup"] = _LLMDATA_ORACLE[
+    "dedup_incremental"
+]
 # the drained stream sketch must equal the batch sketch's counter table
 _STREAMING_ORACLE["stream_word_cms"] = f"""
     WITH wc AS (
@@ -4365,6 +4369,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_hybrid_search": rtv.hybrid_search,
         "rel_skew_report": rel.join_skew_report,
         "curate_cluster_sample": cur.cluster_balanced_sample,
+        "stream_incremental_dedup": st.q_stream_incremental_dedup,
     }
 
 

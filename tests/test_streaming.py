@@ -352,3 +352,14 @@ def test_stream_word_cms_matches_batch_sketch(spark, sf_dir):
     want = cms_counters(wc)
     cols = ["i", "bucket", "c"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_incremental_dedup_matches_batch(spark, sf_dir):
+    """The live arrival screen equals the batch incremental dedup
+    row-for-row (statuses, matches, counts, estimates)."""
+    from tf_idf_mapreduce_spark.operators import dedup as dd
+
+    got = st.q_stream_incremental_dedup(spark, sf_dir)
+    want = dd.incremental_dedup(spark, sf_dir)
+    cols = ["doc_id", "status", "match_doc_id", "n_matches", "best_est"]
+    assert _rows(got, cols) == _rows(want, cols)

@@ -613,3 +613,90 @@ def q_stream_word_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("c"))
     )
     return run_to_memory(counters, "stream_word_cms", output_mode="complete")
+
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arrival screen LIVE: the batch slice streams in and is checked
+    against the STATIC corpus signature index — the streaming twin of
+    ``dedup.incremental_dedup`` (identical output, same oracle).
+
+    Streaming-specific design: the per-doc MinHash signature must be
+    STATELESS here (an agg-built signature would chain three stateful
+    operators, which Structured Streaming rejects without event-time
+    watermarks), so the stream side uses the column-level formulation
+    (``minhash_signature`` over array HOFs — pinned equal to the
+    row-level one by ``test_groupby_formulation_matches_column_
+    formulation``); that interpreted fold is the price of statelessness
+    and is fine at arrival rates (at 100 TB/day you'd precompute
+    signatures in the ingest mapper anyway). The band join is
+    stream-static LEFT OUTER (keep-docs must surface too), the static
+    index re-plans per micro-batch — in production it is a persisted
+    bucketed table — and the ONE stateful aggregation folds band hits
+    per doc with ``collect_set`` (bounded by each doc's true match
+    set, not by band multiplicity).
+    """
+    from ..functions.hashing import (
+        MINHASH_K,
+        band_keys,
+        minhash_signature,
+        shingle_hashes,
+        shingles,
+    )
+    from ..operators.curation import SAMPLE_BUCKET_MAX, _sample_bucket
+    from ..operators.dedup import INCREMENTAL_EST_JACCARD, minhash_bands
+    from ..sources.io import load_table
+
+    is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
+    corpus = load_table(spark, sf_dir, "documents").where(~is_batch)
+    # materialize the index ONCE per run: the static side re-plans per
+    # micro-batch, and without this barrier every trigger re-signs the
+    # whole corpus (measured 7.7 -> 6.5 s at sf0.1 — the rest of the wall
+    # is the stream side's stateless interpreted signature fold plus the
+    # per-trigger drain floor). This is the in-plan stand-in for the
+    # persisted bucketed signature table production keeps.
+    static_bands = (
+        minhash_bands(corpus)
+        .select(
+            F.col("doc_id").alias("c_doc"),
+            F.col("sig").alias("sig_c"),
+            "band",
+            "key",
+        )
+        .localCheckpoint()
+    )
+
+    sig = minhash_signature(shingle_hashes(shingles(norm_words(F.col("text")))))
+    batch = (
+        stream_documents(spark, sf_dir)
+        .where(is_batch)
+        .select("doc_id", sig.alias("sig_b"))
+        .select(
+            "doc_id", "sig_b", F.explode(band_keys(F.col("sig_b"))).alias("bk")
+        )
+        .select(
+            "doc_id",
+            "sig_b",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_b", "sig_c", lambda x, y: x == y), lambda m: m)
+    )
+    est = agree / MINHASH_K
+    hit = F.when(est >= INCREMENTAL_EST_JACCARD, F.col("c_doc"))
+    joined = batch.join(static_bands, ["band", "key"], "left_outer")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.collect_set(hit).alias("matches"),
+        F.max(F.when(est >= INCREMENTAL_EST_JACCARD, est)).alias("best_est"),
+    )
+    out = per_doc.select(
+        "doc_id",
+        F.when(F.size("matches") > 0, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("status"),
+        F.array_min("matches").alias("match_doc_id"),
+        F.size("matches").cast("long").alias("n_matches"),
+        "best_est",
+    )
+    return run_to_memory(out, "stream_incremental_dedup", output_mode="complete")
