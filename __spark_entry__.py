@@ -2727,6 +2727,25 @@ _TEMPORAL_ORACLE["temporal_asof_nearest"] = f"""
     FROM j
 """
 
+# interval-intersection join: sessionize x anomalous hours, both replayed
+# from their own oracles; overlap is pure integer arithmetic
+_TEMPORAL_ORACLE["temporal_interval_overlap"] = f"""
+    WITH s AS ({_EVENTS_ORACLE["events_sessionize"]}),
+    an AS ({_EVENTS_ORACLE["events_anomaly"]}),
+    hrs AS (SELECT DISTINCT hour_start_sec FROM an),
+    cov AS (
+      SELECT user_id, session_seq, session_start_sec, session_end_sec,
+             unnest(generate_series(session_start_sec // 3600,
+                                    session_end_sec // 3600)) AS hb
+      FROM s
+    )
+    SELECT c.user_id, c.session_seq, h.hour_start_sec,
+           CAST(least(c.session_end_sec, h.hour_start_sec + 3599)
+                - greatest(c.session_start_sec, h.hour_start_sec) + 1
+                AS BIGINT) AS overlap_sec
+    FROM cov c JOIN hrs h ON c.hb * 3600 = h.hour_start_sec
+"""
+
 _STREAMING_ORACLE["stream_upsert_snapshot"] = _TEMPORAL_ORACLE[
     "temporal_latest_snapshot"
 ]
@@ -4370,6 +4389,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_skew_report": rel.join_skew_report,
         "curate_cluster_sample": cur.cluster_balanced_sample,
         "stream_incremental_dedup": st.q_stream_incremental_dedup,
+        "temporal_interval_overlap": tmp.interval_overlap,
     }
 
 

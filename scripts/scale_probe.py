@@ -388,6 +388,88 @@ def probe_grid_gd(spark: SparkSession, quick: bool) -> None:
     emit()
 
 
+
+
+# --------------------------------------------------------------------------
+# P5: count-min sketch vs exact word count
+# --------------------------------------------------------------------------
+
+def probe_cms(spark: SparkSession, quick: bool) -> None:
+    """P5: the bounded-state claim behind text_word_cms/stream_word_cms —
+    the sketch aggregate's state is d*w = 4096 rows NO MATTER the
+    vocabulary, while the exact word count's state is vocabulary-sized.
+    This measures the throughput price of the 4x cell explode and shows
+    the exact path's cost growing with distinct-key count while the
+    sketch's stays flat."""
+    from tf_idf_mapreduce_spark.functions.hashing import (
+        MINHASH_P,
+        MINHASH_PERMS,
+        word_hash32,
+    )
+    from tf_idf_mapreduce_spark.operators.textstats import CMS_D, CMS_W
+
+    emit("## P5 — count-min sketch: constant state vs vocabulary-sized state")
+    emit()
+    emit("| tokens | vocab param | distinct words | exact s | cms s | cms/exact | exact state rows | cms state rows |")
+    emit("|---|---|---|---|---|---|---|---|")
+    cases = [
+        (2_000_000, 100_000),
+        (20_000_000, 100_000),
+        (20_000_000, 10_000_000),
+        (50_000_000, 10_000_000),
+    ]
+    if quick:
+        cases = cases[:2]
+    for n, vocab in cases:
+        u = (
+            F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit("w"))), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        rank = F.floor(F.pow(F.lit(float(vocab)), u)).cast("long")
+        tokens = (
+            spark.range(n)
+            .select(F.concat(F.lit("w"), rank.cast("string")).alias("word"))
+            .localCheckpoint()
+        )
+        exact = tokens.groupBy("word").agg(F.count("*").alias("n"))
+        h = word_hash32(F.col("word"))
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (((h * F.lit(a) + F.lit(b)) % MINHASH_P) % CMS_W).alias(
+                        "bucket"
+                    ),
+                )
+                for i, (a, b) in enumerate(MINHASH_PERMS[:CMS_D])
+            ]
+        )
+        cms = (
+            tokens.select(F.explode(cells).alias("hb"))
+            .select(F.col("hb.i").alias("i"), F.col("hb.bucket").alias("bucket"))
+            .groupBy("i", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+        distinct = exact.count()
+        t_exact = _timed(exact)
+        t_cms = _timed(cms)
+        emit(
+            f"| {n:,} | {vocab:,} | {distinct:,} | {t_exact:.2f} | {t_cms:.2f} "
+            f"| {t_cms / t_exact:.2f}x | {distinct:,} | {CMS_D * CMS_W:,} |"
+        )
+        tokens.unpersist()
+    emit()
+    emit(
+        "Reading: the sketch pays the 4x cell fan-out up front (map-side "
+        "partial aggregation collapses it to <= 4096 rows per partition "
+        "before the exchange), and its cost is FLAT in vocabulary; the "
+        "exact count's shuffle and state grow with distinct keys. On an "
+        "open stream the exact path's state is unbounded — the sketch's "
+        "4096 longs never grow, merge by addition across shards/days, and "
+        "text_word_cms value-checks the estimate error exactly."
+    )
+    emit()
+
 def main() -> int:
     quick = "--quick" in sys.argv
     # the probe materializes 20-50M-row relations via localCheckpoint —
@@ -411,6 +493,7 @@ def main() -> int:
     probe_lsh_buckets(spark, quick)
     probe_prefix_sum(spark, quick)
     probe_grid_gd(spark, quick)
+    probe_cms(spark, quick)
     md = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.md",

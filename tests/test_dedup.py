@@ -499,3 +499,33 @@ def test_incremental_dedup_flags_planted_corpus_dup(spark, tmp_path):
     assert out[batch_dup].status == "drop"
     assert out[batch_dup].match_doc_id == corpus_id
     assert out[batch_far].status == "keep"
+
+
+def test_incremental_dedup_degenerate_splits(spark, tmp_path):
+    """All-batch corpus (no corpus side): every doc keeps. All-corpus
+    (empty batch): empty result, no failure."""
+    import hashlib
+
+    from tf_idf_mapreduce_spark.operators import curation as cur
+    from tf_idf_mapreduce_spark.operators import dedup as dd
+
+    def bucket_of(i, text):
+        return hashlib.md5(f"{i}:{text}".encode()).hexdigest()[:2]
+
+    batch_ids = [i for i in range(3000) if bucket_of(i, BASE) <= cur.SAMPLE_BUCKET_MAX][:3]
+    corpus_ids = [i for i in range(3000) if bucket_of(i, BASE) > cur.SAMPLE_BUCKET_MAX][:3]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    d1 = str(tmp_path / "allbatch")
+    spark.createDataFrame(
+        [(i, BASE, "en", "web", len(BASE)) for i in batch_ids], schema
+    ).coalesce(1).write.parquet(f"{d1}/documents.parquet")
+    out = dd.incremental_dedup(spark, d1).collect()
+    assert {r.doc_id for r in out} == set(batch_ids)
+    assert all(r.status == "keep" for r in out)  # identical docs, but no corpus side
+
+    d2 = str(tmp_path / "allcorpus")
+    spark.createDataFrame(
+        [(i, BASE, "en", "web", len(BASE)) for i in corpus_ids], schema
+    ).coalesce(1).write.parquet(f"{d2}/documents.parquet")
+    assert dd.incremental_dedup(spark, d2).count() == 0

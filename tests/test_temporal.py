@@ -169,3 +169,34 @@ def test_asof_multi_column_carry_is_atomic(spark):
     # ordering makes (None, 9) the greatest tuple only if nulls sort high;
     # whichever wins, the PAIR must be consistent
     assert (out.a_asof, out.b_asof) in {(5, 1), (None, 9)}
+
+
+def test_interval_overlap_laws(spark, sf_dir):
+    """Overlap bounded by both the hour and the session; every joined
+    hour really is anomalous; every anomalous hour a session covers
+    appears exactly once per (session, hour)."""
+    from tf_idf_mapreduce_spark.operators import events as ev
+    from tf_idf_mapreduce_spark.operators import temporal as tmp
+
+    rows = tmp.interval_overlap(spark, sf_dir).collect()
+    assert rows, "fixture has anomalous hours and sessions covering them"
+    anom = {
+        r.hour_start_sec
+        for r in ev.q_anomaly_hours(spark, sf_dir).collect()
+    }
+    sess = {
+        (r.user_id, r.session_seq): (r.session_start_sec, r.session_end_sec)
+        for r in ev.q_sessionize(spark, sf_dir).collect()
+    }
+    seen = set()
+    for r in rows:
+        key = (r.user_id, r.session_seq, r.hour_start_sec)
+        assert key not in seen
+        seen.add(key)
+        assert r.hour_start_sec in anom
+        start, end = sess[(r.user_id, r.session_seq)]
+        assert 1 <= r.overlap_sec <= 3600
+        assert r.overlap_sec <= end - start + 1
+        # recompute the clip directly
+        want = min(end, r.hour_start_sec + 3599) - max(start, r.hour_start_sec) + 1
+        assert r.overlap_sec == want

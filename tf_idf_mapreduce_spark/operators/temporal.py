@@ -325,3 +325,51 @@ def q_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gap_ts_sec").alias("gap_sec"),
         "matched_direction",
     )
+
+
+def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-intersection join: how much of each user session fell
+    inside an ANOMALOUS hour — the attribution query an incident review
+    runs (which sessions were exposed to the outage/spike window, for
+    how long), composing the sessionizer with the volume-anomaly alert
+    relation.
+
+    Interval join strategy (the banded-range-join move, reapplied): a
+    session [start, end] explodes into its covered hour buckets —
+    fanout bounded by session duration in hours, never data-dependent
+    skew — and joins the anomalous-hours relation on the bucket
+    equi-key; the alert side is alert-sized (z-filtered), so it
+    BROADCASTS and the session side never shuffles. Overlap is integer
+    seconds of [start, end] ∩ [h, h+3600): exact arithmetic, no float
+    surface at all. Every joined pair overlaps by construction (a
+    session covers each of its own hour buckets), so no post-filter.
+    """
+    from .events import q_anomaly_hours, q_sessionize
+
+    s = q_sessionize(spark, sf_dir)
+    hours = q_anomaly_hours(spark, sf_dir).select("hour_start_sec").distinct()
+    covered = s.select(
+        "user_id",
+        "session_seq",
+        "session_start_sec",
+        "session_end_sec",
+        F.explode(
+            F.sequence(
+                (F.col("session_start_sec") / 3600).cast("long"),
+                (F.col("session_end_sec") / 3600).cast("long"),
+            )
+        ).alias("hb"),
+    )
+    overlap = (
+        F.least(F.col("session_end_sec"), F.col("hour_start_sec") + 3599)
+        - F.greatest(F.col("session_start_sec"), F.col("hour_start_sec"))
+        + 1
+    )
+    return covered.join(
+        F.broadcast(hours), covered["hb"] * 3600 == hours["hour_start_sec"]
+    ).select(
+        "user_id",
+        "session_seq",
+        "hour_start_sec",
+        overlap.cast("long").alias("overlap_sec"),
+    )
