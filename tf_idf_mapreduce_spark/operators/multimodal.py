@@ -831,3 +831,96 @@ def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     video path (construction and every SAD integer-replayable in SQL)."""
     m = y4m_from_documents(load_table(spark, sf_dir, "documents"))
     return scene_cuts(m)
+
+
+# ---------------------------------------------------------------------------
+# pHash: DCT perceptual hash (integer-scaled, engine-exact)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for the DCT basis. With 8x8 pixels <= 255 the
+#: coefficient bound is 255 * 64 * PHASH_SCALE^2 ~ 4.4e15 < 2^53, so every
+#: coefficient is an exact integer in BOTH engines (and exact as a double).
+PHASH_SCALE = 1 << 14
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash_bits", StringType()),
+        StructField("n_set", LongType()),
+    ]
+)
+
+
+def phash_cmat() -> list[list[int]]:
+    """The 8x8 orthonormal DCT-II basis, scaled by PHASH_SCALE and rounded
+    to INTEGERS once in Python — the same literal matrix drives the numpy
+    kernel and the SQL oracle, so the transform is bit-identical by
+    construction (the ``fold_dot_matrix_udf`` trick, taken further: with
+    integer arithmetic there is no fold order to match at all)."""
+    return [
+        [
+            round(
+                (math.sqrt(1.0 / 8.0) if u == 0 else math.sqrt(2.0 / 8.0))
+                * math.cos((2 * r + 1) * u * math.pi / 16.0)
+                * PHASH_SCALE
+            )
+            for r in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+def phash_images(media_df: DataFrame) -> DataFrame:
+    """Perceptual DCT hash over binary P6 PPM media — the frequency-domain
+    sibling of ``ahash_images`` (aHash keys on brightness layout; pHash on
+    the low-frequency structure, so it survives brightness shifts that
+    flip aHash bits).
+
+    Real decode → the SAME 8x8 stride-sample as aHash → integer-scaled
+    2-D DCT (one int64 ``C @ V @ C.T`` per image) → 63 AC coefficients →
+    bit_i = (coef_i > median). The median of an odd count is the middle
+    ELEMENT — no interpolation — and coefficients are exact integers, so
+    the bit decision is engine-portable with no rounding grid anywhere.
+    Emits a 63-char '0'/'1' string, bandable exactly like the aHash.
+    """
+    import numpy as np
+
+    cm = np.array(phash_cmat(), dtype="int64")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bits, nset = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                w, h, _maxval, pix = decode_ppm(bytes(payload))
+                vals = [
+                    pix[3 * ((r * h // 8) * w + (c * w // 8))]
+                    for r in range(8)
+                    for c in range(8)
+                ]
+                V = np.array(vals, dtype="int64").reshape(8, 8)
+                D = (cm @ V @ cm.T).ravel()
+                ac = D[1:]  # row-major (u, v); drop the DC term
+                med = float(np.median(ac))
+                s = "".join("1" if int(x) > med else "0" for x in ac)
+                ids.append(doc_id)
+                bits.append(s)
+                nset.append(s.count("1"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash_bits": bits,
+                    "n_set": pd.Series(nset, dtype="int64"),
+                }
+            )
+
+    return media_df.mapInPandas(run, PHASH_SCHEMA)
+
+
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DCT perceptual hash of the synthetic P6 PPM corpus."""
+    m = ppm_from_documents(
+        load_table(spark, sf_dir, "documents"),
+        side_base=AHASH_SIDE_BASE,
+        n_blocks=AHASH_PPM_BLOCKS,
+    )
+    return phash_images(m)
