@@ -1918,6 +1918,44 @@ _LLMDATA_ORACLE["mm_ahash"] = (
     """
 )
 
+#: Integer DCT basis rows as SQL VALUES: (u, r, m).
+_PHASH_CMAT_ROWS = ", ".join(
+    f"({u}, {r}, {m})"
+    for u, row in enumerate(mm.phash_cmat())
+    for r, m in enumerate(row)
+)
+
+# pHash: the SAME 8x8 samples as aHash, pushed through the integer-scaled
+# DCT (coefficients are exact integers < 2^53 by construction, so the
+# median compare has no float surface); bit order is row-major (u, v)
+# excluding the DC term — identical to the numpy kernel's ravel()[1:].
+_LLMDATA_ORACLE["mm_phash"] = (
+    _AHASH_CTE
+    + f"""
+    , cmat AS (SELECT * FROM (VALUES {_PHASH_CMAT_ROWS}) t(u, r, m)),
+    dct AS (
+      SELECT s.doc_id, cu.u AS fu, cv.u AS fv,
+             CAST(sum(cu.m * s.v * cv.m) AS BIGINT) AS coef
+      FROM samples s
+      JOIN cmat cu ON cu.r = s.r
+      JOIN cmat cv ON cv.r = s.c
+      GROUP BY s.doc_id, cu.u, cv.u
+    ),
+    ac AS (SELECT doc_id, fu, fv, coef FROM dct
+           WHERE NOT (fu = 0 AND fv = 0)),
+    med AS (SELECT doc_id, median(coef) AS med FROM ac GROUP BY doc_id),
+    ph AS (
+      SELECT a.doc_id,
+             string_agg(CASE WHEN a.coef > m.med THEN '1' ELSE '0' END,
+                        '' ORDER BY a.fu, a.fv) AS phash_bits
+      FROM ac a JOIN med m USING (doc_id) GROUP BY a.doc_id
+    )
+    SELECT doc_id, phash_bits,
+           CAST(length(replace(phash_bits, '0', '')) AS BIGINT) AS n_set
+    FROM ph
+    """
+)
+
 _LLMDATA_ORACLE["mm_ahash_pairs"] = (
     _AHASH_CTE
     + f"""
@@ -4390,6 +4428,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_cluster_sample": cur.cluster_balanced_sample,
         "stream_incremental_dedup": st.q_stream_incremental_dedup,
         "temporal_interval_overlap": tmp.interval_overlap,
+        "mm_phash": mm.media_phash,
     }
 
 

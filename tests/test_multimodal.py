@@ -403,3 +403,58 @@ def test_ahash_pairs_hamming_is_exact(spark, sf_dir):
         assert p.hamming == expect
         assert p.is_near == (p.hamming <= 8)
         assert 1 <= p.n_bands_shared <= 4
+
+
+def test_phash_brightness_shift_invariant(spark):
+    """DCT linearity law: a uniform brightness shift moves ONLY the DC
+    coefficient, so the 63 AC bits — and therefore the pHash — are
+    IDENTICAL. (aHash is also shift-invariant by its mean compare; the
+    pHash proof is exact integer linearity, pinned here.)"""
+    import hashlib
+
+    from tf_idf_mapreduce_spark.operators.multimodal import phash_images
+
+    side = 8
+    base = bytearray()
+    for i in range(side * side):
+        v = hashlib.md5(str(i).encode()).digest()[0] % 200  # <= 199, room for +40
+        base += bytes([v, 0, 0])
+    shifted = bytearray()
+    for i in range(0, len(base), 3):
+        shifted += bytes([base[i] + 40, base[i + 1], base[i + 2]])
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_p6(side, bytes(base)))),
+            (2, bytearray(_p6(side, bytes(shifted)))),
+        ],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r for r in phash_images(media).collect()}
+    assert len(rows[1].phash_bits) == 63
+    assert rows[1].phash_bits == rows[2].phash_bits
+    assert rows[1].n_set == rows[1].phash_bits.count("1")
+
+
+def test_phash_differs_across_structures(spark):
+    """Different spatial structures hash differently (sanity against a
+    degenerate constant hash)."""
+    from tf_idf_mapreduce_spark.operators.multimodal import phash_images
+
+    side = 8
+    stripes = bytearray()
+    for r in range(side):
+        v = 200 if r % 2 == 0 else 10
+        stripes += bytes([v, 0, 0]) * side
+    halves = bytearray()
+    for r in range(side):
+        v = 200 if r < 4 else 10
+        halves += bytes([v, 0, 0]) * side
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_p6(side, bytes(stripes)))),
+            (2, bytearray(_p6(side, bytes(halves)))),
+        ],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: r for r in phash_images(media).collect()}
+    assert rows[1].phash_bits != rows[2].phash_bits
