@@ -1052,6 +1052,49 @@ def _embedding_lsh_pairs_sql(min_cos: float) -> str:
     """
 
 
+def _incremental_semantic_sql(min_cos: float) -> str:
+    """Oracle for ``dedup.incremental_semantic_dedup`` — the batch/corpus
+    tag over the same band CTE, exact-cosine verify, keep rows kept."""
+    return f"""
+        WITH {_lsh_bands_sql()},
+        tag AS (
+          SELECT doc_id,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
+                        1, 2) <= '{cur.SAMPLE_BUCKET_MAX}' AS is_batch
+          FROM documents
+        ),
+        cand AS (
+          SELECT DISTINCT b.vec_id AS b_vec, c.vec_id AS c_vec
+          FROM bands b
+          JOIN tag tb ON tb.doc_id = b.vec_id AND tb.is_batch
+          JOIN bands c ON c.band_idx = b.band_idx AND c.band_val = b.band_val
+          JOIN tag tc ON tc.doc_id = c.vec_id AND NOT tc.is_batch
+        ),
+        scored AS (
+          SELECT cd.b_vec, cd.c_vec,
+                 floor({_cos_sql('ea.embedding', 'eb.embedding')} * 1000000
+                       + 0.5) / 1000000 AS cos_sim
+          FROM cand cd
+          JOIN embeddings ea ON ea.vec_id = cd.b_vec
+          JOIN embeddings eb ON eb.vec_id = cd.c_vec
+        ),
+        m AS (
+          SELECT b_vec, min(c_vec) AS match_doc_id,
+                 CAST(count(*) AS BIGINT) AS n_matches,
+                 max(cos_sim) AS best_cos
+          FROM scored WHERE cos_sim >= {min_cos} GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CASE WHEN m.match_doc_id IS NOT NULL
+                    THEN 'drop' ELSE 'keep' END AS status,
+               m.match_doc_id,
+               CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+               m.best_cos
+        FROM tag t LEFT JOIN m ON m.b_vec = t.doc_id
+        WHERE t.is_batch
+    """
+
+
 def _embedding_lsh_recall_sql(min_cos: float) -> str:
     """Oracle for ``dedup.embedding_lsh_recall`` — composed from the two
     pair oracles with the same threshold, denominator = exact pair
@@ -1570,6 +1613,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "dedup_embedding_pairs": _embedding_pairs_sql(sim.NEARDUP_MIN_COSINE),
+    "dedup_incremental_semantic": _incremental_semantic_sql(
+        sim.NEARDUP_MIN_COSINE
+    ),
     "dedup_embedding_lsh_pairs": _embedding_lsh_pairs_sql(
         sim.NEARDUP_MIN_COSINE
     ),
@@ -3552,6 +3598,7 @@ _CURATION_ORACLE["curate_keep_list"] = f"""
 # computed once in a CTE so the match attach can condition on it
 _CURATION_ORACLE["curate_incremental_manifest"] = f"""
     WITH inc AS ({_LLMDATA_ORACLE["dedup_incremental"]}),
+    sem AS ({_LLMDATA_ORACLE["dedup_incremental_semantic"]}),
     contam_t AS ({_CURATION_ORACLE["curate_contamination"]}),
     pii_t AS ({_CURATION_ORACLE["text_pii_scan"]}),
     q_t AS ({_LLMDATA_ORACLE["text_quality"]}),
@@ -3559,20 +3606,24 @@ _CURATION_ORACLE["curate_incremental_manifest"] = f"""
            FROM contam_t GROUP BY doc_id),
     sel AS (
       SELECT d.doc_id, d.lang, d.source, inc.match_doc_id AS mdid,
+             sem.match_doc_id AS smdid,
         CASE WHEN d.doc_id % {cur.CONTAM_BENCH_MOD} = 0 THEN 'benchmark'
              WHEN inc.status = 'drop' THEN 'near_dup'
+             WHEN sem.status = 'drop' THEN 'semantic_dup'
              WHEN mx.max_overlap >= {cur.KEEP_CONTAM_FRAC} THEN 'contaminated'
              WHEN pii_t.has_pii THEN 'pii'
              WHEN NOT q_t.keep THEN 'low_quality'
              ELSE 'admitted' END AS status
       FROM inc
+      JOIN sem ON sem.doc_id = inc.doc_id
       JOIN documents d ON d.doc_id = inc.doc_id
       LEFT JOIN mx ON mx.doc_id = d.doc_id
       JOIN pii_t ON pii_t.doc_id = d.doc_id
       JOIN q_t ON q_t.doc_id = d.doc_id
     )
     SELECT doc_id, lang, source, status,
-           CASE WHEN status = 'near_dup' THEN mdid END AS match_doc_id
+           CASE WHEN status = 'near_dup' THEN mdid
+                WHEN status = 'semantic_dup' THEN smdid END AS match_doc_id
     FROM sel
 """
 
@@ -4429,6 +4480,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_dedup": st.q_stream_incremental_dedup,
         "temporal_interval_overlap": tmp.interval_overlap,
         "mm_phash": mm.media_phash,
+        "dedup_incremental_semantic": dd.incremental_semantic_dedup,
     }
 
 

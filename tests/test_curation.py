@@ -883,17 +883,26 @@ def test_incremental_manifest_composes_the_screens(spark, sf_dir):
 
     man = {r.doc_id: r for r in cur.incremental_manifest(spark, sf_dir).collect()}
     inc = {r.doc_id: r for r in dd.incremental_dedup(spark, sf_dir).collect()}
-    assert set(man) == set(inc)
+    sem = {
+        r.doc_id: r
+        for r in dd.incremental_semantic_dedup(spark, sf_dir).collect()
+    }
+    assert set(man) == set(inc) == set(sem)
     for i, r in man.items():
         if r.status == "benchmark":
             assert i % cur.CONTAM_BENCH_MOD == 0
         if r.status == "near_dup":
             assert inc[i].status == "drop"
             assert r.match_doc_id == inc[i].match_doc_id
+        elif r.status == "semantic_dup":
+            assert inc[i].status == "keep" and sem[i].status == "drop"
+            assert r.match_doc_id == sem[i].match_doc_id
         else:
             assert r.match_doc_id is None
         if r.status == "admitted":
-            assert inc[i].status == "keep" or i % cur.CONTAM_BENCH_MOD == 0
+            assert (
+                inc[i].status == "keep" and sem[i].status == "keep"
+            ) or i % cur.CONTAM_BENCH_MOD == 0
 
 
 def test_cluster_balanced_sample_laws(spark, sf_dir):

@@ -1536,24 +1536,33 @@ def incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for each document in the arriving batch slice (the deterministic
     ~10% ``hash_sample`` bucket), the decision a daily ingest makes
     before anything enters the training pool, first matching reason
-    wins: ``benchmark`` (held-out member), ``near_dup`` (matches an
-    existing corpus doc per ``dedup.incremental_dedup``, with the
-    matched doc attached), ``contaminated``, ``pii``, ``low_quality``,
-    else ``admitted``.
+    wins: ``benchmark`` (held-out member), ``near_dup`` (lexical match
+    to an existing corpus doc per ``dedup.incremental_dedup``),
+    ``semantic_dup`` (embedding match per
+    ``dedup.incremental_semantic_dedup`` — the paraphrase the lexical
+    screen misses), ``contaminated``, ``pii``, ``low_quality``, else
+    ``admitted``; the matched corpus doc rides along for either dup
+    reason.
 
     Composition only — every screen is an existing operator; the new
-    stage vs ``keep_list`` is the batch-vs-corpus near-dup join, which
-    is the one check a one-shot manifest cannot express. All joins are
+    stages vs ``keep_list`` are the batch-vs-corpus dup joins, the
+    checks a one-shot manifest cannot express. All joins are
     doc_id-keyed on the batch slice (arrival-sized, not corpus-sized);
-    at 100 TB the corpus-side signature index is persisted and this
-    whole manifest costs one pass over the day's arrivals.
+    at 100 TB the corpus-side signature indexes (MinHash bands +
+    hyperplane buckets) are persisted and this whole manifest costs one
+    pass over the day's arrivals.
     """
-    from .dedup import incremental_dedup
+    from .dedup import incremental_dedup, incremental_semantic_dedup
     from .textstats import quality_scores
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     inc = incremental_dedup(spark, sf_dir).select(
         "doc_id", F.col("status").alias("dup_status"), "match_doc_id"
+    )
+    sem = incremental_semantic_dedup(spark, sf_dir).select(
+        "doc_id",
+        F.col("status").alias("sem_status"),
+        F.col("match_doc_id").alias("sem_match_doc_id"),
     )
     contam = (
         contamination_check(spark, sf_dir)
@@ -1565,13 +1574,15 @@ def incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     status = (
         F.when(F.col("doc_id") % CONTAM_BENCH_MOD == 0, "benchmark")
         .when(F.col("dup_status") == "drop", "near_dup")
+        .when(F.col("sem_status") == "drop", "semantic_dup")
         .when(F.col("max_overlap") >= KEEP_CONTAM_FRAC, "contaminated")
         .when(F.col("has_pii"), "pii")
         .when(~F.col("keep"), "low_quality")
         .otherwise("admitted")
     )
     return (
-        inc.join(d, "doc_id")
+        inc.join(sem, "doc_id")
+        .join(d, "doc_id")
         .join(contam, "doc_id", "left")
         .join(pii, "doc_id")
         .join(q, "doc_id")
@@ -1581,9 +1592,9 @@ def incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "source",
             "status",
-            F.when(F.col("status") == "near_dup", F.col("match_doc_id")).alias(
-                "match_doc_id"
-            ),
+            F.when(F.col("status") == "near_dup", F.col("match_doc_id"))
+            .when(F.col("status") == "semantic_dup", F.col("sem_match_doc_id"))
+            .alias("match_doc_id"),
         )
     )
 

@@ -1060,3 +1060,69 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_est",
         )
     )
+
+
+def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-side arrival screen — ``incremental_dedup``'s
+    semantic twin: batch vectors against the corpus's hyperplane-LSH
+    buckets, exact-cosine verify at ``NEARDUP_MIN_COSINE``, same output
+    shape (keep/drop + matched corpus doc). Together the two incremental
+    screens cover both failure modes: lexical near-copies that embed
+    differently, and paraphrases that share no shingles.
+
+    Band join is BATCH x CORPUS on (band_idx, band_val) — the corpus
+    signature side is the persisted ANN index at 100 TB — and the
+    verify cosine runs only on bucket-collision candidates (per-pair JVM
+    fold here; at production candidate volumes reuse
+    ``lsh_bucket_pairs``' bucket-tile numpy kernel, which is the same
+    math batched). Rounding mirrors the lsh-pairs convention:
+    floor(cos*1e6+0.5)/1e6, threshold applied to the rounded value.
+    """
+    from ..functions.vectors import cosine
+    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
+    from .similarity import NEARDUP_MIN_COSINE, _band_rows, lsh_signatures
+
+    tag = _docs(spark, sf_dir).select(
+        "doc_id", (_sample_bucket() <= SAMPLE_BUCKET_MAX).alias("is_batch")
+    )
+    bands = _band_rows(lsh_signatures(spark, sf_dir)).join(
+        tag, F.col("vec_id") == F.col("doc_id")
+    )
+    bb = bands.where(F.col("is_batch")).select(
+        F.col("vec_id").alias("b_vec"), "band_idx", "band_val"
+    )
+    cb = bands.where(~F.col("is_batch")).select(
+        F.col("vec_id").alias("c_vec"), "band_idx", "band_val"
+    )
+    cand = bb.join(cb, ["band_idx", "band_val"]).select("b_vec", "c_vec").distinct()
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cos6 = (
+        F.floor(
+            cosine(F.col("ea"), F.col("eb")) * 1_000_000 + F.lit(0.5)
+        )
+        / 1_000_000
+    )
+    scored = (
+        cand.join(e.select(F.col("vec_id").alias("b_vec"), F.col("embedding").alias("ea")), "b_vec")
+        .join(e.select(F.col("vec_id").alias("c_vec"), F.col("embedding").alias("eb")), "c_vec")
+        .select("b_vec", "c_vec", cos6.alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_MIN_COSINE)
+    )
+    per_batch = scored.groupBy("b_vec").agg(
+        F.min("c_vec").alias("match_doc_id"),
+        F.count("*").cast("long").alias("n_matches"),
+        F.max("cos_sim").alias("best_cos"),
+    )
+    return (
+        tag.where(F.col("is_batch"))
+        .join(per_batch, F.col("doc_id") == F.col("b_vec"), "left")
+        .select(
+            "doc_id",
+            F.when(F.col("match_doc_id").isNotNull(), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+            "match_doc_id",
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+            "best_cos",
+        )
+    )
