@@ -1556,6 +1556,11 @@ def incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import quality_scores
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    # NB: measured — localCheckpointing the two batch-sized screen
+    # relations here costs MORE than the lazy composition (the eager
+    # barriers serialize the screens and forfeit shared-scan reuse:
+    # 7.3 s lazy vs 10.9 s checkpointed at sf0.1); same finding as the
+    # minhash_candidate_pairs bands note
     inc = incremental_dedup(spark, sf_dir).select(
         "doc_id", F.col("status").alias("dup_status"), "match_doc_id"
     )
