@@ -60,6 +60,19 @@ QUERIES = [
     # per-doc lead window over (opos, ipos): adjacency must not depend
     # on how the exploded token rows are partitioned
     "tfidf_phrase_search",
+    # probe-threshold bound prune: the candidate SET may vary at the
+    # margin but the final rounded top-k must not
+    "sim_mips_topk",
+    # additive df merge + scalar-N rebuild must equal the one-shot index
+    # under any layout of either side
+    "tfidf_incremental_index",
+    # two ranked lists + row_number fusion: rank ties break on rounded
+    # score + doc, never on arrival order
+    "tfidf_hybrid_search",
+    # six stacked screens incl. both batch-vs-corpus dup joins
+    "curate_incremental_manifest",
+    # k-means cells + per-cell quota window over the md5 uniform
+    "curate_cluster_sample",
 ]
 
 
