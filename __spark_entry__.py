@@ -3395,6 +3395,50 @@ _CURATION_ORACLE: dict[str, str] = {
                round(h.n_shared / s.n_grams, 6) AS overlap_frac
         FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
     """,
+    # Bloom screen audit: distinct bit positions per gram (array_distinct
+    # mirrored by SELECT DISTINCT), membership = all k distinct bits set
+    "curate_contamination_bloom": f"""
+        WITH docs AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+        gr AS (
+          SELECT DISTINCT doc_id, md5(g) AS h FROM (
+            SELECT doc_id,
+              unnest(list_transform(
+                generate_series(1, greatest(len(words) - {_NG - 1}, 1)),
+                i -> array_to_string(words[i:i+{_NG - 1}], ' '))) AS g
+            FROM docs)
+        ),
+        hint AS (
+          SELECT doc_id, h,
+                 {_hex_to_int_sql("substr(h, 1, 8)", 8)} AS hi
+          FROM gr
+        ),
+        pos AS (
+          SELECT DISTINCT doc_id, h,
+                 ((hi * a + b) % {MINHASH_P}) % {cur.BLOOM_M} AS bit
+          FROM hint CROSS JOIN (VALUES {_CMS_PERM_ROWS}) seeds(seed, a, b)
+        ),
+        bench_bits AS (SELECT DISTINCT bit FROM pos
+                       WHERE doc_id % {_BM} = 0),
+        per_gram AS (
+          SELECT c.doc_id, c.h, count(*) AS npos,
+                 sum(CASE WHEN bb.bit IS NOT NULL THEN 1 ELSE 0 END) AS nfound
+          FROM (SELECT * FROM pos WHERE doc_id % {_BM} <> 0) c
+          LEFT JOIN bench_bits bb ON bb.bit = c.bit
+          GROUP BY 1, 2
+        ),
+        bench_h AS (SELECT DISTINCT h FROM gr WHERE doc_id % {_BM} = 0)
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN g.nfound = g.npos THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bloom_pos,
+               CAST(sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_shared,
+               CAST(sum(CASE WHEN g.nfound = g.npos THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN bh.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos
+        FROM per_gram g LEFT JOIN bench_h bh ON bh.h = g.h
+        GROUP BY g.doc_id
+    """,
     "curate_hash_sample": f"""
         SELECT doc_id, source,
                substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
@@ -4481,6 +4525,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_interval_overlap": tmp.interval_overlap,
         "mm_phash": mm.media_phash,
         "dedup_incremental_semantic": dd.incremental_semantic_dedup,
+        "curate_contamination_bloom": cur.contamination_bloom,
     }
 
 

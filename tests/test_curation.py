@@ -924,3 +924,35 @@ def test_cluster_balanced_sample_laws(spark, sf_dir):
     # the attached cell sizes must sum to the full embedding count
     emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert sum(n_cell.values()) == emb_n
+
+
+def test_contamination_bloom_laws(spark, sf_dir):
+    """Bloom one-sidedness per doc (no false negatives: bloom_pos >=
+    exact_shared, false_pos = difference), coverage (every corpus doc
+    with grams appears), and the exact side agrees with an independent
+    recomputation via the contamination gram relation."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators import curation as cur
+
+    rows = cur.contamination_bloom(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % cur.CONTAM_BENCH_MOD != 0
+        assert 0 <= r.n_exact_shared <= r.n_bloom_pos <= r.n_grams
+        assert r.n_false_pos == r.n_bloom_pos - r.n_exact_shared
+
+    grams = cur._doc_ngram_hashes(spark, sf_dir)
+    bench = grams.where(F.col("doc_id") % cur.CONTAM_BENCH_MOD == 0).select("h").distinct()
+    exact = {
+        r.doc_id: r.n
+        for r in grams.where(F.col("doc_id") % cur.CONTAM_BENCH_MOD != 0)
+        .join(bench, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r.doc_id: r.n_exact_shared for r in rows}
+    for d, n in exact.items():
+        assert got[d] == n
+    assert all(n == 0 for d, n in got.items() if d not in exact)

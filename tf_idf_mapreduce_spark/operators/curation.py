@@ -1652,3 +1652,89 @@ def cluster_balanced_sample(
             "n_cell",
         )
     )
+
+
+#: Bloom-filter geometry for the broadcastable decontamination screen:
+#: m = 65536 bits (8 KB as a bitset), k = 4 md5-affine hashes (the
+#: MinHash permutation family again — deterministic, SQL-replayable).
+BLOOM_M = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_positions(h: Column) -> Column:
+    """The k bit positions of one gram hash — array<long>, duplicates
+    possible (two hash rows may land on the same bit; membership logic
+    counts DISTINCT positions, mirrored exactly in the oracle)."""
+    from ..functions.hashing import MINHASH_P, MINHASH_PERMS
+
+    hint = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    return F.array(
+        *[
+            ((hint * F.lit(a) + F.lit(b)) % MINHASH_P) % BLOOM_M
+            for a, b in MINHASH_PERMS[:BLOOM_K]
+        ]
+    )
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen + its exact audit: per corpus
+    doc, how many of its 5-grams the BENCHMARK Bloom filter flags
+    (``n_bloom_pos``), the exact shared-gram count (``n_exact_shared``),
+    and the false-positive overcount — the one-sided error value-checked
+    per doc, not bounded (no false negatives is the Bloom law; the
+    pytest pins ``n_bloom_pos >= n_exact_shared`` for every doc).
+
+    Why this exists at 100 TB: the exact screen joins every corpus gram
+    against the benchmark gram set — fine when the benchmark side
+    broadcasts, but the filter version compresses the entire benchmark
+    into m = 65536 BITS (8 KB) of mergeable state: OR the per-shard
+    filters together, ship one packed bitset in the task closure, and
+    the probe is map-only (no join at all in production; the
+    DataFrame-join formulation here keeps the audit oracle-exact). A
+    gram is positive iff ALL its k DISTINCT bit positions are set.
+    """
+    grams = _doc_ngram_hashes(spark, sf_dir)
+    bench_bits = (
+        grams.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select(F.explode(_bloom_positions(F.col("h"))).alias("bit"))
+        .distinct()
+    )
+    corpus = grams.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    probe = corpus.select(
+        "doc_id", "h", F.explode(F.array_distinct(_bloom_positions(F.col("h")))).alias("bit")
+    )
+    per_gram = (
+        probe.join(F.broadcast(bench_bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("doc_id", "h")
+        .agg(
+            F.count("*").alias("npos"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("nfound"),
+        )
+        .select(
+            "doc_id", "h", (F.col("nfound") == F.col("npos")).alias("bloom_pos")
+        )
+    )
+    bench_h = (
+        grams.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("h")
+        .distinct()
+        .withColumn("shared", F.lit(1))
+    )
+    audited = per_gram.join(F.broadcast(bench_h), "h", "left")
+    return (
+        audited.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bloom_pos"),
+            F.sum(F.coalesce("shared", F.lit(0))).cast("long").alias("n_exact_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_pos",
+            "n_exact_shared",
+            (F.col("n_bloom_pos") - F.col("n_exact_shared")).alias("n_false_pos"),
+        )
+    )
