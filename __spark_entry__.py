@@ -42,6 +42,7 @@ from tf_idf_mapreduce_spark.operators.textstats import LANG_LEXICONS, STOPWORDS_
 from tf_idf_mapreduce_spark.operators.tfidf import (
     doc_freq,
     doc_totals,
+    incremental_e2e_index,
     incremental_index,
     tfidf_pipeline,
     tfidf_sorted,
@@ -3671,6 +3672,26 @@ _CURATION_ORACLE["curate_incremental_manifest"] = f"""
     FROM sel
 """
 
+# The e2e index update: replay the admission manifest, shadow the token
+# chain's document source with (corpus + admitted batch docs), and demand
+# the screen-then-merge composition equal a from-scratch build. The
+# shadowing is TEXTUAL (documents -> kept_docs in the shared token CTE) —
+# CTE-name shadowing of a base table is engine-dependent, string surgery
+# is not.
+_CURATION_ORACLE["tfidf_incremental_e2e"] = (
+    _TOKENS_CTE.replace("FROM documents", "FROM kept_docs").replace(
+        "WITH corpus AS",
+        f"""WITH man AS ({_CURATION_ORACLE["curate_incremental_manifest"]}),
+kept_docs AS (
+  SELECT d.* FROM documents d
+  LEFT JOIN man ON man.doc_id = d.doc_id
+  WHERE man.doc_id IS NULL OR man.status = 'admitted'
+),
+corpus AS""",
+    )
+    + 'SELECT word, doc, "count", doc_total, df, tfidf FROM scored'
+)
+
 # the 4-row stage window is tiny by construction; drop_rate divides by
 # the population that REACHED the stage
 # the funnel composes the keep-list screens with the SemDeDup stage:
@@ -4526,6 +4547,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash": mm.media_phash,
         "dedup_incremental_semantic": dd.incremental_semantic_dedup,
         "curate_contamination_bloom": cur.contamination_bloom,
+        "tfidf_incremental_e2e": incremental_e2e_index,
     }
 
 

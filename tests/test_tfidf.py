@@ -150,3 +150,40 @@ def test_incremental_index_equals_one_shot_rebuild(spark, sf_dir):
     assert inc.columns == full.columns
     assert inc.exceptAll(full).count() == 0
     assert full.exceptAll(inc).count() == 0
+
+
+def test_incremental_e2e_index_equals_one_shot_over_survivors(spark, sf_dir):
+    """Screen-then-merge == from-scratch build over (corpus + admitted
+    batch docs); rejected batch docs never appear in the index."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators import curation as cur
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SAMPLE_BUCKET_MAX,
+        _sample_bucket,
+    )
+    from tf_idf_mapreduce_spark.operators.tfidf import (
+        incremental_e2e_index,
+        tfidf_pipeline,
+    )
+    from tf_idf_mapreduce_spark.sources.io import documents_as_corpus, load_table
+
+    got = incremental_e2e_index(spark, sf_dir)
+
+    man = cur.incremental_manifest(spark, sf_dir)
+    admitted = {r.doc_id for r in man.where("status = 'admitted'").collect()}
+    rejected = {r.doc_id for r in man.where("status <> 'admitted'").collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(
+        (~(_sample_bucket() <= SAMPLE_BUCKET_MAX))
+        | F.col("doc_id").isin([int(i) for i in admitted])
+    )
+    want = tfidf_pipeline(documents_as_corpus(kept)).select(
+        "word", "doc", "count", "doc_total", "df",
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    if rejected:
+        bad = [str(i) for i in rejected]
+        assert got.where(F.col("doc").isin(bad)).count() == 0

@@ -183,6 +183,16 @@ def incremental_index(spark, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
+    return merge_index(
+        documents_as_corpus(docs.where(~is_batch)),
+        documents_as_corpus(docs.where(is_batch)),
+    )
+
+
+def merge_index(old_corpus: DataFrame, new_corpus: DataFrame) -> DataFrame:
+    """The index-merge core shared by ``incremental_index`` (whole batch)
+    and ``incremental_e2e_index`` (admitted batch docs only): postings
+    union, additive df full-outer merge, scalar-N add, idf re-multiply."""
 
     def side(corpus):
         wtc = doc_totals(word_count(tokenize(corpus)))
@@ -190,8 +200,8 @@ def incremental_index(spark, sf_dir: str) -> DataFrame:
         n = corpus.agg(F.countDistinct("doc").alias("nx"))
         return wtc, dfx, n
 
-    old_wtc, old_df, old_n = side(documents_as_corpus(docs.where(~is_batch)))
-    new_wtc, new_df, new_n = side(documents_as_corpus(docs.where(is_batch)))
+    old_wtc, old_df, old_n = side(old_corpus)
+    new_wtc, new_df, new_n = side(new_corpus)
 
     postings = old_wtc.unionByName(new_wtc)
     df_merged = (
@@ -213,4 +223,35 @@ def incremental_index(spark, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "word", "doc", "count", "doc_total", "df", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+def incremental_e2e_index(spark, sf_dir: str) -> DataFrame:
+    """The day's index update END TO END: the arriving batch passes the
+    ADMISSION manifest first (``curation.incremental_manifest`` — both
+    dup screens, contamination, PII, quality), and only ``admitted``
+    docs fold into the index via the same additive merge as
+    ``incremental_index``. This is the composed incremental story: a
+    crawl day costs one screen pass + one admitted-slice tokenize + the
+    word-keyed df merge — the rejected docs never touch the index.
+
+    The oracle rebuilds the index ONE-SHOT over (corpus + admitted batch
+    docs) by replaying the manifest in SQL and filtering the token CTE's
+    source — so the screen-then-merge composition must equal a from-
+    scratch build over exactly the surviving documents.
+    """
+    from ..sources.io import documents_as_corpus, load_table
+    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket, incremental_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
+    admitted = (
+        incremental_manifest(spark, sf_dir)
+        .where(F.col("status") == "admitted")
+        .select("doc_id")
+    )
+    batch_admitted = docs.where(is_batch).join(F.broadcast(admitted), "doc_id")
+    return merge_index(
+        documents_as_corpus(docs.where(~is_batch)),
+        documents_as_corpus(batch_admitted),
     )
