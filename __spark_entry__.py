@@ -1760,6 +1760,17 @@ _LLMDATA_ORACLE: dict[str, str] = {
         GROUP BY doc_id
     """,
     "text_lang_id": _lang_id_sql(),
+    # confusion matrix over the lang_id relation; row_frac is int/int exact
+    "text_lang_confusion": f"""
+        WITH li AS ({_lang_id_sql()}),
+        tot AS (SELECT labeled_lang, CAST(count(*) AS BIGINT) AS n_labeled
+                FROM li GROUP BY 1)
+        SELECT l.labeled_lang, l.pred_lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               count(*) / max(t.n_labeled) AS row_frac
+        FROM li l JOIN tot t USING (labeled_lang)
+        GROUP BY l.labeled_lang, l.pred_lang
+    """,
     # bucket width must match textstats.LENGTH_BUCKET
     "text_length_histogram": f"""
         SELECT CAST(floor(length(text) / {ts.LENGTH_BUCKET}) AS BIGINT)
@@ -4548,6 +4559,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_semantic": dd.incremental_semantic_dedup,
         "curate_contamination_bloom": cur.contamination_bloom,
         "tfidf_incremental_e2e": incremental_e2e_index,
+        "text_lang_confusion": ts.lang_confusion,
     }
 
 

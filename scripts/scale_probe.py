@@ -464,6 +464,106 @@ def probe_cms(spark: SparkSession, quick: bool) -> None:
     )
     emit()
 
+
+
+# --------------------------------------------------------------------------
+# P6: incremental index maintenance vs full rebuild
+# --------------------------------------------------------------------------
+
+def probe_incremental_index(spark: SparkSession, quick: bool) -> None:
+    """P6: the tfidf_incremental_index claim — against a PERSISTED index
+    (postings/df/N materialized, as production keeps them), folding a 10%
+    batch in costs the batch's own tokenize plus a vocabulary-sized word
+    join, while the rebuild re-tokenizes everything. The registry query
+    cannot show this (it must build both sides in-plan); this probe
+    materializes the old side first and times only what a daily run pays."""
+    from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+    from tf_idf_mapreduce_spark.operators.tfidf import (
+        doc_totals,
+        tfidf,
+        tfidf_pipeline,
+        word_count,
+    )
+
+    emit("## P6 — incremental index: batch fold vs full rebuild")
+    emit()
+    emit("| docs | words/doc | rebuild s | incremental s | speedup |")
+    emit("|---|---|---|---|---|")
+    cases = [(20_000, 80), (100_000, 80), (300_000, 80)]
+    if quick:
+        cases = cases[:1]
+    for n_docs, wpd in cases:
+        ids = spark.range(n_docs * wpd)
+        u = (
+            F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit("w"))), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        rank = F.floor(F.pow(F.lit(50_000.0), u)).cast("long")
+        corpus = (
+            ids.select(
+                (F.col("id") / wpd).cast("long").alias("docn"),
+                F.concat(F.lit("w"), rank.cast("string")).alias("word"),
+            )
+            .groupBy("docn")
+            .agg(F.concat_ws(" ", F.collect_list("word")).alias("text"))
+            .select(F.col("docn").cast("string").alias("doc"), "text")
+            .localCheckpoint()
+        )
+        is_batch = F.pmod(F.abs(F.xxhash64(F.col("doc"), F.lit("b"))), F.lit(10)) == 0
+        old_c = corpus.where(~is_batch)
+        new_c = corpus.where(is_batch)
+
+        # the persisted index: postings + df + N, materialized up front
+        old_wtc = doc_totals(word_count(tokenize(old_c))).localCheckpoint()
+        old_df = (
+            old_wtc.groupBy("word").agg(F.count("*").alias("dfx")).localCheckpoint()
+        )
+        old_n = old_c.agg(F.countDistinct("doc").alias("nx")).localCheckpoint()
+
+        def incremental():
+            new_wtc = doc_totals(word_count(tokenize(new_c)))
+            new_df = new_wtc.groupBy("word").agg(F.count("*").alias("dfx"))
+            new_n = new_c.agg(F.countDistinct("doc").alias("nx"))
+            df_m = (
+                old_df.withColumnRenamed("dfx", "a")
+                .join(new_df.withColumnRenamed("dfx", "b"), "word", "full_outer")
+                .select(
+                    "word",
+                    (F.coalesce("a", F.lit(0)) + F.coalesce("b", F.lit(0))).alias(
+                        "df"
+                    ),
+                )
+            )
+            n_t = old_n.crossJoin(new_n.withColumnRenamed("nx", "ny")).select(
+                (F.col("nx") + F.col("ny")).alias("total_docs")
+            )
+            return tfidf(
+                old_wtc.unionByName(new_wtc)
+                .join(df_m, "word")
+                .crossJoin(F.broadcast(n_t)),
+                F.col("total_docs"),
+            )
+
+        t_full = _timed(tfidf_pipeline(corpus))
+        t_inc = _timed(incremental())
+        emit(
+            f"| {n_docs:,} | {wpd} | {t_full:.2f} | {t_inc:.2f} "
+            f"| {t_full / t_inc:.2f}x |"
+        )
+        corpus.unpersist()
+    emit()
+    emit(
+        "Reading: with the old side persisted — what the registry query "
+        "cannot assume but production always does — the daily cost is the "
+        "~10% batch tokenize plus a word-keyed df merge, and the advantage "
+        "grows with corpus size because the rebuild re-tokenizes "
+        "everything while the merge's fixed costs (vocabulary join, idf "
+        "re-multiply over postings) grow far slower than the corpus scan. "
+        "tfidf_incremental_index pins the merge EXACT against the "
+        "one-shot oracle; this probe prices why you'd run it."
+    )
+    emit()
+
 def main() -> int:
     quick = "--quick" in sys.argv
     # the probe materializes 20-50M-row relations via localCheckpoint —
@@ -488,6 +588,7 @@ def main() -> int:
     probe_prefix_sum(spark, quick)
     probe_grid_gd(spark, quick)
     probe_cms(spark, quick)
+    probe_incremental_index(spark, quick)
     md = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.md",

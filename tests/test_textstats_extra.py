@@ -198,3 +198,25 @@ def test_cms_counters_merge_by_addition(spark, sf_dir):
     )
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_lang_confusion_is_a_partition_of_the_corpus(spark, sf_dir):
+    """Cell counts sum to the corpus; row fractions sum to 1 per labeled
+    language; cells agree with a direct recount over lang_id."""
+    from collections import Counter
+
+    from tf_idf_mapreduce_spark.operators.textstats import lang_confusion, lang_id
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = lang_confusion(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    by_label = Counter()
+    for r in rows:
+        by_label[r.labeled_lang] += r.row_frac
+    for lab, s in by_label.items():
+        assert abs(s - 1.0) < 1e-9, lab
+    direct = Counter(
+        (r.labeled_lang, r.pred_lang) for r in lang_id(spark, sf_dir).collect()
+    )
+    assert {(r.labeled_lang, r.pred_lang): r.n_docs for r in rows} == dict(direct)

@@ -844,3 +844,29 @@ def word_cms_report(
         F.col("cms_est").cast("long").alias("cms_est"),
         (F.col("cms_est") - F.col("n")).cast("long").alias("overcount"),
     ).orderBy(F.desc("n"), F.asc("word"))
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the (labeled, predicted) confusion matrix
+    with per-cell counts and row fractions — the accuracy report that
+    decides whether the heuristic lexicon classifier is good enough for
+    the mixture/stratification stages that consume its predictions.
+
+    Pure composition over ``lang_id`` (one corpus scan) plus a
+    languages-squared-bounded aggregate; row_frac is an exact int/int
+    rational. At 100 TB the matrix is |langs|² rows — driver-safe by
+    construction.
+    """
+    li = lang_id(spark, sf_dir)
+    totals = li.groupBy("labeled_lang").agg(F.count("*").alias("n_labeled"))
+    return (
+        li.groupBy("labeled_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(F.broadcast(totals), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("n_docs") / F.col("n_labeled")).alias("row_frac"),
+        )
+    )
