@@ -460,7 +460,7 @@ def probe_cms(spark: SparkSession, quick: bool) -> None:
         tokens.unpersist()
     emit()
     emit(
-        "Reading: the sketch buys BOUNDED STATE, not throughput — at these scales it is 1.4-7.9x slower in wall-clock, because each token pays an md5 hash (kept for bit-exact DuckDB replay) times the 4-cell fan-out, while the exact count hashes each string once; map-side partial aggregation still collapses the fan-out to <= 4096 rows per partition before the exchange. What the sketch fixes is what the exact path cannot: its aggregation state is 4096 longs however large the vocabulary (the exact path's state row count above IS the vocabulary), it never grows on an open stream, and shard/day sketches merge by addition. Use it where state boundedness or mergeability is the constraint — not as a faster counter; text_word_cms value-checks the estimate error exactly."
+        "Reading: the sketch buys BOUNDED STATE, not throughput — at these scales it is consistently slower in wall-clock (see the ratio column), because each token pays an md5 hash (kept for bit-exact DuckDB replay) times the 4-cell fan-out, while the exact count hashes each string once; map-side partial aggregation still collapses the fan-out to <= 4096 rows per partition before the exchange. What the sketch fixes is what the exact path cannot: its aggregation state is 4096 longs however large the vocabulary (the exact path's state row count above IS the vocabulary), it never grows on an open stream, and shard/day sketches merge by addition. Use it where state boundedness or mergeability is the constraint — not as a faster counter; text_word_cms value-checks the estimate error exactly."
     )
     emit()
 
