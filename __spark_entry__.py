@@ -1987,7 +1987,7 @@ _PHASH_CMAT_ROWS = ", ".join(
 # DCT (coefficients are exact integers < 2^53 by construction, so the
 # median compare has no float surface); bit order is row-major (u, v)
 # excluding the DC term — identical to the numpy kernel's ravel()[1:].
-_LLMDATA_ORACLE["mm_phash"] = (
+_PHASH_CTE = (
     _AHASH_CTE
     + f"""
     , cmat AS (SELECT * FROM (VALUES {_PHASH_CMAT_ROWS}) t(u, r, m)),
@@ -2008,9 +2008,49 @@ _LLMDATA_ORACLE["mm_phash"] = (
                         '' ORDER BY a.fu, a.fv) AS phash_bits
       FROM ac a JOIN med m USING (doc_id) GROUP BY a.doc_id
     )
+    """
+)
+
+_LLMDATA_ORACLE["mm_phash"] = (
+    _PHASH_CTE
+    + """
     SELECT doc_id, phash_bits,
            CAST(length(replace(phash_bits, '0', '')) AS BIGINT) AS n_set
     FROM ph
+    """
+)
+
+_LLMDATA_ORACLE["mm_phash_pairs"] = (
+    _PHASH_CTE
+    + f"""
+    , pbands AS (
+      SELECT p.doc_id, p.phash_bits, b.b AS band_id,
+             substr(p.phash_bits, b.b * {63 // mm.PHASH_BANDS} + 1,
+                    {63 // mm.PHASH_BANDS}) AS band_val
+      FROM ph p,
+           (SELECT unnest(generate_series(0, {mm.PHASH_BANDS - 1})) AS b) b
+    ),
+    pcand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             any_value(x.phash_bits) AS bits_a,
+             any_value(y.phash_bits) AS bits_b,
+             count(*) AS n_bands_shared
+      FROM pbands x JOIN pbands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ),
+    pham AS (
+      SELECT c.doc_a, c.doc_b, c.n_bands_shared,
+             (SELECT count(*) FROM generate_series(1, 63) g(i)
+              WHERE substr(c.bits_a, CAST(i AS INT), 1)
+                 <> substr(c.bits_b, CAST(i AS INT), 1)) AS hamming
+      FROM pcand c
+    )
+    SELECT doc_a, doc_b, CAST(n_bands_shared AS BIGINT) AS n_bands_shared,
+           CAST(hamming AS BIGINT) AS hamming,
+           hamming <= {mm.PHASH_NEAR_MAX_HAMMING} AS is_near
+    FROM pham
     """
 )
 
@@ -4560,6 +4600,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_contamination_bloom": cur.contamination_bloom,
         "tfidf_incremental_e2e": incremental_e2e_index,
         "text_lang_confusion": ts.lang_confusion,
+        "mm_phash_pairs": mm.media_phash_pairs,
     }
 
 

@@ -458,3 +458,36 @@ def test_phash_differs_across_structures(spark):
     )
     rows = {r.doc_id: r for r in phash_images(media).collect()}
     assert rows[1].phash_bits != rows[2].phash_bits
+
+
+def test_phash_pairs_pigeonhole_completeness(spark, sf_dir):
+    """Banding law: every pair within the near threshold (hamming <= 8
+    over 9x7-bit bands) MUST surface as a candidate — verified against
+    numpy all-pairs ground truth over the full fixture."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        PHASH_NEAR_MAX_HAMMING,
+        media_phash,
+        media_phash_pairs,
+    )
+
+    bits = {
+        r.doc_id: np.array([int(c) for c in r.phash_bits], dtype=np.int8)
+        for r in media_phash(spark, sf_dir).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): (r.hamming, r.is_near)
+        for r in media_phash_pairs(spark, sf_dir).collect()
+    }
+    ids = sorted(bits)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = int((bits[a] != bits[b]).sum())
+            if ham <= PHASH_NEAR_MAX_HAMMING:
+                assert (a, b) in got, (a, b, ham)
+                assert got[(a, b)] == (ham, True)
+    # and every emitted hamming agrees with ground truth
+    for (a, b), (ham, near) in got.items():
+        assert ham == int((bits[a] != bits[b]).sum())
+        assert near == (ham <= PHASH_NEAR_MAX_HAMMING)

@@ -924,3 +924,71 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_blocks=AHASH_PPM_BLOCKS,
     )
     return phash_images(m)
+
+
+PHASH_BANDS = 9  # 9 bands x 7 bits: hamming <= 8 pigeonholes into >= 1 clean band
+PHASH_NEAR_MAX_HAMMING = 8
+
+
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain image near-dup candidates: banded Hamming LSH over
+    the 63-bit pHash — ``media_ahash_pairs``' structure (agree on >= 1 of
+    9 7-bit bands — by pigeonhole a pair within the near threshold of 8
+    differing bits ALWAYS shares a clean band, so banding loses no true
+    near-dups; exact Hamming verify, never all-pairs) applied to the
+    DCT hash, which keys on low-frequency structure rather than
+    brightness layout, so the two candidate sets catch different edits.
+    """
+    h = media_phash(spark, sf_dir).select("doc_id", "phash_bits").localCheckpoint()
+    chunk = 63 // PHASH_BANDS
+    bands = h.select(
+        "doc_id",
+        "phash_bits",
+        F.explode(F.array(*[F.lit(b) for b in range(PHASH_BANDS)])).alias(
+            "band_id"
+        ),
+    ).select(
+        "doc_id",
+        "phash_bits",
+        "band_id",
+        F.expr(
+            f"substring(phash_bits, band_id * {chunk} + 1, {chunk})"
+        ).alias("band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.phash_bits").alias("bits_a"),
+            F.col("b.phash_bits").alias("bits_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_bands_shared"))
+    )
+    ham = sum(
+        F.bit_count(
+            F.conv(F.expr(f"substring(bits_a, {i * chunk + 1}, {chunk})"), 2, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(
+                    F.expr(f"substring(bits_b, {i * chunk + 1}, {chunk})"), 2, 10
+                ).cast("long")
+            )
+        )
+        for i in range(PHASH_BANDS)
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        "n_bands_shared",
+        ham.cast("long").alias("hamming"),
+        (ham <= F.lit(PHASH_NEAR_MAX_HAMMING)).alias("is_near"),
+    )
