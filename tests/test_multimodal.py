@@ -491,3 +491,31 @@ def test_phash_pairs_pigeonhole_completeness(spark, sf_dir):
     for (a, b), (ham, near) in got.items():
         assert ham == int((bits[a] != bits[b]).sum())
         assert near == (ham <= PHASH_NEAR_MAX_HAMMING)
+
+
+def test_hash_kernels_null_row_corrupt_media(spark):
+    """Reader contract on the media path: an undecodable payload yields a
+    NULL-bits row (damage visible) — the batch's valid rows are hashed
+    normally and the job never aborts."""
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        ahash_images,
+        phash_images,
+    )
+
+    side = 8
+    pix = bytes([100, 0, 0]) * (side * side)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_p6(side, pix))),
+            (2, bytearray(b"NOTAPPM!!!")),
+            (3, bytearray(b"P6\n8 8\n255\n\x01\x02")),  # truncated raster
+        ],
+        "doc_id long, media binary",
+    )
+    a = {r.doc_id: r for r in ahash_images(media).collect()}
+    p = {r.doc_id: r for r in phash_images(media).collect()}
+    assert set(a) == set(p) == {1, 2, 3}
+    assert a[1].ahash_bits is not None and p[1].phash_bits is not None
+    for bad in (2, 3):
+        assert a[bad].ahash_bits is None and a[bad].n_set is None
+        assert p[bad].phash_bits is None and p[bad].n_set is None

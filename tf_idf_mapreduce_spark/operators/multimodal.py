@@ -392,24 +392,33 @@ def ahash_images(media_df: DataFrame, side: int = AHASH_SIDE) -> DataFrame:
         for pdf in batches:
             ids, sides, bits, nset = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                w, h, _maxval, pix = decode_ppm(bytes(payload))
-                vals = [
-                    pix[3 * ((r * h // side) * w + (c * w // side))]
-                    for r in range(side)
-                    for c in range(side)
-                ]
+                ids.append(doc_id)
+                # corrupt-row contract (reader-convention): an
+                # undecodable payload yields a NULL-bits row — damage
+                # visible, the 100 TB job never aborts on one bad blob
+                try:
+                    w, h, _maxval, pix = decode_ppm(bytes(payload))
+                    vals = [
+                        pix[3 * ((r * h // side) * w + (c * w // side))]
+                        for r in range(side)
+                        for c in range(side)
+                    ]
+                except (ValueError, IndexError):
+                    sides.append(None)
+                    bits.append(None)
+                    nset.append(None)
+                    continue
                 total = sum(vals)
                 s = "".join("1" if v * n >= total else "0" for v in vals)
-                ids.append(doc_id)
                 sides.append(w)
                 bits.append(s)
                 nset.append(s.count("1"))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "src_side": pd.Series(sides, dtype="int64"),
+                    "src_side": pd.array(sides, dtype="Int64"),
                     "ahash_bits": bits,
-                    "n_set": pd.Series(nset, dtype="int64"),
+                    "n_set": pd.array(nset, dtype="Int64"),
                 }
             )
 
@@ -891,25 +900,31 @@ def phash_images(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, bits, nset = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                w, h, _maxval, pix = decode_ppm(bytes(payload))
-                vals = [
-                    pix[3 * ((r * h // 8) * w + (c * w // 8))]
-                    for r in range(8)
-                    for c in range(8)
-                ]
+                ids.append(doc_id)
+                # same corrupt-row contract as ahash_images
+                try:
+                    w, h, _maxval, pix = decode_ppm(bytes(payload))
+                    vals = [
+                        pix[3 * ((r * h // 8) * w + (c * w // 8))]
+                        for r in range(8)
+                        for c in range(8)
+                    ]
+                except (ValueError, IndexError):
+                    bits.append(None)
+                    nset.append(None)
+                    continue
                 V = np.array(vals, dtype="int64").reshape(8, 8)
                 D = (cm @ V @ cm.T).ravel()
                 ac = D[1:]  # row-major (u, v); drop the DC term
                 med = float(np.median(ac))
                 s = "".join("1" if int(x) > med else "0" for x in ac)
-                ids.append(doc_id)
                 bits.append(s)
                 nset.append(s.count("1"))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "phash_bits": bits,
-                    "n_set": pd.Series(nset, dtype="int64"),
+                    "n_set": pd.array(nset, dtype="Int64"),
                 }
             )
 
