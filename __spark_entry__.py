@@ -2406,6 +2406,76 @@ _LLMDATA_ORACLE["text_bpe_merge_gain"] = f"""
     ORDER BY n_adjacent DESC, tok_left ASC, tok_right ASC
 """
 
+# Full BPE merge training, replayed round-by-round as unrolled CTEs (the
+# k-means-oracle precedent). State per round r: each word's symbol
+# sequence, sentinel-encoded as chr(1)||sym||chr(1) concatenated — every
+# symbol carries BOTH its delimiters, so DuckDB's left-to-right
+# non-overlapping replace() of chr(1)L chr(1)chr(1)R chr(1) IS the greedy
+# merge scan (an 'aaa' run merges once, and the survivor keeps its own
+# brackets). Corpus text is control-char-free (asserted by the pytest
+# fixture contract), so chr(1) can never collide with symbol bytes.
+def _bpe_rounds_cte(k: int) -> str:
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    sql = f"""
+    WITH w0 AS (
+      SELECT word, n, list_aggregate(list_transform(
+               range(1, length(word) + 1),
+               i -> chr(1) || substr(word, i::int, 1) || chr(1)),
+             'string_agg', '') AS s
+      FROM (SELECT u.word AS word, CAST(count(*) AS BIGINT) AS n
+            FROM documents, unnest(regexp_extract_all(text, '{pat}')) AS u(word)
+            GROUP BY 1))"""
+    for r in range(1, k + 1):
+        sql += f""",
+    l{r} AS (SELECT n, list_filter(string_split(s, chr(1)), x -> x <> '') AS l
+             FROM w{r - 1}),
+    p{r} AS (SELECT p[1] AS tok_left, p[2] AS tok_right,
+                    CAST(sum(n) AS BIGINT) AS n_pair
+             FROM l{r}, unnest(list_filter(list_zip(l, l[2:]),
+                                           t -> t[2] IS NOT NULL)) AS u(p)
+             GROUP BY 1, 2),
+    b{r} AS (SELECT {r} AS rank, tok_left, tok_right,
+                    tok_left || tok_right AS merged, n_pair
+             FROM p{r}
+             ORDER BY n_pair DESC, tok_left ASC, tok_right ASC LIMIT 1),
+    w{r} AS (SELECT word, n,
+                    replace(s, chr(1) || b.tok_left || chr(1) ||
+                               chr(1) || b.tok_right || chr(1),
+                               chr(1) || b.merged || chr(1)) AS s
+             FROM w{r - 1}, b{r} b)"""
+    return sql
+
+
+_LLMDATA_ORACLE["text_bpe_train"] = (
+    _bpe_rounds_cte(ts.BPE_TRAIN_MERGES)
+    + "\n    SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(1, ts.BPE_TRAIN_MERGES + 1)
+    )
+    + ") ORDER BY rank"
+)
+
+_LLMDATA_ORACLE["text_bpe_encode"] = (
+    _bpe_rounds_cte(ts.BPE_TRAIN_MERGES)
+    + f""",
+    sizes AS (
+      SELECT word, length(word) AS n_chars,
+             len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS n_syms
+      FROM w{ts.BPE_TRAIN_MERGES}),
+    docw AS (
+      SELECT doc_id, u.word AS word
+      FROM documents,
+           unnest(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS u(word))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_pretokens,
+           CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_syms), 6)
+             AS chars_per_token
+    FROM docw JOIN sizes USING (word)
+    GROUP BY doc_id ORDER BY doc_id"""
+)
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -4601,6 +4671,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_incremental_e2e": incremental_e2e_index,
         "text_lang_confusion": ts.lang_confusion,
         "mm_phash_pairs": mm.media_phash_pairs,
+        "text_bpe_train": ts.bpe_train,
+        "text_bpe_encode": ts.bpe_encode_stats,
     }
 
 

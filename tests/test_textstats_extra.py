@@ -220,3 +220,99 @@ def test_lang_confusion_is_a_partition_of_the_corpus(spark, sf_dir):
         (r.labeled_lang, r.pred_lang) for r in lang_id(spark, sf_dir).collect()
     )
     assert {(r.labeled_lang, r.pred_lang): r.n_docs for r in rows} == dict(direct)
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bpe_train_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bpe_train")
+    docs = [
+        (0, "aaa aaa aaa", "en", "s0"),  # 'aaa' x3: overlap-run case
+        (1, "ab ab", "en", "s0"),  # 'ab' x2
+    ]
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bpe_train_planted_greedy_and_second_order(spark, bpe_train_dir):
+    """Round 1 must count the 'aaa' run as TWO (a,a) pairs (naive Sennrich
+    count) but apply the merge greedily (one merge + survivor); round 2's
+    winner is a SECOND-ORDER pair (aa,a); the trainer stops early when no
+    pairs remain (3 merges despite n_merges=8)."""
+    from tf_idf_mapreduce_spark.operators.textstats import bpe_train
+
+    rows = [tuple(r) for r in bpe_train(spark, bpe_train_dir).collect()]
+    assert rows == [
+        (1, "a", "a", "aa", 6),  # 2 overlapping pairs/word x 3 words
+        (2, "aa", "a", "aaa", 3),  # learned symbol as LEFT side
+        (3, "a", "b", "ab", 2),
+    ]
+
+
+def test_bpe_encode_planted(spark, bpe_train_dir):
+    """After training, every planted word collapses to one symbol; the
+    per-doc stats reflect full compression."""
+    from tf_idf_mapreduce_spark.operators.textstats import bpe_encode_stats
+
+    rows = {r.doc_id: r for r in bpe_encode_stats(spark, bpe_train_dir).collect()}
+    assert rows[0].n_pretokens == 3
+    assert rows[0].n_bpe_tokens == 3  # 'aaa' -> ['aaa']
+    assert rows[0].chars_per_token == 3.0
+    assert rows[1].n_pretokens == 2
+    assert rows[1].n_bpe_tokens == 2  # 'ab' -> ['ab']
+    assert rows[1].chars_per_token == 2.0
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed trainer replays the classic in-memory Sennrich
+    learner move-for-move on the real sf0.001 corpus (counts, greedy
+    application, count-then-lexicographic tiebreak)."""
+    import collections
+    import re
+
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        BPE_ISH_PATTERN,
+        BPE_TRAIN_MERGES,
+        bpe_train,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    wc = collections.Counter()
+    for t in texts:
+        wc.update(re.findall(BPE_ISH_PATTERN, t or ""))
+    vocab = {w: tuple(w) for w in wc}
+    expected = []
+    for rank in range(1, BPE_TRAIN_MERGES + 1):
+        pc = collections.Counter()
+        for w, n in wc.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        if not pc:
+            break
+        m = max(pc.values())
+        left, right = sorted(p for p, c in pc.items() if c == m)[0]
+        merged = left + right
+        expected.append((rank, left, right, merged, m))
+        for w in vocab:
+            syms, out, i = vocab[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    rows = [tuple(r) for r in bpe_train(spark, sf_dir).collect()]
+    assert rows == expected

@@ -763,6 +763,220 @@ def bpe_merge_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training — the full iterative merge learner
+# ---------------------------------------------------------------------------
+
+#: Number of merge rounds the trainer query runs. Small on purpose: each
+#: round is one distributed pass over the VOCAB (not the corpus), and the
+#: oracle replays every round as an unrolled CTE — 8 rounds keeps the SQL
+#: readable while still exercising second-order merges (a learned symbol
+#: becoming one side of a later pair, e.g. 'p'+'ar' after 'a'+'r').
+BPE_TRAIN_MERGES = 8
+
+#: Learned-merge cache, same contract as ``similarity._PQ_BOOK_CACHE``:
+#: keyed by (sf_dir, n_merges, documents-file fingerprint) so a
+#: regenerated fixture at the same path invalidates instead of silently
+#: reusing stale merges. Holds only the K merge tuples (driver-tiny).
+_BPE_MERGE_CACHE: dict[tuple, list] = {}
+
+
+def _documents_fingerprint(sf_dir: str) -> tuple:
+    """(mtime_ns, size) of the documents parquet — cheap invalidation key."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
+
+
+def _bpe_apply_merge(syms: Column, left: str, right: str, merged: str) -> Column:
+    """Greedy left-to-right non-overlapping application of ONE merge rule
+    to a symbol array, as a pure JVM fold (``F.aggregate``): push each
+    symbol; if the top of the accumulator is ``left`` and the incoming
+    symbol is ``right``, replace the top with ``merged``. This fold is
+    EXACTLY the greedy scan (merge at i consumes i+1): within one round
+    the freshly merged symbol can never re-merge as a left side, because
+    ``merged = left||right != left`` (right is non-empty) — pinned by the
+    'aaa' property test.
+    """
+    return F.aggregate(
+        syms,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, n) over the BPE-ish pre-tokens — the ONE corpus scan the
+    trainer ever does; every merge round after it runs on this vocab."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _bpe_learn_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> list[tuple]:
+    """Run the Sennrich-style learner; returns
+    ``[(rank, tok_left, tok_right, merged, n_pair), ...]``.
+
+    Spark-first shape (vs the reference's in-memory trainer): the corpus
+    is scanned ONCE into a distributed (word, count) vocab; each round is
+    one vocab-sized pair-count shuffle plus a 1-row argmax collect (the
+    k-means driver/executor split — the driver only ever sees K merge
+    rows, never data). ``localCheckpoint`` truncates the per-round
+    lineage exactly as ``dedup.connected_components`` does. At 100 TB the
+    vocab is the distinct-pretoken table (orders of magnitude smaller
+    than the corpus and shrinking per round), so K rounds cost K small
+    shuffles — NOT K corpus rescans.
+    """
+    key = (sf_dir, int(n_merges), _documents_fingerprint(sf_dir))
+    if key in _BPE_MERGE_CACHE:
+        return _BPE_MERGE_CACHE[key]
+    words = _bpe_word_counts(spark, sf_dir)
+    vocab = words.select(
+        "n",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint()
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        idx = F.sequence(F.lit(1), F.size("syms") - 1)
+        pair_counts = (
+            vocab.where(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.transform(
+                        idx,
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("tok_left"),
+                            F.element_at("syms", i + F.lit(1)).alias("tok_right"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p.tok_left").alias("tok_left"),
+                F.col("p.tok_right").alias("tok_right"),
+            )
+            .agg(F.sum("n").cast("long").alias("n_pair"))
+        )
+        best = (
+            pair_counts.orderBy(
+                F.desc("n_pair"), F.asc("tok_left"), F.asc("tok_right")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["tok_left"], best[0]["tok_right"]
+        merged, n_pair = left + right, best[0]["n_pair"]
+        merges.append((rank, left, right, merged, n_pair))
+        vocab = vocab.select(
+            "n", _bpe_apply_merge(F.col("syms"), left, right, merged).alias("syms")
+        ).localCheckpoint()
+    _BPE_MERGE_CACHE[key] = merges
+    return merges
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+) -> DataFrame:
+    """The learned BPE merge table: rank, pair, merged symbol, and the
+    weighted adjacent-pair count at selection time (naive Sennrich count —
+    overlapping self-pairs included — because that IS the classic ranking
+    statistic; ``bpe_merge_gain`` is the overlap-corrected report).
+    Completes the BPE story: ``text_bpe_pairs`` is round 1's candidate
+    table, ``text_bpe_merge_gain`` prices candidates, this trains.
+
+    Reference scope: the reference engine has no tokenizer trainer
+    (WordCount.java:1 stops at word counts); this is extension surface
+    for the LLM-data-pipeline family.
+    """
+    merges = _bpe_learn_merges(spark, sf_dir, n_merges)
+    schema = (
+        "rank int, tok_left string, tok_right string, "
+        "merged string, n_pair long"
+    )
+    return spark.createDataFrame(merges, schema=schema)
+
+
+def bpe_encode_stats(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+) -> DataFrame:
+    """Apply the learned merges back to the corpus and report per-doc
+    compression: pre-token count, post-merge BPE token count, and chars
+    per BPE token — the acceptance metric a tokenizer-training pipeline
+    reads before shipping a vocab.
+
+    Once the K merge rules are learned (cached driver-side, K tuples),
+    encoding needs NO iteration: the K folds chain as one nested column
+    expression — applied ONCE PER DISTINCT WORD, not per instance (the
+    fold is the expensive part; the distinct-word table is orders of
+    magnitude smaller than the token stream), then joined back onto the
+    token stream on the word key. At 100 TB: one corpus scan, one
+    distinct-word shuffle, a word-keyed join (broadcast-able while the
+    sized vocab fits, AQE decides), one (doc_id) rollup.
+    """
+    merges = _bpe_learn_merges(spark, sf_dir, n_merges)
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("word"),
+        )
+    )
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    for _, left, right, merged, _n in merges:
+        syms = _bpe_apply_merge(syms, left, right, merged)
+    vocab_sizes = toks.select("word").distinct().select(
+        "word",
+        F.length("word").alias("n_chars"),
+        F.size(syms).alias("n_syms"),
+    )
+    per_word = toks.join(vocab_sizes, "word").select(
+        "doc_id", "n_chars", "n_syms"
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pretokens"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_syms"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch word frequencies — the mergeable-sketch path
 # ---------------------------------------------------------------------------
 
