@@ -564,6 +564,84 @@ def probe_incremental_index(spark: SparkSession, quick: bool) -> None:
     )
     emit()
 
+# --------------------------------------------------------------------------
+# P7: BPE trainer — vocab-pass rounds vs corpus-rescan rounds
+# --------------------------------------------------------------------------
+
+def probe_bpe_vocab(spark: SparkSession, quick: bool) -> None:
+    """textstats.bpe_train claims each merge round is a pass over the
+    DISTINCT-WORD vocab, not the corpus. Price one round's pair-count
+    both ways on the same Zipf token stream: over the trainer's actual
+    state (word, n, syms — one row per distinct word) vs the naive
+    per-instance form a corpus-rescanning trainer would pay."""
+    emit("## P7 — BPE trainer: vocab-pass rounds vs corpus-rescan rounds")
+    emit()
+    sizes = [2_000_000] if quick else [2_000_000, 20_000_000, 50_000_000]
+    vocab_param = 100_000
+    emit("| tokens | distinct words | vocab-round s | corpus-round s | ratio |")
+    emit("|---|---|---|---|---|")
+    for n_tokens in sizes:
+        ids = spark.range(n_tokens)
+        u = (
+            F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit("b"))), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        rank = F.floor(F.pow(F.lit(float(vocab_param)), u)).cast("long")
+        stream = ids.select(
+            F.concat(F.lit("word"), rank.cast("string")).alias("word")
+        ).localCheckpoint()
+        wc = stream.groupBy("word").agg(F.count("*").cast("long").alias("n"))
+        syms = F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        )
+        vocab = wc.select("n", syms.alias("syms")).localCheckpoint()
+        n_distinct = vocab.count()
+
+        def pair_round(df: DataFrame) -> DataFrame:
+            idx = F.sequence(F.lit(1), F.size("syms") - 1)
+            return (
+                df.where(F.size("syms") >= 2)
+                .select(
+                    "n",
+                    F.explode(
+                        F.transform(
+                            idx,
+                            lambda i: F.struct(
+                                F.element_at("syms", i).alias("l"),
+                                F.element_at("syms", i + F.lit(1)).alias("r"),
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("n").alias("n_pair"))
+            )
+
+        t_vocab = _timed(pair_round(vocab))
+        # naive comparator: syms re-derived per word INSTANCE each round
+        per_inst = stream.select(F.lit(1).cast("long").alias("n"), syms.alias("syms"))
+        t_corpus = _timed(pair_round(per_inst))
+        emit(
+            f"| {n_tokens:,} | {n_distinct:,} | {t_vocab:.2f} | "
+            f"{t_corpus:.2f} | {t_corpus / max(t_vocab, 1e-9):.1f}x |"
+        )
+        stream.unpersist()
+        vocab.unpersist()
+    emit()
+    emit(
+        "Reading: the trainer's per-round cost follows the DISTINCT-WORD "
+        "count (sublinear in corpus size under Zipf — the vocab column "
+        "barely moves while tokens grow 25x), so K merge rounds cost K "
+        "vocab passes after ONE corpus scan builds the counts; the naive "
+        "per-instance form pays the full token stream every round and "
+        "scales linearly with the corpus. At 100 TB the gap is the whole "
+        "game: the vocab table is the only thing the iteration ever "
+        "shuffles, and the 1-row argmax is all the driver sees."
+    )
+    emit()
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
     # the probe materializes 20-50M-row relations via localCheckpoint —
@@ -589,6 +667,7 @@ def main() -> int:
     probe_grid_gd(spark, quick)
     probe_cms(spark, quick)
     probe_incremental_index(spark, quick)
+    probe_bpe_vocab(spark, quick)
     md = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.md",
