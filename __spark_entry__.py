@@ -2476,6 +2476,48 @@ _LLMDATA_ORACLE["text_bpe_encode"] = (
     GROUP BY doc_id ORDER BY doc_id"""
 )
 
+_LLMDATA_ORACLE["text_bpe_vocab"] = (
+    _bpe_rounds_cte(ts.BPE_TRAIN_MERGES)
+    + f""",
+    mset AS ({" UNION ALL ".join(
+        f"SELECT merged FROM b{r}" for r in range(1, ts.BPE_TRAIN_MERGES + 1)
+    )}),
+    toks AS (
+      SELECT n, word,
+             unnest(list_filter(string_split(s, chr(1)), x -> x <> '')) AS token
+      FROM w{ts.BPE_TRAIN_MERGES})
+    SELECT token,
+           CAST(sum(n) AS BIGINT) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_words,
+           token IN (SELECT merged FROM mset) AS is_merge
+    FROM toks GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC"""
+)
+
+_LLMDATA_ORACLE["text_vocab_coverage"] = f"""
+    WITH wc AS (
+      SELECT u.word AS word, CAST(count(*) AS BIGINT) AS n
+      FROM documents,
+           unnest(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS u(word)
+      GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS total_types FROM wc),
+    top AS (SELECT n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank
+            FROM wc ORDER BY n DESC, word ASC
+            LIMIT {max(ts.VOCAB_COVERAGE_CUTOFFS)}),
+    cut AS (SELECT unnest({list(ts.VOCAB_COVERAGE_CUTOFFS)}) AS n_vocab),
+    per AS (SELECT n_vocab,
+                   CAST(sum(n) AS BIGINT) AS covered_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM top, cut WHERE rank <= n_vocab GROUP BY 1)
+    SELECT n_vocab, n_types, covered_tokens, total_tokens, total_types,
+           round(CAST(covered_tokens AS DOUBLE) / total_tokens, 6) AS coverage,
+           round(1.0 - CAST(covered_tokens AS DOUBLE) / total_tokens, 6)
+             AS oov_rate
+    FROM per, tot ORDER BY n_vocab
+"""
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -4673,6 +4715,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_pairs": mm.media_phash_pairs,
         "text_bpe_train": ts.bpe_train,
         "text_bpe_encode": ts.bpe_encode_stats,
+        "text_bpe_vocab": ts.bpe_vocab,
+        "text_vocab_coverage": ts.vocab_coverage,
     }
 
 

@@ -233,6 +233,7 @@ def bpe_train_dir(spark, tmp_path_factory):
     docs = [
         (0, "aaa aaa aaa", "en", "s0"),  # 'aaa' x3: overlap-run case
         (1, "ab ab", "en", "s0"),  # 'ab' x2
+        (2, "z", "en", "s0"),  # never merges: base-char vocab survivor
     ]
     spark.createDataFrame(
         [(i, t, l, s, len(t)) for i, t, l, s in docs],
@@ -316,3 +317,55 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
             vocab[w] = tuple(out)
     rows = [tuple(r) for r in bpe_train(spark, sf_dir).collect()]
     assert rows == expected
+
+
+def test_bpe_vocab_planted(spark, bpe_train_dir):
+    """The implied vocabulary: fully merged words are single learned
+    tokens; the unmergeable base char survives with is_merge=False."""
+    from tf_idf_mapreduce_spark.operators.textstats import bpe_vocab
+
+    rows = {
+        r.token: (r.n_occurrences, r.n_words, r.is_merge)
+        for r in bpe_vocab(spark, bpe_train_dir).collect()
+    }
+    assert rows == {
+        "aaa": (3, 1, True),
+        "ab": (2, 1, True),
+        "z": (1, 1, False),
+    }
+
+
+def test_vocab_coverage_matches_exact_recount(spark, sf_dir):
+    """Coverage at every cutoff equals a driver-side exact recount, and
+    the curve is monotone with oov_rate = 1 - coverage."""
+    import collections
+    import re
+
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        BPE_ISH_PATTERN,
+        VOCAB_COVERAGE_CUTOFFS,
+        vocab_coverage,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    wc = collections.Counter()
+    for t in texts:
+        wc.update(re.findall(BPE_ISH_PATTERN, t or ""))
+    total = sum(wc.values())
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = {r.n_vocab: r for r in vocab_coverage(spark, sf_dir).collect()}
+    assert set(rows) == set(VOCAB_COVERAGE_CUTOFFS)
+    prev = -1.0
+    for n in VOCAB_COVERAGE_CUTOFFS:
+        covered = sum(c for _, c in ranked[:n])
+        r = rows[n]
+        assert r.covered_tokens == covered
+        assert r.total_tokens == total
+        assert r.n_types == min(n, len(ranked))
+        assert r.coverage == round(covered / total, 6)
+        assert abs(r.oov_rate - round(1 - covered / total, 6)) < 1e-12
+        assert r.coverage >= prev
+        prev = r.coverage

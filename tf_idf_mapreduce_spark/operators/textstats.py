@@ -976,6 +976,111 @@ def bpe_encode_stats(
     )
 
 
+def bpe_vocab(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_TRAIN_MERGES
+) -> DataFrame:
+    """The token vocabulary the learned merges imply: every symbol that
+    survives in the encoded corpus, with its corpus occurrence count, the
+    number of distinct words containing it, and whether it is a learned
+    merge (vs a base character). The artifact a tokenizer ships.
+
+    One corpus scan -> word counts; the K folds run once per DISTINCT
+    word (same shape as ``bpe_encode_stats``); the final explode is over
+    the vocab table's short symbol arrays — token-keyed aggregation over
+    vocab-sized input, nothing corpus-sized shuffles twice.
+    """
+    merges = _bpe_learn_merges(spark, sf_dir, n_merges)
+    learned = [m[3] for m in merges]
+    words = _bpe_word_counts(spark, sf_dir)
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    for _, left, right, merged, _n in merges:
+        syms = _bpe_apply_merge(syms, left, right, merged)
+    exploded = words.select(
+        "n", F.explode(syms).alias("token")
+    )
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.sum("n").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+        .withColumn(
+            "is_merge",
+            F.col("token").isin(*learned) if learned else F.lit(False),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+    )
+
+
+#: Vocabulary-coverage curve points: top-N cutoffs a tokenizer budget
+#: sweep would price. Small, fixed, public round numbers; the 10-cutoff
+#: keeps the curve non-degenerate on the tiny-vocab fixture corpus.
+VOCAB_COVERAGE_CUTOFFS = (10, 100, 1000, 10000)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N vocabulary coverage / OOV-rate curve over the pre-token
+    stream: for each cutoff N, the fraction of all token OCCURRENCES
+    covered by the N most frequent word types — the first diagnostic a
+    tokenizer-budget decision reads (how much of the stream a word-level
+    vocab of size N explains, and what falls to the fallback path).
+
+    Shape: ONE (word) shuffle builds counts; the top-max(N) selection is
+    a TakeOrderedAndProject (distributed top-k, no global sort); the
+    running sum then runs over a <=max(N)-row relation — bounded by the
+    cutoff constant, NOT the corpus, so the single-partition window is
+    load-bearing only over 10k rows. The corpus-sized total attaches as
+    a broadcast scalar (A4 pattern, CalcTFIDF.java:150 analogue).
+    """
+    wc = _bpe_word_counts(spark, sf_dir)
+    total = wc.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("total_types"),
+    )
+    top = (
+        wc.orderBy(F.desc("n"), F.asc("word"))
+        .limit(max(VOCAB_COVERAGE_CUTOFFS))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("word"))
+            ),
+        )
+    )
+    cuts = F.array(*[F.lit(c) for c in VOCAB_COVERAGE_CUTOFFS])
+    per_cut = (
+        top.select("n", F.explode(cuts).alias("n_vocab"), "rank")
+        .where(F.col("rank") <= F.col("n_vocab"))
+        .groupBy("n_vocab")
+        .agg(
+            F.sum("n").cast("long").alias("covered_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+        )
+    )
+    return (
+        per_cut.crossJoin(F.broadcast(total))
+        .select(
+            "n_vocab",
+            "n_types",
+            "covered_tokens",
+            "total_tokens",
+            "total_types",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("coverage"),
+            F.round(
+                F.lit(1.0)
+                - F.col("covered_tokens").cast("double") / F.col("total_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("n_vocab")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch word frequencies — the mergeable-sketch path
 # ---------------------------------------------------------------------------
