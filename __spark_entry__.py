@@ -2994,6 +2994,55 @@ _TEMPORAL_ORACLE["temporal_interval_overlap"] = f"""
     FROM cov c JOIN hrs h ON c.hb * 3600 = h.hour_start_sec
 """
 
+_TEMPORAL_ORACLE["temporal_gap_fill"] = f"""
+    WITH obs AS (
+      SELECT event_type,
+             ts_sec - ts_sec % {tmp.GAP_FILL_BUCKET_SEC} AS bucket_start_sec,
+             CAST(count(*) AS BIGINT) AS n_events,
+             floor(CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE)
+                   / count(*) * 1000000 + 0.5) / 1000000 AS value_avg
+      FROM (SELECT event_type, epoch_ns(ts) // 1000000000 AS ts_sec, value
+            FROM events)
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT event_type,
+             unnest(generate_series(min(bucket_start_sec),
+                                    max(bucket_start_sec),
+                                    {tmp.GAP_FILL_BUCKET_SEC}))
+               AS bucket_start_sec
+      FROM obs GROUP BY event_type),
+    base AS (
+      SELECT s.event_type, s.bucket_start_sec, o.n_events, o.value_avg
+      FROM spine s LEFT JOIN obs o USING (event_type, bucket_start_sec)),
+    ctx AS (
+      SELECT *,
+        last_value(value_avg IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_start_sec
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN value_avg IS NOT NULL THEN bucket_start_sec END
+                   IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_start_sec
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+        first_value(value_avg IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_start_sec
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN value_avg IS NOT NULL THEN bucket_start_sec END
+                    IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_start_sec
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+      FROM base)
+    SELECT event_type, bucket_start_sec,
+           COALESCE(n_events, 0) AS n_events, value_avg,
+           CASE WHEN value_avg IS NOT NULL THEN value_avg
+                ELSE floor((prev_v + (next_v - prev_v)
+                            * ((bucket_start_sec - prev_b)
+                               / (next_b - prev_b))) * 1000000 + 0.5)
+                     / 1000000 END AS value_filled,
+           CASE WHEN value_avg IS NOT NULL THEN 'observed'
+                ELSE 'interpolated' END AS fill_kind
+    FROM ctx
+"""
+
 _STREAMING_ORACLE["stream_upsert_snapshot"] = _TEMPORAL_ORACLE[
     "temporal_latest_snapshot"
 ]
@@ -4717,6 +4766,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": ts.bpe_encode_stats,
         "text_bpe_vocab": ts.bpe_vocab,
         "text_vocab_coverage": ts.vocab_coverage,
+        "temporal_gap_fill": tmp.gap_fill_interpolate,
     }
 
 

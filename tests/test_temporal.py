@@ -200,3 +200,63 @@ def test_interval_overlap_laws(spark, sf_dir):
         # recompute the clip directly
         want = min(end, r.hour_start_sec + 3599) - max(start, r.hour_start_sec) + 1
         assert r.overlap_sec == want
+
+
+def test_gap_fill_spine_is_dense_and_endpoints_observed(spark, sf_dir):
+    """Every type's series is contiguous lo..hi at the bucket step; the
+    first and last buckets are observed by construction (spine bounds
+    come from observed aggregates)."""
+    from tf_idf_mapreduce_spark.operators.temporal import (
+        GAP_FILL_BUCKET_SEC,
+        gap_fill_interpolate,
+    )
+
+    rows = gap_fill_interpolate(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.bucket_start_sec)
+        lo, hi = rs[0].bucket_start_sec, rs[-1].bucket_start_sec
+        assert len(rs) == (hi - lo) // GAP_FILL_BUCKET_SEC + 1, et
+        assert [r.bucket_start_sec for r in rs] == list(
+            range(lo, hi + 1, GAP_FILL_BUCKET_SEC)
+        ), et
+        assert rs[0].fill_kind == "observed" and rs[-1].fill_kind == "observed"
+
+
+def test_gap_fill_interpolation_matches_python_replay(spark, sf_dir):
+    """Interpolated values equal a driver-side linear replay between the
+    nearest observed neighbors, bit-for-bit (floor-based 6dp rounding);
+    observed rows pass value_avg through untouched."""
+    import math
+
+    from tf_idf_mapreduce_spark.operators.temporal import gap_fill_interpolate
+
+    rows = gap_fill_interpolate(spark, sf_dir).collect()
+    n_gaps = 0
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.bucket_start_sec)
+        obs = [
+            (r.bucket_start_sec, r.value_avg) for r in rs if r.value_avg is not None
+        ]
+        for r in rs:
+            if r.fill_kind == "observed":
+                assert r.value_filled == r.value_avg
+                assert r.n_events > 0
+                continue
+            n_gaps += 1
+            assert r.n_events == 0 and r.value_avg is None
+            prev = max((o for o in obs if o[0] < r.bucket_start_sec))
+            nxt = min((o for o in obs if o[0] > r.bucket_start_sec))
+            frac = (r.bucket_start_sec - prev[0]) / (nxt[0] - prev[0])
+            want = (
+                math.floor((prev[1] + (nxt[1] - prev[1]) * frac) * 1_000_000 + 0.5)
+                / 1_000_000
+            )
+            assert r.value_filled == want, (et, r.bucket_start_sec)
+    assert n_gaps > 0, "fixture must exercise the interpolation path"

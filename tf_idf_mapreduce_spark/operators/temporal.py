@@ -373,3 +373,89 @@ def interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_start_sec",
         overlap.cast("long").alias("overlap_sec"),
     )
+
+
+#: Gap-fill bucket width (seconds). 10-minute buckets leave real gaps in
+#: the fixture stream at every SF (hourly is gap-free at sf0.1), so the
+#: interpolation path is actually exercised.
+GAP_FILL_BUCKET_SEC = 600
+
+
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the event stream per event_type into a dense
+    10-minute-bucket series with LINEAR INTERPOLATION across empty
+    buckets — the densification a forecasting/feature pipeline needs
+    when carry-forward (``events_resample``'s rule) is too coarse:
+    ``value_filled`` at a gap is the line between the nearest observed
+    buckets on each side.
+
+    Shape: one (type, bucket) aggregate; the per-type spine comes from
+    the observed min/max exploded through ``sequence`` (no driver
+    collect); prev/next observations attach via two ignore-nulls windows
+    PARTITIONED BY TYPE over the bucket relation — bounded by history
+    length x type count, never by event count. The interpolation itself
+    is one arithmetic expression over 6dp-rounded inputs, so the DuckDB
+    replay is bit-exact. Spine endpoints are observed by construction,
+    so every gap is interior and interpolation is total.
+    """
+    ev = load_events(spark, sf_dir)
+    bucket = (
+        F.col("ts_sec") - F.col("ts_sec") % GAP_FILL_BUCKET_SEC
+    ).alias("bucket_start_sec")
+    # floor(x*1e6+0.5)/1e6, not round(x, 6): the interpolated line can
+    # land on an exact .5 at 6dp where Spark's BigDecimal round and
+    # DuckDB's double round diverge (the events_anomaly r6 precedent)
+    def r6(col: Column) -> Column:
+        return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    observed = ev.groupBy("event_type", bucket).agg(
+        F.count("*").cast("long").alias("n_events"),
+        r6(
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double")
+            / F.count("*")
+        ).alias("value_avg"),
+    )
+    spine = (
+        observed.groupBy("event_type")
+        .agg(
+            F.min("bucket_start_sec").alias("lo"),
+            F.max("bucket_start_sec").alias("hi"),
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.lit(GAP_FILL_BUCKET_SEC))
+            ).alias("bucket_start_sec"),
+        )
+    )
+    base = spine.join(observed, ["event_type", "bucket_start_sec"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start_sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start_sec")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(
+        F.col("value_avg").isNotNull(), F.col("bucket_start_sec")
+    )
+    prev_v = F.last("value_avg", ignorenulls=True).over(w_prev)
+    prev_b = F.last(obs_bucket, ignorenulls=True).over(w_prev)
+    next_v = F.first("value_avg", ignorenulls=True).over(w_next)
+    next_b = F.first(obs_bucket, ignorenulls=True).over(w_next)
+    frac = (F.col("bucket_start_sec") - prev_b) / (next_b - prev_b)
+    return base.select(
+        "event_type",
+        "bucket_start_sec",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "value_avg",
+        F.when(F.col("value_avg").isNotNull(), F.col("value_avg"))
+        .otherwise(r6(prev_v + (next_v - prev_v) * frac))
+        .alias("value_filled"),
+        F.when(F.col("value_avg").isNotNull(), F.lit("observed"))
+        .otherwise(F.lit("interpolated"))
+        .alias("fill_kind"),
+    )
