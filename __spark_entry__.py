@@ -2518,6 +2518,41 @@ _LLMDATA_ORACLE["text_vocab_coverage"] = f"""
     FROM per, tot ORDER BY n_vocab
 """
 
+# Covariance replayed with the IDENTICAL expression order as the Spark
+# side — (avg(xy) - mean_i*mean_j) * (n/(n-1.0)), corr from unrounded
+# intermediates — so the only float slack is summation order inside the
+# avg, absorbed by the @6dp round (label_centroids precedent).
+_LLMDATA_ORACLE["sim_embedding_covariance"] = f"""
+    WITH pairs AS (
+      SELECT i.i AS di, j.j AS dj,
+             CAST(e.embedding[i.i] AS DOUBLE)
+               * CAST(e.embedding[j.j] AS DOUBLE) AS xy
+      FROM embeddings e,
+           generate_series(1, {EMBED_DIM}) i(i),
+           generate_series(1, {EMBED_DIM}) j(j)
+      WHERE j.j >= i.i),
+    agg AS (SELECT di, dj, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CAST(xy AS DECIMAL(38,18))) AS DOUBLE)
+                     / count(*) AS axy
+            FROM pairs GROUP BY 1, 2),
+    means AS (SELECT i.i AS d,
+                     CAST(sum(CAST(CAST(e.embedding[i.i] AS DOUBLE)
+                                   AS DECIMAL(38,18)))
+                          AS DOUBLE) / count(*) AS m
+              FROM embeddings e, generate_series(1, {EMBED_DIM}) i(i)
+              GROUP BY 1),
+    cov AS (
+      SELECT di, dj, n_vecs,
+             (axy - mi.m * mj.m) * (n_vecs / (n_vecs - 1.0)) AS c
+      FROM agg JOIN means mi ON di = mi.d JOIN means mj ON dj = mj.d),
+    diag AS (SELECT di AS dd, c AS var FROM cov WHERE di = dj)
+    SELECT di - 1 AS dim_i, dj - 1 AS dim_j, n_vecs,
+           round(c, 6) AS cov,
+           round(c / sqrt(vi.var * vj.var), 6) AS corr
+    FROM cov JOIN diag vi ON di = vi.dd JOIN diag vj ON dj = vj.dd
+    ORDER BY dim_i, dim_j
+"""
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -4767,6 +4802,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_vocab": ts.bpe_vocab,
         "text_vocab_coverage": ts.vocab_coverage,
         "temporal_gap_fill": tmp.gap_fill_interpolate,
+        "sim_embedding_covariance": sim.embedding_covariance,
     }
 
 

@@ -650,3 +650,33 @@ def test_mips_weight_is_exact_rational(spark):
     assert vals[0].w == 2 / 4  # 'the' is a stopword; 3 words... (1+1)/(3+1)
     assert vals[1].w == 1.0    # empty: (0+1)/(0+1)
     assert vals[2].w == 1 / 3
+
+
+def test_embedding_covariance_laws_and_numpy_agreement(spark, sf_dir):
+    """Upper-triangle shape, unit diagonal corr, |corr|<=1, and agreement
+    with numpy's sample covariance within rounding tolerance."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        EMBED_DIM,
+        embedding_covariance,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = embedding_covariance(spark, sf_dir).collect()
+    assert len(rows) == EMBED_DIM * (EMBED_DIM + 1) // 2
+    vecs = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(vecs, rowvar=False, ddof=1)
+    for r in rows:
+        assert r.dim_i <= r.dim_j
+        assert r.n_vecs == len(vecs)
+        assert abs(r.cov - C[r.dim_i, r.dim_j]) < 1e-5, (r.dim_i, r.dim_j)
+        if r.dim_i == r.dim_j:
+            assert r.corr == 1.0
+        assert abs(r.corr) <= 1.0 + 1e-9

@@ -1696,3 +1696,112 @@ def mips_prune_stats(
             6,
         ).alias("pruned_frac"),
     )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d x d sample covariance + correlation of the embedding space
+    (upper triangle, long format) — the input PCA whitening / OPQ
+    rotation reads before rotating codebook space, and the first
+    diagnostic for collapsed or redundant embedding dimensions.
+
+    One corpus scan explodes each vector's d(d+1)/2 upper-triangle
+    products via nested JVM ``transform`` (no UDFs); ONE shuffle keyed
+    on (dim_i, dim_j) with map-side partial aggregation reduces 100 TB
+    of vectors to d^2/2 rows — the matrix size is model-sized, corpus
+    size only changes the scan. Dim means and diagonal variances attach
+    back as broadcasts (d and d rows). Cov/corr are computed in the
+    exact same expression order as the DuckDB replay and rounded @6dp
+    (the label_centroids float-parity rule).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    # the d(d+1)/2-per-row expansion is the expensive stage; a one-file
+    # fixture scan would run it in ONE task. Spread only when the scan
+    # has fewer splits than cores — at real scale the file splits already
+    # provide parallelism and the repartition is a no-op branch.
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
+    idx = F.sequence(F.lit(1), F.lit(EMBED_DIM))
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(EMBED_DIM)),
+                        lambda j: F.struct(
+                            (i - 1).cast("int").alias("dim_i"),
+                            (j - 1).cast("int").alias("dim_j"),
+                            (
+                                F.element_at("v", i) * F.element_at("v", j)
+                            ).alias("xy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.dim_i", "p.dim_j", "p.xy")
+    # DECIMAL(38,18) sums: order-independent AND unambiguous (a double is
+    # a dyadic rational, which can never sit exactly on a .5 at 18dp), so
+    # both engines produce bit-identical aggregates — plain double avg()
+    # left (dim 9, dim 12)'s corr 1.3e-11 either side of a 6dp boundary.
+    agg = pairs.groupBy("dim_i", "dim_j").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        (
+            F.sum(F.col("xy").cast("decimal(38,18)")).cast("double")
+            / F.count("*")
+        ).alias("axy"),
+    )
+    means = (
+        e.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    n = F.col("n_vecs")
+    cov_expr = (
+        (F.col("axy") - F.col("mi") * F.col("mj")) * (n / (n - F.lit(1.0)))
+    )
+    # three consumers (result + two diagonal attaches) would re-run the
+    # d^2-pair explode+shuffle; barrier the 2080-row matrix once
+    cov = (
+        agg.join(
+            F.broadcast(means.select(F.col("d").alias("dim_i"), F.col("m").alias("mi"))),
+            "dim_i",
+        )
+        .join(
+            F.broadcast(means.select(F.col("d").alias("dim_j"), F.col("m").alias("mj"))),
+            "dim_j",
+        )
+        .select("dim_i", "dim_j", "n_vecs", cov_expr.alias("c"))
+        .localCheckpoint()
+    )
+    diag = cov.where(F.col("dim_i") == F.col("dim_j")).select(
+        F.col("dim_i").alias("dd"), F.col("c").alias("var")
+    )
+    return (
+        cov.join(
+            F.broadcast(diag.select(F.col("dd").alias("dim_i"), F.col("var").alias("vi"))),
+            "dim_i",
+        )
+        .join(
+            F.broadcast(diag.select(F.col("dd").alias("dim_j"), F.col("var").alias("vj"))),
+            "dim_j",
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            "n_vecs",
+            F.round("c", 6).alias("cov"),
+            F.round(
+                F.col("c") / F.sqrt(F.col("vi") * F.col("vj")), 6
+            ).alias("corr"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
