@@ -73,6 +73,16 @@ QUERIES = [
     "curate_incremental_manifest",
     # k-means cells + per-cell quota window over the md5 uniform
     "curate_cluster_sample",
+    # iterative argmax trainer: exact long pair sums + lexicographic
+    # tiebreak per round — the full merge TRAJECTORY must replay
+    # identically (cache keys include the partition conf, so this
+    # exercises the real recompute, not a memoized result)
+    "text_bpe_train",
+    # per-type ignore-nulls prev/next windows over the spine join
+    "temporal_gap_fill",
+    # DECIMAL(38,18) sums make the matrix bit-exact under any layout —
+    # including the small-scan spread repartition branch
+    "sim_embedding_covariance",
 ]
 
 

@@ -847,7 +847,17 @@ def _bpe_learn_merges(
     than the corpus and shrinking per round), so K rounds cost K small
     shuffles — NOT K corpus rescans.
     """
-    key = (sf_dir, int(n_merges), _documents_fingerprint(sf_dir))
+    # conf in the key (the _PQ_BOOK_CACHE rule): the merges are provably
+    # partition-invariant (exact long sums, deterministic argmax), but a
+    # conf change must RECOMPUTE so the invariance suite tests the real
+    # path, not a cache hit
+    key = (
+        sf_dir,
+        int(n_merges),
+        _documents_fingerprint(sf_dir),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
     if key in _BPE_MERGE_CACHE:
         return _BPE_MERGE_CACHE[key]
     words = _bpe_word_counts(spark, sf_dir)
