@@ -2519,10 +2519,11 @@ _LLMDATA_ORACLE["text_vocab_coverage"] = f"""
 """
 
 # Covariance replayed with the IDENTICAL expression order as the Spark
-# side — (avg(xy) - mean_i*mean_j) * (n/(n-1.0)), corr from unrounded
-# intermediates — so the only float slack is summation order inside the
-# avg, absorbed by the @6dp round (label_centroids precedent).
-_LLMDATA_ORACLE["sim_embedding_covariance"] = f"""
+# side — all sums through DECIMAL(38,18), so intermediates are bit-equal
+# across engines (a double can never tie at 18dp) and the @6dp round is
+# decoration, not a tolerance. Shared by the corr presentation and the
+# power-iteration replay.
+_COV_CTE_SQL = f"""
     WITH pairs AS (
       SELECT i.i AS di, j.j AS dj,
              CAST(e.embedding[i.i] AS DOUBLE)
@@ -2541,10 +2542,14 @@ _LLMDATA_ORACLE["sim_embedding_covariance"] = f"""
                           AS DOUBLE) / count(*) AS m
               FROM embeddings e, generate_series(1, {EMBED_DIM}) i(i)
               GROUP BY 1),
-    cov AS (
+    cov AS MATERIALIZED (
       SELECT di, dj, n_vecs,
              (axy - mi.m * mj.m) * (n_vecs / (n_vecs - 1.0)) AS c
-      FROM agg JOIN means mi ON di = mi.d JOIN means mj ON dj = mj.d),
+      FROM agg JOIN means mi ON di = mi.d JOIN means mj ON dj = mj.d)"""
+
+_LLMDATA_ORACLE["sim_embedding_covariance"] = (
+    _COV_CTE_SQL
+    + """,
     diag AS (SELECT di AS dd, c AS var FROM cov WHERE di = dj)
     SELECT di - 1 AS dim_i, dj - 1 AS dim_j, n_vecs,
            round(c, 6) AS cov,
@@ -2552,6 +2557,47 @@ _LLMDATA_ORACLE["sim_embedding_covariance"] = f"""
     FROM cov JOIN diag vi ON di = vi.dd JOIN diag vj ON dj = vj.dd
     ORDER BY dim_i, dim_j
 """
+)
+
+
+def _pca_power_sql(iters: int) -> str:
+    """Unrolled power-iteration replay over the shared covariance CTE —
+    same DECIMAL(38,18) matvec/norm/Rayleigh sums as the Spark loop."""
+    sql = (
+        _COV_CTE_SQL
+        + f""",
+    cfull AS MATERIALIZED (
+      SELECT di, dj, c FROM cov
+      UNION ALL
+      SELECT dj AS di, di AS dj, c FROM cov WHERE di <> dj),
+    tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS trace
+           FROM cov WHERE di = dj),
+    v0 AS (SELECT i.i AS j, 0.125 AS v
+           FROM generate_series(1, {EMBED_DIM}) i(i))"""
+    )
+    for t in range(1, iters + 1):
+        sql += f""",
+    w{t} AS MATERIALIZED (
+             SELECT di, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE)
+                    AS w
+             FROM cfull JOIN v{t - 1} ON dj = j GROUP BY di),
+    n{t} AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
+                    AS nm FROM w{t}),
+    v{t} AS MATERIALIZED (SELECT di AS j, w / nm AS v FROM w{t}, n{t})"""
+    sql += f""",
+    wf AS (SELECT di, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE) AS w
+           FROM cfull JOIN v{iters} ON dj = j GROUP BY di),
+    lam AS (SELECT CAST(sum(CAST(v.v * wf.w AS DECIMAL(38,18))) AS DOUBLE)
+                   AS lam
+            FROM v{iters} v JOIN wf ON v.j = wf.di)
+    SELECT v.j - 1 AS dim, round(v.v, 6) AS loading,
+           round(lam, 6) AS eigenvalue,
+           round(lam / trace, 6) AS explained_var_ratio
+    FROM v{iters} v, lam, tr ORDER BY dim"""
+    return sql
+
+
+_LLMDATA_ORACLE["sim_pca_power"] = _pca_power_sql(sim.PCA_POWER_ITERS)
 
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
@@ -4803,6 +4849,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": ts.vocab_coverage,
         "temporal_gap_fill": tmp.gap_fill_interpolate,
         "sim_embedding_covariance": sim.embedding_covariance,
+        "sim_pca_power": sim.pca_power,
     }
 
 

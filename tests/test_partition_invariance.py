@@ -83,6 +83,9 @@ QUERIES = [
     # DECIMAL(38,18) sums make the matrix bit-exact under any layout —
     # including the small-scan spread repartition branch
     "sim_embedding_covariance",
+    # 12-round iterative matvec: the whole trajectory (matvec, norm,
+    # Rayleigh) is decimal-summed, so bit-exact under any partitioning
+    "sim_pca_power",
 ]
 
 

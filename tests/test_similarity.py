@@ -680,3 +680,39 @@ def test_embedding_covariance_laws_and_numpy_agreement(spark, sf_dir):
         if r.dim_i == r.dim_j:
             assert r.corr == 1.0
         assert abs(r.corr) <= 1.0 + 1e-9
+
+
+def test_pca_power_matches_numpy_replay(spark, sf_dir):
+    """The distributed power iteration lands where a numpy replay of the
+    IDENTICAL algorithm (same start, same round count, sample covariance)
+    lands, within float-accumulation tolerance; unit-norm loadings and a
+    sane explained-variance ratio."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        PCA_POWER_ITERS,
+        pca_power,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = pca_power(spark, sf_dir).collect()
+    loadings = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    lam = rows[0].eigenvalue
+    evr = rows[0].explained_var_ratio
+    assert all(r.eigenvalue == lam and r.explained_var_ratio == evr for r in rows)
+    assert abs(np.linalg.norm(loadings) - 1.0) < 1e-4
+    assert 0.0 < evr < 1.0
+
+    vecs = np.array(
+        [r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    C = np.cov(vecs, rowvar=False, ddof=1)
+    v = np.full(C.shape[0], 0.125)
+    for _ in range(PCA_POWER_ITERS):
+        w = C @ v
+        v = w / np.linalg.norm(w)
+    lam_np = float(v @ (C @ v))
+    assert np.allclose(loadings, v, atol=2e-5), "loadings diverge from replay"
+    assert abs(lam - lam_np) < 1e-5
+    assert abs(evr - lam_np / np.trace(C)) < 1e-5

@@ -1698,20 +1698,13 @@ def mips_prune_stats(
     )
 
 
-def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The d x d sample covariance + correlation of the embedding space
-    (upper triangle, long format) — the input PCA whitening / OPQ
-    rotation reads before rotating codebook space, and the first
-    diagnostic for collapsed or redundant embedding dimensions.
-
-    One corpus scan explodes each vector's d(d+1)/2 upper-triangle
-    products via nested JVM ``transform`` (no UDFs); ONE shuffle keyed
-    on (dim_i, dim_j) with map-side partial aggregation reduces 100 TB
-    of vectors to d^2/2 rows — the matrix size is model-sized, corpus
-    size only changes the scan. Dim means and diagonal variances attach
-    back as broadcasts (d and d rows). Cov/corr are computed in the
-    exact same expression order as the DuckDB replay and rounded @6dp
-    (the label_centroids float-parity rule).
+def _cov_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance (dim_i, dim_j, n_vecs, c) with
+    UNROUNDED but cross-engine-exact entries: every aggregate runs
+    through DECIMAL(38,18), so the doubles that come out are bit-equal
+    in Spark and DuckDB whatever the partitioning or visit order.
+    Checkpointed — one shuffle, many consumers (the corr presentation
+    reads it 3x, the power iteration every round).
     """
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("embedding").cast("array<double>").alias("v")
@@ -1782,6 +1775,24 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dim_i", "dim_j", "n_vecs", cov_expr.alias("c"))
         .localCheckpoint()
     )
+    return cov
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The d x d sample covariance + correlation of the embedding space
+    (upper triangle, long format) — the input PCA whitening / OPQ
+    rotation reads before rotating codebook space, and the first
+    diagnostic for collapsed or redundant embedding dimensions.
+
+    One corpus scan explodes each vector's d(d+1)/2 upper-triangle
+    products via nested JVM ``transform`` (no UDFs); ONE shuffle keyed
+    on (dim_i, dim_j) with map-side partial aggregation reduces 100 TB
+    of vectors to d^2/2 rows — the matrix size is model-sized, corpus
+    size only changes the scan (``_cov_upper``). Diagonal variances
+    attach back as broadcasts; cov/corr use the exact same expression
+    order as the DuckDB replay, rounded @6dp over bit-identical inputs.
+    """
+    cov = _cov_upper(spark, sf_dir)
     diag = cov.where(F.col("dim_i") == F.col("dim_j")).select(
         F.col("dim_i").alias("dd"), F.col("c").alias("var")
     )
@@ -1804,4 +1815,88 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr"),
         )
         .orderBy("dim_i", "dim_j")
+    )
+
+
+PCA_POWER_ITERS = 12
+
+
+def pca_power(
+    spark: SparkSession, sf_dir: str, iters: int = PCA_POWER_ITERS
+) -> DataFrame:
+    """Top principal component of the embedding space by POWER ITERATION
+    over the distributed covariance matrix: per-dim loading, the Rayleigh
+    eigenvalue, and the explained-variance ratio — what an OPQ rotation /
+    whitening / dimensionality-budget decision reads first.
+
+    The iteration runs on MODEL-SIZED state: the d x d matrix from
+    ``_cov_upper`` (one corpus scan + one shuffle, checkpointed) and a
+    d-row vector; each round is a join-aggregate matvec plus a norm —
+    work independent of corpus size, the driver sees nothing but the
+    loop counter. Every sum (matvec, norm, Rayleigh, trace) goes through
+    DECIMAL(38,18), making the whole trajectory bit-exact against the
+    unrolled DuckDB replay AND under any partitioning — no @6dp grid
+    snapping between rounds needed. Start vector is the exact dyadic
+    uniform 1/8 (d=64); the eigenvector's global sign follows from it
+    deterministically on both engines.
+    """
+
+    def dsum(col: Column) -> Column:
+        return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+    cov = _cov_upper(spark, sf_dir)
+    full = (
+        cov.select("dim_i", "dim_j", "c")
+        .union(
+            cov.where(F.col("dim_i") != F.col("dim_j")).select(
+                F.col("dim_j").alias("dim_i"),
+                F.col("dim_i").alias("dim_j"),
+                "c",
+            )
+        )
+        .localCheckpoint()
+    )
+    trace = cov.where(F.col("dim_i") == F.col("dim_j")).agg(
+        dsum(F.col("c")).alias("trace")
+    )
+    v = spark.range(EMBED_DIM).select(
+        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("v")
+    )
+    # v broadcasts into the matvec (the matrix never moves; the only
+    # exchange is the d-row partial-combined groupBy); lineage truncates
+    # every 3 rounds — per-round checkpoints cost more than the tiny
+    # replays they save at d=64
+    for t in range(iters):
+        w = (
+            full.join(F.broadcast(v), full["dim_j"] == v["j"])
+            .groupBy("dim_i")
+            .agg(dsum(F.col("c") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(dsum(F.col("w") * F.col("w"))).alias("nm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("dim_i").alias("j"), (F.col("w") / F.col("nm")).alias("v")
+        )
+        if t % 3 == 2:
+            v = v.localCheckpoint()
+    w_final = (
+        full.join(F.broadcast(v), full["dim_j"] == v["j"])
+        .groupBy("dim_i")
+        .agg(dsum(F.col("c") * F.col("v")).alias("w"))
+    )
+    lam = (
+        v.join(w_final, v["j"] == w_final["dim_i"])
+        .agg(dsum(F.col("v") * F.col("w")).alias("lam"))
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("j").alias("dim"),
+            F.round("v", 6).alias("loading"),
+            F.round("lam", 6).alias("eigenvalue"),
+            F.round(F.col("lam") / F.col("trace"), 6).alias(
+                "explained_var_ratio"
+            ),
+        )
+        .orderBy("dim")
     )
