@@ -2560,44 +2560,78 @@ _LLMDATA_ORACLE["sim_embedding_covariance"] = (
 )
 
 
-def _pca_power_sql(iters: int) -> str:
-    """Unrolled power-iteration replay over the shared covariance CTE —
-    same DECIMAL(38,18) matvec/norm/Rayleigh sums as the Spark loop."""
-    sql = (
-        _COV_CTE_SQL
-        + f""",
+# Unrolled power-iteration replay pieces — same DECIMAL(38,18)
+# matvec/norm/Rayleigh sums as the Spark loop. Every round is
+# MATERIALIZED: w{t} is referenced twice (norm + update), so inlined
+# CTEs re-expand the whole subtree 2^iters times.
+def _power_chain_sql(matrix: str, p: str, iters: int) -> str:
+    sql = f""",
+    {p}v0 AS (SELECT i.i AS j, 0.125 AS v
+              FROM generate_series(1, {EMBED_DIM}) i(i))"""
+    for t in range(1, iters + 1):
+        sql += f""",
+    {p}w{t} AS MATERIALIZED (
+             SELECT di, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE)
+                    AS w
+             FROM {matrix} JOIN {p}v{t - 1} ON dj = j GROUP BY di),
+    {p}n{t} AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18)))
+                                 AS DOUBLE)) AS nm FROM {p}w{t}),
+    {p}v{t} AS MATERIALIZED (
+             SELECT di AS j, w / nm AS v FROM {p}w{t}, {p}n{t})"""
+    return sql
+
+
+def _rayleigh_sql(matrix: str, vcte: str, name: str) -> str:
+    return f""",
+    {name}_w AS MATERIALIZED (
+        SELECT di, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE) AS w
+        FROM {matrix} JOIN {vcte} ON dj = j GROUP BY di),
+    {name} AS (SELECT CAST(sum(CAST(v.v * w.w AS DECIMAL(38,18))) AS DOUBLE)
+                      AS lam
+               FROM {vcte} v JOIN {name}_w w ON v.j = w.di)"""
+
+
+_PCA_PREFIX_SQL = (
+    _COV_CTE_SQL
+    + """,
     cfull AS MATERIALIZED (
       SELECT di, dj, c FROM cov
       UNION ALL
       SELECT dj AS di, di AS dj, c FROM cov WHERE di <> dj),
     tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS trace
-           FROM cov WHERE di = dj),
-    v0 AS (SELECT i.i AS j, 0.125 AS v
-           FROM generate_series(1, {EMBED_DIM}) i(i))"""
-    )
-    for t in range(1, iters + 1):
-        sql += f""",
-    w{t} AS MATERIALIZED (
-             SELECT di, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE)
-                    AS w
-             FROM cfull JOIN v{t - 1} ON dj = j GROUP BY di),
-    n{t} AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE))
-                    AS nm FROM w{t}),
-    v{t} AS MATERIALIZED (SELECT di AS j, w / nm AS v FROM w{t}, n{t})"""
-    sql += f""",
-    wf AS (SELECT di, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE) AS w
-           FROM cfull JOIN v{iters} ON dj = j GROUP BY di),
-    lam AS (SELECT CAST(sum(CAST(v.v * wf.w AS DECIMAL(38,18))) AS DOUBLE)
-                   AS lam
-            FROM v{iters} v JOIN wf ON v.j = wf.di)
+           FROM cov WHERE di = dj)"""
+    + _power_chain_sql("cfull", "a", sim.PCA_POWER_ITERS)
+    + _rayleigh_sql("cfull", f"av{sim.PCA_POWER_ITERS}", "lam1")
+)
+
+_LLMDATA_ORACLE["sim_pca_power"] = (
+    _PCA_PREFIX_SQL
+    + f"""
     SELECT v.j - 1 AS dim, round(v.v, 6) AS loading,
            round(lam, 6) AS eigenvalue,
            round(lam / trace, 6) AS explained_var_ratio
-    FROM v{iters} v, lam, tr ORDER BY dim"""
-    return sql
+    FROM av{sim.PCA_POWER_ITERS} v, lam1, tr ORDER BY dim"""
+)
 
-
-_LLMDATA_ORACLE["sim_pca_power"] = _pca_power_sql(sim.PCA_POWER_ITERS)
+_LLMDATA_ORACLE["sim_pca_project"] = (
+    _PCA_PREFIX_SQL
+    + f""",
+    c2full AS MATERIALIZED (
+      SELECT f.di, f.dj, f.c - lam * pi.v * pj.v AS c
+      FROM cfull f
+      JOIN av{sim.PCA_POWER_ITERS} pi ON f.di = pi.j
+      JOIN av{sim.PCA_POWER_ITERS} pj ON f.dj = pj.j, lam1)"""
+    + _power_chain_sql("c2full", "b", sim.PCA_POWER_ITERS)
+    + f""",
+    va AS (SELECT list(v ORDER BY j) AS l FROM av{sim.PCA_POWER_ITERS}),
+    vb AS (SELECT list(v ORDER BY j) AS l FROM bv{sim.PCA_POWER_ITERS})
+    SELECT e.vec_id, e.label,
+           round(list_sum(list_transform(generate_series(1, {EMBED_DIM}),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * va.l[i])), 6) AS pc1,
+           round(list_sum(list_transform(generate_series(1, {EMBED_DIM}),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * vb.l[i])), 6) AS pc2
+    FROM embeddings e, va, vb ORDER BY vec_id"""
+)
 
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
@@ -4850,6 +4884,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_gap_fill": tmp.gap_fill_interpolate,
         "sim_embedding_covariance": sim.embedding_covariance,
         "sim_pca_power": sim.pca_power,
+        "sim_pca_project": sim.pca_project,
     }
 
 

@@ -86,6 +86,8 @@ QUERIES = [
     # 12-round iterative matvec: the whole trajectory (matvec, norm,
     # Rayleigh) is decimal-summed, so bit-exact under any partitioning
     "sim_pca_power",
+    # deflation + second chain + per-vector index-ordered dot folds
+    "sim_pca_project",
 ]
 
 

@@ -716,3 +716,42 @@ def test_pca_power_matches_numpy_replay(spark, sf_dir):
     assert np.allclose(loadings, v, atol=2e-5), "loadings diverge from replay"
     assert abs(lam - lam_np) < 1e-5
     assert abs(evr - lam_np / np.trace(C)) < 1e-5
+
+
+def test_pca_project_matches_numpy_replay(spark, sf_dir):
+    """pc1/pc2 equal a numpy replay of the identical pipeline (cov ->
+    power iteration -> deflation -> dot), and the two component vectors
+    are near-orthogonal."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        PCA_POWER_ITERS,
+        pca_project,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    recs = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = np.array([r.embedding for r in recs], dtype=np.float64)
+    ids = [r.vec_id for r in recs]
+    C = np.cov(vecs, rowvar=False, ddof=1)
+
+    def power(M):
+        v = np.full(M.shape[0], 0.125)
+        for _ in range(PCA_POWER_ITERS):
+            w = M @ v
+            v = w / np.linalg.norm(w)
+        return v
+
+    v1 = power(C)
+    lam1 = float(v1 @ (C @ v1))
+    v2 = power(C - lam1 * np.outer(v1, v1))
+    # the synthetic fixture's spectrum is near-isotropic, so 12 rounds
+    # leave the components approximately (not machine-exactly) orthogonal
+    assert abs(float(v1 @ v2)) < 0.1
+    want1 = dict(zip(ids, vecs @ v1))
+    want2 = dict(zip(ids, vecs @ v2))
+    rows = pca_project(spark, sf_dir).collect()
+    assert len(rows) == len(ids)
+    for r in rows:
+        assert abs(r.pc1 - want1[r.vec_id]) < 5e-5, r.vec_id
+        assert abs(r.pc2 - want2[r.vec_id]) < 5e-5, r.vec_id
