@@ -3158,6 +3158,47 @@ _TEMPORAL_ORACLE["temporal_gap_fill"] = f"""
     FROM ctx
 """
 
+_EVENTS_ORACLE["events_forecast_baseline"] = f"""
+    WITH obs AS (
+      SELECT event_type,
+             ts_sec - ts_sec % {ev.FORECAST_BUCKET_SEC} AS b,
+             floor(CAST(sum(CAST(value AS DECIMAL(38,2))) AS DOUBLE)
+                   / count(*) * 1000000 + 0.5) / 1000000 AS v
+      FROM (SELECT event_type, epoch_ns(ts) // 1000000000 AS ts_sec, value
+            FROM events)
+      GROUP BY 1, 2),
+    s AS (
+      SELECT o.event_type, CAST(count(*) AS BIGINT) AS n_seasonal,
+             floor(CAST(sum(CAST(abs(o.v - p.v) AS DECIMAL(38,18)))
+                        AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+               AS mae_seasonal,
+             floor(CAST(sum(CAST(o.v - p.v AS DECIMAL(38,18)))
+                        AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+               AS bias_seasonal
+      FROM obs o JOIN obs p
+        ON o.event_type = p.event_type
+       AND o.b = p.b + {ev.FORECAST_SEASON_SEC}
+      GROUP BY 1),
+    pp AS (
+      SELECT o.event_type, CAST(count(*) AS BIGINT) AS n_persist,
+             floor(CAST(sum(CAST(abs(o.v - p.v) AS DECIMAL(38,18)))
+                        AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+               AS mae_persist,
+             floor(CAST(sum(CAST(o.v - p.v AS DECIMAL(38,18)))
+                        AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+               AS bias_persist
+      FROM obs o JOIN obs p
+        ON o.event_type = p.event_type
+       AND o.b = p.b + {ev.FORECAST_BUCKET_SEC}
+      GROUP BY 1)
+    SELECT s.event_type, n_seasonal, mae_seasonal, bias_seasonal,
+           n_persist, mae_persist, bias_persist,
+           CASE WHEN mae_seasonal < mae_persist THEN 'seasonal'
+                WHEN mae_persist < mae_seasonal THEN 'persist'
+                ELSE 'tie' END AS better
+    FROM s JOIN pp USING (event_type) ORDER BY event_type
+"""
+
 _STREAMING_ORACLE["stream_upsert_snapshot"] = _TEMPORAL_ORACLE[
     "temporal_latest_snapshot"
 ]
@@ -4885,6 +4926,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_covariance": sim.embedding_covariance,
         "sim_pca_power": sim.pca_power,
         "sim_pca_project": sim.pca_project,
+        "events_forecast_baseline": ev.q_forecast_baseline,
     }
 
 

@@ -315,3 +315,64 @@ def test_stickiness_bounds_and_dau_subset(spark, sf_dir):
         assert r.dau == daily[day]
         assert 1 <= r.dau <= r.mau
         assert 0 < r.stickiness <= 1.0
+
+
+def test_forecast_baseline_matches_python_replay(spark, sf_dir):
+    """MAE/bias for both baselines equal a driver-side replay over the
+    same 6dp-rounded bucket series; the winner column is consistent."""
+    import math
+    from collections import defaultdict
+
+    from tf_idf_mapreduce_spark.operators.events import (
+        FORECAST_BUCKET_SEC,
+        FORECAST_SEASON_SEC,
+        q_forecast_baseline,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_events
+
+    ev = load_events(spark, sf_dir).select("event_type", "ts_sec", "value").collect()
+    agg = defaultdict(lambda: [0.0, 0])
+    for r in ev:
+        b = r.ts_sec - r.ts_sec % FORECAST_BUCKET_SEC
+        a = agg[(r.event_type, b)]
+        a[0] += float(r.value)
+        a[1] += 1
+
+    def r6(x):
+        return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+    series = {k: r6(s / n) for k, (s, n) in agg.items()}
+
+    def score(lag):
+        out = {}
+        per = defaultdict(list)
+        for (et, b), v in series.items():
+            p = series.get((et, b - lag))
+            if p is not None:
+                per[et].append(v - p)
+        for et, diffs in per.items():
+            out[et] = (
+                len(diffs),
+                r6(sum(abs(d) for d in diffs) / len(diffs)),
+                r6(sum(diffs) / len(diffs)),
+            )
+        return out
+
+    season, persist = score(FORECAST_SEASON_SEC), score(FORECAST_BUCKET_SEC)
+    rows = {r.event_type: r for r in q_forecast_baseline(spark, sf_dir).collect()}
+    assert set(rows) == set(season) & set(persist)
+    for et, r in rows.items():
+        ns, maes, biass = season[et]
+        np_, maep, biasp = persist[et]
+        assert (r.n_seasonal, r.n_persist) == (ns, np_)
+        # driver float accumulation differs from the DECIMAL path by <1e-9
+        assert abs(r.mae_seasonal - maes) < 1e-6
+        assert abs(r.bias_seasonal - biass) < 1e-6
+        assert abs(r.mae_persist - maep) < 1e-6
+        assert abs(r.bias_persist - biasp) < 1e-6
+        want = (
+            "seasonal"
+            if r.mae_seasonal < r.mae_persist
+            else "persist" if r.mae_persist < r.mae_seasonal else "tie"
+        )
+        assert r.better == want

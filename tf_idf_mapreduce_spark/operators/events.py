@@ -652,3 +652,90 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("stickiness"),
     )
+
+
+#: Forecast-baseline lags (seconds): one day back (seasonal-naive) and
+#: one bucket back (persistence), over the gap_fill 10-minute buckets.
+FORECAST_BUCKET_SEC = 600
+FORECAST_SEASON_SEC = 86400
+
+
+def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the two classic zero-parameter forecasters on the event
+    stream — seasonal-naive (same bucket yesterday) vs persistence
+    (previous bucket) — per event type: eval count, exact MAE, and mean
+    signed error (bias) for each, plus which baseline wins. The
+    sanity floor every real forecasting pipeline must beat before its
+    model earns a slot.
+
+    Predictions attach by EQUI-JOIN on (type, bucket - lag), not by
+    row-offset windows — offset windows silently compare against the
+    wrong time once the series has gaps, a join cannot. Two bounded
+    self-joins of the (type, bucket) aggregate (history-sized, never
+    event-sized); per-bucket values are floor-rounded @6dp first, so
+    the diffs are identical doubles cross-engine, and the MAE/bias
+    aggregates run through DECIMAL(38,18) — order-independent, exact.
+    """
+    ev = load_events(spark, sf_dir)
+
+    def r6(col: Column) -> Column:
+        return F.floor(col * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    def dsum(col: Column) -> Column:
+        return F.sum(col.cast("decimal(38,18)")).cast("double")
+
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.col("ts_sec") - F.col("ts_sec") % FORECAST_BUCKET_SEC).alias(
+                "bucket_start_sec"
+            ),
+        )
+        .agg(
+            r6(
+                F.sum(F.col("value").cast("decimal(38,2)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+        .localCheckpoint()
+    )
+
+    def baseline(lag_sec: int, tag: str) -> DataFrame:
+        pred = hourly.select(
+            "event_type",
+            (F.col("bucket_start_sec") + lag_sec).alias("bucket_start_sec"),
+            F.col("v").alias("pred"),
+        )
+        return (
+            hourly.join(pred, ["event_type", "bucket_start_sec"])
+            .groupBy("event_type")
+            .agg(
+                F.count("*").cast("long").alias(f"n_{tag}"),
+                r6(
+                    dsum(F.abs(F.col("v") - F.col("pred"))) / F.count("*")
+                ).alias(f"mae_{tag}"),
+                r6(
+                    dsum(F.col("v") - F.col("pred")) / F.count("*")
+                ).alias(f"bias_{tag}"),
+            )
+        )
+
+    season = baseline(FORECAST_SEASON_SEC, "seasonal")
+    persist = baseline(FORECAST_BUCKET_SEC, "persist")
+    return (
+        season.join(persist, "event_type")
+        .select(
+            "event_type",
+            "n_seasonal",
+            "mae_seasonal",
+            "bias_seasonal",
+            "n_persist",
+            "mae_persist",
+            "bias_persist",
+            F.when(F.col("mae_seasonal") < F.col("mae_persist"), F.lit("seasonal"))
+            .when(F.col("mae_persist") < F.col("mae_seasonal"), F.lit("persist"))
+            .otherwise(F.lit("tie"))
+            .alias("better"),
+        )
+        .orderBy("event_type")
+    )
