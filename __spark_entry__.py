@@ -4314,6 +4314,42 @@ _CURATION_ORACLE["curate_mixture"] = f"""
     FROM fr
 """
 
+# temperature weights: p^alpha as sqrt compositions (dyadic alphas), the
+# per-alpha normalizer as a whole-partition DECIMAL window sum — every
+# double identical cross-engine, floor-rounded @6dp at the boundary
+_CURATION_ORACLE["curate_mixture_temperature"] = f"""
+    WITH strata AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang, source),
+    fr AS (
+      SELECT *, floor(n_tokens / sum(n_tokens) OVER () * 1000000 + 0.5)
+                / 1000000 AS p
+      FROM strata),
+    fan AS (
+      SELECT f.*, a.alpha FROM fr f,
+           (SELECT unnest([{", ".join(str(a) for a in cur.MIXTURE_TEMPERATURES)}])
+              AS alpha) a),
+    scored AS (
+      SELECT *,
+        CASE WHEN alpha = 1.0 THEN p
+             WHEN alpha = 0.75 THEN sqrt(p) * sqrt(sqrt(p))
+             WHEN alpha = 0.5 THEN sqrt(p)
+             ELSE sqrt(sqrt(p)) END AS q
+      FROM fan),
+    normed AS (
+      SELECT *,
+        q / CAST(sum(CAST(q AS DECIMAL(38,18))) OVER (PARTITION BY alpha)
+                 AS DOUBLE) AS w,
+        sum(n_tokens) OVER (PARTITION BY alpha) AS tot_tokens
+      FROM scored)
+    SELECT alpha, lang, source, n_docs, n_tokens, p AS token_frac,
+           floor(w * 1000000 + 0.5) / 1000000 AS weight,
+           floor(w * tot_tokens / n_tokens * 1000000 + 0.5) / 1000000
+             AS effective_epochs
+    FROM normed ORDER BY alpha, lang, source
+"""
+
 # per-word KL terms round @6dp before the DECIMAL sum — identical values
 # added in any order on both engines (the lm_doc_scores convention)
 _CURATION_ORACLE["curate_source_kl"] = f"""
@@ -4927,6 +4963,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pca_power": sim.pca_power,
         "sim_pca_project": sim.pca_project,
         "events_forecast_baseline": ev.q_forecast_baseline,
+        "curate_mixture_temperature": cur.mixture_temperature,
     }
 
 

@@ -956,3 +956,36 @@ def test_contamination_bloom_laws(spark, sf_dir):
     for d, n in exact.items():
         assert got[d] == n
     assert all(n == 0 for d, n in got.items() if d not in exact)
+
+
+def test_mixture_temperature_laws(spark, sf_dir):
+    """Per-alpha weights sum to 1; alpha=1 weights equal raw shares;
+    lower alpha compresses the spread (max/min ratio shrinks
+    monotonically); epochs conserve the token budget."""
+    from collections import defaultdict
+
+    from tf_idf_mapreduce_spark.operators.curation import (
+        MIXTURE_TEMPERATURES,
+        mixture_temperature,
+    )
+
+    rows = mixture_temperature(spark, sf_dir).collect()
+    by_alpha = defaultdict(list)
+    for r in rows:
+        by_alpha[r.alpha].append(r)
+    assert set(by_alpha) == set(MIXTURE_TEMPERATURES)
+    spread = {}
+    for a, rs in by_alpha.items():
+        s = sum(r.weight for r in rs)
+        assert abs(s - 1.0) < 1e-4, a
+        ws = [r.weight for r in rs if r.weight > 0]
+        spread[a] = max(ws) / min(ws)
+        # budget conservation: sum_i epochs_i * n_tokens_i == total tokens
+        tot = sum(r.n_tokens for r in rs)
+        eff = sum(r.effective_epochs * r.n_tokens for r in rs)
+        assert abs(eff - tot) / tot < 1e-3, a
+    for r in by_alpha[1.0]:
+        assert abs(r.weight - r.token_frac) < 2e-6
+    alphas = sorted(MIXTURE_TEMPERATURES)
+    for lo, hi in zip(alphas, alphas[1:]):
+        assert spread[lo] <= spread[hi] + 1e-9, (lo, hi)

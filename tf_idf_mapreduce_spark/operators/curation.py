@@ -1738,3 +1738,80 @@ def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bloom_pos") - F.col("n_exact_shared")).alias("n_false_pos"),
         )
     )
+
+
+#: Temperature exponents for mixture reweighting — DYADIC on purpose:
+#: p^alpha computes as sqrt compositions (0.5 -> sqrt, 0.25 -> double
+#: sqrt, 0.75 -> their product), which are IEEE-exact and engine-portable
+#: where pow(x, 0.7) is libm-vs-StrictMath 1-ulp territory.
+MIXTURE_TEMPERATURES = (1.0, 0.75, 0.5, 0.25)
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per (lang, source) stratum —
+    w_i = p_i^alpha / sum_j p_j^alpha for each temperature — plus the
+    effective epoch factor (how many times the stratum repeats when the
+    reweighted mixture is drawn to the corpus's own token budget). The
+    standard multilingual up/down-sampling knob: alpha=1 is proportional,
+    lower alphas flatten toward uniform; the report shows exactly how
+    much each tail stratum gets boosted before anyone commits a budget.
+
+    One corpus scan partial-aggregates to |lang|x|source| rows; the
+    alpha fan-out and both normalizations run on that model-sized
+    relation (whole-partition DECIMAL window sums — order-exact). The
+    shares are floor-rounded @6dp first, so every downstream double is
+    bit-identical cross-engine.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(norm_words(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    total_w = Window.partitionBy()
+    p = (
+        F.floor(
+            F.col("n_tokens") / F.sum("n_tokens").over(total_w) * 1_000_000
+            + F.lit(0.5)
+        )
+        / 1_000_000
+    )
+    fan = strata.withColumn("p", p).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p",
+        F.explode(
+            F.array(*[F.lit(a) for a in MIXTURE_TEMPERATURES])
+        ).alias("alpha"),
+    )
+    root = F.sqrt(F.col("p"))
+    root2 = F.sqrt(root)
+    q = (
+        F.when(F.col("alpha") == 1.0, F.col("p"))
+        .when(F.col("alpha") == 0.75, root * root2)
+        .when(F.col("alpha") == 0.5, root)
+        .otherwise(root2)
+    )
+    byalpha = Window.partitionBy("alpha")
+    scored = fan.withColumn("q", q).withColumn(
+        "w",
+        F.col("q")
+        / F.sum(F.col("q").cast("decimal(38,18)"))
+        .over(byalpha)
+        .cast("double"),
+    )
+    tot_tokens = F.sum("n_tokens").over(byalpha)
+    r6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    return scored.select(
+        F.col("alpha"),
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("p").alias("token_frac"),
+        r6(F.col("w")).alias("weight"),
+        r6(F.col("w") * tot_tokens / F.col("n_tokens")).alias(
+            "effective_epochs"
+        ),
+    ).orderBy("alpha", "lang", "source")
