@@ -4314,6 +4314,37 @@ _CURATION_ORACLE["curate_mixture"] = f"""
     FROM fr
 """
 
+# the BPE-budget packer: the trainer's round CTEs give per-word sizes;
+# the prefix sum + shard rule replay the pre-token packer's oracle
+_CURATION_ORACLE["curate_bpe_shard_pack"] = (
+    _bpe_rounds_cte(ts.BPE_TRAIN_MERGES)
+    + f""",
+    sizes AS (
+      SELECT word,
+             len(list_filter(string_split(s, chr(1)), x -> x <> ''))
+               AS n_syms
+      FROM w{ts.BPE_TRAIN_MERGES}),
+    docw AS (
+      SELECT doc_id, u.word AS word
+      FROM documents,
+           unnest(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS u(word)),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_bpe
+      FROM docw JOIN sizes USING (word) GROUP BY doc_id),
+    t AS (
+      SELECT d.doc_id, COALESCE(p.n_bpe, 0) AS n_tokens
+      FROM documents d LEFT JOIN per_doc p USING (doc_id)),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t)
+    SELECT doc_id, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // {cur.SHARD_TOKEN_BUDGET} AS shard_id
+    FROM c"""
+)
+
 # temperature weights: p^alpha as sqrt compositions (dyadic alphas), the
 # per-alpha normalizer as a whole-partition DECIMAL window sum — every
 # double identical cross-engine, floor-rounded @6dp at the boundary
@@ -4964,6 +4995,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pca_project": sim.pca_project,
         "events_forecast_baseline": ev.q_forecast_baseline,
         "curate_mixture_temperature": cur.mixture_temperature,
+        "curate_bpe_shard_pack": cur.bpe_shard_pack,
     }
 
 

@@ -989,3 +989,31 @@ def test_mixture_temperature_laws(spark, sf_dir):
     alphas = sorted(MIXTURE_TEMPERATURES)
     for lo, hi in zip(alphas, alphas[1:]):
         assert spread[lo] <= spread[hi] + 1e-9, (lo, hi)
+
+
+def test_bpe_shard_pack_laws(spark, sf_dir):
+    """Budget-packing invariants under the BPE token measure: every doc
+    present exactly once, cum is the doc_id-ordered prefix sum, shard
+    ids are non-decreasing, and each doc's n_tokens equals the encode
+    stats' n_bpe_tokens."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SHARD_TOKEN_BUDGET,
+        bpe_shard_pack,
+    )
+    from tf_idf_mapreduce_spark.operators.textstats import bpe_encode_stats
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = sorted(bpe_shard_pack(spark, sf_dir).collect(), key=lambda r: r.doc_id)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    enc = {r.doc_id: r.n_bpe_tokens for r in bpe_encode_stats(spark, sf_dir).collect()}
+    cum = 0
+    prev_shard = 0
+    for r in rows:
+        assert r.n_tokens == enc.get(r.doc_id, 0)
+        cum += r.n_tokens
+        assert r.cum_tokens == cum
+        assert r.shard_id == (r.cum_tokens - r.n_tokens) // SHARD_TOKEN_BUDGET
+        assert r.shard_id >= prev_shard
+        prev_shard = r.shard_id
+    assert rows[-1].shard_id > 0, "fixture spans multiple shards"

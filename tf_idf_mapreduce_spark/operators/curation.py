@@ -1815,3 +1815,72 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "effective_epochs"
         ),
     ).orderBy("alpha", "lang", "source")
+
+
+def bpe_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curate_shard_pack`` with the budget measured in LEARNED BPE
+    tokens instead of pre-tokens — what a dataloader actually packs by
+    once a tokenizer exists. Composes the trainer with the packer:
+    cached merges -> per-DISTINCT-word post-merge sizes (the encode
+    join shape) -> per-doc totals -> the same distributed two-phase
+    prefix sum and shard rule. Docs with no pre-tokens pack as
+    zero-token rows (left join), exactly like the pre-token packer.
+    """
+    from .textstats import (
+        BPE_ISH_PATTERN,
+        BPE_TRAIN_MERGES,
+        _bpe_apply_merge,
+        _bpe_learn_merges,
+    )
+
+    merges = _bpe_learn_merges(spark, sf_dir, BPE_TRAIN_MERGES)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("word"),
+    )
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    for _, left, right, merged, _n in merges:
+        syms = _bpe_apply_merge(syms, left, right, merged)
+    sizes = toks.select("word").distinct().select(
+        "word", F.size(syms).cast("long").alias("n_syms")
+    )
+    per_doc = (
+        toks.join(sizes, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").alias("n_bpe"))
+    )
+    tok = (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bpe", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "bucket",
+            F.floor(F.col("doc_id") / SHARD_PREFIX_BUCKET).cast("long"),
+        )
+    )
+    cum = two_phase_running_sum(
+        tok,
+        bucket="bucket",
+        order_by=["doc_id"],
+        value=F.col("n_tokens"),
+        out="cum_tokens",
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor(
+            (F.col("cum_tokens") - F.col("n_tokens")) / SHARD_TOKEN_BUDGET
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
