@@ -3600,6 +3600,7 @@ _RELATIONAL_ORACLE["rel_sql_q10"] = rel.Q10_SQL
 _RELATIONAL_ORACLE["rel_sql_q5"] = rel.Q5_SQL
 _RELATIONAL_ORACLE["rel_sql_q19"] = rel.Q19_SQL
 _RELATIONAL_ORACLE["rel_sql_q9"] = rel.Q9_SQL
+_RELATIONAL_ORACLE["rel_sql_q17"] = rel.Q17_SQL
 
 _RELATIONAL_ORACLE["rel_q21_waiting"] = f"""
     WITH li AS (
@@ -4996,6 +4997,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_baseline": ev.q_forecast_baseline,
         "curate_mixture_temperature": cur.mixture_temperature,
         "curate_bpe_shard_pack": cur.bpe_shard_pack,
+        "rel_sql_q17": rel.small_quantity_revenue_sql,
     }
 
 

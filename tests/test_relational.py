@@ -224,3 +224,27 @@ def test_skew_report_recommends_salt_on_a_planted_hot_key(spark, tmp_path):
     flat = report([(k, 0) for k in range(500)], "flat")
     assert not flat.recommend_salt  # 1/500 each
     assert flat.skew_ratio == 1.0
+
+
+def test_sql_q17_small_quantity_threshold_is_exact(spark):
+    """Q17's 0.2*avg(qty) gate on a hand-computable corpus: part p1
+    (Brand#23, size 10) has quantities (1, 2, 10, 11) -> avg 6, so only
+    the qty-1 row (5*1*4=20 < 24) survives; p2 fails the size filter and
+    p3 the brand filter even though both carry tiny quantities."""
+    from tf_idf_mapreduce_spark.operators import relational as rel
+
+    spark.createDataFrame(
+        [(1, "Brand#23", 10), (2, "Brand#23", 20), (3, "Brand#55", 5)],
+        "p_partkey long, p_brand string, p_size int",
+    ).createOrReplaceTempView("part")
+    spark.createDataFrame(
+        [(1, 1.0, 700.0), (1, 2.0, 900.0), (1, 10.0, 10.0), (1, 11.0, 10.0),
+         (2, 1.0, 7000.0), (3, 1.0, 7000.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    ).createOrReplaceTempView("lineitem")
+    try:
+        row = spark.sql(rel.Q17_SQL).head()
+        assert row.avg_yearly == 100.0
+    finally:
+        spark.catalog.dropTempView("part")
+        spark.catalog.dropTempView("lineitem")

@@ -1217,6 +1217,56 @@ def product_profit_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q9_SQL)
 
 
+#: TPC-H Q17 shape (small-quantity-order revenue). The fixture has no
+#: p_container, so the container filter degrades to a p_size band — the
+#: topology (per-part average-quantity scalar subquery gating the fact
+#: scan) is the point. The 0.2*avg(qty) threshold is evaluated in exact
+#: integer arithmetic: l_quantity is integral, so qty < 0.2 * (sum/cnt)
+#: <=> 5*qty*cnt < sum — no floating-point average crosses an engine
+#: boundary.
+Q17_SQL = """
+    WITH part_qty AS (
+      SELECT l_partkey AS pq_partkey,
+             sum(CAST(l_quantity AS BIGINT)) AS qty_sum,
+             count(*) AS qty_cnt
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4)))
+                      AS DOUBLE) / 7.0,
+                 6) AS avg_yearly
+    FROM lineitem, part, part_qty
+    WHERE p_partkey = l_partkey
+      AND pq_partkey = l_partkey
+      AND p_brand = 'Brand#23'
+      AND p_size < 15
+      AND CAST(l_quantity AS BIGINT) * 5 * qty_cnt < qty_sum
+"""
+
+
+def small_quantity_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (fixture-subset shape) through the SQL front-end —
+    the SQL twin of ``small_quantity_revenue`` (rel_scalar_subquery),
+    completing the unblocked-topology rel_sql_* set.
+
+    The classic trap here is the correlated scalar subquery (0.2 * avg
+    quantity per part) — evaluated naively it is one aggregate probe per
+    fact row. Written (and planned) as a grouped aggregate joined back
+    on l_partkey, it is ONE extra pass over lineitem whose output is
+    part-cardinality sized, then a hash join the brand/size filter has
+    already shrunk: the part scan keeps only Brand#23 small sizes, AQE
+    broadcasts the surviving partkeys, and every other part's fact rows
+    die at the join. The threshold comparison is exact integer math
+    (5*qty*cnt < sum), so the oracle replays bit-for-bit with no
+    floating-point average in the predicate. Reference parity: the
+    aggregate-then-join-back shape is the document-frequency A3 pattern
+    (CountTF.java:92-99's per-group totals) lifted to a revenue gate."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q17_SQL)
+
+
 def large_volume_customer_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 through the SQL front-end (same text as the oracle).
 
