@@ -631,6 +631,62 @@ def _lsh_sig_sql(emb: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _rp_y_sql(emb: str) -> str:
+    """DOUBLE[] of the RP_DIMS Achlioptas projections of ``emb`` — the
+    same sparse sign rows (sim.rp_planes), scale and 6dp rounding as
+    ``similarity._rp_array``, so both engines start downstream math from
+    identical doubles."""
+    exprs = []
+    for row in sim.rp_planes():
+        lst = "[" + ",".join(repr(v) for v in row) + "]::DOUBLE[]"
+        dotp = (
+            f"list_sum(list_transform(generate_series(1, {EMBED_DIM}), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({lst})[i]))"
+        )
+        exprs.append(f"round({dotp} * {sim.RP_SCALE!r}, 6)")
+    return "[" + ", ".join(exprs) + "]::DOUBLE[]"
+
+
+def _rp_project_sql() -> str:
+    """Oracle for ``similarity.rp_project`` — long-form unnest of the
+    projection array (DuckDB lists are 1-based; rp_dim re-zeroes)."""
+    return f"""
+        WITH proj AS (
+          SELECT vec_id, {_rp_y_sql('embedding')} AS y FROM embeddings
+        )
+        SELECT vec_id, CAST(j - 1 AS BIGINT) AS rp_dim, y[j] AS value
+        FROM proj, generate_series(1, {sim.RP_DIMS}) t(j)
+        ORDER BY vec_id, rp_dim
+    """
+
+
+def _rp_distortion_sql() -> str:
+    """Oracle for ``similarity.rp_distortion`` — same rounded inputs,
+    same (proj2 / orig2 * buckets) evaluation order, integer counts."""
+    sq = (
+        "round(list_sum(list_transform(generate_series(1, {n}), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 6)"
+    )
+    orig2 = sq.format(n=EMBED_DIM, a="a.embedding", b="b.embedding")
+    proj2 = sq.format(n=sim.RP_DIMS, a="a.y", b="b.y")
+    return f"""
+        WITH proj AS (
+          SELECT vec_id, embedding, {_rp_y_sql('embedding')} AS y
+          FROM embeddings
+        ),
+        pr AS (
+          SELECT {orig2} AS orig2, {proj2} AS proj2
+          FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+        )
+        SELECT CAST(floor(proj2 / orig2 * {float(sim.RP_RATIO_BUCKETS_PER_UNIT)!r})
+                    AS BIGINT) AS bucket_idx,
+               count(*) AS n_pairs
+        FROM pr WHERE orig2 > 0
+        GROUP BY bucket_idx ORDER BY bucket_idx
+    """
+
+
 def _cosine_topk_sql(query_vec_id: int, k: int) -> str:
     """Oracle for ``similarity.cosine_topk`` — generated from the SAME
     parameters the registry binds, so the two sides cannot drift."""
@@ -2633,6 +2689,9 @@ _LLMDATA_ORACLE["sim_pca_project"] = (
     FROM embeddings e, va, vb ORDER BY vec_id"""
 )
 
+_LLMDATA_ORACLE["sim_rp_project"] = _rp_project_sql()
+_LLMDATA_ORACLE["sim_rp_distortion"] = _rp_distortion_sql()
+
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
 _LLMDATA_ORACLE["text_novelty"] = f"""
@@ -3197,6 +3256,30 @@ _EVENTS_ORACLE["events_forecast_baseline"] = f"""
                 WHEN mae_persist < mae_seasonal THEN 'persist'
                 ELSE 'tie' END AS better
     FROM s JOIN pp USING (event_type) ORDER BY event_type
+"""
+
+#: M4 downsample: pure selections (no float arithmetic), first/last via
+#: arg_min/arg_max over the same zero-padded (ts_ns, event_id) VARCHAR
+#: key the Spark side orders min_by/max_by on.
+_EVENTS_ORACLE["events_downsample_m4"] = f"""
+    WITH base AS (
+      SELECT event_type, value,
+             epoch_ns(ts) // 1000000000 AS ts_sec,
+             lpad(CAST(epoch_ns(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+      FROM events)
+    SELECT event_type,
+           ts_sec - ts_sec % {ev.M4_BUCKET_SEC} AS bucket_sec,
+           CAST(count(*) AS BIGINT) AS n_points,
+           min(ts_sec) AS ts_first_sec,
+           max(ts_sec) AS ts_last_sec,
+           arg_min(value, ord_key) AS v_first,
+           arg_max(value, ord_key) AS v_last,
+           min(value) AS v_min,
+           max(value) AS v_max
+    FROM base
+    GROUP BY event_type, bucket_sec
+    ORDER BY event_type, bucket_sec
 """
 
 _STREAMING_ORACLE["stream_upsert_snapshot"] = _TEMPORAL_ORACLE[
@@ -4998,6 +5081,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_mixture_temperature": cur.mixture_temperature,
         "curate_bpe_shard_pack": cur.bpe_shard_pack,
         "rel_sql_q17": rel.small_quantity_revenue_sql,
+        "sim_rp_project": sim.rp_project,
+        "sim_rp_distortion": sim.rp_distortion,
+        "events_downsample_m4": ev.q_downsample_m4,
     }
 
 

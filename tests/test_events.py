@@ -376,3 +376,43 @@ def test_forecast_baseline_matches_python_replay(spark, sf_dir):
             else "persist" if r.mae_persist < r.mae_seasonal else "tie"
         )
         assert r.better == want
+
+
+def test_downsample_m4_selects_the_four_extremes(spark, tmp_path):
+    """Hand-built bucket: first/last follow the (ts, event_id) order
+    including an exact-timestamp tie broken by event_id; min/max are the
+    value extremes; a second type in the same hour stays separate."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.events import q_downsample_m4
+
+    base = 1_700_000_000
+    rows = [
+        # (event_id, ts_sec, type, value)
+        (1, base + 10, "a", 5.0),
+        (2, base + 10, "a", 7.0),   # same ts as id=1: id breaks the tie
+        (3, base + 60, "a", -2.0),  # v_min
+        (4, base + 90, "a", 50.0),  # v_max
+        (5, base + 100, "a", 3.0),  # last
+        (6, base + 20, "b", 9.0),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows], unit="s"),
+            "user_id": [1] * len(rows),
+            "event_type": [r[2] for r in rows],
+            "value": [r[3] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {r.event_type: r for r in q_downsample_m4(spark, str(tmp_path)).collect()}
+    a = got["a"]
+    assert a.n_points == 5
+    assert a.bucket_sec == base - base % 3600
+    assert (a.v_first, a.v_last, a.v_min, a.v_max) == (5.0, 3.0, -2.0, 50.0)
+    assert (a.ts_first_sec, a.ts_last_sec) == (base + 10, base + 100)
+    b = got["b"]
+    assert (b.n_points, b.v_first, b.v_last, b.v_min, b.v_max) == (
+        1, 9.0, 9.0, 9.0, 9.0,
+    )

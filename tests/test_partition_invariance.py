@@ -88,6 +88,11 @@ QUERIES = [
     "sim_pca_power",
     # deflation + second chain + per-vector index-ordered dot folds
     "sim_pca_project",
+    # rounded sqdist folds + a floor bucket boundary over a self-join
+    "sim_rp_distortion",
+    # min_by/max_by selections must combine identically map-side
+    # whatever the partial-aggregate merge order
+    "events_downsample_m4",
 ]
 
 

@@ -755,3 +755,61 @@ def test_pca_project_matches_numpy_replay(spark, sf_dir):
     for r in rows:
         assert abs(r.pc1 - want1[r.vec_id]) < 5e-5, r.vec_id
         assert abs(r.pc2 - want2[r.vec_id]) < 5e-5, r.vec_id
+
+
+def test_rp_project_replays_the_exact_fold(spark, sf_dir):
+    """The JL sketch is a deterministic linear map: replay one vector's
+    16 projections with an explicit left-to-right Python-float fold
+    (the same IEEE accumulation order as the plan's aggregate) and
+    demand exact equality at the 6dp boundary, plus the Achlioptas
+    sparsity law on the sign rows themselves."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        RP_DIMS,
+        RP_SCALE,
+        rp_planes,
+        rp_project,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    planes = rp_planes()
+    assert len(planes) == RP_DIMS
+    flat = [v for row in planes for v in row]
+    assert set(flat) <= {1.0, -1.0, 0.0}
+    zero_frac = flat.count(0.0) / len(flat)
+    assert 0.5 < zero_frac < 0.8  # nominal 2/3
+
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    got = rp_project(spark, sf_dir).collect()
+    assert len(got) == RP_DIMS * len(emb)
+    by_vec = {}
+    for r in got:
+        by_vec.setdefault(r.vec_id, {})[r.rp_dim] = r.value
+    for vid in list(emb)[:5]:
+        x = emb[vid]
+        for j, row in enumerate(planes):
+            acc = 0.0
+            for d in range(len(x)):
+                acc += float(np.float64(np.float32(x[d]))) * row[d]
+            want = round(acc * RP_SCALE, 6)
+            assert abs(by_vec[vid][j] - want) < 1e-9, (vid, j)
+
+
+def test_rp_distortion_laws(spark, sf_dir):
+    """Histogram is integer counts over the n-1 consecutive pairs, and
+    the JL concentration shows: the bulk of mass sits within a factor
+    of 3 of ratio 1 (bucket 20)."""
+    from tf_idf_mapreduce_spark.operators.similarity import rp_distortion
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    rows = rp_distortion(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) <= n - 1
+    assert all(r.n_pairs > 0 and r.bucket_idx >= 0 for r in rows)
+    mass = sum(r.n_pairs for r in rows)
+    near = sum(r.n_pairs for r in rows if 20 / 3 <= r.bucket_idx <= 20 * 3)
+    assert near / mass > 0.9

@@ -739,3 +739,55 @@ def q_forecast_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: M4 downsampling bucket width (seconds) — hourly, the same tumbling
+#: grid as q_tumbling_hourly.
+M4_BUCKET_SEC = 3600
+
+
+def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling: per (event_type, hour bucket) keep
+    the four line-rendering extremes — first, last, min and max value —
+    the lossless-at-pixel-width reduction a dashboard reads instead of
+    the raw 100 TB stream (Jugel et al., VLDB'14 shape).
+
+    ONE aggregate, no window, no sort: first/last ride ``min_by`` /
+    ``max_by`` over a zero-padded ``(ts_ns, event_id)`` string key —
+    lexicographic order IS the numeric order, the unique event_id makes
+    every selection deterministic, and DuckDB's ``arg_min``/``arg_max``
+    accept the same VARCHAR key (it cannot order structs), so both
+    engines pick identical rows. All outputs are SELECTED raw values —
+    no float arithmetic, no rounding, zero parity risk. At 100 TB this
+    partial-aggregates map-side to 4 scalars per (type, bucket) before
+    the exchange; contrast the row_number formulation, which would sort
+    every bucket four ways. Reference parity: the keep-the-extreme-row
+    idea is SortByValue's top-1-per-group made symmetric
+    (SortByValue.java:101-121)."""
+    ev = load_events(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.col("ts_ns").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            (F.col("ts_sec") - F.col("ts_sec") % M4_BUCKET_SEC).alias(
+                "bucket_sec"
+            ),
+            "ts_sec",
+            "value",
+            key.alias("ord_key"),
+        )
+        .groupBy("event_type", "bucket_sec")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("ts_sec").alias("ts_first_sec"),
+            F.max("ts_sec").alias("ts_last_sec"),
+            F.min_by("value", F.col("ord_key")).alias("v_first"),
+            F.max_by("value", F.col("ord_key")).alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .orderBy("event_type", "bucket_sec")
+    )

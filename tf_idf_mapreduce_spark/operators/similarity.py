@@ -2003,3 +2003,123 @@ def pca_project(
         F.round(dot(emb, a1), 6).alias("pc1"),
         F.round(dot(emb, a2), 6).alias("pc2"),
     ).orderBy("vec_id")
+
+
+#: Achlioptas sparse random projection — the JL-lemma dimensionality
+#: reduction that completes the embedding toolbox (LSH hashes planes,
+#: IVF partitions cells, PQ compresses codes, RP shrinks the vectors
+#: themselves). Entries are +1/-1/0 with prob 1/6, 1/6, 2/3, scaled by
+#: sqrt(3/k) — integer-sign arithmetic from md5, so both engines replay
+#: the same fold.
+RP_DIMS = 16
+RP_SCALE = (3.0 / RP_DIMS) ** 0.5
+RP_RATIO_BUCKETS_PER_UNIT = 20  # distortion histogram: 0.05-wide buckets
+
+
+def rp_planes(k: int = RP_DIMS, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic Achlioptas projection rows: entry (j, d) is +1, -1
+    or 0 by md5(f"rp:{j}:{d}") mod 6 (one sixth each sign, two thirds
+    zero). Pure data — embeddable as literals in the Spark plan and the
+    DuckDB oracle, same derivation idea as ``hyperplanes``."""
+    rows = []
+    for j in range(k):
+        row = []
+        for d in range(dim):
+            b = hashlib.md5(f"rp:{j}:{d}".encode()).digest()[0] % 6
+            row.append(1.0 if b == 0 else (-1.0 if b == 1 else 0.0))
+        rows.append(row)
+    return rows
+
+
+def _rp_array(embedding: Column) -> Column:
+    """array<double> of the RP_DIMS projected coordinates, each
+    round(dot(x, s_j) * RP_SCALE, 6) — the fold is the same left-to-right
+    index order as the oracle's list_sum, and rounding happens at the
+    projection (model output) boundary so every downstream consumer on
+    either engine starts from identical doubles."""
+    return F.array(
+        *[
+            F.round(
+                dot(embedding, F.array(*[F.lit(v) for v in row]))
+                * F.lit(RP_SCALE),
+                6,
+            )
+            for row in rp_planes()
+        ]
+    )
+
+
+def rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding sketched to RP_DIMS Johnson-Lindenstrauss
+    coordinates — (vec_id, rp_dim, value) long form.
+
+    Map-only: the sparse sign rows fold into the plan as literals (like
+    ``lsh_sig_column``), nothing shuffles, nothing reaches the driver —
+    at 100 TB this is scan speed and writes 16 doubles per vector, a 4x
+    byte shrink of the 64-dim float32 corpus that downstream brute-force
+    scans (or IVF fits) then read instead of the full embeddings.
+    Reference parity: the map-side literal-weights pattern is WordCount's
+    stateless mapper (WordCount.java:60-91) with arithmetic instead of
+    tokenization."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pos = F.posexplode(_rp_array(F.col("embedding")))
+    return (
+        e.select("vec_id", pos.alias("rp_dim", "value"))
+        .select(F.col("vec_id"), F.col("rp_dim").cast("long"), F.col("value"))
+        .orderBy("vec_id", "rp_dim")
+    )
+
+
+def rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL quality audit: squared-distance distortion histogram of the RP
+    sketch over the consecutive-id pair sample.
+
+    For each pair (i, i+1): ratio = ||y_a - y_b||^2 / ||x_a - x_b||^2,
+    bucketed at 0.05 width — the distribution a pipeline inspects before
+    trusting the sketch for candidate generation (JL says it concentrates
+    around 1 as k grows; at k=16 the spread is the honest price). The
+    pair sample is linear (n-1 equi-join on vec_id+1, never all-pairs),
+    both distances are computed from 6dp-rounded inputs so the ratio is
+    bit-identical across engines, and the histogram is integer counts —
+    zero float parity risk in the output."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = e.select(
+        "vec_id",
+        "embedding",
+        _rp_array(F.col("embedding")).alias("y"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("x_a"),
+        F.col("y").alias("y_a"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("embedding").alias("x_b"),
+        F.col("y").alias("y_b"),
+    )
+
+    def sqdist(u: Column, v: Column) -> Column:
+        d2 = F.zip_with(
+            u,
+            v,
+            lambda p, q: (p.cast("double") - q.cast("double"))
+            * (p.cast("double") - q.cast("double")),
+        )
+        return F.round(F.aggregate(d2, F.lit(0.0), lambda acc, t: acc + t), 6)
+
+    pairs = a.join(b, "id_a").select(
+        "id_a",
+        sqdist(F.col("x_a"), F.col("x_b")).alias("orig2"),
+        sqdist(F.col("y_a"), F.col("y_b")).alias("proj2"),
+    )
+    bucket = F.floor(
+        F.col("proj2") / F.col("orig2") * F.lit(float(RP_RATIO_BUCKETS_PER_UNIT))
+    ).cast("long")
+    return (
+        pairs.where(F.col("orig2") > 0)
+        .select(bucket.alias("bucket_idx"))
+        .groupBy("bucket_idx")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("bucket_idx")
+    )
