@@ -3755,6 +3755,12 @@ _PII_SUM_SQL = " + ".join(
     f"len(regexp_extract_all(text, '{p}'))" for p in cur.PII_PATTERNS.values()
 )
 
+_PII_REDACT_SQL = "text"
+for _n, _p in cur.PII_PATTERNS.items():
+    _PII_REDACT_SQL = (
+        f"regexp_replace({_PII_REDACT_SQL}, '{_p}', '<{_n.upper()}>', 'g')"
+    )
+
 _PROFILE_UNION_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
         CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
@@ -3769,6 +3775,15 @@ _CURATION_ORACLE: dict[str, str] = {
     "text_pii_scan": f"""
         SELECT doc_id, {_PII_COUNTS_SQL}, ({_PII_SUM_SQL}) > 0 AS has_pii
         FROM documents
+    """,
+    # same pattern sequence as the Spark regexp_replace chain; 'g' flag
+    # because DuckDB's regexp_replace is first-match-only by default
+    "text_pii_redact": """
+        SELECT doc_id, clean_text, clean_text <> text AS changed
+        FROM (SELECT doc_id, text, """
+    + _PII_REDACT_SQL
+    + """ AS clean_text FROM documents)
+        ORDER BY doc_id
     """,
     # Flesch terms written in the same operation order as the Spark
     # expression (left-assoc subtractions, per-term double division) —
@@ -5084,6 +5099,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_rp_project": sim.rp_project,
         "sim_rp_distortion": sim.rp_distortion,
         "events_downsample_m4": ev.q_downsample_m4,
+        "text_pii_redact": cur.pii_redact,
     }
 
 

@@ -1017,3 +1017,35 @@ def test_bpe_shard_pack_laws(spark, sf_dir):
         assert r.shard_id >= prev_shard
         prev_shard = r.shard_id
     assert rows[-1].shard_id > 0, "fixture spans multiple shards"
+
+
+def test_pii_redact_rewrites_spans_and_preserves_clean_text(spark, tmp_path):
+    """Planted PII disappears behind typed placeholders in declaration
+    order (email inside a URL is swallowed by the URL rewrite), clean
+    documents survive byte-for-byte with changed=false."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.curation import pii_redact
+
+    docs = {
+        0: "write to a.b@example.com or call 555-123-4567 now",
+        1: "server at 10.0.0.1 behind https://x.io/a?u=c@d.org path",
+        2: "no sensitive content here, just words",
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": list(docs.values()),
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(v) for v in docs.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {r.doc_id: r for r in pii_redact(spark, str(tmp_path)).collect()}
+    assert got[0].clean_text == "write to <EMAIL> or call <PHONE> now"
+    assert got[0].changed
+    # the email inside the URL was rewritten first, then the URL rewrite
+    # swallowed the whole token (no space before the path suffix)
+    assert got[1].clean_text == "server at <IPV4> behind <URL> path"
+    assert got[1].changed
+    assert got[2].clean_text == docs[2] and not got[2].changed

@@ -76,6 +76,33 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", *[f"n_{n}" for n in PII_PATTERNS], any_pii.alias("has_pii"))
 
 
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning verb ``pii_scan`` only detects: every document
+    rewritten with each PII span replaced by its typed placeholder
+    (``<EMAIL>``, ``<IPV4>``, ``<URL>``, ``<PHONE>``) — the corpus a
+    pipeline actually feeds to the tokenizer after the privacy screen,
+    the same detect→clean completion ``text_clean_corpus`` gives the
+    boilerplate pass.
+
+    Map-only, zero shuffle: a fixed chain of ``regexp_replace`` calls
+    inside codegen, one per pattern in ``PII_PATTERNS`` declaration
+    order — the SAME sequence the oracle replays (replacement ORDER is
+    semantics: an email inside a URL is gone by the time the email
+    pattern runs), and the placeholders contain no digits or ``://`` so
+    no later pattern can match an earlier rewrite. At 100 TB this is
+    scan speed; damage is visible (typed placeholders, a ``changed``
+    flag), never silent deletion."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clean = F.col("text")
+    for name, p in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, p, f"<{name.upper()}>")
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        (clean != F.col("text")).alias("changed"),
+    ).orderBy("doc_id")
+
+
 def _doc_ngram_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, md5(5-gram)) — the overlap unit for contamination.
     Row-level n-gram build (``shingle_rows``) keeps the pass in codegen."""
