@@ -687,6 +687,50 @@ def _rp_distortion_sql() -> str:
     """
 
 
+_RP_SQDIST = (
+    "round(list_sum(list_transform(generate_series(1, {n}), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 6)"
+)
+
+
+def _rp_topk_sql(query_vec_id: int, k: int) -> str:
+    """Oracle for ``similarity.rp_topk`` — sketch-space L2 scan."""
+    d2 = _RP_SQDIST.format(n=sim.RP_DIMS, a="p.y", b="q.qy")
+    return f"""
+        WITH proj AS (
+          SELECT vec_id, {_rp_y_sql('embedding')} AS y FROM embeddings
+        ),
+        q AS (SELECT y AS qy FROM proj WHERE vec_id = {query_vec_id})
+        SELECT vec_id, {d2} AS l2_sketch
+        FROM proj p, q WHERE vec_id <> {query_vec_id}
+        ORDER BY l2_sketch ASC, vec_id ASC LIMIT {k}
+    """
+
+
+def _rp_recall_sql(query_vec_id: int, k: int) -> str:
+    """Oracle for ``similarity.rp_recall`` — exact L2 side on the raw
+    embeddings, approx side = the rp_topk relation, same floor-@6dp
+    recall grid as the other recall oracles."""
+    d2 = _RP_SQDIST.format(n=EMBED_DIM, a="e.embedding", b="q.qe")
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings
+                   WHERE vec_id = {query_vec_id}),
+        exact AS (
+          SELECT vec_id, {d2} AS l2
+          FROM embeddings e, q WHERE vec_id <> {query_vec_id}
+          ORDER BY l2 ASC, vec_id ASC LIMIT {k}
+        ),
+        approx AS ({_rp_topk_sql(query_vec_id, k)}),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+              FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact)
+        SELECT n_hits, CAST({k} AS BIGINT) AS k, n_exact,
+               floor(n_hits / n_exact * 1000000 + 0.5) / 1000000 AS recall
+        FROM h, ne
+    """
+
+
 def _cosine_topk_sql(query_vec_id: int, k: int) -> str:
     """Oracle for ``similarity.cosine_topk`` — generated from the SAME
     parameters the registry binds, so the two sides cannot drift."""
@@ -2691,6 +2735,12 @@ _LLMDATA_ORACLE["sim_pca_project"] = (
 
 _LLMDATA_ORACLE["sim_rp_project"] = _rp_project_sql()
 _LLMDATA_ORACLE["sim_rp_distortion"] = _rp_distortion_sql()
+_LLMDATA_ORACLE["sim_rp_topk"] = _rp_topk_sql(
+    sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK
+)
+_LLMDATA_ORACLE["sim_rp_recall"] = _rp_recall_sql(
+    sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK
+)
 
 #: same 5-gram build as the contamination oracle; novelty joins the
 #: per-gram document-frequency rollup of the SAME relation
@@ -5100,6 +5150,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_rp_distortion": sim.rp_distortion,
         "events_downsample_m4": ev.q_downsample_m4,
         "text_pii_redact": cur.pii_redact,
+        "sim_rp_topk": sim.rp_topk,
+        "sim_rp_recall": sim.rp_recall,
     }
 
 

@@ -813,3 +813,35 @@ def test_rp_distortion_laws(spark, sf_dir):
     mass = sum(r.n_pairs for r in rows)
     near = sum(r.n_pairs for r in rows if 20 / 3 <= r.bucket_idx <= 20 * 3)
     assert near / mass > 0.9
+
+
+def test_rp_recall_laws_and_exact_side(spark, sf_dir):
+    """The recall metric's laws (hits <= k, recall on the floor grid)
+    plus a numpy replay of the EXACT L2 side — the denominator must be
+    the true nearest set, not an artifact of the sketch."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        DEFAULT_QUERY_VEC,
+        rp_recall,
+        rp_topk,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    q = vecs[DEFAULT_QUERY_VEC]
+    want_exact = sorted(
+        ((round(float(((v - q) ** 2).sum()), 6), vid)
+         for vid, v in vecs.items() if vid != DEFAULT_QUERY_VEC),
+    )[:10]
+
+    r = rp_recall(spark, sf_dir).head()
+    assert r.k == 10 and r.n_exact == min(10, len(vecs) - 1)
+    assert 0 <= r.n_hits <= r.k
+    assert r.recall == round(r.n_hits / r.n_exact, 6)
+
+    approx = [x.vec_id for x in rp_topk(spark, sf_dir).collect()]
+    assert len(approx) == 10 and DEFAULT_QUERY_VEC not in approx
+    hits = len(set(approx) & {vid for _, vid in want_exact})
+    assert r.n_hits == hits

@@ -2123,3 +2123,91 @@ def rp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("bucket_idx")
     )
+
+
+def _sqdist(u: Column, v: Column) -> Column:
+    """6dp-rounded squared L2 distance between two double arrays — the
+    same left-to-right fold both engines replay."""
+    d2 = F.zip_with(
+        u,
+        v,
+        lambda p, q: (p.cast("double") - q.cast("double"))
+        * (p.cast("double") - q.cast("double")),
+    )
+    return F.round(F.aggregate(d2, F.lit(0.0), lambda acc, t: acc + t), 6)
+
+
+def rp_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    k: int = DEFAULT_TOPK,
+) -> DataFrame:
+    """Top-k nearest neighbours in the RP sketch space (squared L2 over
+    the 16 JL coordinates) — the brute-force scan a pipeline runs over
+    the 4x-smaller sketch corpus instead of the raw embeddings.
+
+    Same shape as ``cosine_topk``: 1-row query side broadcast, one
+    corpus scan (of 16-dim sketches, not 64-dim vectors), orderBy+limit
+    plans as TakeOrderedAndProject. JL preserves L2, so this is the
+    honest candidate generator ``rp_recall`` prices."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = e.select("vec_id", _rp_array(F.col("embedding")).alias("y"))
+    q = proj.where(F.col("vec_id") == query_vec_id).select(
+        F.col("y").alias("qy")
+    )
+    return (
+        proj.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id", _sqdist(F.col("y"), F.col("qy")).alias("l2_sketch")
+        )
+        .orderBy(F.asc("l2_sketch"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def rp_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    k: int = DEFAULT_TOPK,
+) -> DataFrame:
+    """Recall@k of the RP-sketch scan against the exact L2 scan over the
+    original embeddings — closes the measurement loop for the JL sketch
+    the way ``lsh_recall``/``ivf_recall``/``pq_recall`` do for their
+    structures (exact side computed HERE in L2, not cosine: JL's
+    guarantee is about distances, and pricing it against a different
+    metric would flatter or slander it arbitrarily). One row:
+    n_hits, k, n_exact, recall."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe")
+    )
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            _sqdist(F.col("embedding"), F.col("qe")).alias("l2"),
+        )
+        .orderBy(F.asc("l2"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    approx = rp_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
+        "vec_id"
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        "n_hits",
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("recall"),
+    )
