@@ -3267,6 +3267,40 @@ _TEMPORAL_ORACLE["temporal_gap_fill"] = f"""
     FROM ctx
 """
 
+#: gaps-and-islands union — the same two-window formulation, all
+#: integer seconds (CASE WHEN start > NULL yields the ELSE 0 arm in
+#: both engines, so the first row of every user starts island 0)
+_TEMPORAL_ORACLE["temporal_interval_union"] = f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_ns(ts) // 1000000000 AS start_sec,
+             epoch_ns(ts) // 1000000000 + {tmp.UNION_WINDOW_SEC} AS end_sec
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, start_sec, end_sec,
+             CASE WHEN start_sec > max(end_sec) OVER (
+                 PARTITION BY user_id ORDER BY start_sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+      FROM ev),
+    g AS (
+      SELECT user_id, start_sec, end_sec,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY start_sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM f),
+    i AS (
+      SELECT user_id, island, min(start_sec) AS i_start,
+             max(end_sec) AS i_end, count(*) AS n_windows
+      FROM g GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(sum(n_windows) AS BIGINT) AS n_windows,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_end - i_start) AS BIGINT) AS covered_sec,
+           CAST(max(i_end - i_start) AS BIGINT) AS max_island_sec
+    FROM i GROUP BY user_id ORDER BY user_id
+"""
+
 _EVENTS_ORACLE["events_forecast_baseline"] = f"""
     WITH obs AS (
       SELECT event_type,
@@ -5152,6 +5186,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": cur.pii_redact,
         "sim_rp_topk": sim.rp_topk,
         "sim_rp_recall": sim.rp_recall,
+        "temporal_interval_union": tmp.interval_union,
     }
 
 

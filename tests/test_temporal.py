@@ -260,3 +260,45 @@ def test_gap_fill_interpolation_matches_python_replay(spark, sf_dir):
             )
             assert r.value_filled == want, (et, r.bucket_start_sec)
     assert n_gaps > 0, "fixture must exercise the interpolation path"
+
+
+def test_interval_union_merges_islands(spark, tmp_path):
+    """Hand-built coverage: user 1 has three windows where the first two
+    overlap and the third touches exactly (contiguous coverage merges,
+    strict-gap separates); user 2 has one isolated window."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.temporal import (
+        UNION_WINDOW_SEC as W,
+        interval_union,
+    )
+
+    base = 1_700_000_000
+    rows = [
+        # user 1: [0, W), [W//2, W + W//2) overlap -> island A;
+        # [W + W//2, ...) touches island A's end exactly -> still A;
+        # [3*W, 4*W) gaps -> island B
+        (1, 1, base),
+        (2, 1, base + W // 2),
+        (3, 1, base + W + W // 2),
+        (4, 1, base + 3 * W),
+        (5, 2, base),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows], unit="s"),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {r.user_id: r for r in interval_union(spark, str(tmp_path)).collect()}
+    u1 = got[1]
+    assert u1.n_windows == 4 and u1.n_islands == 2
+    # island A spans [base, base + 2.5W), island B [base+3W, base+4W)
+    assert u1.covered_sec == (2 * W + W // 2) + W
+    assert u1.max_island_sec == 2 * W + W // 2
+    u2 = got[2]
+    assert (u2.n_windows, u2.n_islands, u2.covered_sec) == (1, 1, W)

@@ -459,3 +459,76 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("interpolated"))
         .alias("fill_kind"),
     )
+
+
+#: Interval-union exposure window: each event opens a half-open
+#: [ts, ts + this) coverage interval.
+UNION_WINDOW_SEC = 1800
+
+
+def interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user interval union (gaps-and-islands): every event opens a
+    30-minute exposure window; overlapping/contiguous windows merge into
+    islands and the user's DEDUPLICATED covered time is the sum of
+    island lengths — the attribution primitive (ad exposure, dwell,
+    on-call coverage) naive sum-of-windows double-counts.
+
+    The classic two-window dance, one exchange total: running max of
+    interval end over all PRECEDING rows (per user, (ts, event_id)
+    order — the unique id makes equal-ts rows deterministic) flags a
+    new island when the next start clears it (strict >: touching
+    intervals are contiguous coverage and merge); a running sum of
+    flags numbers the islands; a groupBy collapses them. All integer
+    seconds — no float surface. The user partition is reused by both
+    windows and the aggregate, so 100 TB pays ONE hash exchange; no
+    interval self-join (the quadratic trap) anywhere. Reference
+    parity: the ordered-accumulator-per-key shape of CountTF's reducer
+    (CountTF.java:92-99) with window algebra instead of a buffer."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.col("ts_sec").alias("start_sec"),
+        (F.col("ts_sec") + UNION_WINDOW_SEC).alias("end_sec"),
+    )
+    order = [F.asc("start_sec"), F.asc("event_id")]
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "start_sec",
+        "end_sec",
+        F.when(
+            F.col("start_sec") > F.max("end_sec").over(prev), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    ).select(
+        "user_id",
+        "start_sec",
+        "end_sec",
+        F.sum("new_island").over(cur).alias("island"),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.min("start_sec").alias("i_start"),
+        F.max("end_sec").alias("i_end"),
+        F.count("*").alias("n_windows"),
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("n_windows").alias("n_windows"),
+            F.count("*").alias("n_islands"),
+            F.sum(F.col("i_end") - F.col("i_start")).alias("covered_sec"),
+            F.max(F.col("i_end") - F.col("i_start")).alias("max_island_sec"),
+        )
+        .orderBy("user_id")
+    )
