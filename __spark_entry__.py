@@ -3366,6 +3366,11 @@ _EVENTS_ORACLE["events_downsample_m4"] = f"""
     ORDER BY event_type, bucket_sec
 """
 
+#: the streaming M4 drain must land on the batch relation, bit-for-bit
+_STREAMING_ORACLE["stream_downsample_m4"] = _EVENTS_ORACLE[
+    "events_downsample_m4"
+]
+
 _STREAMING_ORACLE["stream_upsert_snapshot"] = _TEMPORAL_ORACLE[
     "temporal_latest_snapshot"
 ]
@@ -5187,6 +5192,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_rp_topk": sim.rp_topk,
         "sim_rp_recall": sim.rp_recall,
         "temporal_interval_union": tmp.interval_union,
+        "stream_downsample_m4": st.q_stream_downsample_m4,
     }
 
 

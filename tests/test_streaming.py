@@ -363,3 +363,19 @@ def test_stream_incremental_dedup_matches_batch(spark, sf_dir):
     want = dd.incremental_dedup(spark, sf_dir)
     cols = ["doc_id", "status", "match_doc_id", "n_matches", "best_est"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_downsample_m4_equals_batch(spark, sf_dir):
+    """The streaming M4 drain must equal the batch aggregate row-for-row
+    — min_by/max_by state merges across micro-batches cannot change a
+    selection."""
+    from tf_idf_mapreduce_spark.operators.events import q_downsample_m4
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        q_stream_downsample_m4,
+    )
+
+    batch = sorted(map(tuple, q_downsample_m4(spark, sf_dir).collect()))
+    streamed = sorted(
+        map(tuple, q_stream_downsample_m4(spark, sf_dir).collect())
+    )
+    assert streamed == batch

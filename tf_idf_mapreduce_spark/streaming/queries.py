@@ -700,3 +700,44 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_est",
     )
     return run_to_memory(out, "stream_incremental_dedup", output_mode="complete")
+
+
+def q_stream_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``operators.events.q_downsample_m4`` (same
+    output schema, same rows): the M4 extremes maintained live. min_by/
+    max_by/min/max are all MERGEABLE aggregates — per-bucket state is
+    four scalars + two keys however many micro-batches feed it, so a
+    live dashboard reads the current extremes every trigger without
+    ever re-scanning history; complete mode here (finite drain), update
+    mode + upsert sink at production feed rates."""
+    from ..operators.events import M4_BUCKET_SEC
+
+    ev = stream_events(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.col("ts_ns").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    agg = (
+        ev.select(
+            "event_type",
+            (F.col("ts_sec") - F.col("ts_sec") % M4_BUCKET_SEC).alias(
+                "bucket_sec"
+            ),
+            "ts_sec",
+            "value",
+            key.alias("ord_key"),
+        )
+        .groupBy("event_type", "bucket_sec")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.min("ts_sec").alias("ts_first_sec"),
+            F.max("ts_sec").alias("ts_last_sec"),
+            F.min_by("value", F.col("ord_key")).alias("v_first"),
+            F.max_by("value", F.col("ord_key")).alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+    return run_to_memory(agg, "stream_m4", output_mode="complete").orderBy(
+        "event_type", "bucket_sec"
+    )
