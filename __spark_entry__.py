@@ -4635,6 +4635,29 @@ _CURATION_ORACLE["curate_importance_weights"] = f"""
 """
 
 _IW_BODY = _CURATION_ORACLE["curate_importance_weights"]
+#: Laplace inverse-CDF over the md5 group-key uniform — the same
+#: centered-uniform + double-ln + floor-@6dp conventions as the Gumbel
+#: keys; literals CAST to DOUBLE so the released schema matches Spark.
+_CURATION_ORACLE["curate_dp_counts"] = f"""
+    WITH g AS (
+      SELECT lang, source, count(*) AS n_true
+      FROM documents GROUP BY lang, source
+    ),
+    k AS (
+      SELECT lang, source, n_true,
+             ({_hex_to_int_sql(
+                 "substr(md5('dp:' || lang || ':' || source), 1, 8)", 8)}
+              + 0.5) / 4294967296.0 AS u
+      FROM g)
+    SELECT lang, source,
+           floor((n_true + (-{1.0 / cur.DP_EPSILON!r} * sign(u - 0.5))
+                  * ln(1.0 - 2.0 * abs(u - 0.5))) * 1000000 + 0.5)
+             / 1000000 AS n_released,
+           CAST({float(cur.DP_EPSILON)!r} AS DOUBLE) AS epsilon,
+           CAST({1.0 / cur.DP_EPSILON!r} AS DOUBLE) AS laplace_b
+    FROM k ORDER BY lang, source
+"""
+
 _CURATION_ORACLE["curate_importance_resample"] = f"""
     WITH iw AS ({_IW_BODY}),
     keyed AS (
@@ -5193,6 +5216,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_rp_recall": sim.rp_recall,
         "temporal_interval_union": tmp.interval_union,
         "stream_downsample_m4": st.q_stream_downsample_m4,
+        "curate_dp_counts": cur.dp_counts,
     }
 
 

@@ -1049,3 +1049,51 @@ def test_pii_redact_rewrites_spans_and_preserves_clean_text(spark, tmp_path):
     assert got[1].clean_text == "server at <IPV4> behind <URL> path"
     assert got[1].changed
     assert got[2].clean_text == docs[2] and not got[2].changed
+
+
+def test_dp_counts_noise_is_laplace_and_true_counts_stay_private(
+    spark, tmp_path
+):
+    """The release must (a) never emit the true count, (b) add exactly
+    the inverse-CDF Laplace noise a Python replay derives from the same
+    md5 uniform, (c) be reproducible — same partition, same noise."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.curation import (
+        DP_EPSILON,
+        dp_counts,
+    )
+
+    langs = ["en"] * 7 + ["de"] * 3
+    pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": ["x"] * 10,
+            "lang": langs,
+            "source": ["web"] * 10,
+            "n_chars": [1] * 10,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {(r.lang, r.source): r for r in dp_counts(spark, str(tmp_path)).collect()}
+    assert set(rows) == {("en", "web"), ("de", "web")}
+    assert "n_true" not in rows[("en", "web")].asDict()
+
+    def replay(lang, source, n_true):
+        h = hashlib.md5(f"dp:{lang}:{source}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 0.5) / float(1 << 32)
+        t = u - 0.5
+        noise = (-1.0 / DP_EPSILON) * math.copysign(1.0, t) * math.log(
+            1.0 - 2.0 * abs(t)
+        )
+        return math.floor((n_true + noise) * 1_000_000 + 0.5) / 1_000_000
+
+    assert rows[("en", "web")].n_released == replay("en", "web", 7)
+    assert rows[("de", "web")].n_released == replay("de", "web", 3)
+    again = {
+        (r.lang, r.source): r.n_released
+        for r in dp_counts(spark, str(tmp_path)).collect()
+    }
+    assert again == {k: v.n_released for k, v in rows.items()}

@@ -1911,3 +1911,51 @@ def bpe_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shard_id"),
     )
+
+
+#: ε for the DP histogram release; count queries have sensitivity 1, so
+#: the Laplace scale is 1/ε.
+DP_EPSILON = 1.0
+
+
+def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private (lang, source) histogram release — the
+    data-card statistic a corpus publisher can share when the raw
+    counts themselves are sensitive (tiny cells reveal membership).
+    Laplace mechanism, sensitivity 1: released = count + Lap(1/ε).
+
+    The noise is DETERMINISTIC, derived from the group key (inverse-CDF
+    of the md5 uniform ``hash_sample``/``importance_resample`` already
+    use: t = u - 1/2, noise = -b·sign(t)·ln(1-2|t|)) — a pipeline that
+    re-releases the same partition gets the same noise, which is
+    exactly what DP composition wants (re-randomizing every read would
+    burn ε per read; fixed noise per release burns it once). u is never
+    0.5 and never 0/1 by the +0.5/2^32 centering, so sign and ln are
+    total. One count shuffle; noise is map-side on group-sized data;
+    both engines land on the floor-@6dp grid the Gumbel keys use (the
+    double-ln ulp argument is identical). The TRUE count never appears
+    in the output — that is the mechanism's whole contract."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    g = d.groupBy("lang", "source").agg(F.count("*").alias("n_true"))
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit("dp"), F.col("lang"), F.col("source")
+        )
+    )
+    u = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)
+    ) / F.lit(float(1 << 32))
+    t = u - F.lit(0.5)
+    b = 1.0 / DP_EPSILON
+    noise = -F.lit(b) * F.signum(t) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(t))
+    released = (
+        F.floor((F.col("n_true") + noise) * 1_000_000 + F.lit(0.5))
+        / 1_000_000
+    )
+    return g.select(
+        "lang",
+        "source",
+        released.alias("n_released"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+        F.lit(float(b)).alias("laplace_b"),
+    ).orderBy("lang", "source")
