@@ -2735,6 +2735,43 @@ _LLMDATA_ORACLE["sim_pca_project"] = (
 
 _LLMDATA_ORACLE["sim_rp_project"] = _rp_project_sql()
 _LLMDATA_ORACLE["sim_rp_distortion"] = _rp_distortion_sql()
+#: drift monitor — the covariance exactness recipe (double products,
+#: DECIMAL(38,18) sums) at every aggregation level, so the report is
+#: bit-exact before the final rounded cos/ratio expressions
+_LLMDATA_ORACLE["sim_drift_report"] = f"""
+    WITH rows_ AS (
+      SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, {EMBED_DIM}) t(i)
+    ),
+    sums AS (
+      SELECT label, half, dim,
+             CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS s
+      FROM rows_ GROUP BY label, half, dim
+    ),
+    counts AS (
+      SELECT label, vec_id % 2 AS half, count(*) AS n
+      FROM embeddings GROUP BY label, half
+    ),
+    j AS (
+      SELECT a.label,
+             CAST(sum(CAST(a.s * b.s AS DECIMAL(38,18))) AS DOUBLE) AS dotab,
+             CAST(sum(CAST(a.s * a.s AS DECIMAL(38,18))) AS DOUBLE) AS na2,
+             CAST(sum(CAST(b.s * b.s AS DECIMAL(38,18))) AS DOUBLE) AS nb2
+      FROM sums a JOIN sums b ON a.label = b.label AND a.dim = b.dim
+      WHERE a.half = 0 AND b.half = 1
+      GROUP BY a.label
+    )
+    SELECT j.label, ca.n AS n_a, cb.n AS n_b,
+           round(dotab / sqrt(na2 * nb2), 6) AS centroid_cos,
+           round((sqrt(nb2) * ca.n) / (sqrt(na2) * cb.n), 6)
+             AS mean_norm_ratio
+    FROM j
+    JOIN counts ca ON ca.label = j.label AND ca.half = 0
+    JOIN counts cb ON cb.label = j.label AND cb.half = 1
+    ORDER BY j.label
+"""
+
 _LLMDATA_ORACLE["sim_rp_topk"] = _rp_topk_sql(
     sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK
 )
@@ -5217,6 +5254,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_interval_union": tmp.interval_union,
         "stream_downsample_m4": st.q_stream_downsample_m4,
         "curate_dp_counts": cur.dp_counts,
+        "sim_drift_report": sim.drift_report,
     }
 
 

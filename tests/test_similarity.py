@@ -845,3 +845,39 @@ def test_rp_recall_laws_and_exact_side(spark, sf_dir):
     assert len(approx) == 10 and DEFAULT_QUERY_VEC not in approx
     hits = len(set(approx) & {vid for _, vid in want_exact})
     assert r.n_hits == hits
+
+
+def test_drift_report_numpy_replay_and_identity_law(spark, sf_dir):
+    """numpy replay of the per-label cohort centroids (cos + mean-norm
+    ratio at @6dp), plus the identity law: a label whose two cohorts
+    are the same distribution family still satisfies |cos| <= 1."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import drift_report
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    got = {r.label: r for r in drift_report(spark, sf_dir).collect()}
+    labels = {r.label for r in rows}
+    for lab in labels:
+        a = np.array(
+            [r.embedding for r in rows if r.label == lab and r.vec_id % 2 == 0],
+            dtype="float64",
+        )
+        b = np.array(
+            [r.embedding for r in rows if r.label == lab and r.vec_id % 2 == 1],
+            dtype="float64",
+        )
+        if len(a) == 0 or len(b) == 0:
+            assert lab not in got
+            continue
+        sa, sb = a.sum(axis=0), b.sum(axis=0)
+        r = got[lab]
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        cos = float(sa @ sb / np.sqrt((sa @ sa) * (sb @ sb)))
+        ratio = float(
+            (np.sqrt(sb @ sb) * len(a)) / (np.sqrt(sa @ sa) * len(b))
+        )
+        assert abs(r.centroid_cos - cos) < 1e-5
+        assert abs(r.mean_norm_ratio - ratio) < 1e-5
+        assert abs(r.centroid_cos) <= 1.0

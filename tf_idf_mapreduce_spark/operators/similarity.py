@@ -2211,3 +2211,84 @@ def rp_recall(
             / 1_000_000
         ).alias("recall"),
     )
+
+
+def drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: split the corpus into two cohorts
+    (vec_id parity — the stand-in for week t vs week t+1 the fixture
+    affords) and report, per label, the cosine between the cohorts'
+    label centroids and their mean-norm ratio — the continual-training
+    dashboard that decides when an encoder or its downstream index
+    needs refitting (centroid_cos drifting off 1.0 = the space moved;
+    norm ratio off 1.0 = magnitude drift that breaks MIPS pruning).
+
+    Scale shape: one scan explodes vectors to (label, half, dim) sums —
+    DECIMAL(38,18) over double products, the ``embedding_covariance``
+    exactness recipe, so the sums are order-free and the whole report
+    replays bit-for-bit — then every aggregate after the first shuffle
+    runs on model-sized state (labels x 2 x d rows). 100 TB changes
+    only the scan. Cosine of centroids = cosine of sums (the 1/n
+    scaling cancels), so no division happens before the final rounded
+    expressions."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    pos = F.posexplode(F.col("embedding"))
+    rows = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        pos.alias("dim", "x"),
+    )
+    sums = rows.groupBy("label", "half", "dim").agg(
+        F.sum(F.col("x").cast("double").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("s")
+    )
+    counts = e.groupBy("label", (F.col("vec_id") % 2).alias("half")).agg(
+        F.count("*").alias("n")
+    )
+    a = sums.where(F.col("half") == 0).select(
+        "label", "dim", F.col("s").alias("sa")
+    )
+    b = sums.where(F.col("half") == 1).select(
+        "label", "dim", F.col("s").alias("sb")
+    )
+
+    def dsum(expr: Column, name: str) -> Column:
+        return (
+            F.sum(expr.cast("decimal(38,18)")).cast("double").alias(name)
+        )
+
+    j = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            dsum(F.col("sa") * F.col("sb"), "dotab"),
+            dsum(F.col("sa") * F.col("sa"), "na2"),
+            dsum(F.col("sb") * F.col("sb"), "nb2"),
+        )
+    )
+    ca = counts.where(F.col("half") == 0).select(
+        "label", F.col("n").alias("n_a")
+    )
+    cb = counts.where(F.col("half") == 1).select(
+        "label", F.col("n").alias("n_b")
+    )
+    return (
+        j.join(F.broadcast(ca), "label")
+        .join(F.broadcast(cb), "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dotab") / F.sqrt(F.col("na2") * F.col("nb2")), 6
+            ).alias("centroid_cos"),
+            F.round(
+                (F.sqrt(F.col("nb2")) * F.col("n_a"))
+                / (F.sqrt(F.col("na2")) * F.col("n_b")),
+                6,
+            ).alias("mean_norm_ratio"),
+        )
+        .orderBy("label")
+    )
