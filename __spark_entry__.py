@@ -2154,6 +2154,33 @@ _LLMDATA_ORACLE["mm_phash_pairs"] = (
     """
 )
 
+#: image dedup clusters: recursive-CTE transitive closure over the
+#: is_near pHash pairs (the pairs oracle nested as a scoped subquery);
+#: the Spark side iterates the shared min-label propagation
+_LLMDATA_ORACLE["mm_phash_clusters"] = f"""
+    WITH RECURSIVE near AS (
+      SELECT doc_a, doc_b FROM ({_LLMDATA_ORACLE["mm_phash_pairs"]})
+      WHERE is_near
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM near
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM near
+    ),
+    reach(a, b) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+      CAST(coalesce(min(r.b), d.doc_id) AS BIGINT) AS cluster_id,
+      coalesce(min(r.b), d.doc_id) = d.doc_id AS is_keeper
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+"""
+
 _LLMDATA_ORACLE["mm_ahash_pairs"] = (
     _AHASH_CTE
     + f"""
@@ -5255,6 +5282,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_downsample_m4": st.q_stream_downsample_m4,
         "curate_dp_counts": cur.dp_counts,
         "sim_drift_report": sim.drift_report,
+        "mm_phash_clusters": mm.media_phash_clusters,
     }
 
 

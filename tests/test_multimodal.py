@@ -519,3 +519,34 @@ def test_hash_kernels_null_row_corrupt_media(spark):
     for bad in (2, 3):
         assert a[bad].ahash_bits is None and a[bad].n_set is None
         assert p[bad].phash_bits is None and p[bad].n_set is None
+
+
+def test_phash_clusters_laws(spark, sf_dir):
+    """Every doc gets a label; keeper = cluster minimum; every is_near
+    pair lands in the same cluster (edges are never split); singletons
+    keep themselves."""
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        media_phash_clusters,
+        media_phash_pairs,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    labels = {
+        r.doc_id: (r.cluster_id, r.is_keeper)
+        for r in media_phash_clusters(spark, sf_dir).collect()
+    }
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(labels) == n_docs
+    for doc, (cl, keep) in labels.items():
+        assert cl <= doc
+        assert keep == (cl == doc)
+    near = [
+        (r.doc_a, r.doc_b)
+        for r in media_phash_pairs(spark, sf_dir).collect()
+        if r.is_near
+    ]
+    for a, b in near:
+        assert labels[a][0] == labels[b][0], (a, b)
+    clustered = {d for a, b in near for d in (a, b)}
+    for doc in set(labels) - clustered:
+        assert labels[doc][0] == doc
