@@ -642,6 +642,107 @@ def probe_bpe_vocab(spark: SparkSession, quick: bool) -> None:
     emit()
 
 
+# --------------------------------------------------------------------------
+# P8: M4 downsample — mergeable aggregate vs 4-way window sort
+# --------------------------------------------------------------------------
+
+def synth_series(spark: SparkSession, n_rows: int, n_types: int) -> DataFrame:
+    """Deterministic (event_id, ts_sec, typ, value) series: 30 days of
+    hash-uniform timestamps over ``n_types`` independent series."""
+    ids = spark.range(n_rows)
+    ts = F.lit(1_700_000_000) + F.pmod(
+        F.abs(F.xxhash64(F.col("id"), F.lit("t"))), F.lit(30 * 86400)
+    )
+    typ = F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit("y"))), F.lit(n_types))
+    val = (
+        F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit("v"))), F.lit(1_000_000))
+        / 1000.0
+    )
+    return ids.select(
+        F.col("id").alias("event_id"),
+        ts.alias("ts_sec"),
+        typ.alias("typ"),
+        val.alias("value"),
+    )
+
+
+def probe_m4(spark: SparkSession, quick: bool) -> None:
+    from pyspark.sql.window import Window
+
+    emit("## P8 — M4 downsample: one mergeable aggregate vs 4-way window sort")
+    emit()
+    emit("| rows | types | buckets | aggregate s | window s | window/agg |")
+    emit("|---|---|---|---|---|---|")
+    configs = [(2_000_000, 5), (20_000_000, 5), (20_000_000, 100_000)]
+    if not quick:
+        configs.append((50_000_000, 5))
+    for n_rows, n_types in configs:
+        base = synth_series(spark, n_rows, n_types).localCheckpoint()
+        bucket = (F.col("ts_sec") - F.col("ts_sec") % 3600).alias("bucket_sec")
+        key = F.concat(
+            F.lpad(F.col("ts_sec").cast("string"), 12, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        )
+        src = base.select("typ", bucket, "ts_sec", "value", key.alias("k"))
+        agg = src.groupBy("typ", "bucket_sec").agg(
+            F.count("*").alias("n_points"),
+            F.min("ts_sec").alias("ts_first_sec"),
+            F.max("ts_sec").alias("ts_last_sec"),
+            F.min_by("value", F.col("k")).alias("v_first"),
+            F.max_by("value", F.col("k")).alias("v_last"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        t_agg = _timed(agg)
+
+        part = Window.partitionBy("typ", "bucket_sec")
+        flags = src.select(
+            "typ",
+            "bucket_sec",
+            "ts_sec",
+            "value",
+            F.row_number().over(part.orderBy(F.asc("k"))).alias("rf"),
+            F.row_number().over(part.orderBy(F.desc("k"))).alias("rl"),
+            F.row_number()
+            .over(part.orderBy(F.asc("value"), F.asc("k")))
+            .alias("rn"),
+            F.row_number()
+            .over(part.orderBy(F.desc("value"), F.asc("k")))
+            .alias("rx"),
+        )
+        win = flags.groupBy("typ", "bucket_sec").agg(
+            F.count("*").alias("n_points"),
+            F.min("ts_sec").alias("ts_first_sec"),
+            F.max("ts_sec").alias("ts_last_sec"),
+            F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("v_last"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v_min"),
+            F.max(F.when(F.col("rx") == 1, F.col("value"))).alias("v_max"),
+        )
+        t_win = _timed(win)
+        n_buckets = agg.count()
+        emit(
+            f"| {n_rows:,} | {n_types:,} | {n_buckets:,} "
+            f"| {t_agg:.2f} | {t_win:.2f} | {t_win / t_agg:.1f}x |"
+        )
+        base.unpersist()
+    emit()
+    emit(
+        "Reading: both forms pay the same (typ, bucket) exchange, but the "
+        "aggregate partial-combines map-side to 4 scalars + 2 selection "
+        "keys per bucket BEFORE it — the exchange moves bucket-count rows "
+        "— while the window form ships every raw row through the shuffle "
+        "and then sorts each bucket four ways. The gap is the shuffled-"
+        "byte ratio (rows vs buckets), so it grows with points-per-bucket "
+        "— exactly the regime a 100 TB dashboard rollup lives in; with "
+        "100k types (fine buckets, few points each) the forms converge, "
+        "which is the honest boundary of the claim. events_downsample_m4 "
+        "ships the aggregate form; its streaming twin inherits "
+        "mergeability for free."
+    )
+    emit()
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
     # the probe materializes 20-50M-row relations via localCheckpoint —
@@ -668,6 +769,7 @@ def main() -> int:
     probe_cms(spark, quick)
     probe_incremental_index(spark, quick)
     probe_bpe_vocab(spark, quick)
+    probe_m4(spark, quick)
     md = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.md",
