@@ -93,6 +93,13 @@ QUERIES = [
     # min_by/max_by selections must combine identically map-side
     # whatever the partial-aggregate merge order
     "events_downsample_m4",
+    # two stacked windows + collapse: island numbering must not depend
+    # on how the user partition arrives
+    "temporal_interval_union",
+    # DECIMAL sums at two aggregation levels feeding rounded cos/ratio
+    "sim_drift_report",
+    # iterative min-label propagation over checkpointed media edges
+    "mm_phash_clusters",
 ]
 
 
