@@ -4722,6 +4722,16 @@ _CURATION_ORACLE["curate_dp_counts"] = f"""
     FROM k ORDER BY lang, source
 """
 
+_CURATION_ORACLE["curate_k_anonymity"] = f"""
+    SELECT lang, source,
+           n_chars - n_chars % {cur.K_ANON_LEN_BUCKET} AS len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) >= {cur.K_ANONYMITY_K} AS k_anonymous
+    FROM documents
+    GROUP BY lang, source, len_bucket
+    ORDER BY lang, source, len_bucket
+"""
+
 _CURATION_ORACLE["curate_importance_resample"] = f"""
     WITH iw AS ({_IW_BODY}),
     keyed AS (
@@ -5283,6 +5293,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_dp_counts": cur.dp_counts,
         "sim_drift_report": sim.drift_report,
         "mm_phash_clusters": mm.media_phash_clusters,
+        "curate_k_anonymity": cur.k_anonymity,
     }
 
 

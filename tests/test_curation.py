@@ -1097,3 +1097,36 @@ def test_dp_counts_noise_is_laplace_and_true_counts_stay_private(
         for r in dp_counts(spark, str(tmp_path)).collect()
     }
     assert again == {k: v.n_released for k, v in rows.items()}
+
+
+def test_k_anonymity_flags_small_classes(spark, tmp_path):
+    """A QI class of 1 is flagged, a class of K_ANONYMITY_K passes, and
+    length bucketing is the generalization boundary."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.curation import (
+        K_ANON_LEN_BUCKET as B,
+        K_ANONYMITY_K as K,
+        k_anonymity,
+    )
+
+    n_chars = [10] * K + [B + 10] + [10] * 2
+    langs = ["en"] * (K + 1) + ["de"] * 2
+    pd.DataFrame(
+        {
+            "doc_id": range(len(n_chars)),
+            "text": ["x"] * len(n_chars),
+            "lang": langs,
+            "source": ["web"] * len(n_chars),
+            "n_chars": n_chars,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        (r.lang, r.source, r.len_bucket): r
+        for r in k_anonymity(spark, str(tmp_path)).collect()
+    }
+    assert got[("en", "web", 0)].n_docs == K
+    assert got[("en", "web", 0)].k_anonymous
+    assert got[("en", "web", B)].n_docs == 1
+    assert not got[("en", "web", B)].k_anonymous
+    assert not got[("de", "web", 0)].k_anonymous

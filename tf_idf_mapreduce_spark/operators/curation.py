@@ -1959,3 +1959,41 @@ def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(DP_EPSILON)).alias("epsilon"),
         F.lit(float(b)).alias("laplace_b"),
     ).orderBy("lang", "source")
+
+
+#: k-anonymity threshold for the quasi-identifier audit, and the width
+#: of the length bucket that joins (lang, source) as the third QI.
+K_ANONYMITY_K = 5
+K_ANON_LEN_BUCKET = 500
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, length bucket): every QI equivalence class with its
+    size and whether it meets k — the release-readiness check that
+    complements ``dp_counts`` (DP protects what you publish; this
+    audits what the raw partition would leak: a class of size 1 IS an
+    individual document). The audit is internal, so class keys and
+    sizes are emitted; a publisher suppresses or generalizes the
+    violating classes before release.
+
+    One count shuffle, group-class-sized output; at 100 TB the QI
+    cardinality (langs x sources x length buckets) stays model-sized
+    however large the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", "n_chars"
+    )
+    g = d.groupBy(
+        "lang",
+        "source",
+        (F.col("n_chars") - F.col("n_chars") % K_ANON_LEN_BUCKET).alias(
+            "len_bucket"
+        ),
+    ).agg(F.count("*").alias("n_docs"))
+    return g.select(
+        "lang",
+        "source",
+        "len_bucket",
+        "n_docs",
+        (F.col("n_docs") >= K_ANONYMITY_K).alias("k_anonymous"),
+    ).orderBy("lang", "source", "len_bucket")
