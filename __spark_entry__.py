@@ -2762,6 +2762,32 @@ _LLMDATA_ORACLE["sim_pca_project"] = (
 
 _LLMDATA_ORACLE["sim_rp_project"] = _rp_project_sql()
 _LLMDATA_ORACLE["sim_rp_distortion"] = _rp_distortion_sql()
+#: negative sampling — both ranking keys are md5 hex strings compared
+#: lexicographically, so no numeric hash conversion crosses engines
+_LLMDATA_ORACLE["sim_negative_pairs"] = f"""
+    WITH pool AS (
+      SELECT vec_id AS neg_vec_id, label AS neg_label,
+             md5('negpool:' || CAST(vec_id AS VARCHAR)) AS pool_key
+      FROM embeddings
+      ORDER BY pool_key, neg_vec_id LIMIT {sim.NEG_POOL_SIZE}
+    ),
+    cand AS (
+      SELECT e.vec_id, p.neg_vec_id,
+             md5(CAST(e.vec_id AS VARCHAR) || ':'
+                 || CAST(p.neg_vec_id AS VARCHAR)) AS pair_key
+      FROM embeddings e JOIN pool p ON e.label <> p.neg_label
+      WHERE e.vec_id <> p.neg_vec_id
+    ),
+    r AS (
+      SELECT vec_id, neg_vec_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY pair_key, neg_vec_id) AS neg_rank
+      FROM cand)
+    SELECT vec_id, neg_vec_id, CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM r WHERE neg_rank <= {sim.NEG_PER_ANCHOR}
+    ORDER BY vec_id, neg_rank
+"""
+
 #: drift monitor — the covariance exactness recipe (double products,
 #: DECIMAL(38,18) sums) at every aggregation level, so the report is
 #: bit-exact before the final rounded cos/ratio expressions
@@ -5294,6 +5320,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_drift_report": sim.drift_report,
         "mm_phash_clusters": mm.media_phash_clusters,
         "curate_k_anonymity": cur.k_anonymity,
+        "sim_negative_pairs": sim.negative_pairs,
     }
 
 

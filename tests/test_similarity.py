@@ -881,3 +881,46 @@ def test_drift_report_numpy_replay_and_identity_law(spark, sf_dir):
         assert abs(r.centroid_cos - cos) < 1e-5
         assert abs(r.mean_norm_ratio - ratio) < 1e-5
         assert abs(r.centroid_cos) <= 1.0
+
+
+def test_negative_pairs_laws(spark, sf_dir):
+    """Every negative has a different label than its anchor, comes from
+    the deterministic 64-candidate pool, ranks are 1..k dense per
+    anchor, and the selection replays from the md5 string keys."""
+    import hashlib
+
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        NEG_PER_ANCHOR,
+        NEG_POOL_SIZE,
+        negative_pairs,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    pool = sorted(
+        labels,
+        key=lambda v: (hashlib.md5(f"negpool:{v}".encode()).hexdigest(), v),
+    )[:NEG_POOL_SIZE]
+    got = negative_pairs(spark, sf_dir).collect()
+    by_anchor = {}
+    for r in got:
+        assert labels[r.vec_id] != labels[r.neg_vec_id]
+        assert r.neg_vec_id in pool
+        by_anchor.setdefault(r.vec_id, []).append((r.neg_rank, r.neg_vec_id))
+    for anchor, rows in by_anchor.items():
+        ranks = sorted(x[0] for x in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= NEG_PER_ANCHOR
+        want = sorted(
+            (
+                (hashlib.md5(f"{anchor}:{v}".encode()).hexdigest(), v)
+                for v in pool
+                if labels[v] != labels[anchor] and v != anchor
+            ),
+        )[: len(rows)]
+        assert [v for _, v in want] == [
+            v for _, v in sorted(rows)
+        ], anchor

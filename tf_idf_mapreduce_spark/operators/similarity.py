@@ -2292,3 +2292,60 @@ def drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: Contrastive negative sampling: global candidate-pool size and the
+#: negatives kept per anchor.
+NEG_POOL_SIZE = 64
+NEG_PER_ANCHOR = 4
+
+
+def negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    vector (anchor) gets NEG_PER_ANCHOR negatives of a DIFFERENT label,
+    drawn from one global hash-sampled pool of NEG_POOL_SIZE candidates
+    — the in-batch-negatives pattern embedding trainers actually use
+    (negatives come from a shared sample, never a per-anchor corpus
+    scan).
+
+    Scale shape: the pool is a TakeOrderedAndProject over md5 keys
+    (pool-sized result, corpus-sized scan) and BROADCASTS; the anchor
+    scan joins it map-side (bounded x64 fanout), and the per-anchor
+    top-4 is one window exchange on vec_id. Determinism needs no
+    numeric hashing: both ranking keys are md5 HEX STRINGS compared
+    lexicographically — identical in any engine — with vec_id
+    tiebreaks. Anchors whose labels dominate the pool may get fewer
+    than 4 negatives (visible, never padded)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pool = (
+        e.select(
+            F.col("vec_id").alias("neg_vec_id"),
+            F.col("label").alias("neg_label"),
+            F.md5(F.concat_ws(":", F.lit("negpool"), F.col("vec_id"))).alias(
+                "pool_key"
+            ),
+        )
+        .orderBy(F.asc("pool_key"), F.asc("neg_vec_id"))
+        .limit(NEG_POOL_SIZE)
+    )
+    pairkey = F.md5(
+        F.concat_ws(":", F.col("vec_id"), F.col("neg_vec_id"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("pair_key"), F.asc("neg_vec_id")
+    )
+    return (
+        e.join(F.broadcast(pool), F.col("label") != F.col("neg_label"))
+        .where(F.col("vec_id") != F.col("neg_vec_id"))
+        .select("vec_id", "neg_vec_id", pairkey.alias("pair_key"))
+        .select(
+            "vec_id",
+            "neg_vec_id",
+            F.row_number().over(w).alias("neg_rank"),
+        )
+        .where(F.col("neg_rank") <= NEG_PER_ANCHOR)
+        .select("vec_id", "neg_vec_id", F.col("neg_rank").cast("long"))
+        .orderBy("vec_id", "neg_rank")
+    )
