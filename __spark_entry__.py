@@ -1859,6 +1859,53 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM bgd JOIN lm USING (bigram)
         GROUP BY doc_id
     """,
+    # held-out LM eval: same LM build as text_lm_score but trained on
+    # the split_report train bucket only, scored on val+test bigrams
+    "text_lm_heldout": f"""
+        WITH docs AS (
+          SELECT doc_id, {_WORDS_SQL} AS words,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                            || coalesce(text, '')), 1, 2) AS bucket
+          FROM documents
+        ),
+        tr AS (SELECT * FROM docs WHERE bucket < '{cur.SPLIT_VAL_LO}'),
+        hd AS (SELECT * FROM docs WHERE NOT (bucket < '{cur.SPLIT_VAL_LO}')),
+        bgt AS (
+          SELECT array_to_string(words[i:i+1], ' ') AS bigram
+          FROM tr, LATERAL unnest(generate_series(1, len(words) - 1)) t(i)
+          WHERE len(words) >= 2
+        ),
+        bgc AS (SELECT bigram, count(*) AS n_bigram FROM bgt GROUP BY bigram),
+        uni AS (
+          SELECT w, count(*) AS n_w1
+          FROM (SELECT unnest(words) AS w FROM tr) GROUP BY w
+        ),
+        lm AS (
+          SELECT bigram, round(-ln(bgc.n_bigram / uni.n_w1), 6) AS neg_logp
+          FROM bgc JOIN uni ON uni.w = split_part(bigram, ' ', 1)
+        ),
+        bgh AS (
+          SELECT array_to_string(words[i:i+1], ' ') AS bigram
+          FROM hd, LATERAL unnest(generate_series(1, len(words) - 1)) t(i)
+          WHERE len(words) >= 2
+        ),
+        sc AS (SELECT b.bigram, lm.neg_logp
+               FROM bgh b LEFT JOIN lm USING (bigram)),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_heldout_bigrams,
+                 CAST(count(*) - count(neg_logp) AS BIGINT) AS n_oov,
+                 floor((count(*) - count(neg_logp)) / count(*)
+                       * 1000000 + 0.5) / 1000000 AS oov_rate,
+                 floor(CAST(sum(CAST(neg_logp AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(neg_logp) * 1000000 + 0.5) / 1000000
+                   AS mean_surprisal
+          FROM sc),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train_docs FROM tr),
+        nh AS (SELECT CAST(count(*) AS BIGINT) AS n_heldout_docs FROM hd)
+        SELECT n_train_docs, n_heldout_docs, n_heldout_bigrams, n_oov,
+               oov_rate, mean_surprisal
+        FROM s, nt, nh
+    """,
     "text_lang_id": _lang_id_sql(),
     # confusion matrix over the lang_id relation; row_frac is int/int exact
     "text_lang_confusion": f"""
@@ -5321,6 +5368,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_clusters": mm.media_phash_clusters,
         "curate_k_anonymity": cur.k_anonymity,
         "sim_negative_pairs": sim.negative_pairs,
+        "text_lm_heldout": ts.lm_heldout_eval,
     }
 
 

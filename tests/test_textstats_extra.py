@@ -369,3 +369,34 @@ def test_vocab_coverage_matches_exact_recount(spark, sf_dir):
         assert abs(r.oov_rate - round(1 - covered / total, 6)) < 1e-12
         assert r.coverage >= prev
         prev = r.coverage
+
+
+def test_lm_heldout_split_replay_and_laws(spark, sf_dir):
+    """Split sizes replay from the content-keyed md5 bucket in pure
+    Python; OOV and surprisal obey their laws (the tiny sf0.001
+    fixture's synthetic vocabulary can be fully covered by train, so
+    zero OOV is legitimate there — sf0.01 shows nonzero)."""
+    import hashlib
+
+    from tf_idf_mapreduce_spark.operators.curation import SPLIT_VAL_LO
+    from tf_idf_mapreduce_spark.operators.textstats import lm_heldout_eval
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    n_train = sum(
+        1
+        for r in docs
+        if hashlib.md5(
+            f"{r.doc_id}:{r.text or ''}".encode()
+        ).hexdigest()[:2]
+        < SPLIT_VAL_LO
+    )
+    row = lm_heldout_eval(spark, sf_dir).head()
+    assert row.n_train_docs == n_train
+    assert row.n_heldout_docs == len(docs) - n_train
+    assert 0 <= row.n_oov <= row.n_heldout_bigrams
+    assert 0.0 <= row.oov_rate < 1.0
+    assert row.oov_rate == round(row.n_oov / row.n_heldout_bigrams, 6)
+    assert row.mean_surprisal > 0

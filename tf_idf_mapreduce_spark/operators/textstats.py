@@ -1199,3 +1199,79 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") / F.col("n_labeled")).alias("row_frac"),
         )
     )
+
+
+def lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene twin of ``lm_doc_scores``: train the bigram LM on the
+    TRAIN split only (the ``split_report`` md5 bucket — content-keyed,
+    growth-stable) and score the held-out (val+test) documents' bigrams
+    against it. One summary row: split sizes, held-out bigram count, OOV
+    rate (bigrams the train LM never saw — unscorable, reported rather
+    than smoothed over), and mean surprisal over the scored ones — the
+    honest generalization number, where ``text_lm_score`` is
+    self-perplexity (the corpus scored under its own LM).
+
+    Scale shape is ``lm_doc_scores``' (LM build + bigram-keyed scoring
+    join, AQE-handled skew) plus two 1-row count broadcasts; the split
+    predicate is a map-only expression on both passes, never a
+    materialized assignment table."""
+    from ..functions.hashing import shingle_rows
+    from .curation import SPLIT_VAL_LO, _sample_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    is_train = _sample_bucket() < SPLIT_VAL_LO
+    train = d.where(is_train)
+    held = d.where(~is_train)
+
+    def bigrams(docs: DataFrame) -> DataFrame:
+        return (
+            shingle_rows(docs, ["doc_id"], n=2)
+            .where(F.instr("shingle", " ") > 0)
+            .select("doc_id", F.col("shingle").alias("bigram"))
+        )
+
+    lm_bg = bigrams(train).groupBy("bigram").agg(
+        F.count("*").alias("n_bigram")
+    )
+    uni = (
+        train.select(F.explode(norm_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w1"))
+    )
+    lm = (
+        lm_bg.withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(uni, F.col("w1") == F.col("w"))
+        .select(
+            "bigram",
+            F.round(-F.log(F.col("n_bigram") / F.col("n_w1")), 6).alias(
+                "neg_logp"
+            ),
+        )
+    )
+    scored = bigrams(held).join(lm, "bigram", "left")
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    summary = scored.agg(
+        F.count("*").alias("n_heldout_bigrams"),
+        (F.count("*") - F.count("neg_logp")).alias("n_oov"),
+        grid(
+            (F.count("*") - F.count("neg_logp")) / F.count("*")
+        ).alias("oov_rate"),
+        grid(
+            F.sum(F.col("neg_logp").cast("decimal(38,6)")).cast("double")
+            / F.count("neg_logp")
+        ).alias("mean_surprisal"),
+    )
+    n_train = train.agg(F.count("*").alias("n_train_docs"))
+    n_held = held.agg(F.count("*").alias("n_heldout_docs"))
+    return (
+        summary.crossJoin(F.broadcast(n_train))
+        .crossJoin(F.broadcast(n_held))
+        .select(
+            "n_train_docs",
+            "n_heldout_docs",
+            "n_heldout_bigrams",
+            "n_oov",
+            "oov_rate",
+            "mean_surprisal",
+        )
+    )
