@@ -4795,6 +4795,40 @@ _CURATION_ORACLE["curate_dp_counts"] = f"""
     FROM k ORDER BY lang, source
 """
 
+#: one-row data card — three document scans reduced to 1-row CTEs;
+#: entropy via H = ln(N) + (Σ round(-n·ln n, 6))/N so the only
+#: cross-engine float surface is the rounded per-lang terms + one ln
+_CURATION_ORACLE["curate_data_card"] = f"""
+    WITH shape AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN ({_PII_SUM_SQL}) > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pii_docs
+      FROM documents),
+    dup AS (
+      SELECT CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs
+      FROM (SELECT md5(text) AS h, count(*) AS n
+            FROM documents GROUP BY 1)),
+    ent AS (
+      SELECT sum(CAST(n_lang AS DECIMAL(38,6))) AS tot,
+             sum(CAST(round(-ln(n_lang) * CAST(n_lang AS DOUBLE), 6)
+                      AS DECIMAL(38,6))) AS wlog
+      FROM (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang))
+    SELECT n_docs, n_langs, n_sources, n_tokens,
+           floor(n_tokens / n_docs * 1000000 + 0.5) / 1000000
+             AS mean_doc_tokens,
+           floor(n_pii_docs / n_docs * 1000000 + 0.5) / 1000000
+             AS pii_frac,
+           floor(n_dup_docs / n_docs * 1000000 + 0.5) / 1000000
+             AS exact_dup_frac,
+           floor((ln(CAST(tot AS DOUBLE))
+                  + CAST(wlog AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS lang_entropy
+    FROM shape, dup, ent
+"""
+
 _CURATION_ORACLE["curate_k_anonymity"] = f"""
     SELECT lang, source,
            n_chars - n_chars % {cur.K_ANON_LEN_BUCKET} AS len_bucket,
@@ -5369,6 +5403,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_k_anonymity": cur.k_anonymity,
         "sim_negative_pairs": sim.negative_pairs,
         "text_lm_heldout": ts.lm_heldout_eval,
+        "curate_data_card": cur.data_card,
     }
 
 

@@ -1130,3 +1130,32 @@ def test_k_anonymity_flags_small_classes(spark, tmp_path):
     assert got[("en", "web", B)].n_docs == 1
     assert not got[("en", "web", B)].k_anonymous
     assert not got[("de", "web", 0)].k_anonymous
+
+
+def test_data_card_on_a_planted_corpus(spark, tmp_path):
+    """Hand-computable card: 4 docs, one exact duplicate pair, one PII
+    doc, two langs (3:1 split -> known entropy)."""
+    import math
+
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.curation import data_card
+
+    texts = ["a b c", "a b c", "mail me a@b.co now", "d e"]
+    pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": texts,
+            "lang": ["en", "en", "en", "de"],
+            "source": ["w", "w", "x", "w"],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    r = data_card(spark, str(tmp_path)).head()
+    assert (r.n_docs, r.n_langs, r.n_sources) == (4, 2, 2)
+    assert r.n_tokens == 3 + 3 + 4 + 2
+    assert r.pii_frac == 0.25
+    assert r.exact_dup_frac == 0.25  # one copy beyond the keeper
+    assert r.mean_doc_tokens == 3.0
+    want_h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(r.lang_entropy - want_h) < 1e-5

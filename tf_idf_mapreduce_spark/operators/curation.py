@@ -1997,3 +1997,74 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         (F.col("n_docs") >= K_ANONYMITY_K).alias("k_anonymous"),
     ).orderBy("lang", "source", "len_bucket")
+
+
+def data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row data card a corpus release ships: shape (docs, langs,
+    sources, whitespace tokens, mean doc length), risk (PII-flagged
+    fraction), redundancy (exact-duplicate fraction — docs beyond each
+    content hash's keeper), and diversity (language entropy in nats) —
+    the summary every downstream consumer reads before the manifest.
+
+    Three scans of ``documents`` composed lazily (shape+PII fused into
+    one, the md5 content-hash rollup, the per-lang histogram), each
+    reducing to a broadcastable 1-row/lang-row relation, glued by cross
+    joins — no row-level join anywhere, so 100 TB pays scan cost only.
+    Entropy and fractions land on the floor-@6dp grid; counts are
+    exact longs. Statistics only — a release needing formal privacy
+    pairs this with ``dp_counts``/``k_anonymity``."""
+    d = load_table(spark, sf_dir, "documents")
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    shape = d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(norm_words(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+        F.sum(has_pii_expr(F.col("text")).cast("long")).alias("n_pii_docs"),
+    )
+    dup = (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n"))
+        .agg(
+            (F.sum("n") - F.count("*")).alias("n_dup_docs"),
+        )
+    )
+    ent = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_lang"))
+        .agg(
+            F.sum(F.col("n_lang").cast("decimal(38,6)")).alias("tot"),
+            F.sum(
+                F.round(
+                    -F.log(F.col("n_lang"))
+                    * F.col("n_lang").cast("double"),
+                    6,
+                ).cast("decimal(38,6)")
+            ).alias("wlog"),
+        )
+    )
+    return (
+        shape.crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "n_tokens",
+            grid(F.col("n_tokens") / F.col("n_docs")).alias(
+                "mean_doc_tokens"
+            ),
+            grid(F.col("n_pii_docs") / F.col("n_docs")).alias("pii_frac"),
+            grid(F.col("n_dup_docs") / F.col("n_docs")).alias(
+                "exact_dup_frac"
+            ),
+            # H = ln(N) - (1/N)·Σ n·ln(n): one global ln plus the
+            # rounded per-lang n·ln(n) terms summed exactly
+            grid(
+                F.log(F.col("tot").cast("double"))
+                + F.col("wlog").cast("double") / F.col("tot").cast("double")
+            ).alias("lang_entropy"),
+        )
+    )
