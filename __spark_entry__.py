@@ -1859,6 +1859,26 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM bgd JOIN lm USING (bigram)
         GROUP BY doc_id
     """,
+    # encoding hygiene: same literal character classes as the Spark
+    # expressions (regexp_extract_all counts on both engines)
+    "text_encoding_audit": f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '{ts.ENC_REPLACEMENT}'))
+                    AS BIGINT) AS n_replacement,
+               CAST(len(regexp_extract_all(text, '{ts.ENC_CONTROL_CLASS}'))
+                    AS BIGINT) AS n_control,
+               CAST(len(regexp_extract_all(text, '{ts.ENC_NON_ASCII_CLASS}'))
+                    AS BIGINT) AS n_non_ascii,
+               CASE WHEN length(text) > 0 THEN
+                 floor(len(regexp_extract_all(text, '{ts.ENC_NON_ASCII_CLASS}'))
+                       / length(text) * 1000000 + 0.5) / 1000000
+               END AS non_ascii_frac,
+               len(regexp_extract_all(text, '{ts.ENC_REPLACEMENT}')) = 0
+                 AND len(regexp_extract_all(text, '{ts.ENC_CONTROL_CLASS}')) = 0
+                 AS is_clean
+        FROM documents ORDER BY doc_id
+    """,
     # held-out LM eval: same LM build as text_lm_score but trained on
     # the split_report train bucket only, scored on val+test bigrams
     "text_lm_heldout": f"""
@@ -5404,6 +5424,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_negative_pairs": sim.negative_pairs,
         "text_lm_heldout": ts.lm_heldout_eval,
         "curate_data_card": cur.data_card,
+        "text_encoding_audit": ts.encoding_audit,
     }
 
 

@@ -400,3 +400,33 @@ def test_lm_heldout_split_replay_and_laws(spark, sf_dir):
     assert 0.0 <= row.oov_rate < 1.0
     assert row.oov_rate == round(row.n_oov / row.n_heldout_bigrams, 6)
     assert row.mean_surprisal > 0
+
+
+def test_encoding_audit_counts_planted_damage(spark, tmp_path):
+    """Planted U+FFFD, a NUL control char, and non-ASCII text are each
+    counted; tab/newline do NOT count as control damage."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.textstats import encoding_audit
+
+    texts = [
+        "clean ascii with\ttab and\nnewline",
+        "bad � decode � here",
+        "ctrl\x00char",
+        "ünïcøde tæxt",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {r.doc_id: r for r in encoding_audit(spark, str(tmp_path)).collect()}
+    assert got[0].is_clean and got[0].n_control == 0
+    assert got[1].n_replacement == 2 and not got[1].is_clean
+    assert got[2].n_control == 1 and not got[2].is_clean
+    assert got[3].is_clean and got[3].n_non_ascii == 4
+    assert got[3].non_ascii_frac == round(4 / len(texts[3]), 6)

@@ -1275,3 +1275,49 @@ def lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_surprisal",
         )
     )
+
+
+#: Encoding-hygiene character classes, written as literal chars/ranges in
+#: the Java-regex ∩ RE2 dialect (no lookaround, no \uXXXX escapes — the
+#: replacement char is embedded literally so both engines read the same
+#: pattern).
+ENC_REPLACEMENT = "�"
+ENC_CONTROL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+ENC_NON_ASCII_CLASS = "[^\\x00-\\x7f]"
+
+
+def encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus byte-hygiene scan: per document, the damage markers a
+    decode pass leaves behind — U+FFFD replacement characters (the
+    reader contract REPLACES invalid UTF-8, never drops rows, so this
+    column is where that damage becomes countable), C0 control
+    characters (minus tab/newline/CR — legitimate text), non-ASCII
+    fraction, and a clean flag — the triage relation that routes docs
+    to re-extraction before they poison a tokenizer vocabulary.
+
+    Map-only codegen regex counts over one scan, zero shuffle; the
+    fraction is long/long on the floor grid. 100 TB = scan speed."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_repl = F.size(
+        F.regexp_extract_all("text", F.lit(ENC_REPLACEMENT), F.lit(0))
+    ).cast("long")
+    n_ctrl = F.size(
+        F.regexp_extract_all("text", F.lit(ENC_CONTROL_CLASS), F.lit(0))
+    ).cast("long")
+    n_nonascii = F.size(
+        F.regexp_extract_all("text", F.lit(ENC_NON_ASCII_CLASS), F.lit(0))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    frac = F.when(
+        n_chars > 0,
+        F.floor(n_nonascii / n_chars * 1_000_000 + F.lit(0.5)) / 1_000_000,
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        n_nonascii.alias("n_non_ascii"),
+        frac.alias("non_ascii_frac"),
+        ((n_repl == 0) & (n_ctrl == 0)).alias("is_clean"),
+    ).orderBy("doc_id")
