@@ -2327,6 +2327,67 @@ _LLMDATA_ORACLE["mm_audio_features"] = f"""
 """
 
 
+#: VAD replay: same sample CTE as the audio features, framed at 16
+#: samples; segments are gaps-and-islands over the frame index among
+#: ACTIVE frames (island id = frame - dense position), all integer
+_LLMDATA_ORACLE["mm_audio_vad"] = f"""
+    WITH m AS (
+      SELECT doc_id,
+             {mm.WAV_SAMPLES_BASE} + 16 * (doc_id % 5) AS n,
+             {_WAV_PCM_HEX} AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, i,
+             CASE WHEN raw > 32767 THEN raw - 65536 ELSE raw END AS v
+      FROM (
+        SELECT doc_id, n, i,
+          CAST('0x' || substr(h, CAST(4 * i + 1 AS INT), 2) AS INT)
+          + 256 * CAST('0x' || substr(h, CAST(4 * i + 3 AS INT), 2) AS INT)
+            AS raw
+        FROM m, LATERAL unnest(generate_series(0, n - 1)) t(i)
+      )
+    ),
+    fr AS (
+      SELECT doc_id, i // {mm.VAD_FRAME_SAMPLES} AS frame,
+             sum(CAST(v AS BIGINT) * v) AS e
+      FROM s GROUP BY doc_id, frame
+    ),
+    fa AS (
+      SELECT doc_id, frame,
+             e >= CAST({mm.VAD_ENERGY_PER_SAMPLE} AS BIGINT)
+                  * {mm.VAD_FRAME_SAMPLES} AS active
+      FROM fr
+    ),
+    isl AS (
+      SELECT doc_id,
+             frame - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame) AS island
+      FROM fa WHERE active
+    ),
+    seg AS (
+      SELECT doc_id, island, count(*) AS seg_len
+      FROM isl GROUP BY doc_id, island
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(max(seg_len) AS BIGINT) AS longest_segment,
+             CAST(sum(seg_len) AS BIGINT) AS n_active
+      FROM seg GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames FROM fa
+            GROUP BY doc_id)
+    SELECT t.doc_id, t.n_frames,
+           coalesce(p.n_active, 0) AS n_active,
+           coalesce(p.n_segments, 0) AS n_segments,
+           coalesce(p.longest_segment, 0) AS longest_segment,
+           floor(coalesce(p.n_active, 0) * 1000000.0 / t.n_frames + 0.5)
+             / 1000000 AS active_ratio
+    FROM tot t LEFT JOIN per p USING (doc_id)
+    ORDER BY t.doc_id
+"""
+
 #: replay the synthetic Y4M construction: frame i of doc d is the 48-byte
 #: md5 chain keyed by its SCENE index i // (2 + d%3); SAD between
 #: consecutive frames is an integer byte-difference sum — zero within a
@@ -5425,6 +5486,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_heldout": ts.lm_heldout_eval,
         "curate_data_card": cur.data_card,
         "text_encoding_audit": ts.encoding_audit,
+        "mm_audio_vad": mm.media_audio_vad,
     }
 
 

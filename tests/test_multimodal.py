@@ -550,3 +550,48 @@ def test_phash_clusters_laws(spark, sf_dir):
     clustered = {d for a, b in near for d in (a, b)}
     for doc in set(labels) - clustered:
         assert labels[doc][0] == doc
+
+
+def test_audio_vad_islands_replay(spark, sf_dir):
+    """Python replay of the whole VAD rule from the decoded samples:
+    framing, integer threshold, and the island merge — and the laws
+    n_active = sum of segment lengths, longest <= n_active <= n_frames."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        VAD_ENERGY_PER_SAMPLE,
+        VAD_FRAME_SAMPLES,
+        decode_wav,
+        media_audio_vad,
+        wav_from_documents,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    media = {
+        r.doc_id: bytes(r.media)
+        for r in wav_from_documents(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    got = {r.doc_id: r for r in media_audio_vad(spark, sf_dir).collect()}
+    assert set(got) == set(media)
+    for doc_id, payload in list(media.items())[:20]:
+        _rate, v = decode_wav(payload)
+        v64 = v.astype(np.int64)
+        nf = len(v64) // VAD_FRAME_SAMPLES
+        e = (v64[: nf * VAD_FRAME_SAMPLES] ** 2).reshape(nf, -1).sum(axis=1)
+        active = e >= VAD_ENERGY_PER_SAMPLE * VAD_FRAME_SAMPLES
+        segs = []
+        run = 0
+        for a in active:
+            run = run + 1 if a else 0
+            if run == 1 and a:
+                segs.append(1)
+            elif a:
+                segs[-1] += 1
+        r = got[doc_id]
+        assert r.n_frames == nf
+        assert r.n_active == int(active.sum()) == sum(segs)
+        assert r.n_segments == len(segs)
+        assert r.longest_segment == (max(segs) if segs else 0)
+        assert r.longest_segment <= r.n_active <= r.n_frames
