@@ -375,9 +375,9 @@ def probe_grid_gd(spark: SparkSession, quick: bool) -> None:
         "map-side — per-partition partials are 5 numbers, the exchange "
         "is partitions x 5, and the driver receives one 4-double weight "
         "update per iteration regardless of corpus size. Per-iteration "
-        "wall is nearly FLAT in corpus size (0.13s at 2M rows vs 0.21s "
-        "at 50M — the fixed ~0.1s job-launch floor dominates until the "
-        "scan does), so effective throughput grows with rows; the "
+        "wall is nearly FLAT in corpus size (the fixed job-launch floor "
+        "dominates until the scan does), so effective throughput grows "
+        "with rows; the "
         "8-partition run shows the marginal cost is parallelism-bound, "
         "not shuffle-bound — at 1000 executors the same plan spreads the "
         "scan without any new serial piece, so training at 100 TB is "
@@ -560,7 +560,11 @@ def probe_incremental_index(spark: SparkSession, quick: bool) -> None:
         "everything while the merge's fixed costs (vocabulary join, idf "
         "re-multiply over postings) grow far slower than the corpus scan. "
         "tfidf_incremental_index pins the merge EXACT against the "
-        "one-shot oracle; this probe prices why you'd run it."
+        "one-shot oracle; this probe prices why you'd run it. At 20k "
+        "docs the ~0.5s job-launch floor eats the saving (the merge runs "
+        "more jobs than the rebuild) — the crossover sits just above "
+        "fixture scale, and everything about 100 TB is on the far side "
+        "of it."
     )
     emit()
 
@@ -734,17 +738,43 @@ def probe_m4(spark: SparkSession, quick: bool) -> None:
         "— while the window form ships every raw row through the shuffle "
         "and then sorts each bucket four ways. The gap is the shuffled-"
         "byte ratio (rows vs buckets), so it grows with points-per-bucket "
-        "— exactly the regime a 100 TB dashboard rollup lives in; with "
-        "100k types (fine buckets, few points each) the forms converge, "
-        "which is the honest boundary of the claim. events_downsample_m4 "
+        "— exactly the regime a 100 TB dashboard rollup lives in; at 2M "
+        "rows both forms are job-floor bound (a sub-1x first row is "
+        "scheduling noise), and with 100k types (fine buckets, few "
+        "points each) the forms converge — the honest boundaries of the "
+        "claim. events_downsample_m4 "
         "ships the aggregate form; its streaming twin inherits "
         "mergeability for free."
     )
     emit()
 
 
+PROBES = {
+    "p1": probe_doc_freq,
+    "p2": probe_lsh_buckets,
+    "p3": probe_prefix_sum,
+    "p4": probe_grid_gd,
+    "p5": probe_cms,
+    "p6": probe_incremental_index,
+    "p7": probe_bpe_vocab,
+    "p8": probe_m4,
+}
+
+
 def main() -> int:
     quick = "--quick" in sys.argv
+    # --only pN: run ONE section in this process and append its markdown
+    # to SCALE_PROBE.md (header written by --only p1). Sections share a
+    # JVM only within themselves: a full in-one-JVM run accumulates
+    # 20-50M-row localCheckpoint blocks and GC/page pressure that was
+    # measured to distort LATER sections by 3-6x (two full runs showed
+    # P5/P8 outliers that vanish in fresh-JVM runs), so the supported
+    # full-probe invocation is scripts/scale_probe_all.sh — one process
+    # per section.
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1]
     # the probe materializes 20-50M-row relations via localCheckpoint —
     # far past the 1g default driver heap (local mode: driver IS the
     # executor). Must be set before the JVM launches, hence here and not
@@ -753,30 +783,28 @@ def main() -> int:
         app_name="scale-probe", extra_conf={"spark.driver.memory": "48g"}
     )
     spark.sparkContext.setLogLevel("ERROR")
-    emit("# SCALE_PROBE — measured 100 TB design-claim evidence")
-    emit()
-    emit(
-        f"Probe scale: up to 50M rows / 100k docs on local[32] "
-        f"(sf0.1 fixture is ~600k lineitem rows / 5k docs). "
-        f"Deterministic hash-derived inputs; best-of-2 steady-state "
-        f"noop-sink timings{' (QUICK mode)' if quick else ''}."
-    )
-    emit()
-    probe_doc_freq(spark, quick)
-    probe_lsh_buckets(spark, quick)
-    probe_prefix_sum(spark, quick)
-    probe_grid_gd(spark, quick)
-    probe_cms(spark, quick)
-    probe_incremental_index(spark, quick)
-    probe_bpe_vocab(spark, quick)
-    probe_m4(spark, quick)
+    if only is None or only == "p1":
+        emit("# SCALE_PROBE — measured 100 TB design-claim evidence")
+        emit()
+        emit(
+            f"Probe scale: up to 50M rows / 100k docs on local[32] "
+            f"(sf0.1 fixture is ~600k lineitem rows / 5k docs). "
+            f"Deterministic hash-derived inputs; best-of-2 steady-state "
+            f"noop-sink timings{' (QUICK mode)' if quick else ''}; "
+            f"one fresh JVM per section."
+        )
+        emit()
+    for key, fn in PROBES.items():
+        if only is None or only == key:
+            fn(spark, quick)
     md = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.md",
     )
-    with open(md, "w") as f:
+    mode = "w" if (only is None or only == "p1") else "a"
+    with open(md, mode) as f:
         f.write("\n".join(LINES) + "\n")
-    print(f"wrote {md}")
+    print(f"wrote {md} ({mode})")
     return 0
 
 
