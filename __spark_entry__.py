@@ -4876,6 +4876,33 @@ _CURATION_ORACLE["curate_dp_counts"] = f"""
     FROM k ORDER BY lang, source
 """
 
+#: split-leakage matrix — the jaccard-pairs oracle nested as a scoped
+#: subquery, crossed with the split_report bucket rule
+_CURATION_ORACLE["curate_split_leakage"] = f"""
+    WITH pairs AS ({_LLMDATA_ORACLE["dedup_jaccard_pairs"]}),
+    assign AS (
+      SELECT doc_id,
+             CASE WHEN b < '{cur.SPLIT_VAL_LO}' THEN 'train'
+                  WHEN b < '{cur.SPLIT_TEST_LO}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || coalesce(text, '')), 1, 2) AS b
+            FROM documents)
+    )
+    SELECT least(a.split, b.split) AS split_a,
+           greatest(a.split, b.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN jaccard >= {cur.LEAK_JACCARD} THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_leaky,
+           max(jaccard) AS max_jaccard
+    FROM pairs p
+    JOIN assign a ON a.doc_id = p.doc_a
+    JOIN assign b ON b.doc_id = p.doc_b
+    GROUP BY split_a, split_b
+    ORDER BY split_a, split_b
+"""
+
 #: one-row data card — three document scans reduced to 1-row CTEs;
 #: entropy via H = ln(N) + (Σ round(-n·ln n, 6))/N so the only
 #: cross-engine float surface is the rounded per-lang terms + one ln
@@ -5487,6 +5514,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_data_card": cur.data_card,
         "text_encoding_audit": ts.encoding_audit,
         "mm_audio_vad": mm.media_audio_vad,
+        "curate_split_leakage": cur.split_leakage,
     }
 
 

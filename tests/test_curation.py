@@ -1159,3 +1159,43 @@ def test_data_card_on_a_planted_corpus(spark, tmp_path):
     assert r.mean_doc_tokens == 3.0
     want_h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert abs(r.lang_entropy - want_h) < 1e-5
+
+
+def test_split_leakage_laws(spark, sf_dir):
+    """Split pairs are unordered (split_a <= split_b), leaky <= pairs,
+    and the matrix recounts from composing the two source relations."""
+    import hashlib
+
+    from tf_idf_mapreduce_spark.operators.curation import (
+        LEAK_JACCARD,
+        SPLIT_TEST_LO,
+        SPLIT_VAL_LO,
+        split_leakage,
+    )
+    from tf_idf_mapreduce_spark.operators.dedup import jaccard_verified_pairs
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    def split_of(doc_id, text):
+        b = hashlib.md5(f"{doc_id}:{text or ''}".encode()).hexdigest()[:2]
+        return "train" if b < SPLIT_VAL_LO else ("val" if b < SPLIT_TEST_LO else "test")
+
+    splits = {
+        r.doc_id: split_of(r.doc_id, r.text)
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    want = {}
+    for r in jaccard_verified_pairs(spark, sf_dir).collect():
+        key = tuple(sorted((splits[r.doc_a], splits[r.doc_b])))
+        n, leak, mx = want.get(key, (0, 0, 0.0))
+        want[key] = (
+            n + 1,
+            leak + (1 if r.jaccard >= LEAK_JACCARD else 0),
+            max(mx, r.jaccard),
+        )
+    got = {
+        (r.split_a, r.split_b): (r.n_pairs, r.n_leaky, r.max_jaccard)
+        for r in split_leakage(spark, sf_dir).collect()
+    }
+    assert got == want
+    for (a, b), (n, leak, _mx) in got.items():
+        assert a <= b and 0 <= leak <= n

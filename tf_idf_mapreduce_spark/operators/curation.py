@@ -2068,3 +2068,56 @@ def data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lang_entropy"),
         )
     )
+
+
+#: Jaccard above which a cross-split near-dup pair counts as leakage.
+LEAK_JACCARD = 0.5
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE matrix: the verified near-duplicate pairs
+    crossed with each side's hash-split assignment — the eval-hygiene
+    audit that catches a held-out document whose near-twin sits in
+    train (the classic inflated-eval bug dedup-before-split exists to
+    prevent). ``dedup_cross_source_leakage`` lists cross-SOURCE pairs;
+    this is the decision REPORT over the hash split: per unordered
+    split pair, candidate-pair count, count with jaccard >=
+    LEAK_JACCARD, and the worst offender — the off-diagonal rows are
+    the eval debt, the diagonal is ordinary intra-split duplication.
+
+    Cost is the already-characterized verify stage (banded LSH, never
+    all-pairs) plus two candidate-sized joins against the map-only
+    split expression; the report is at most a 3x3 matrix. jaccard is
+    int/int division — engine-exact with no grid; max over exact
+    doubles stays exact."""
+    from .dedup import jaccard_verified_pairs
+
+    pairs = jaccard_verified_pairs(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _sample_bucket()
+    split = (
+        F.when(bucket < SPLIT_VAL_LO, "train")
+        .when(bucket < SPLIT_TEST_LO, "val")
+        .otherwise(F.lit("test"))
+    )
+    assign = d.select("doc_id", split.alias("split"))
+    pa = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a")
+    )
+    pb = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b")
+    )
+    joined = pairs.join(pa, "doc_a").join(pb, "doc_b")
+    lo = F.least("sp_a", "sp_b")
+    hi = F.greatest("sp_a", "sp_b")
+    return (
+        joined.groupBy(lo.alias("split_a"), hi.alias("split_b"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                (F.col("jaccard") >= LEAK_JACCARD).cast("long")
+            ).alias("n_leaky"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("split_a", "split_b")
+    )
