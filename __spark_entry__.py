@@ -3589,6 +3589,13 @@ _STREAMING_ORACLE["stream_downsample_m4"] = _EVENTS_ORACLE[
     "events_downsample_m4"
 ]
 
+#: the batch SQL-front-end session_window TVF lands on the SAME
+#: relation as the streaming drain (Spark merges at gap == 1800 —
+#: adjacent [t, t+gap) ranges overlap — hence the same "> 1800" rule)
+_EVENTS_ORACLE["events_session_window_sql"] = _STREAMING_ORACLE[
+    "stream_session_window"
+]
+
 _STREAMING_ORACLE["stream_upsert_snapshot"] = _TEMPORAL_ORACLE[
     "temporal_latest_snapshot"
 ]
@@ -5515,6 +5522,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_encoding_audit": ts.encoding_audit,
         "mm_audio_vad": mm.media_audio_vad,
         "curate_split_leakage": cur.split_leakage,
+        "events_session_window_sql": ev.q_session_window_sql,
     }
 
 

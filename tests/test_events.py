@@ -416,3 +416,19 @@ def test_downsample_m4_selects_the_four_extremes(spark, tmp_path):
     assert (b.n_points, b.v_first, b.v_last, b.v_min, b.v_max) == (
         1, 9.0, 9.0, 9.0, 9.0,
     )
+
+
+def test_session_window_sql_equals_streaming_twin(spark, sf_dir):
+    """The batch SQL-front-end TVF and the streaming drain must land on
+    the identical session relation (including Spark's merge-at-exact-gap
+    convention)."""
+    from tf_idf_mapreduce_spark.operators.events import q_session_window_sql
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        q_stream_session_window,
+    )
+
+    batch = sorted(map(tuple, q_session_window_sql(spark, sf_dir).collect()))
+    streamed = sorted(
+        map(tuple, q_stream_session_window(spark, sf_dir).collect())
+    )
+    assert batch == streamed

@@ -791,3 +791,30 @@ def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_sec")
     )
+
+
+def q_session_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions through the SQL front-end's ``session_window``
+    TVF in BATCH mode — the same native session operator the streaming
+    twin (``stream_session_window``) runs live, shown on the SQL
+    surface (GROUP BY user_id, session_window(ts, '30 minutes')), and
+    pinned to the identical relation: Spark's TVF merges events whose
+    [ts, ts+gap) ranges OVERLAP, so a gap of exactly 1800 s starts a
+    new session — one second tighter than the lag-based sessionizer's
+    ``diff > gap`` convention, and the shared oracle encodes exactly
+    that. Plans as one (user, assigned-window) hash aggregate after a
+    per-partition session-assignment pass — no self-join, no window
+    sort; 100 TB pays one exchange."""
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "ts_sec")
+    ev.createOrReplaceTempView("events_norm")
+    return spark.sql(
+        """
+        SELECT user_id,
+               min(ts_sec) AS session_start_sec,
+               max(ts_sec) AS session_end_sec,
+               count(*) AS n_events,
+               max(ts_sec) - min(ts_sec) AS duration_sec
+        FROM events_norm
+        GROUP BY user_id, session_window(ts, '30 minutes')
+        """
+    )
