@@ -2489,6 +2489,40 @@ _LLMDATA_ORACLE["dedup_semantic_lexical_agreement"] = f"""
     FROM u
 """
 
+#: image-vs-text agreement: same report shape, pHash near pairs on the
+#: image side instead of embedding LSH pairs
+_LLMDATA_ORACLE["mm_text_agreement"] = f"""
+    WITH lex AS (
+      SELECT doc_a, doc_b
+      FROM ({_LLMDATA_ORACLE["dedup_jaccard_pairs"]})
+      WHERE jaccard >= {dd.MINHASH_PRECISION_THRESHOLD}
+    ),
+    img AS (
+      SELECT doc_a, doc_b
+      FROM ({_LLMDATA_ORACLE["mm_phash_pairs"]})
+      WHERE is_near
+    ),
+    u AS (
+      SELECT coalesce(l.doc_a, i.doc_a) AS doc_a,
+             l.doc_a IS NOT NULL AS in_lex,
+             i.doc_a IS NOT NULL AS in_img
+      FROM lex l
+      FULL OUTER JOIN img i ON l.doc_a = i.doc_a AND l.doc_b = i.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN in_lex THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lexical_pairs,
+           CAST(sum(CASE WHEN in_img THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_image_pairs,
+           CAST(sum(CASE WHEN in_lex AND in_img THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           CAST(count(*) AS BIGINT) AS n_union,
+           CASE WHEN count(*) > 0
+                THEN floor(sum(CASE WHEN in_lex AND in_img THEN 1 ELSE 0 END)
+                           * 1000000.0 / count(*) + 0.5) / 1000000
+                ELSE 0.0 END AS pair_set_jaccard
+    FROM u
+"""
+
 #: CCNet-style tertiles: thresholds via quantile_cont (== Spark's exact
 #: interpolated percentile, the rel_percentiles convention) at the same
 #: 6dp grid; assignment compares identical rounded values on both sides
@@ -5523,6 +5557,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_vad": mm.media_audio_vad,
         "curate_split_leakage": cur.split_leakage,
         "events_session_window_sql": ev.q_session_window_sql,
+        "mm_text_agreement": mm.media_text_agreement,
     }
 
 

@@ -595,3 +595,37 @@ def test_audio_vad_islands_replay(spark, sf_dir):
         assert r.n_segments == len(segs)
         assert r.longest_segment == (max(segs) if segs else 0)
         assert r.longest_segment <= r.n_active <= r.n_frames
+
+
+def test_media_text_agreement_recounts_from_sources(spark, sf_dir):
+    """The 1-row report recounts from the two pair relations it
+    composes, and its set algebra holds (both <= each side, union =
+    lex + img - both)."""
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        MINHASH_PRECISION_THRESHOLD,
+        jaccard_verified_pairs,
+    )
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        media_phash_pairs,
+        media_text_agreement,
+    )
+
+    lex = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_verified_pairs(spark, sf_dir).collect()
+        if r.jaccard >= MINHASH_PRECISION_THRESHOLD
+    }
+    img = {
+        (r.doc_a, r.doc_b)
+        for r in media_phash_pairs(spark, sf_dir).collect()
+        if r.is_near
+    }
+    r = media_text_agreement(spark, sf_dir).head()
+    assert r.n_lexical_pairs == len(lex)
+    assert r.n_image_pairs == len(img)
+    assert r.n_both == len(lex & img)
+    assert r.n_union == len(lex | img) == (
+        r.n_lexical_pairs + r.n_image_pairs - r.n_both
+    )
+    if r.n_union:
+        assert r.pair_set_jaccard == round(r.n_both / r.n_union, 6)

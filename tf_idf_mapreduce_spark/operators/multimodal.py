@@ -1141,3 +1141,51 @@ def media_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     framing, SQL-replayable end to end."""
     m = wav_from_documents(load_table(spark, sf_dir, "documents"))
     return audio_vad(m).orderBy("doc_id")
+
+
+def media_text_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-MEDIA dedup diagnostic, the image-vs-text analogue of
+    ``dedup_semantic_lexical_agreement``: each document has both a text
+    body and a rendered image, so the pHash near-pairs and the lexical
+    (shingle-Jaccard) near-pairs should largely corroborate — the 1-row
+    report (pair counts per modality, intersection, pair-set Jaccard)
+    measures whether the cheap image pass can pre-screen for the text
+    pass (or vice versa) on a given corpus, rather than assuming it.
+
+    Both inputs are banded candidate paths (never all-pairs); the
+    agreement join runs between two candidate-sized pair relations."""
+    from .dedup import MINHASH_PRECISION_THRESHOLD, jaccard_verified_pairs
+
+    lex = (
+        jaccard_verified_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= MINHASH_PRECISION_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    img = (
+        media_phash_pairs(spark, sf_dir)
+        .where(F.col("is_near"))
+        .select("doc_a", "doc_b")
+    )
+    both = lex.withColumn("_lex", F.lit(1)).join(
+        img.withColumn("_img", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    n_lex = F.sum(F.coalesce(F.col("_lex"), F.lit(0))).cast("long")
+    n_img = F.sum(F.coalesce(F.col("_img"), F.lit(0))).cast("long")
+    n_both = F.sum(
+        F.when(
+            F.col("_lex").isNotNull() & F.col("_img").isNotNull(), 1
+        ).otherwise(0)
+    ).cast("long")
+    n_union = F.count("*").cast("long")
+    return both.agg(
+        n_lex.alias("n_lexical_pairs"),
+        n_img.alias("n_image_pairs"),
+        n_both.alias("n_both"),
+        n_union.alias("n_union"),
+        F.when(
+            n_union > 0,
+            F.floor(n_both / n_union * 1_000_000 + F.lit(0.5)) / 1_000_000,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pair_set_jaccard"),
+    )
