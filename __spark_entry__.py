@@ -1486,6 +1486,19 @@ _LLMDATA_ORACLE: dict[str, str] = {
                min(doc_id) AS keep_doc_id
         FROM documents GROUP BY 1
     """,
+    # canonicalized exact dedup: same whitespace class as the reference
+    # tokenizer's outer split, collapsed to one space before hashing
+    "dedup_exact_normalized": r"""
+        SELECT md5(c) AS canon_hash,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_variants,
+               min(doc_id) AS keep_doc_id
+        FROM (SELECT doc_id, text,
+                     trim(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ',
+                                         'g')) AS c
+              FROM documents)
+        GROUP BY canon_hash
+    """,
     "dedup_minhash_pairs": _DEDUP_CTE
     + """
         SELECT c.doc_a, c.doc_b, c.n_bands_shared,
@@ -5558,6 +5571,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_split_leakage": cur.split_leakage,
         "events_session_window_sql": ev.q_session_window_sql,
         "mm_text_agreement": mm.media_text_agreement,
+        "dedup_exact_normalized": dd.exact_dedup_normalized,
     }
 
 

@@ -529,3 +529,36 @@ def test_incremental_dedup_degenerate_splits(spark, tmp_path):
         [(i, BASE, "en", "web", len(BASE)) for i in corpus_ids], schema
     ).coalesce(1).write.parquet(f"{d2}/documents.parquet")
     assert dd.incremental_dedup(spark, d2).count() == 0
+
+
+def test_exact_dedup_normalized_absorbs_trivial_variants(spark, tmp_path):
+    """Case/whitespace variants hash to one canonical group with
+    n_variants = raw-distinct count; genuinely different text stays
+    separate."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.dedup import exact_dedup_normalized
+
+    texts = [
+        "Hello  World",
+        "hello world",
+        "HELLO\tWORLD ",
+        "different text",
+        "different text",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(5),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = exact_dedup_normalized(spark, str(tmp_path)).collect()
+    by_keeper = {r.keep_doc_id: r for r in rows}
+    assert len(rows) == 2
+    hello = by_keeper[0]
+    assert hello.n_docs == 3 and hello.n_variants == 3
+    diff = by_keeper[3]
+    assert diff.n_docs == 2 and diff.n_variants == 1

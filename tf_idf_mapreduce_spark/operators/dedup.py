@@ -1126,3 +1126,30 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_cos",
         )
     )
+
+
+def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after CANONICALIZATION — lowercase + whitespace
+    collapse + trim before hashing — the variant real pipelines run
+    next to raw-byte dedup (`exact_dedup_groups`): a mirrored page that
+    differs only in case or reflowed whitespace is the most common
+    trivial duplicate raw hashing misses. Emits the same inventory
+    shape plus how many RAW-distinct variants each canonical group
+    absorbs — `n_variants > 1` rows are exactly the docs the raw pass
+    left behind.
+
+    Same one-digest-shuffle cost as the raw pass; normalization is
+    map-only codegen regex."""
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[ \\t\\n\\r\\f]+", " ")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5("text").alias("raw_hash"), canon.alias("c"))
+        .groupBy(F.md5("c").alias("canon_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw_hash").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
