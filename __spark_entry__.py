@@ -3282,6 +3282,24 @@ _TEMPORAL_ORACLE: dict[str, str] = {
         FROM err ASOF LEFT JOIN c
           ON err.user_id = c.user_id AND err.ts_sec <= c.ts_sec
     """,
+    # pandas merge_asof tolerance= semantics: the match survives only
+    # within the staleness bound, else it is nulled VISIBLY
+    "temporal_asof_tolerance": f"""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_ns(ts) // 1000000000 AS ts_sec FROM events),
+        p AS (SELECT event_id, user_id, ts_sec FROM e
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts_sec FROM e WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts_sec,
+               CASE WHEN p.ts_sec - c.ts_sec <= {tmp.ASOF_TOLERANCE_SEC}
+                    THEN c.ts_sec END AS asof_click_sec,
+               CASE WHEN p.ts_sec - c.ts_sec <= {tmp.ASOF_TOLERANCE_SEC}
+                    THEN p.ts_sec - c.ts_sec END AS gap_sec,
+               coalesce(p.ts_sec - c.ts_sec <= {tmp.ASOF_TOLERANCE_SEC},
+                        FALSE) AS matched
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec
+    """,
     "temporal_scd2": """
         SELECT user_id,
                CAST(row_number() OVER w AS BIGINT) AS version,
@@ -5572,6 +5590,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window_sql": ev.q_session_window_sql,
         "mm_text_agreement": mm.media_text_agreement,
         "dedup_exact_normalized": dd.exact_dedup_normalized,
+        "temporal_asof_tolerance": tmp.q_asof_tolerance,
     }
 
 

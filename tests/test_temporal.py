@@ -302,3 +302,30 @@ def test_interval_union_merges_islands(spark, tmp_path):
     assert u1.max_island_sec == 2 * W + W // 2
     u2 = got[2]
     assert (u2.n_windows, u2.n_islands, u2.covered_sec) == (1, 1, W)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sf_dir):
+    """Tolerance semantics vs the unbounded as-of: fresh matches pass
+    through unchanged, stale ones are nulled with matched=false, and
+    never-matched rows stay unmatched."""
+    from tf_idf_mapreduce_spark.operators.temporal import (
+        ASOF_TOLERANCE_SEC,
+        q_asof_purchase_click,
+        q_asof_tolerance,
+    )
+
+    base = {r.event_id: r for r in q_asof_purchase_click(spark, sf_dir).collect()}
+    tol = {r.event_id: r for r in q_asof_tolerance(spark, sf_dir).collect()}
+    assert set(base) == set(tol)
+    n_stale = 0
+    for eid, b in base.items():
+        t = tol[eid]
+        if b.asof_click_sec is not None and b.gap_sec <= ASOF_TOLERANCE_SEC:
+            assert t.matched and t.asof_click_sec == b.asof_click_sec
+            assert t.gap_sec == b.gap_sec
+        else:
+            assert not t.matched
+            assert t.asof_click_sec is None and t.gap_sec is None
+            if b.asof_click_sec is not None:
+                n_stale += 1
+    assert n_stale > 0  # the fixture has stale matches to null out

@@ -532,3 +532,42 @@ def interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: max staleness an as-of match may carry before it is discarded.
+ASOF_TOLERANCE_SEC = 3600
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas ``merge_asof``'s
+    ``tolerance=``): each purchase takes its user's most recent click
+    at-or-before it ONLY if that click is within an hour — an older
+    match is attribution noise and is nulled out, visibly (``matched``
+    false), never silently kept. The production guard for the classic
+    as-of footgun: a user's single click three weeks ago "explaining"
+    today's purchase.
+
+    Same single-exchange union+window plan as ``q_asof_purchase_click``
+    — the tolerance is a post-hoc null-out expression, free at any
+    scale; the oracle applies the identical CASE to DuckDB's native
+    ASOF join."""
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_sec"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts_sec", right_cols=["ts_sec"]
+    )
+    gap = F.col("ts_sec") - F.col("ts_sec_asof")
+    fresh = gap <= ASOF_TOLERANCE_SEC
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.when(fresh, F.col("ts_sec_asof")).alias("asof_click_sec"),
+        F.when(fresh, gap).alias("gap_sec"),
+        F.coalesce(fresh, F.lit(False)).alias("matched"),
+    )
