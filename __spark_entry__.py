@@ -156,6 +156,63 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: pseudo-relevance feedback: docs fed back and expansion terms added.
+PRF_FEEDBACK_DOCS = 5
+PRF_EXPANSION_TERMS = 5
+
+
+def q_tfidf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio-style query expansion): run the
+    seed query (the corpus's 5 most frequent words, ``tfidf_search``'s
+    convention), take the top PRF_FEEDBACK_DOCS results, harvest the
+    PRF_EXPANSION_TERMS highest-tfidf NON-seed terms from them, and
+    re-search with seed + expansion — the classic recall-raising second
+    pass an IR stack runs when the first result page looks thin.
+
+    Every intermediate (seed terms, feedback docs, expansion terms) is a
+    handful of rows and BROADCASTS; the corpus-scale relation is scanned
+    through the same scored base as the other retrieval queries, so the
+    whole two-stage search costs two broadcast-join aggregations over
+    one scored relation. Deterministic tiebreaks at every boundary
+    (rounded score then word/doc id — the ``tfidf_search`` rules)."""
+    scored = q_tfidf_full(spark, sf_dir)
+    seed = (
+        scored.groupBy("word")
+        .agg(F.sum("count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(5)
+        .select("word")
+    )
+    fb_docs = (
+        scored.join(F.broadcast(seed), "word")
+        .groupBy("doc")
+        .agg(F.round(F.sum("tfidf"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(PRF_FEEDBACK_DOCS)
+        .select("doc")
+    )
+    expansion = (
+        scored.join(F.broadcast(fb_docs), "doc")
+        .join(F.broadcast(seed), "word", "left_anti")
+        .groupBy("word")
+        .agg(F.round(F.sum("tfidf"), 6).alias("w_score"))
+        .orderBy(F.desc("w_score"), F.asc("word"))
+        .limit(PRF_EXPANSION_TERMS)
+        .select("word")
+    )
+    terms = seed.union(expansion)
+    return (
+        scored.join(F.broadcast(terms), "word")
+        .groupBy("doc")
+        .agg(
+            F.round(F.sum("tfidf"), 6).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(20)
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document keyword extraction: top-3 terms by tf-idf with
     deterministic tiebreaks — the doc-level summary an indexing pipeline
@@ -5591,6 +5648,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_text_agreement": mm.media_text_agreement,
         "dedup_exact_normalized": dd.exact_dedup_normalized,
         "temporal_asof_tolerance": tmp.q_asof_tolerance,
+        "tfidf_query_expansion": q_tfidf_query_expansion,
     }
 
 
@@ -5638,6 +5696,37 @@ def oracle_sql() -> dict[str, str]:
     out.update(_LLMDATA_ORACLE)
     out.update(_TEMPORAL_ORACLE)
     out.update(_STREAMING_ORACLE)
+    # pseudo-relevance feedback: the tfidf_search chain run twice, with
+    # the expansion-term harvest between the passes
+    out["tfidf_query_expansion"] = (
+        _TOKENS_CTE
+        + f"""
+        , term_counts AS (
+          SELECT word, sum("count") AS n FROM wc GROUP BY word
+        ),
+        seed AS (SELECT word FROM term_counts
+                 ORDER BY n DESC, word ASC LIMIT 5),
+        fb AS (
+          SELECT doc FROM (
+            SELECT doc, round(sum(tfidf), 6) AS score
+            FROM scored JOIN seed USING (word) GROUP BY doc)
+          ORDER BY score DESC, doc ASC LIMIT {PRF_FEEDBACK_DOCS}
+        ),
+        expd AS (
+          SELECT word FROM (
+            SELECT s.word, round(sum(s.tfidf), 6) AS w_score
+            FROM scored s JOIN fb USING (doc)
+            WHERE s.word NOT IN (SELECT word FROM seed)
+            GROUP BY s.word)
+          ORDER BY w_score DESC, word ASC LIMIT {PRF_EXPANSION_TERMS}
+        ),
+        terms AS (SELECT word FROM seed UNION ALL SELECT word FROM expd)
+        SELECT doc, round(sum(tfidf), 6) AS score,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM scored JOIN terms USING (word)
+        GROUP BY doc ORDER BY score DESC, doc ASC LIMIT 20
+        """
+    )
     # the streaming index drain must land on the batch pipeline's relation
     out["stream_tfidf"] = out["tfidf_full"]
     # the incremental merge must land on the one-shot index, bit-for-bit

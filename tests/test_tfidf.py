@@ -187,3 +187,31 @@ def test_incremental_e2e_index_equals_one_shot_over_survivors(spark, sf_dir):
     if rejected:
         bad = [str(i) for i in rejected]
         assert got.where(F.col("doc").isin(bad)).count() == 0
+
+
+def test_query_expansion_laws(spark, sf_dir):
+    """Expansion terms are disjoint from the seed; the expanded result
+    can only gain terms per doc vs the seed search; scores stay on the
+    6dp grid with deterministic ordering."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    scored = e.q_tfidf_full(spark, sf_dir)
+    seed = {
+        r.word
+        for r in scored.groupBy("word")
+        .agg(F.sum("count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(5)
+        .collect()
+    }
+    base = {r.doc: r for r in e.q_tfidf_search(spark, sf_dir).collect()}
+    expanded = e.q_tfidf_query_expansion(spark, sf_dir).collect()
+    assert len(expanded) == 20
+    for r in expanded:
+        assert 1 <= r.n_terms <= 10
+        if r.doc in base:
+            assert r.n_terms >= base[r.doc].n_terms
+            assert r.score >= base[r.doc].score - 1e-9
+    scores = [r.score for r in expanded]
+    assert scores == sorted(scores, reverse=True)
