@@ -1886,6 +1886,53 @@ _LLMDATA_ORACLE: dict[str, str] = {
                round(o.own_cos - t.cos_c, 6) AS margin
         FROM own o JOIN other t USING (vec_id)
     """,
+    # nearest-centroid classification scorecard — same centroid + scoring
+    # chain as label_margin, argmax via the identical (cos desc, label
+    # asc) rule, counts integer-exact
+    "sim_centroid_classify": f"""
+        WITH cent AS (
+          SELECT label, i - 1 AS dim, round(avg(embedding[i]), 6) AS c
+          FROM embeddings, generate_series(1, {EMBED_DIM}) t(i)
+          GROUP BY label, i
+        ),
+        cvec AS (
+          SELECT label AS c_label, list(c ORDER BY dim) AS cv
+          FROM cent GROUP BY label
+        ),
+        scored AS (
+          SELECT e.vec_id, e.label, c.c_label,
+                 round({_cos_sql('e.embedding', 'c.cv')}, 6) AS cos_c
+          FROM embeddings e CROSS JOIN cvec c
+        ),
+        pred AS (
+          SELECT vec_id, label, c_label AS pred_label FROM (
+            SELECT vec_id, label, c_label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_c DESC, c_label ASC) AS rn
+            FROM scored) WHERE rn = 1
+        ),
+        pp AS (SELECT label, pred_label, count(*) AS n_pred
+               FROM pred GROUP BY label, pred_label),
+        wrong AS (
+          SELECT label, pred_label AS twl, n_pred AS ntw FROM (
+            SELECT label, pred_label, n_pred,
+                   row_number() OVER (PARTITION BY label
+                                      ORDER BY n_pred DESC,
+                                               pred_label ASC) AS rn
+            FROM pp WHERE pred_label <> label) WHERE rn = 1
+        )
+        SELECT p.label,
+               CAST(sum(n_pred) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN pred_label = p.label THEN n_pred
+                             ELSE 0 END) AS BIGINT) AS n_correct,
+               floor(sum(CASE WHEN pred_label = p.label THEN n_pred
+                              ELSE 0 END)
+                     / sum(n_pred) * 1000000 + 0.5) / 1000000 AS accuracy,
+               CAST(any_value(w.twl) AS BIGINT) AS top_wrong_label,
+               CAST(any_value(w.ntw) AS BIGINT) AS n_top_wrong
+        FROM pp p LEFT JOIN wrong w USING (label)
+        GROUP BY p.label ORDER BY p.label
+    """,
     "sim_knn_graph": _knn_graph_sql(sim.KNN_K),
     "sim_knn_graph_ann": _knn_graph_ann_sql(sim.KNN_K),
     "sim_triangles": _triangles_sql(sim.KNN_K),
@@ -5649,6 +5696,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_normalized": dd.exact_dedup_normalized,
         "temporal_asof_tolerance": tmp.q_asof_tolerance,
         "tfidf_query_expansion": q_tfidf_query_expansion,
+        "sim_centroid_classify": sim.centroid_classify,
     }
 
 

@@ -924,3 +924,50 @@ def test_negative_pairs_laws(spark, sf_dir):
         assert [v for _, v in want] == [
             v for _, v in sorted(rows)
         ], anchor
+
+
+def test_centroid_classify_numpy_replay(spark, sf_dir):
+    """Full numpy replay of the scorecard: rounded centroids, rounded
+    cosines, (cos desc, label asc) argmax, per-label accuracy and
+    wrong-prediction mode."""
+    import numpy as np
+
+    from tf_idf_mapreduce_spark.operators.similarity import centroid_classify
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    labels = sorted({r.label for r in rows})
+    cents = {}
+    for lab in labels:
+        m = np.array(
+            [r.embedding for r in rows if r.label == lab], dtype="float64"
+        )
+        cents[lab] = np.round(m.mean(axis=0), 6)
+    stats = {lab: [0, 0, {}] for lab in labels}  # n, correct, wrong counts
+    for r in rows:
+        x = np.array(r.embedding, dtype="float64")
+        best = None
+        for lab in labels:
+            c = cents[lab]
+            cos = round(float(x @ c / (np.linalg.norm(x) * np.linalg.norm(c))), 6)
+            key = (cos, -lab)
+            if best is None or key > best[0]:
+                best = (key, lab)
+        pred = best[1]
+        st = stats[r.label]
+        st[0] += 1
+        if pred == r.label:
+            st[1] += 1
+        else:
+            st[2][pred] = st[2].get(pred, 0) + 1
+    got = {r.label: r for r in centroid_classify(spark, sf_dir).collect()}
+    for lab in labels:
+        n, correct, wrong = stats[lab]
+        g = got[lab]
+        assert (g.n_vecs, g.n_correct) == (n, correct)
+        assert g.accuracy == round(correct / n, 6)
+        if wrong:
+            top = sorted(wrong.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            assert (g.top_wrong_label, g.n_top_wrong) == top
+        else:
+            assert g.top_wrong_label is None

@@ -2349,3 +2349,88 @@ def negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "neg_vec_id", F.col("neg_rank").cast("long"))
         .orderBy("vec_id", "neg_rank")
     )
+
+
+def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification eval: every vector is assigned
+    the label of its highest-cosine class prototype and the report
+    aggregates per true label (n, n_correct, accuracy, top wrong
+    prediction) — the 5-minute baseline every embedding-quality
+    investigation runs before training anything (``label_margin`` flags
+    individual suspect rows; this is the classifier-level scorecard).
+
+    Same scale shape as ``label_margin``: the |labels| x d centroid
+    matrix broadcasts, scoring is one map pass with a |labels|-way
+    expansion, and the report is one (vec) then one (label) aggregate —
+    the prediction argmax rides a struct max with the label tiebreak
+    DOWNWARD (lowest label wins a cosine tie, deterministically)."""
+    from ..functions.vectors import cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = (
+        label_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s.centroid,
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    cos = F.round(
+        cosine(F.col("embedding").cast("array<double>"), F.col("cvec")), 6
+    )
+    pred = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "c_label", cos.alias("cos_c"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_c").alias("c"), (-F.col("c_label")).alias("nl")
+                )
+            ).alias("best")
+        )
+        .select(
+            "label",
+            (-F.col("best.nl")).cast("long").alias("pred_label"),
+        )
+    )
+    wrong_mode = F.max(
+        F.when(
+            F.col("pred_label") != F.col("label"),
+            F.struct(F.col("n_pred").alias("n"), (-F.col("pred_label")).alias("nl")),
+        )
+    )
+    per_pair = pred.groupBy("label", "pred_label").agg(
+        F.count("*").alias("n_pred")
+    )
+    return (
+        per_pair.groupBy("label")
+        .agg(
+            F.sum("n_pred").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), F.col("n_pred"))
+                .otherwise(F.lit(0))
+            ).alias("n_correct"),
+            wrong_mode.alias("wm"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_correct",
+            (
+                F.floor(
+                    F.col("n_correct") / F.col("n_vecs") * 1_000_000
+                    + F.lit(0.5)
+                )
+                / 1_000_000
+            ).alias("accuracy"),
+            (-F.col("wm.nl")).cast("long").alias("top_wrong_label"),
+            F.col("wm.n").alias("n_top_wrong"),
+        )
+        .orderBy("label")
+    )
