@@ -3729,6 +3729,42 @@ _EVENTS_ORACLE["events_forecast_baseline"] = f"""
     FROM s JOIN pp USING (event_type) ORDER BY event_type
 """
 
+#: bot cadence screen: exact integer moment sums (gaps are seconds),
+#: variance/CV derived from identical integers on both engines
+_EVENTS_ORACLE["events_bot_score"] = f"""
+    WITH g AS (
+      SELECT user_id,
+             ts_sec - lag(ts_sec) OVER (PARTITION BY user_id
+                                        ORDER BY ts_sec, event_id) AS gap
+      FROM (SELECT user_id, event_id,
+                   epoch_ns(ts) // 1000000000 AS ts_sec FROM events)
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sum_gap,
+             CAST(sum(gap * gap) AS BIGINT) AS sum_gap2,
+             CAST(min(gap) AS BIGINT) AS min_gap
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, min_gap,
+           floor(sum_gap / n_gaps * 1000000 + 0.5) / 1000000 AS mean_gap,
+           floor((greatest(sum_gap2 / n_gaps - (sum_gap / n_gaps)
+                  * (sum_gap / n_gaps), 0.0)) * 1000000 + 0.5) / 1000000
+             AS var_gap,
+           CASE WHEN sum_gap / n_gaps > 0 THEN
+             floor(sqrt(greatest(sum_gap2 / n_gaps - (sum_gap / n_gaps)
+                        * (sum_gap / n_gaps), 0.0))
+                   / (sum_gap / n_gaps) * 1000000 + 0.5) / 1000000
+           END AS gap_cv,
+           n_gaps >= {ev.BOT_MIN_GAPS}
+             AND coalesce(sqrt(greatest(sum_gap2 / n_gaps - (sum_gap / n_gaps)
+                               * (sum_gap / n_gaps), 0.0))
+                          / (sum_gap / n_gaps) < {ev.BOT_MAX_CV}, FALSE)
+             AS bot_like
+    FROM a ORDER BY user_id
+"""
+
 #: M4 downsample: pure selections (no float arithmetic), first/last via
 #: arg_min/arg_max over the same zero-padded (ts_ns, event_id) VARCHAR
 #: key the Spark side orders min_by/max_by on.
@@ -5697,6 +5733,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof_tolerance": tmp.q_asof_tolerance,
         "tfidf_query_expansion": q_tfidf_query_expansion,
         "sim_centroid_classify": sim.centroid_classify,
+        "events_bot_score": ev.q_bot_score,
     }
 
 

@@ -432,3 +432,44 @@ def test_session_window_sql_equals_streaming_twin(spark, sf_dir):
         map(tuple, q_stream_session_window(spark, sf_dir).collect())
     )
     assert batch == streamed
+
+
+def test_bot_score_flags_metronome_user(spark, tmp_path):
+    """A user with perfectly regular 60 s gaps flags bot_like (cv 0);
+    a bursty user with the same event count does not; moments replay in
+    integers."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.events import (
+        BOT_MIN_GAPS,
+        q_bot_score,
+    )
+
+    base = 1_700_000_000
+    n = BOT_MIN_GAPS + 1
+    bursty_gaps = [1, 600] * (n // 2) + [1] * (n % 2)
+    rows = []
+    eid = 0
+    t = base
+    for _ in range(n):
+        rows.append((eid, 1, t)); eid += 1; t += 60          # metronome
+    t = base
+    for g in bursty_gaps:
+        rows.append((eid, 2, t)); eid += 1; t += g           # bursty
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows], unit="s"),
+            "user_id": [r[1] for r in rows],
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {r.user_id: r for r in q_bot_score(spark, str(tmp_path)).collect()}
+    bot = got[1]
+    assert bot.n_gaps == BOT_MIN_GAPS and bot.mean_gap == 60.0
+    assert bot.var_gap == 0.0 and bot.gap_cv == 0.0 and bot.bot_like
+    human = got[2]
+    assert human.n_gaps == BOT_MIN_GAPS and not human.bot_like
+    assert human.gap_cv > 0.3 and human.min_gap == 1

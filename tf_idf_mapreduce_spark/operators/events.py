@@ -818,3 +818,58 @@ def q_session_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, session_window(ts, '30 minutes')
         """
     )
+
+
+#: Bot heuristic: at least this many gaps, coefficient of variation of
+#: inter-event gaps below this → machine-regular cadence.
+BOT_MIN_GAPS = 20
+BOT_MAX_CV = 0.3
+
+
+def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness score per user from inter-event cadence: humans have
+    bursty, high-variance gaps; scripted traffic ticks — the screen a
+    training pipeline runs on behavioral logs before they become
+    features (bot sessions poison retention/funnel stats and RLHF-style
+    event corpora alike).
+
+    One (user, ts, id) window pass produces the gaps; the moments are
+    EXACT integer sums (Σg, Σg² as bigint — gaps are seconds, the sums
+    stay far under 2^53), so population variance and the CV flag derive
+    from identical integers on both engines, rounded on the shared @6dp
+    grid. One exchange; per-user output."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_sec"), F.asc("event_id"))
+    gaps = (
+        ev.select(
+            "user_id",
+            (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap"),
+        )
+        .where(F.col("gap").isNotNull())
+    )
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap").alias("sum_gap"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sum_gap2"),
+        F.min("gap").alias("min_gap"),
+    )
+    mean = F.col("sum_gap") / F.col("n_gaps")
+    # clamp at 0: constant gaps can land epsilon-negative in fp, and
+    # sqrt(-eps) is NaN — a null-vs-NaN parity trap across engines
+    varp = F.greatest(
+        F.col("sum_gap2") / F.col("n_gaps") - mean * mean, F.lit(0.0)
+    )
+    cv = F.when(mean > 0, F.sqrt(varp) / mean)
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        "min_gap",
+        grid(mean).alias("mean_gap"),
+        grid(varp).alias("var_gap"),
+        grid(cv).alias("gap_cv"),
+        (
+            (F.col("n_gaps") >= BOT_MIN_GAPS)
+            & F.coalesce(cv < BOT_MAX_CV, F.lit(False))
+        ).alias("bot_like"),
+    ).orderBy("user_id")
