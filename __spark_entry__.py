@@ -3794,6 +3794,9 @@ _STREAMING_ORACLE["stream_downsample_m4"] = _EVENTS_ORACLE[
     "events_downsample_m4"
 ]
 
+#: the stateful cadence drain must land on the batch bot screen
+_STREAMING_ORACLE["stream_bot_score"] = _EVENTS_ORACLE["events_bot_score"]
+
 #: the batch SQL-front-end session_window TVF lands on the SAME
 #: relation as the streaming drain (Spark merges at gap == 1800 —
 #: adjacent [t, t+gap) ranges overlap — hence the same "> 1800" rule)
@@ -5734,6 +5737,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_query_expansion": q_tfidf_query_expansion,
         "sim_centroid_classify": sim.centroid_classify,
         "events_bot_score": ev.q_bot_score,
+        "stream_bot_score": st.q_stream_bot_score,
     }
 
 

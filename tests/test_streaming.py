@@ -379,3 +379,14 @@ def test_stream_downsample_m4_equals_batch(spark, sf_dir):
         map(tuple, q_stream_downsample_m4(spark, sf_dir).collect())
     )
     assert streamed == batch
+
+
+def test_stream_bot_score_equals_batch(spark, sf_dir):
+    """Five longs of state per user must reproduce the batch cadence
+    screen row-for-row across micro-batch boundaries."""
+    from tf_idf_mapreduce_spark.operators.events import q_bot_score
+    from tf_idf_mapreduce_spark.streaming.queries import q_stream_bot_score
+
+    batch = sorted(map(tuple, q_bot_score(spark, sf_dir).collect()))
+    streamed = sorted(map(tuple, q_stream_bot_score(spark, sf_dir).collect()))
+    assert streamed == batch

@@ -741,3 +741,119 @@ def q_stream_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, "stream_m4", output_mode="complete").orderBy(
         "event_type", "bucket_sec"
     )
+
+
+BOT_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("sum_gap", LongType()),
+        StructField("sum_gap2", LongType()),
+        StructField("min_gap", LongType()),
+    ]
+)
+
+BOT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("sum_gap", LongType()),
+        StructField("sum_gap2", LongType()),
+        StructField("min_gap", LongType()),
+    ]
+)
+
+
+def _bot_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running cadence moments: state = (last_ts, n, Σg, Σg²,
+    min g) — five longs per user forever, the bounded-state form of the
+    batch screen. Gaps are a multiset invariant of equal-ts ordering,
+    so the within-batch ts sort reproduces the batch moments exactly."""
+    ts_parts = [pdf["ts_sec"] for pdf in pdfs]
+    ts = pd.concat(ts_parts).sort_values().astype("int64").to_numpy()
+    if state.exists:
+        last, n, s, s2, mn = state.get
+    else:
+        last, n, s, s2, mn = None, 0, 0, 0, None
+    for t in ts:
+        t = int(t)
+        if last is not None:
+            g = t - last
+            n += 1
+            s += g
+            s2 += g * g
+            mn = g if mn is None else min(mn, g)
+        last = t
+    state.update((last, n, s, s2, mn if mn is not None else 0))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_gaps": [n],
+            "sum_gap": [s],
+            "sum_gap2": [s2],
+            "min_gap": [mn if mn is not None else 0],
+        }
+    )
+
+
+def q_stream_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_bot_score``: the cadence moments
+    maintained live in five longs of state per user
+    (``applyInPandasWithState``), each micro-batch emitting the user's
+    RUNNING totals; the drain keeps each user's latest emission (max
+    n_gaps — counts only grow) and derives the identical
+    mean/variance/CV/flag expressions, so the finite run lands on the
+    batch relation row-for-row via the shared oracle."""
+    from ..operators.events import BOT_MAX_CV, BOT_MIN_GAPS
+
+    ev = stream_events(spark, sf_dir)
+    running = (
+        ev.select("user_id", "ts_sec")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _bot_group,
+            outputStructType=BOT_OUT_SCHEMA,
+            stateStructType=BOT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = run_to_memory(running, "stream_bot", output_mode="append")
+    latest = (
+        drained.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_gaps", "sum_gap", "sum_gap2", "min_gap")
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.n_gaps").alias("n_gaps"),
+            F.col("m.sum_gap").alias("sum_gap"),
+            F.col("m.sum_gap2").alias("sum_gap2"),
+            F.col("m.min_gap").alias("min_gap"),
+        )
+        .where(F.col("n_gaps") > 0)
+    )
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    mean = F.col("sum_gap") / F.col("n_gaps")
+    varp = F.greatest(
+        F.col("sum_gap2") / F.col("n_gaps") - mean * mean, F.lit(0.0)
+    )
+    cv = F.when(mean > 0, F.sqrt(varp) / mean)
+    return latest.select(
+        "user_id",
+        "n_gaps",
+        "min_gap",
+        grid(mean).alias("mean_gap"),
+        grid(varp).alias("var_gap"),
+        grid(cv).alias("gap_cv"),
+        (
+            (F.col("n_gaps") >= BOT_MIN_GAPS)
+            & F.coalesce(cv < BOT_MAX_CV, F.lit(False))
+        ).alias("bot_like"),
+    ).orderBy("user_id")
