@@ -1886,6 +1886,29 @@ _LLMDATA_ORACLE: dict[str, str] = {
                round(o.own_cos - t.cos_c, 6) AS margin
         FROM own o JOIN other t USING (vec_id)
     """,
+    # embedding hygiene audit: same fold norm, same status classes
+    "sim_embedding_audit": f"""
+        WITH n AS (
+          SELECT vec_id,
+                 CASE WHEN embedding IS NOT NULL
+                           AND len(embedding) = {EMBED_DIM}
+                      THEN sqrt({_dot_sql('embedding', 'embedding')})
+                 END AS nrm
+          FROM embeddings
+        ),
+        c AS (
+          SELECT CASE WHEN nrm IS NULL THEN 'null'
+                      WHEN nrm = 0.0 THEN 'zero'
+                      ELSE 'ok' END AS status,
+                 CASE WHEN nrm IS NOT NULL AND nrm <> 0.0
+                      THEN CAST(floor(nrm / {sim.EMB_AUDIT_BUCKET})
+                                AS BIGINT) END AS norm_bucket
+          FROM n
+        )
+        SELECT status, norm_bucket, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM c GROUP BY status, norm_bucket
+        ORDER BY status, norm_bucket
+    """,
     # nearest-centroid classification scorecard — same centroid + scoring
     # chain as label_margin, argmax via the identical (cos desc, label
     # asc) rule, counts integer-exact
@@ -5738,6 +5761,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_centroid_classify": sim.centroid_classify,
         "events_bot_score": ev.q_bot_score,
         "stream_bot_score": st.q_stream_bot_score,
+        "sim_embedding_audit": sim.embedding_audit,
     }
 
 

@@ -971,3 +971,48 @@ def test_centroid_classify_numpy_replay(spark, sf_dir):
             assert (g.top_wrong_label, g.n_top_wrong) == top
         else:
             assert g.top_wrong_label is None
+
+
+def test_embedding_audit_classifies_planted_damage(spark, tmp_path):
+    """Planted damage: a NULL embedding and a dimension-mismatched one
+    class as 'null', an all-zero vector as 'zero', healthy vectors land
+    in their norm buckets."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        EMBED_DIM,
+        embedding_audit,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", LongType()),
+        ]
+    )
+    rows = [
+        Row(vec_id=0, embedding=None, label=0),
+        Row(vec_id=1, embedding=[1.0] * (EMBED_DIM - 1), label=0),
+        Row(vec_id=2, embedding=[0.0] * EMBED_DIM, label=0),
+        Row(vec_id=3, embedding=[0.1] * EMBED_DIM, label=0),  # norm 0.8
+        Row(vec_id=4, embedding=[1.0] * EMBED_DIM, label=0),  # norm 8.0
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    got = {
+        (r.status, r.norm_bucket): r.n_vecs
+        for r in embedding_audit(spark, str(tmp_path)).collect()
+    }
+    assert got[("null", None)] == 2
+    assert got[("zero", None)] == 1
+    assert got[("ok", 3)] == 1   # norm 0.8 -> bucket floor(0.8/0.25)=3
+    assert got[("ok", 32)] == 1  # norm 8.0 -> bucket 32

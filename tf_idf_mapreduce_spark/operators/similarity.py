@@ -23,7 +23,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot, fold_dot_matrix_udf
+from ..functions.vectors import cosine, dot, fold_dot_matrix_udf, norm
 from ..sources.io import load_table
 from .guard import EXACT_QUADRATIC_MAX_ROWS, guard_exact_quadratic
 
@@ -2433,4 +2433,42 @@ def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wm.n").alias("n_top_wrong"),
         )
         .orderBy("label")
+    )
+
+
+#: Norm-histogram bucket width for the embedding hygiene audit.
+EMB_AUDIT_BUCKET = 0.25
+
+
+def embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus hygiene audit — the vector-side counterpart of
+    ``text_encoding_audit``: every vector classified as ``null``
+    (missing / dimension-mismatched — the fold propagates NULL), ``zero``
+    (zero norm: dead doc or failed encoder — the rows ``cosine``'s
+    guard exists for), or ``ok`` with its norm bucketed at 0.25 width —
+    the distribution a pipeline checks before trusting MIPS pruning or
+    norm-sensitive quantizers (and the audit that makes the corpus's
+    damage countable instead of silently guarded around).
+
+    Map-only norm fold + one tiny aggregate; at 100 TB this is scan
+    speed with a |buckets|-row result."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nrm = F.when(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMBED_DIM),
+        norm(F.col("embedding").cast("array<double>")),
+    )
+    status = (
+        F.when(nrm.isNull(), F.lit("null"))
+        .when(nrm == 0.0, F.lit("zero"))
+        .otherwise(F.lit("ok"))
+    )
+    bucket = F.when(
+        status == "ok", F.floor(nrm / EMB_AUDIT_BUCKET).cast("long")
+    )
+    return (
+        e.select(status.alias("status"), bucket.alias("norm_bucket"))
+        .groupBy("status", "norm_bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("status", "norm_bucket")
     )
