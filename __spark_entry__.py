@@ -3905,6 +3905,53 @@ _EVENTS_ORACLE["events_funnel"] = """
     FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
 
+def _funnel_sweep_arm_sql(wsec: int) -> str:
+    """One swept window's 1-row funnel summary — the events_funnel CTE
+    chain with the step window parameterized."""
+    return f"""
+    SELECT CAST({wsec} AS BIGINT) AS window_sec,
+           CAST(count(*) AS BIGINT) AS n_viewers,
+           CAST(count(click_sec) AS BIGINT) AS n_clicked,
+           CAST(count(purchase_sec) AS BIGINT) AS n_purchased,
+           floor(count(click_sec) / count(*) * 1000000 + 0.5) / 1000000
+             AS click_rate,
+           floor(count(purchase_sec) / count(*) * 1000000 + 0.5) / 1000000
+             AS purchase_rate
+    FROM (
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS ts_sec
+        FROM events
+      ),
+      v AS (
+        SELECT user_id, min(ts_sec) AS view_sec
+        FROM e WHERE event_type = 'view' GROUP BY user_id
+      ),
+      c AS (
+        SELECT e.user_id, min(e.ts_sec) AS click_sec
+        FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'click'
+          AND e.ts_sec > v.view_sec AND e.ts_sec <= v.view_sec + {wsec}
+        GROUP BY e.user_id
+      ),
+      p AS (
+        SELECT e.user_id, min(e.ts_sec) AS purchase_sec
+        FROM e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts_sec > c.click_sec AND e.ts_sec <= c.click_sec + {wsec}
+        GROUP BY e.user_id
+      )
+      SELECT v.user_id, c.click_sec, p.purchase_sec
+      FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    )"""
+
+
+_EVENTS_ORACLE["events_funnel_window_sweep"] = (
+    "\nUNION ALL\n".join(
+        _funnel_sweep_arm_sql(w) for w in ev.FUNNEL_SWEEP_WINDOWS
+    )
+    + "\nORDER BY window_sec"
+)
+
 _EVENTS_ORACLE["events_session_stats"] = (
     "WITH sessions AS ("
     + _EVENTS_ORACLE["events_sessionize"]
@@ -5762,6 +5809,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bot_score": ev.q_bot_score,
         "stream_bot_score": st.q_stream_bot_score,
         "sim_embedding_audit": sim.embedding_audit,
+        "events_funnel_window_sweep": ev.q_funnel_window_sweep,
     }
 
 

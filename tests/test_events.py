@@ -473,3 +473,31 @@ def test_bot_score_flags_metronome_user(spark, tmp_path):
     human = got[2]
     assert human.n_gaps == BOT_MIN_GAPS and not human.bot_like
     assert human.gap_cv > 0.3 and human.min_gap == 1
+
+
+def test_funnel_window_sweep_is_monotone(spark, sf_dir):
+    """Wider attribution windows can only ADD conversions; the 24 h arm
+    must recount the pinned events_funnel relation exactly."""
+    from tf_idf_mapreduce_spark.operators.events import (
+        FUNNEL_STEP_WINDOW_SEC,
+        q_funnel,
+        q_funnel_window_sweep,
+    )
+
+    rows = {r.window_sec: r for r in q_funnel_window_sweep(spark, sf_dir).collect()}
+    assert sorted(rows) == [3600, 21600, 86400]
+    last = None
+    for w in sorted(rows):
+        r = rows[w]
+        assert r.n_purchased <= r.n_clicked <= r.n_viewers
+        if last is not None:
+            assert r.n_clicked >= last.n_clicked
+            assert r.n_viewers == last.n_viewers
+        last = r
+    base = q_funnel(spark, sf_dir).collect()
+    arm = rows[FUNNEL_STEP_WINDOW_SEC]
+    assert arm.n_viewers == len(base)
+    assert arm.n_clicked == sum(1 for r in base if r.click_sec is not None)
+    assert arm.n_purchased == sum(
+        1 for r in base if r.purchase_sec is not None
+    )

@@ -119,18 +119,10 @@ def q_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEP_WINDOW_SEC = 24 * 3600
 
 
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-funnel analysis: per user, the first view, the first click
-    AFTER that view, and the first purchase AFTER that click — each within
-    24 h of the previous step.
-
-    Three chained window passes over the same user_id partition (one
-    exchange; each step's min is conditional on the previous step's
-    result), then one distinct-per-user aggregate that reuses the
-    clustering. Only users with at least a view appear.
-    Returns (user_id, view_sec, click_sec, purchase_sec, steps_completed).
-    """
-    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_sec")
+def _funnel_steps(ev: DataFrame, window_sec: int) -> DataFrame:
+    """Per-user (view_sec, click_sec, purchase_sec) for a given step
+    window — the chained conditional-min windows shared by ``q_funnel``
+    (its original inline body, parameterized) and the window sweep."""
     w = Window.partitionBy("user_id")
     step1 = ev.withColumn(
         "view_sec",
@@ -142,7 +134,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("event_type") == "click")
                 & (F.col("ts_sec") > F.col("view_sec"))
-                & (F.col("ts_sec") <= F.col("view_sec") + FUNNEL_STEP_WINDOW_SEC),
+                & (F.col("ts_sec") <= F.col("view_sec") + window_sec),
                 F.col("ts_sec"),
             )
         ).over(w),
@@ -153,7 +145,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("event_type") == "purchase")
                 & (F.col("ts_sec") > F.col("click_sec"))
-                & (F.col("ts_sec") <= F.col("click_sec") + FUNNEL_STEP_WINDOW_SEC),
+                & (F.col("ts_sec") <= F.col("click_sec") + window_sec),
                 F.col("ts_sec"),
             )
         ).over(w),
@@ -166,6 +158,23 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("click_sec").alias("click_sec"),
             F.min("purchase_sec").alias("purchase_sec"),
         )
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first view, the first click
+    AFTER that view, and the first purchase AFTER that click — each within
+    24 h of the previous step.
+
+    Three chained window passes over the same user_id partition (one
+    exchange; each step's min is conditional on the previous step's
+    result), then one distinct-per-user aggregate that reuses the
+    clustering. Only users with at least a view appear.
+    Returns (user_id, view_sec, click_sec, purchase_sec, steps_completed).
+    """
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_sec")
+    return (
+        _funnel_steps(ev, FUNNEL_STEP_WINDOW_SEC)
         .select(
             "user_id",
             "view_sec",
@@ -873,3 +882,49 @@ def q_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.coalesce(cv < BOT_MAX_CV, F.lit(False))
         ).alias("bot_like"),
     ).orderBy("user_id")
+
+
+#: step windows swept by the funnel sensitivity report.
+FUNNEL_SWEEP_WINDOWS = (3600, 21600, 86400)
+
+
+def q_funnel_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-window sensitivity report: the 3-step conversion funnel
+    evaluated at 1 h / 6 h / 24 h step windows in one relation — the
+    decision report (the ``banding_sweep``/``nprobe_sweep`` pattern
+    applied to product analytics) that shows how much measured
+    conversion is an artifact of the attribution window before anyone
+    ships "the" number.
+
+    One loaded events relation feeds all three chained-window funnels
+    (same user_id partition each pass); each config reduces to a 1-row
+    summary, unioned — cost is three funnel passes, output is three
+    rows, and every count is integer-exact with rates on the @6dp
+    grid."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_sec")
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    parts = []
+    for wsec in FUNNEL_SWEEP_WINDOWS:
+        f = _funnel_steps(ev, wsec)
+        parts.append(
+            f.agg(
+                F.count("*").alias("n_viewers"),
+                F.count("click_sec").alias("n_clicked"),
+                F.count("purchase_sec").alias("n_purchased"),
+            ).select(
+                F.lit(wsec).cast("long").alias("window_sec"),
+                "n_viewers",
+                "n_clicked",
+                "n_purchased",
+                grid(F.col("n_clicked") / F.col("n_viewers")).alias(
+                    "click_rate"
+                ),
+                grid(F.col("n_purchased") / F.col("n_viewers")).alias(
+                    "purchase_rate"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("window_sec")
