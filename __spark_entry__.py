@@ -1999,6 +1999,17 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM bgd JOIN lm USING (bigram)
         GROUP BY doc_id
     """,
+    "text_type_token_ratio": f"""
+        WITH w AS (
+          SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+               floor(count(DISTINCT w) / count(*) * 1000000 + 0.5)
+                 / 1000000 AS ttr
+        FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
     # encoding hygiene: same literal character classes as the Spark
     # expressions (regexp_extract_all counts on both engines)
     "text_encoding_audit": f"""
@@ -5810,6 +5821,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bot_score": st.q_stream_bot_score,
         "sim_embedding_audit": sim.embedding_audit,
         "events_funnel_window_sweep": ev.q_funnel_window_sweep,
+        "text_type_token_ratio": ts.type_token_ratio,
     }
 
 

@@ -430,3 +430,25 @@ def test_encoding_audit_counts_planted_damage(spark, tmp_path):
     assert got[2].n_control == 1 and not got[2].is_clean
     assert got[3].is_clean and got[3].n_non_ascii == 4
     assert got[3].non_ascii_frac == round(4 / len(texts[3]), 6)
+
+
+def test_type_token_ratio_hand_computed(spark, tmp_path):
+    """TTR on a hand-computable corpus; repetition craters it."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.textstats import type_token_ratio
+
+    texts = ["a b c d", "spam spam spam spam spam", "x x y"]
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {r.doc_id: r for r in type_token_ratio(spark, str(tmp_path)).collect()}
+    assert (got[0].n_tokens, got[0].n_types, got[0].ttr) == (4, 4, 1.0)
+    assert (got[1].n_tokens, got[1].n_types, got[1].ttr) == (5, 1, 0.2)
+    assert (got[2].n_tokens, got[2].n_types, got[2].ttr) == (3, 2, 0.666667)

@@ -1321,3 +1321,28 @@ def encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac.alias("non_ascii_frac"),
         ((n_repl == 0) & (n_ctrl == 0)).alias("is_clean"),
     ).orderBy("doc_id")
+
+
+def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio (distinct words /
+    words) plus the raw counts — THE standard corpus-QA diversity stat
+    (template spam and keyword stuffing crater it; ``text_repetition``
+    flags the dominant-word extreme, TTR grades the whole range).
+    One tokenize pass, one (doc, word) aggregate, ratios on the shared
+    @6dp grid — the n_types aggregate partial-combines map-side, so
+    100 TB pays the tokenize scan plus one doc-keyed exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(norm_words(F.col("text"))).alias("w")
+    )
+    per = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+    )
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        grid(F.col("n_types") / F.col("n_tokens")).alias("ttr"),
+    ).orderBy("doc_id")
