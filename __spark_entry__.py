@@ -1886,6 +1886,30 @@ _LLMDATA_ORACLE: dict[str, str] = {
                round(o.own_cos - t.cos_c, 6) AS margin
         FROM own o JOIN other t USING (vec_id)
     """,
+    # batched serving scan: one corpus pass for the whole query block
+    "sim_batch_topk": f"""
+        WITH q AS (
+          SELECT vec_id AS query_vec_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id < {sim.BATCH_TOPK_QUERIES}
+        ),
+        scored AS (
+          SELECT q.query_vec_id, e.vec_id,
+                 round({_cos_sql('e.embedding', 'q.q_emb')}, 6) AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_vec_id
+        ),
+        r AS (
+          SELECT query_vec_id, vec_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY query_vec_id
+                                         ORDER BY cos_sim DESC,
+                                                  vec_id ASC) AS BIGINT)
+                   AS rank
+          FROM scored
+        )
+        SELECT query_vec_id, vec_id, cos_sim, rank
+        FROM r WHERE rank <= {sim.DEFAULT_TOPK}
+        ORDER BY query_vec_id, rank
+    """,
     # embedding hygiene audit: same fold norm, same status classes
     "sim_embedding_audit": f"""
         WITH n AS (
@@ -5822,6 +5846,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_audit": sim.embedding_audit,
         "events_funnel_window_sweep": ev.q_funnel_window_sweep,
         "text_type_token_ratio": ts.type_token_ratio,
+        "sim_batch_topk": sim.batch_topk,
     }
 
 

@@ -1016,3 +1016,27 @@ def test_embedding_audit_classifies_planted_damage(spark, tmp_path):
     assert got[("zero", None)] == 1
     assert got[("ok", 3)] == 1   # norm 0.8 -> bucket floor(0.8/0.25)=3
     assert got[("ok", 32)] == 1  # norm 8.0 -> bucket 32
+
+
+def test_batch_topk_equals_per_query_scans(spark, sf_dir):
+    """The batched serving scan must return exactly what N separate
+    cosine_topk scans return — the amortization changes the plan, never
+    the answer."""
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        BATCH_TOPK_QUERIES,
+        batch_topk,
+        cosine_topk,
+    )
+
+    got = {}
+    for r in batch_topk(spark, sf_dir).collect():
+        got.setdefault(r.query_vec_id, []).append((r.rank, r.vec_id, r.cos_sim))
+    assert set(got) == set(range(BATCH_TOPK_QUERIES))
+    for qv in range(BATCH_TOPK_QUERIES):
+        single = [
+            (i + 1, r.vec_id, r.cos_sim)
+            for i, r in enumerate(
+                cosine_topk(spark, sf_dir, query_vec_id=qv).collect()
+            )
+        ]
+        assert sorted(got[qv]) == single, qv

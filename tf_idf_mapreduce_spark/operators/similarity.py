@@ -2472,3 +2472,48 @@ def embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("status", "norm_bucket")
     )
+
+
+#: Batch-serving query set: the first N vec_ids act as the query batch.
+BATCH_TOPK_QUERIES = 8
+
+
+def batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = BATCH_TOPK_QUERIES,
+    k: int = DEFAULT_TOPK,
+) -> DataFrame:
+    """Batched brute-force top-k — the SERVING shape: a whole query set
+    answered in ONE corpus scan instead of n_queries separate scans
+    (the amortization every batch-inference / offline-eval pipeline
+    relies on). The query block (vec_ids < n_queries) broadcasts; each
+    corpus vector scores against all of it in a bounded xN fanout; the
+    per-query top-k is one window exchange keyed by query id.
+
+    At 100 TB the scan dominates and is paid ONCE for the batch —
+    versus ``cosine_topk`` x N, which pays it N times; the window side
+    is (n_queries x corpus) rows cut to k per query. Deterministic:
+    rounded cosine, vec_id tiebreak — rank r of query q replays
+    exactly."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_vec_id"))
+        .select("query_vec_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_vec_id", "rank")
+    )
