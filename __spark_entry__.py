@@ -3097,6 +3097,56 @@ _LLMDATA_ORACLE["sim_pca_project"] = (
     FROM embeddings e, va, vb ORDER BY vec_id"""
 )
 
+#: signature-size sweep: per-seed agreements filtered to each k prefix;
+#: same verify base as the jaccard pairs, same @6dp error grid
+_LLMDATA_ORACLE["dedup_minhash_k_sweep"] = (
+    _DEDUP_CTE
+    + f"""
+    , ds AS (SELECT DISTINCT doc_id, shingle FROM shingle_rows),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN ds sa ON sa.doc_id = c.doc_a
+      JOIN ds sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    jc AS (
+      SELECT i.doc_a, i.doc_b,
+             i.n_common / (za.sz + zb.sz - i.n_common) AS jaccard
+      FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+    ),
+    ag AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.seed
+      FROM mh x JOIN mh y
+        ON x.seed = y.seed AND x.mhv = y.mhv AND x.doc_id < y.doc_id
+    ),
+    per_k AS (
+      SELECT c.doc_a, c.doc_b, k.k,
+             coalesce(sum(CASE WHEN a.seed < k.k THEN 1 ELSE 0 END), 0)
+               AS n_agree_k
+      FROM cand c
+      CROSS JOIN (VALUES {", ".join(f"({k})" for k in dd.MINHASH_K_SWEEP)})
+        k(k)
+      LEFT JOIN ag a ON a.doc_a = c.doc_a AND a.doc_b = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, k.k
+    ),
+    err AS (
+      SELECT p.k, round(abs(p.n_agree_k / p.k - j.jaccard), 6) AS e
+      FROM per_k p
+      JOIN jc j ON j.doc_a = p.doc_a AND j.doc_b = p.doc_b
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(sum(CAST(e AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*) * 1000000 + 0.5) / 1000000 AS mean_abs_err,
+           max(e) AS max_abs_err
+    FROM err GROUP BY k ORDER BY k
+    """
+)
+
 _LLMDATA_ORACLE["sim_rp_project"] = _rp_project_sql()
 _LLMDATA_ORACLE["sim_rp_distortion"] = _rp_distortion_sql()
 #: negative sampling — both ranking keys are md5 hex strings compared
@@ -5847,6 +5897,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel_window_sweep": ev.q_funnel_window_sweep,
         "text_type_token_ratio": ts.type_token_ratio,
         "sim_batch_topk": sim.batch_topk,
+        "dedup_minhash_k_sweep": dd.minhash_k_sweep,
     }
 
 

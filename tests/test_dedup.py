@@ -562,3 +562,36 @@ def test_exact_dedup_normalized_absorbs_trivial_variants(spark, tmp_path):
     assert hello.n_docs == 3 and hello.n_variants == 3
     diff = by_keeper[3]
     assert diff.n_docs == 2 and diff.n_variants == 1
+
+
+def test_minhash_k_sweep_laws(spark, sf_dir):
+    """Mean error shrinks (weakly) as k grows on the fixture; k=12's
+    per-pair estimate recounts from the pinned minhash_pairs relation."""
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        MINHASH_K_SWEEP,
+        jaccard_verified_pairs,
+        minhash_candidate_pairs,
+        minhash_k_sweep,
+    )
+
+    rows = {r.k: r for r in minhash_k_sweep(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(MINHASH_K_SWEEP)
+    ns = {r.n_pairs for r in rows.values()}
+    assert len(ns) == 1  # same candidate set at every k
+    assert rows[4].mean_abs_err >= rows[12].mean_abs_err
+    # recount k=12 against the pinned estimate relation
+    est = {
+        (r.doc_a, r.doc_b): r.n_minhash_agree / 12
+        for r in minhash_candidate_pairs(spark, sf_dir).collect()
+    }
+    true = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_verified_pairs(spark, sf_dir).collect()
+    }
+    errs = [round(abs(est[p] - true[p]), 6) for p in est]
+    import math
+
+    want_mean = math.floor(sum(errs) / len(errs) * 1_000_000 + 0.5) / 1_000_000
+    assert rows[12].n_pairs == len(errs)
+    assert abs(rows[12].mean_abs_err - want_mean) < 2e-6
+    assert rows[12].max_abs_err == max(errs)

@@ -1153,3 +1153,79 @@ def exact_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
+
+
+#: signature sizes swept by the MinHash accuracy report (prefixes of the
+#: one k=12 signature — smaller-k sketches are exact prefix subsets).
+MINHASH_K_SWEEP = (4, 8, 12)
+
+
+def minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-size sensitivity report: how accurate is the MinHash
+    Jaccard ESTIMATE at k = 4 / 8 / 12 hashes, measured against the
+    exact shingle Jaccard on the same candidate pairs — the sketch-
+    sizing decision report (the banding/threshold-sweep pattern turned
+    on the signature itself; E[err] ~ 1/sqrt(k), now measured not
+    recited).
+
+    ONE signature pass serves every k: a k-prefix of the permutation
+    list is itself a valid k-hash MinHash sketch, so the sweep slices
+    the stored signature instead of re-hashing the corpus per k; the
+    candidate set (k=12 banding) and the exact-Jaccard verify base are
+    the already-characterized passes. Per-pair errors round @6dp before
+    the DECIMAL mean, so both engines aggregate identical values."""
+    bands = minhash_bands(_docs(spark, sf_dir))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band", "key",
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first("sig_a").alias("sig_a"),
+            F.first("sig_b").alias("sig_b"),
+        )
+    )
+    truth = jaccard_verified_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    j = pairs.join(truth, ["doc_a", "doc_b"])
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    parts = []
+    for k in MINHASH_K_SWEEP:
+        agree_k = F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice("sig_a", 1, k),
+                    F.slice("sig_b", 1, k),
+                    lambda x, y: x == y,
+                ),
+                lambda m: m,
+            )
+        )
+        err = F.round(F.abs(agree_k / F.lit(k) - F.col("jaccard")), 6)
+        parts.append(
+            j.select(err.alias("e")).agg(
+                F.count("*").alias("n_pairs"),
+                grid(
+                    F.sum(F.col("e").cast("decimal(38,6)")).cast("double")
+                    / F.count("*")
+                ).alias("mean_abs_err"),
+                F.max("e").alias("max_abs_err"),
+            ).select(
+                F.lit(k).cast("long").alias("k"),
+                "n_pairs",
+                "mean_abs_err",
+                "max_abs_err",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("k")
