@@ -2023,6 +2023,21 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM bgd JOIN lm USING (bigram)
         GROUP BY doc_id
     """,
+    "text_hapax_rate": f"""
+        WITH wc AS (
+          SELECT source, w, count(*) AS n
+          FROM (SELECT source, unnest({_WORDS_SQL}) AS w FROM documents)
+          GROUP BY source, w
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_vocab,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               floor(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                     / count(*) * 1000000 + 0.5) / 1000000 AS hapax_rate
+        FROM wc GROUP BY source ORDER BY source
+    """,
     "text_type_token_ratio": f"""
         WITH w AS (
           SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
@@ -5898,6 +5913,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_type_token_ratio": ts.type_token_ratio,
         "sim_batch_topk": sim.batch_topk,
         "dedup_minhash_k_sweep": dd.minhash_k_sweep,
+        "text_hapax_rate": ts.hapax_rate,
     }
 
 

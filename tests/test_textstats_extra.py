@@ -452,3 +452,23 @@ def test_type_token_ratio_hand_computed(spark, tmp_path):
     assert (got[0].n_tokens, got[0].n_types, got[0].ttr) == (4, 4, 1.0)
     assert (got[1].n_tokens, got[1].n_types, got[1].ttr) == (5, 1, 0.2)
     assert (got[2].n_tokens, got[2].n_types, got[2].ttr) == (3, 2, 0.666667)
+
+
+def test_hapax_rate_hand_computed(spark, tmp_path):
+    """Hand-computable vocab: 'a a b c' -> vocab 3, hapax {b, c}."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.textstats import hapax_rate
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a a b", "c"],
+            "lang": ["en"] * 2,
+            "source": ["s1"] * 2,
+            "n_chars": [5, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    r = hapax_rate(spark, str(tmp_path)).head()
+    assert (r.source, r.n_vocab, r.n_hapax, r.n_tokens) == ("s1", 3, 2, 4)
+    assert r.hapax_rate == 0.666667

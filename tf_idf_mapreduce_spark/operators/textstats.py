@@ -1346,3 +1346,37 @@ def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_types",
         grid(F.col("n_types") / F.col("n_tokens")).alias("ttr"),
     ).orderBy("doc_id")
+
+
+def hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per source: vocabulary size, the count of
+    words occurring exactly once, and their ratio — the vocabulary-
+    health companion to the Zipf fit (natural text sits near 0.4-0.6
+    hapax share; template spam craters it, OCR noise inflates it).
+    Two aggregates over one tokenize scan — (source, word) counts, then
+    the per-source rollup; both partial-combine map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(norm_words(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_vocab"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_vocab",
+            "n_hapax",
+            "n_tokens",
+            grid(F.col("n_hapax") / F.col("n_vocab")).alias("hapax_rate"),
+        )
+        .orderBy("source")
+    )
