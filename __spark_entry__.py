@@ -4678,6 +4678,36 @@ _CURATION_ORACLE: dict[str, str] = {
                (cum_tokens - n_tokens) // {cur.SHARD_TOKEN_BUDGET} AS shard_id
         FROM c
     """,
+    # balance audit over the shard manifest — same CTE, shard rollup
+    "curate_shard_balance": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                   AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t
+        ),
+        m AS (
+          SELECT doc_id, n_tokens,
+                 (cum_tokens - n_tokens) // {cur.SHARD_TOKEN_BUDGET}
+                   AS shard_id
+          FROM c
+        )
+        SELECT shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc_id,
+               max(doc_id) AS last_doc_id,
+               floor(sum(n_tokens) / {float(cur.SHARD_TOKEN_BUDGET)!r}
+                     * 1000000 + 0.5) / 1000000 AS budget_utilization
+        FROM m GROUP BY shard_id ORDER BY shard_id
+    """,
     # sequence packing: same prefix sum, docs SPLIT across fixed-length
     # sequence windows; all-integer clipping arithmetic (greatest/least)
     # mirrored from curation.sequence_pack.
@@ -5914,6 +5944,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_batch_topk": sim.batch_topk,
         "dedup_minhash_k_sweep": dd.minhash_k_sweep,
         "text_hapax_rate": ts.hapax_rate,
+        "curate_shard_balance": cur.shard_balance_report,
     }
 
 

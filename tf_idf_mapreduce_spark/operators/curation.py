@@ -2121,3 +2121,35 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit over the packer's manifest: per shard its doc
+    and token totals, plus every shard's deviation from the budget —
+    the report a dataloader owner reads before training starts (a short
+    final shard is expected; a short MIDDLE shard means the packer or
+    the token counts drifted). Composes ``shard_pack`` (the two-phase
+    prefix sum); the rollup is one shard-keyed aggregate over the
+    manifest, all integers except the budget-utilization grid ratio."""
+    packed = shard_pack(spark, sf_dir)
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "first_doc_id",
+            "last_doc_id",
+            grid(
+                F.col("n_tokens") / F.lit(float(SHARD_TOKEN_BUDGET))
+            ).alias("budget_utilization"),
+        )
+        .orderBy("shard_id")
+    )
