@@ -1040,6 +1040,21 @@ def _pq_recall_sql(query_vec_id: int, k: int) -> str:
     """
 
 
+def _ivf_pq_recall_sql(query_vec_id: int, k: int, nprobe: int) -> str:
+    """Oracle for ``similarity.ivf_pq_recall`` — exact vs composed-index
+    top-k overlap, the _pq_recall_sql shape."""
+    return f"""
+        WITH exact_side AS ({_cosine_topk_sql(query_vec_id, k)}),
+        ivfpq_side AS ({_ivf_pq_topk_sql(query_vec_id, k, nprobe)}),
+        h AS (SELECT count(*) AS n_hits FROM exact_side e
+              WHERE e.vec_id IN (SELECT vec_id FROM ivfpq_side)),
+        ne AS (SELECT count(*) AS n_exact FROM exact_side)
+        SELECT h.n_hits, CAST({k} AS BIGINT) AS k, ne.n_exact,
+               floor(h.n_hits / ne.n_exact * 1000000 + 0.5)/1000000 AS recall
+        FROM h, ne
+    """
+
+
 def _ivf_pq_topk_sql(query_vec_id: int, k: int, nprobe: int) -> str:
     """Oracle for ``similarity.ivf_pq_topk`` — the composed index: coarse
     k-means replay (probe + cell assignment) from the IVF oracle, all
@@ -1827,6 +1842,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
         sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.PQ_SHORTLIST
     ),
     "sim_ivf_pq_topk": _ivf_pq_topk_sql(
+        sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
+    ),
+    "sim_ivf_pq_recall": _ivf_pq_recall_sql(
         sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
     ),
     # the nprobe tuning loop: each block replays fit+probe at its own
@@ -5945,6 +5963,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_k_sweep": dd.minhash_k_sweep,
         "text_hapax_rate": ts.hapax_rate,
         "curate_shard_balance": cur.shard_balance_report,
+        "sim_ivf_pq_recall": sim.ivf_pq_recall,
     }
 
 

@@ -1040,3 +1040,21 @@ def test_batch_topk_equals_per_query_scans(spark, sf_dir):
             )
         ]
         assert sorted(got[qv]) == single, qv
+
+
+def test_ivf_pq_recall_recounts_composed_index(spark, sf_dir):
+    """The recall row recounts from the exact scan and the composed
+    index's own top-k; composition can only lose candidates vs pure PQ
+    when the probe prunes a true neighbor's cell."""
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_recall,
+        ivf_pq_topk,
+    )
+
+    exact = {r.vec_id for r in cosine_topk(spark, sf_dir).collect()}
+    approx = {r.vec_id for r in ivf_pq_topk(spark, sf_dir).collect()}
+    r = ivf_pq_recall(spark, sf_dir).head()
+    assert r.n_exact == len(exact) and r.k == 10
+    assert r.n_hits == len(exact & approx)
+    assert r.recall == round(r.n_hits / r.n_exact, 6)

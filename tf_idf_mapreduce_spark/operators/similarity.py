@@ -2517,3 +2517,38 @@ def batch_topk(
         .where(F.col("rank") <= k)
         .orderBy("query_vec_id", "rank")
     )
+
+
+def ivf_pq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+    k: int = DEFAULT_TOPK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Recall@k of the COMPOSED IVF+PQ index against the exact cosine
+    scan — the missing cell of the measured-quality matrix (lsh/ivf/pq/
+    rp each ship a recall; the composed index now does too, pricing the
+    coarse-prune x code-quantization interaction rather than each
+    approximation alone). Same report shape and denominators as
+    ``pq_recall``; the same low-recall-on-near-uniform-fixture reading
+    applies, and the production fix is the same rerank stage."""
+    exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
+        "vec_id"
+    )
+    approx = ivf_pq_topk(
+        spark, sf_dir, query_vec_id=query_vec_id, k=k, nprobe=nprobe
+    ).select("vec_id")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    hits = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count("*").alias("n_hits")
+    )
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        "n_hits",
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
+            / 1_000_000
+        ).alias("recall"),
+    )
