@@ -3381,6 +3381,21 @@ _LLMDATA_ORACLE["dedup_clusters"] = _DEDUP_CTE.replace(
 
 # keeper-by-quality composes the clusters oracle: rewrap its final SELECT
 # as a CTE, rank members by word count within each cluster
+#: cluster-size histogram over the clusters closure; long/long share
+#: ratio on the grid (n_total attaches as a scalar, both engines)
+_LLMDATA_ORACLE["dedup_cluster_sizes"] = f"""
+    WITH cl AS ({_LLMDATA_ORACLE["dedup_clusters"]}),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY cluster_id),
+    hist AS (SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz),
+    tot AS (SELECT sum(sz * n_clusters) AS n_total FROM hist)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(sz * n_clusters AS BIGINT) AS n_docs,
+           floor(sz * n_clusters / n_total * 1000000 + 0.5) / 1000000
+             AS doc_share
+    FROM hist, tot ORDER BY cluster_size
+"""
+
 _CLUSTERS_HEAD, _CLUSTERS_FINAL = _LLMDATA_ORACLE["dedup_clusters"].rsplit(
     "SELECT d.doc_id", 1
 )
@@ -5964,6 +5979,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hapax_rate": ts.hapax_rate,
         "curate_shard_balance": cur.shard_balance_report,
         "sim_ivf_pq_recall": sim.ivf_pq_recall,
+        "dedup_cluster_sizes": dd.cluster_size_histogram,
     }
 
 

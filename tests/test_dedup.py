@@ -595,3 +595,26 @@ def test_minhash_k_sweep_laws(spark, sf_dir):
     assert rows[12].n_pairs == len(errs)
     assert abs(rows[12].mean_abs_err - want_mean) < 2e-6
     assert rows[12].max_abs_err == max(errs)
+
+
+def test_cluster_size_histogram_recounts_clusters(spark, sf_dir):
+    """The histogram recounts duplicate_clusters exactly and its doc
+    shares sum to 1 on the grid."""
+    from collections import Counter
+
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        cluster_size_histogram,
+        duplicate_clusters,
+    )
+
+    sizes = Counter(
+        Counter(
+            r.cluster_id for r in duplicate_clusters(spark, sf_dir).collect()
+        ).values()
+    )
+    got = {r.cluster_size: r for r in cluster_size_histogram(spark, sf_dir).collect()}
+    assert {k: v.n_clusters for k, v in got.items()} == dict(sizes)
+    total = sum(sz * n for sz, n in sizes.items())
+    for sz, r in got.items():
+        assert r.n_docs == sz * sizes[sz]
+    assert abs(sum(r.doc_share for r in got.values()) - 1.0) < 1e-4

@@ -1229,3 +1229,33 @@ def minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("k")
+
+
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How duplicated is this corpus, at one glance: the distribution of
+    near-duplicate cluster sizes (size 1 = unique docs) plus each size's
+    share of documents — the number that decides whether dedup is a
+    rounding error or halves the corpus, and the monitoring row a daily
+    ingest charts over time. Composes ``duplicate_clusters``; two tiny
+    aggregates over its labels; share on the @6dp grid."""
+    labels = duplicate_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    hist = sizes.groupBy("sz").agg(F.count("*").alias("n_clusters"))
+    # total as a broadcast 1-row aggregate (A4 pattern) — no driver
+    # scalar collect for something the plan can attach itself
+    total = hist.agg(
+        F.sum(F.col("sz") * F.col("n_clusters")).alias("n_total")
+    )
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).alias("n_docs"),
+            grid(
+                F.col("sz") * F.col("n_clusters") / F.col("n_total")
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
