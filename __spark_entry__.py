@@ -5980,6 +5980,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_shard_balance": cur.shard_balance_report,
         "sim_ivf_pq_recall": sim.ivf_pq_recall,
         "dedup_cluster_sizes": dd.cluster_size_histogram,
+        "tfidf_spell_suggest": rtv.spell_suggest,
     }
 
 
@@ -6020,6 +6021,41 @@ def oracle_sql() -> dict[str, str]:
         WHERE rank <= 3
         """,
     }
+    # spell suggest: same blocking (first char, exploded ±1 length) and
+    # deterministic (distance, -n, word) pick; levenshtein integer-exact
+    out["tfidf_spell_suggest"] = f"""
+        WITH vocab AS (
+          SELECT w, count(*) AS n
+          FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+          GROUP BY w
+        ),
+        rare AS (
+          SELECT w AS word, n, substr(w, 1, 1) AS blk, len(w) AS wlen
+          FROM vocab WHERE n <= {rtv.SUGGEST_RARE_MAX}
+        ),
+        freq AS (
+          SELECT w AS suggestion, n AS sug_n, substr(w, 1, 1) AS blk,
+                 len(w) + d AS wlen
+          FROM vocab, (VALUES (-1), (0), (1)) t(d)
+          WHERE n >= {rtv.SUGGEST_FREQ_MIN}
+        ),
+        cand AS (
+          SELECT r.word, r.n, f.suggestion, f.sug_n,
+                 CAST(levenshtein(r.word, f.suggestion) AS BIGINT)
+                   AS distance
+          FROM rare r JOIN freq f ON r.blk = f.blk AND r.wlen = f.wlen
+          WHERE r.word <> f.suggestion
+        ),
+        best AS (
+          SELECT word, n, suggestion, sug_n, distance,
+                 row_number() OVER (PARTITION BY word
+                                    ORDER BY distance ASC, sug_n DESC,
+                                             suggestion ASC) AS rn
+          FROM cand WHERE distance <= {rtv.SUGGEST_MAX_DIST}
+        )
+        SELECT word, n, suggestion, sug_n, distance
+        FROM best WHERE rn = 1 ORDER BY word
+    """
     out.update(_RETRIEVAL_ORACLE)
     out.update(_CURATION_ORACLE)
     out.update(_RELATIONAL_ORACLE)

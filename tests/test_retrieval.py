@@ -212,3 +212,31 @@ def test_hybrid_search_rrf_laws(spark, sf_dir):
     # descending, doc-tiebroken order
     keys = [(-r.rrf_score, r.doc) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_spell_suggest_planted_typos(spark, tmp_path):
+    """Planted corpus: 'spelling' dominates, 'speling' (1 deletion) and
+    'spellling' (1 insertion) are rare -> both suggest 'spelling';
+    'zebra' is rare with no near neighbor -> absent; frequency breaks
+    the tie between equal-distance candidates."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.retrieval import spell_suggest
+
+    base = ["spelling correct words here"] * 12 + ["sperling ok"] * 10
+    texts = base + ["speling once", "spellling twice", "zebra alone"]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {r.word: r for r in spell_suggest(spark, str(tmp_path)).collect()}
+    assert got["speling"].suggestion == "spelling"  # dist 1 beats sperling@2
+    assert got["speling"].distance == 1
+    assert got["spellling"].suggestion == "spelling"
+    assert got["spellling"].distance == 1
+    assert "zebra" not in got
