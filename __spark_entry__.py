@@ -2041,6 +2041,20 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM bgd JOIN lm USING (bigram)
         GROUP BY doc_id
     """,
+    "text_frequency_spectrum": f"""
+        WITH wc AS (
+          SELECT w, count(*) AS n
+          FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+          GROUP BY w
+        ),
+        spec AS (SELECT n, count(*) AS n_words FROM wc GROUP BY n),
+        tot AS (SELECT sum(n_words) AS n_vocab FROM spec)
+        SELECT CAST(n AS BIGINT) AS frequency,
+               CAST(n_words AS BIGINT) AS n_words,
+               floor(n_words / n_vocab * 1000000 + 0.5) / 1000000
+                 AS vocab_share
+        FROM spec, tot ORDER BY frequency
+    """,
     "text_hapax_rate": f"""
         WITH wc AS (
           SELECT source, w, count(*) AS n
@@ -5981,6 +5995,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_pq_recall": sim.ivf_pq_recall,
         "dedup_cluster_sizes": dd.cluster_size_histogram,
         "tfidf_spell_suggest": rtv.spell_suggest,
+        "text_frequency_spectrum": ts.frequency_spectrum,
     }
 
 

@@ -472,3 +472,24 @@ def test_hapax_rate_hand_computed(spark, tmp_path):
     r = hapax_rate(spark, str(tmp_path)).head()
     assert (r.source, r.n_vocab, r.n_hapax, r.n_tokens) == ("s1", 3, 2, 4)
     assert r.hapax_rate == 0.666667
+
+
+def test_frequency_spectrum_hand_computed(spark, tmp_path):
+    """'a a a b b c' -> spectrum {1:1, 2:1, 3:1}; shares are thirds."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.textstats import frequency_spectrum
+
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["a a a b b c"],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [11],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {r.frequency: r for r in frequency_spectrum(spark, str(tmp_path)).collect()}
+    assert {f: r.n_words for f, r in got.items()} == {1: 1, 2: 1, 3: 1}
+    for r in got.values():
+        assert r.vocab_share == 0.333333

@@ -1380,3 +1380,30 @@ def hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum: how many words occur exactly n
+    times — the relation behind Zipf's law (``text_zipf`` fits its
+    slope), hapax counting (``text_hapax_rate`` reads the n=1 cell),
+    and Good-Turing smoothing (whose estimator is literally built from
+    these cells). Two map-side-combined aggregates; the spectrum is at
+    most |distinct frequencies| rows — hundreds at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(norm_words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    spec = wc.groupBy("n").agg(F.count("*").alias("n_words"))
+    total = spec.agg(F.sum("n_words").alias("n_vocab"))
+    return (
+        spec.crossJoin(F.broadcast(total))
+        .select(
+            F.col("n").alias("frequency"),
+            "n_words",
+            grid(F.col("n_words") / F.col("n_vocab")).alias("vocab_share"),
+        )
+        .orderBy("frequency")
+    )
