@@ -5142,6 +5142,32 @@ _LLMDATA_ORACLE["sim_lsh_recall"] = _lsh_recall_sql(
     sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK
 )
 
+#: the ANN decision table — every recall oracle tagged and unioned
+_LLMDATA_ORACLE["sim_ann_scorecard"] = (
+    "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, n_hits, k, n_exact, recall"
+        f" FROM ({sql})"
+        for name, sql in (
+            ("lsh", _lsh_recall_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK)),
+            (
+                "ivf",
+                _ivf_recall_sql(
+                    sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
+                ),
+            ),
+            ("pq", _pq_recall_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK)),
+            (
+                "ivf_pq",
+                _ivf_pq_recall_sql(
+                    sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
+                ),
+            ),
+            ("rp", _rp_recall_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK)),
+        )
+    )
+    + "\nORDER BY method"
+)
+
 _CURATION_ORACLE["curate_split"] = f"""
     WITH b AS (
       SELECT lang,
@@ -5996,6 +6022,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": dd.cluster_size_histogram,
         "tfidf_spell_suggest": rtv.spell_suggest,
         "text_frequency_spectrum": ts.frequency_spectrum,
+        "sim_ann_scorecard": sim.ann_scorecard,
     }
 
 

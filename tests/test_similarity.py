@@ -1058,3 +1058,31 @@ def test_ivf_pq_recall_recounts_composed_index(spark, sf_dir):
     assert r.n_exact == len(exact) and r.k == 10
     assert r.n_hits == len(exact & approx)
     assert r.recall == round(r.n_hits / r.n_exact, 6)
+
+
+def test_ann_scorecard_recounts_each_method(spark, sf_dir):
+    """The scorecard's five rows equal the five individual recall
+    queries exactly."""
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        ann_scorecard,
+        ivf_pq_recall,
+        ivf_recall,
+        lsh_recall,
+        pq_recall,
+        rp_recall,
+    )
+
+    got = {r.method: r for r in ann_scorecard(spark, sf_dir).collect()}
+    assert set(got) == {"lsh", "ivf", "pq", "ivf_pq", "rp"}
+    for name, fn in (
+        ("lsh", lsh_recall),
+        ("ivf", ivf_recall),
+        ("pq", pq_recall),
+        ("ivf_pq", ivf_pq_recall),
+        ("rp", rp_recall),
+    ):
+        want = fn(spark, sf_dir).head()
+        r = got[name]
+        assert (r.n_hits, r.k, r.n_exact, r.recall) == (
+            want.n_hits, want.k, want.n_exact, want.recall,
+        ), name

