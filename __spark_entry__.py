@@ -6023,6 +6023,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_spell_suggest": rtv.spell_suggest,
         "text_frequency_spectrum": ts.frequency_spectrum,
         "sim_ann_scorecard": sim.ann_scorecard,
+        "curate_audit_dashboard": cur.audit_dashboard,
     }
 
 
@@ -6135,6 +6136,54 @@ def oracle_sql() -> dict[str, str]:
         FROM scored JOIN terms USING (word)
         GROUP BY doc ORDER BY score DESC, doc ASC LIMIT 20
         """
+    )
+    # the risk dashboard: every hygiene-audit oracle reduced to counts
+    # and unioned — assembled HERE so each arm nests the final oracle
+    def _dash_arm(name, unit, total_expr, flagged_expr, src_sql):
+        return f"""
+        SELECT '{name}' AS audit, '{unit}' AS unit,
+               CAST({total_expr} AS BIGINT) AS n_total,
+               CAST({flagged_expr} AS BIGINT) AS n_flagged,
+               floor(({flagged_expr}) / ({total_expr}) * 1000000 + 0.5)
+                 / 1000000 AS flag_rate
+        FROM ({src_sql})"""
+
+    out["curate_audit_dashboard"] = (
+        "\nUNION ALL\n".join(
+            [
+                _dash_arm(
+                    "encoding_damage", "docs", "count(*)",
+                    "sum(CASE WHEN NOT is_clean THEN 1 ELSE 0 END)",
+                    out["text_encoding_audit"],
+                ),
+                _dash_arm(
+                    "pii", "docs", "count(*)",
+                    "sum(CASE WHEN has_pii THEN 1 ELSE 0 END)",
+                    out["text_pii_scan"],
+                ),
+                _dash_arm(
+                    "exact_dup", "docs", "sum(n_docs)",
+                    "sum(n_docs) - count(*)",
+                    out["dedup_exact"],
+                ),
+                _dash_arm(
+                    "near_dup", "docs", "count(*)",
+                    "sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END)",
+                    out["dedup_clusters"],
+                ),
+                _dash_arm(
+                    "embedding_damage", "vectors", "sum(n_vecs)",
+                    "sum(CASE WHEN status <> 'ok' THEN n_vecs ELSE 0 END)",
+                    out["sim_embedding_audit"],
+                ),
+                _dash_arm(
+                    "bot_cadence", "users", "count(*)",
+                    "sum(CASE WHEN bot_like THEN 1 ELSE 0 END)",
+                    out["events_bot_score"],
+                ),
+            ]
+        )
+        + "\nORDER BY audit"
     )
     # the streaming index drain must land on the batch pipeline's relation
     out["stream_tfidf"] = out["tfidf_full"]

@@ -1239,3 +1239,36 @@ def test_shard_balance_recounts_the_manifest(spark, sf_dir):
             # the doc that OPENS the next shard started within budget,
             # so this shard's tokens spill past the budget boundary
             assert r.n_tokens >= 1
+
+
+def test_audit_dashboard_recounts_its_sources(spark, sf_dir):
+    """Each dashboard row recounts its source relation; rates obey
+    0 <= flagged <= total."""
+    import math
+
+    from tf_idf_mapreduce_spark.operators.curation import (
+        audit_dashboard,
+        pii_scan,
+    )
+    from tf_idf_mapreduce_spark.operators.dedup import duplicate_clusters
+    from tf_idf_mapreduce_spark.operators.textstats import encoding_audit
+
+    got = {r.audit: r for r in audit_dashboard(spark, sf_dir).collect()}
+    assert set(got) == {
+        "encoding_damage", "pii", "exact_dup", "near_dup",
+        "embedding_damage", "bot_cadence",
+    }
+    for r in got.values():
+        assert 0 <= r.n_flagged <= r.n_total
+        assert r.flag_rate == (
+            math.floor(r.n_flagged / r.n_total * 1_000_000 + 0.5) / 1_000_000
+        )
+    enc = encoding_audit(spark, sf_dir).collect()
+    assert got["encoding_damage"].n_total == len(enc)
+    assert got["encoding_damage"].n_flagged == sum(
+        1 for r in enc if not r.is_clean
+    )
+    pii = pii_scan(spark, sf_dir).collect()
+    assert got["pii"].n_flagged == sum(1 for r in pii if r.has_pii)
+    cl = duplicate_clusters(spark, sf_dir).collect()
+    assert got["near_dup"].n_flagged == sum(1 for r in cl if not r.is_keeper)

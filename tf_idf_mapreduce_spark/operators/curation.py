@@ -2153,3 +2153,72 @@ def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+def audit_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus RISK DASHBOARD: every hygiene audit reduced to one row
+    — (audit, unit, n_total, n_flagged, flag_rate) for encoding damage,
+    PII, exact and near duplication, embedding damage, and bot cadence
+    — the one relation a go/no-go review reads (the ``ann_scorecard``
+    pattern applied to the audit family; each arm is an already-pinned
+    relation reduced to counts, so the dashboard can only say what its
+    sources say)."""
+    from .dedup import duplicate_clusters, exact_dedup_groups
+    from .events import q_bot_score
+    from .similarity import embedding_audit
+    from .textstats import encoding_audit
+
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    def arm(name, unit, total_col, flagged_col, df):
+        return df.agg(
+            total_col.alias("n_total"), flagged_col.alias("n_flagged")
+        ).select(
+            F.lit(name).alias("audit"),
+            F.lit(unit).alias("unit"),
+            "n_total",
+            "n_flagged",
+            grid(F.col("n_flagged") / F.col("n_total")).alias("flag_rate"),
+        )
+
+    cnt = F.count("*").cast("long")
+    parts = [
+        arm(
+            "encoding_damage", "docs", cnt,
+            F.sum((~F.col("is_clean")).cast("long")),
+            encoding_audit(spark, sf_dir),
+        ),
+        arm(
+            "pii", "docs", cnt,
+            F.sum(F.col("has_pii").cast("long")),
+            pii_scan(spark, sf_dir),
+        ),
+        arm(
+            "exact_dup", "docs",
+            F.sum("n_docs").cast("long"),
+            (F.sum("n_docs") - F.count("*")).cast("long"),
+            exact_dedup_groups(spark, sf_dir),
+        ),
+        arm(
+            "near_dup", "docs", cnt,
+            F.sum((~F.col("is_keeper")).cast("long")),
+            duplicate_clusters(spark, sf_dir),
+        ),
+        arm(
+            "embedding_damage", "vectors",
+            F.sum("n_vecs").cast("long"),
+            F.sum(
+                F.when(F.col("status") != "ok", F.col("n_vecs")).otherwise(0)
+            ).cast("long"),
+            embedding_audit(spark, sf_dir),
+        ),
+        arm(
+            "bot_cadence", "users", cnt,
+            F.sum(F.col("bot_like").cast("long")),
+            q_bot_score(spark, sf_dir),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("audit")
