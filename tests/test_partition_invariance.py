@@ -100,6 +100,19 @@ QUERIES = [
     "sim_drift_report",
     # iterative min-label propagation over checkpointed media edges
     "mm_phash_clusters",
+    # window lag gaps + exact integer moment sums
+    "events_bot_score",
+    # checkpointed signature base + per-pair first(sig) selections +
+    # decimal error means across three k-slices
+    "dedup_minhash_k_sweep",
+    # broadcast-centroid argmax + two stacked aggregates
+    "sim_centroid_classify",
+    # three chained-window funnels unioned
+    "events_funnel_window_sweep",
+    # per-query row_number top-k over the broadcast query block
+    "sim_batch_topk",
+    # six audit arms composed (incl. the clusters iteration)
+    "curate_audit_dashboard",
 ]
 
 
