@@ -2041,6 +2041,28 @@ _LLMDATA_ORACLE: dict[str, str] = {
         FROM bgd JOIN lm USING (bigram)
         GROUP BY doc_id
     """,
+    "text_source_overlap": f"""
+        WITH sv AS (
+          SELECT DISTINCT source, w
+          FROM (SELECT source, unnest({_WORDS_SQL}) AS w FROM documents)
+        ),
+        sizes AS (SELECT source, count(*) AS sz FROM sv GROUP BY source),
+        inter AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_common
+          FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT i.source_a, i.source_b,
+               CAST(i.n_common AS BIGINT) AS n_common,
+               CAST(za.sz AS BIGINT) AS sz_a,
+               CAST(zb.sz AS BIGINT) AS sz_b,
+               i.n_common / (za.sz + zb.sz - i.n_common) AS vocab_jaccard
+        FROM inter i
+        JOIN sizes za ON za.source = i.source_a
+        JOIN sizes zb ON zb.source = i.source_b
+        ORDER BY source_a, source_b
+    """,
     "text_frequency_spectrum": f"""
         WITH wc AS (
           SELECT w, count(*) AS n
@@ -6024,6 +6046,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_frequency_spectrum": ts.frequency_spectrum,
         "sim_ann_scorecard": sim.ann_scorecard,
         "curate_audit_dashboard": cur.audit_dashboard,
+        "text_source_overlap": ts.source_vocab_overlap,
     }
 
 

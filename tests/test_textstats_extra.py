@@ -493,3 +493,30 @@ def test_frequency_spectrum_hand_computed(spark, tmp_path):
     assert {f: r.n_words for f, r in got.items()} == {1: 1, 2: 1, 3: 1}
     for r in got.values():
         assert r.vocab_share == 0.333333
+
+
+def test_source_overlap_hand_computed(spark, tmp_path):
+    """Three sources with known vocab sets: s1={a,b}, s2={b,c}, s3={x}."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        source_vocab_overlap,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": ["a b a", "b c", "x"],
+            "lang": ["en"] * 3,
+            "source": ["s1", "s2", "s3"],
+            "n_chars": [5, 3, 1],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_vocab_overlap(spark, str(tmp_path)).collect()
+    }
+    r = got[("s1", "s2")]
+    assert (r.n_common, r.sz_a, r.sz_b) == (1, 2, 2)
+    assert r.vocab_jaccard == 1 / 3
+    assert ("s1", "s3") not in got  # zero overlap -> no row (inner join)

@@ -1407,3 +1407,46 @@ def frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frequency")
     )
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary overlap: Jaccard of each source pair's
+    word SETS — the corpus-structure map that flags mirrored or
+    re-crawled sources by what they talk about (``curate_source_kl``
+    measures distributional drift of one source vs the corpus; this is
+    the pairwise set view). One (source, word) distinct relation
+    self-joins on word — the join carries vocabulary-sized sides, never
+    documents — then pair counts against per-source vocab sizes;
+    int/int Jaccard, engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    sv = (
+        d.select("source", F.explode(norm_words(F.col("text"))).alias("w"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count("*").alias("sz"))
+    a = sv.select(F.col("source").alias("source_a"), "w")
+    b = sv.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "sz_a",
+            "sz_b",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
