@@ -3921,6 +3921,44 @@ _EVENTS_ORACLE["events_forecast_baseline"] = f"""
     FROM s JOIN pp USING (event_type) ORDER BY event_type
 """
 
+#: transition entropy over the counts relation; same exact-integer
+#: entropy recipe as the data card's language entropy
+_EVENTS_ORACLE["events_transition_entropy"] = """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    top AS (
+      SELECT src, dst AS top_dst, n AS top_n FROM (
+        SELECT src, dst, n,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY n DESC, dst ASC) AS rn
+        FROM c) WHERE rn = 1
+    ),
+    a AS (
+      SELECT src, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n_dst_types,
+             sum(CAST(round(-ln(n) * CAST(n AS DOUBLE), 6)
+                      AS DECIMAL(38,6))) AS wlog
+      FROM c GROUP BY src
+    )
+    SELECT a.src, a.tot AS n_transitions, a.n_dst_types,
+           floor((ln(CAST(a.tot AS DOUBLE))
+                  + CAST(a.wlog AS DOUBLE) / CAST(a.tot AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS entropy_nats,
+           t.top_dst,
+           floor(t.top_n / a.tot * 1000000 + 0.5) / 1000000 AS top_p
+    FROM a JOIN top t USING (src)
+    ORDER BY src
+"""
+
 #: bot cadence screen: exact integer moment sums (gaps are seconds),
 #: variance/CV derived from identical integers on both engines
 _EVENTS_ORACLE["events_bot_score"] = f"""
@@ -6047,6 +6085,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_scorecard": sim.ann_scorecard,
         "curate_audit_dashboard": cur.audit_dashboard,
         "text_source_overlap": ts.source_vocab_overlap,
+        "events_transition_entropy": ev.q_transition_entropy,
     }
 
 

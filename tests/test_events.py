@@ -501,3 +501,41 @@ def test_funnel_window_sweep_is_monotone(spark, sf_dir):
     assert arm.n_purchased == sum(
         1 for r in base if r.purchase_sec is not None
     )
+
+
+def test_transition_entropy_extremes(spark, tmp_path):
+    """A deterministic A->B chain has zero entropy and top_p 1; a
+    two-way uniform split from C has entropy ln 2."""
+    import math
+
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.events import q_transition_entropy
+
+    base = 1_700_000_000
+    rows = []
+    eid = 0
+    # user 1: strict A B A B ... -> src A always goes to B
+    for i in range(10):
+        rows.append((eid, 1, base + i * 10, "A" if i % 2 == 0 else "B")); eid += 1
+    # user 2: C->D, C->E alternating via C D C E C D C E ...
+    seq = ["C", "D", "C", "E"] * 3
+    for i, t in enumerate(seq):
+        rows.append((eid, 2, base + i * 10, t)); eid += 1
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[2] for r in rows], unit="s"),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {r.src: r for r in q_transition_entropy(spark, str(tmp_path)).collect()}
+    a = got["A"]
+    assert a.top_dst == "B" and a.top_p == 1.0 and a.entropy_nats == 0.0
+    c = got["C"]
+    assert c.n_dst_types == 2
+    assert abs(c.entropy_nats - math.log(2)) < 1e-5
+    assert c.top_dst == "D"  # tie on 3/3? D appears 3x, E 2x (last C ends seq)

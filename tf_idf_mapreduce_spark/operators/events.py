@@ -928,3 +928,60 @@ def q_funnel_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("window_sec")
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predictability of the event stream, per source type: the Shannon
+    entropy of each type's next-event distribution plus its modal next
+    step — near-zero entropy means scripted/deterministic flows (the
+    distribution-level cousin of the per-user ``events_bot_score``
+    cadence screen), high entropy means genuinely exploratory behavior;
+    the number that says whether a first-order model
+    (``events_transitions``) can predict anything at all.
+
+    Runs entirely on the |types|^2 counts relation after the one
+    sequence shuffle; entropy uses the exact-integer form
+    H = ln(N) + (Σ round(-n·ln n, 6))/N (the ``data_card`` recipe) so
+    the only float surface is rounded per-cell terms plus one ln."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    )
+    top = (
+        counts.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("top_dst"), F.col("n").alias("top_n"))
+    )
+    agg = counts.groupBy("src").agg(
+        F.sum("n").alias("tot"),
+        F.count("*").alias("n_dst_types"),
+        F.sum(
+            F.round(-F.log("n") * F.col("n").cast("double"), 6).cast(
+                "decimal(38,6)"
+            )
+        ).alias("wlog"),
+    )
+    return (
+        agg.join(top, "src")
+        .select(
+            "src",
+            F.col("tot").alias("n_transitions"),
+            "n_dst_types",
+            grid(
+                F.log(F.col("tot").cast("double"))
+                + F.col("wlog").cast("double") / F.col("tot").cast("double")
+            ).alias("entropy_nats"),
+            "top_dst",
+            grid(F.col("top_n") / F.col("tot")).alias("top_p"),
+        )
+        .orderBy("src")
+    )
