@@ -1051,12 +1051,15 @@ def test_pii_redact_rewrites_spans_and_preserves_clean_text(spark, tmp_path):
     assert got[2].clean_text == docs[2] and not got[2].changed
 
 
-def test_dp_counts_noise_is_laplace_and_true_counts_stay_private(
+def test_dp_counts_deterministic_noise_injection_replays(
     spark, tmp_path
 ):
-    """The release must (a) never emit the true count, (b) add exactly
-    the inverse-CDF Laplace noise a Python replay derives from the same
-    md5 uniform, (c) be reproducible — same partition, same noise."""
+    """The demo release must (a) not emit a column named n_true,
+    (b) add exactly the inverse-CDF Laplace-shaped noise a Python
+    replay derives from the same md5 uniform — which is also the proof
+    that the noise is PUBLIC and recomputable, i.e. this is a
+    noise-injection demo, not a DP release — and (c) be reproducible:
+    same partition, same noise."""
     import hashlib
     import math
 

@@ -1913,28 +1913,31 @@ def bpe_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: ε for the DP histogram release; count queries have sensitivity 1, so
-#: the Laplace scale is 1/ε.
+#: Scale parameter for the Laplace-SHAPED demo noise below; kept under
+#: the historical name for registry/pin stability. NOT a privacy budget
+#: — see the dp_counts docstring.
 DP_EPSILON = 1.0
 
 
 def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-differentially-private (lang, source) histogram release — the
-    data-card statistic a corpus publisher can share when the raw
-    counts themselves are sensitive (tiny cells reveal membership).
-    Laplace mechanism, sensitivity 1: released = count + Lap(1/ε).
+    """DETERMINISTIC Laplace-shaped noise injection over the
+    (lang, source) histogram — a mechanism-shape demo, **NOT a
+    differential-privacy release**. The noise is a pure function of the
+    PUBLIC group key (inverse-CDF of an md5 uniform: t = u - 1/2,
+    noise = -b·sign(t)·ln(1-2|t|)), so any consumer can recompute it
+    and subtract it from n_released to recover the exact count. A real
+    ε-DP Laplace release requires noise drawn from SECRET randomness
+    (a seed supplied out-of-band, never embedded in code or oracle);
+    this operator exists to pin the release PLUMBING — group-keyed
+    noise attach, sensitivity-1 scale b = 1/ε-shaped parameterization,
+    the @6dp grid both engines land on — so swapping in a secret seed
+    source is a one-expression change. Until then, treat n_released as
+    exactly as sensitive as the raw count.
 
-    The noise is DETERMINISTIC, derived from the group key (inverse-CDF
-    of the md5 uniform ``hash_sample``/``importance_resample`` already
-    use: t = u - 1/2, noise = -b·sign(t)·ln(1-2|t|)) — a pipeline that
-    re-releases the same partition gets the same noise, which is
-    exactly what DP composition wants (re-randomizing every read would
-    burn ε per read; fixed noise per release burns it once). u is never
-    0.5 and never 0/1 by the +0.5/2^32 centering, so sign and ln are
-    total. One count shuffle; noise is map-side on group-sized data;
-    both engines land on the floor-@6dp grid the Gumbel keys use (the
-    double-ln ulp argument is identical). The TRUE count never appears
-    in the output — that is the mechanism's whole contract."""
+    u is never 0.5 and never 0/1 by the +0.5/2^32 centering, so sign
+    and ln are total. One count shuffle; noise is map-side on
+    group-sized data; both engines land on the floor-@6dp grid the
+    Gumbel keys use (the double-ln ulp argument is identical)."""
     d = load_table(spark, sf_dir, "documents").select("lang", "source")
     g = d.groupBy("lang", "source").agg(F.count("*").alias("n_true"))
     h = F.md5(

@@ -900,7 +900,12 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
     from ..sources.io import table_fingerprint
     from .similarity import _nearest_centroid_udf, ivf_centroids
 
+    # applicationId in the key: unlike the plain-list model caches, this
+    # cache holds a checkpointed DataFrame whose blocks die with the
+    # SparkContext — a hit from a previous (stopped) session would hand
+    # every consumer a DataFrame bound to dead executors.
     cache_key = (
+        spark.sparkContext.applicationId,
         sf_dir,
         table_fingerprint(sf_dir, "documents"),
         table_fingerprint(sf_dir, "embeddings"),

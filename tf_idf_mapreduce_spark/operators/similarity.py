@@ -452,24 +452,18 @@ def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"),
         _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
     )
+    # keep rule comes from textstats.quality_exprs — the single
+    # definition features_table was refactored to share; re-inlining it
+    # here would silently desynchronize this report when the canonical
+    # rule changes
+    from .textstats import quality_exprs
+
+    q = quality_exprs(F.col("text"), norm_words(F.col("text")))
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        F.size(norm_words(F.col("text"))).cast("long").alias("n_words"),
-        (
-            (F.size(norm_words(F.col("text"))) >= 10)
-            & F.when(
-                F.length("text") > 0,
-                (
-                    F.length("text")
-                    - F.length(F.regexp_replace(F.col("text"), r"\p{P}", ""))
-                )
-                / F.length("text")
-                < 0.3,
-            ).otherwise(F.lit(False))
-        )
-        .cast("long")
-        .alias("keep"),
+        q["n_words"].alias("n_words"),
+        q["keep"].cast("long").alias("keep"),
     )
     j = assigned.join(d, "doc_id")
     prof = j.groupBy("cid").agg(
@@ -1115,12 +1109,17 @@ def _embeddings_fingerprint(sf_dir: str) -> tuple:
         st = os.stat(path)
         stats.append((path, st.st_mtime_ns, st.st_size))
     elif os.path.isdir(path):
+        # sort _dirs in-place: os.walk yields subdirectories in
+        # filesystem order, so without this the tuple ordering (hence
+        # cache hits) depends on inode layout; sorting stats at the end
+        # makes equal trees fingerprint equal regardless of walk order
         for root, _dirs, files in os.walk(path):
+            _dirs.sort()
             for f in sorted(files):
                 p = os.path.join(root, f)
                 st = os.stat(p)
                 stats.append((p, st.st_mtime_ns, st.st_size))
-    return tuple(stats)
+    return tuple(sorted(stats))
 
 
 def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:

@@ -214,8 +214,11 @@ def merge_index(old_corpus: DataFrame, new_corpus: DataFrame) -> DataFrame:
             ).alias("df"),
         )
     )
-    n_total = old_n.crossJoin(
-        new_n.withColumnRenamed("nx", "nx_new")
+    # both sides are 1-row aggregates — broadcast-pin the attach like
+    # every other scalar cross join in the codebase instead of leaving
+    # the strategy to AQE
+    n_total = F.broadcast(old_n).crossJoin(
+        F.broadcast(new_n.withColumnRenamed("nx", "nx_new"))
     ).select((F.col("nx") + F.col("nx_new")).alias("total_docs"))
     scored = tfidf(
         postings.join(df_merged, "word").crossJoin(F.broadcast(n_total)),

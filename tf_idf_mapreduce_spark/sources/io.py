@@ -303,9 +303,14 @@ def table_fingerprint(sf_dir: str, table: str) -> tuple:
         st = os.stat(path)
         stats.append((path, st.st_mtime_ns, st.st_size))
     elif os.path.isdir(path):
+        # sort _dirs in-place: os.walk yields subdirectories in
+        # filesystem order, so without this the tuple ordering (hence
+        # cache hits) depends on inode layout; sorting stats at the end
+        # makes equal trees fingerprint equal regardless of walk order
         for root, _dirs, files in os.walk(path):
+            _dirs.sort()
             for f in sorted(files):
                 p = os.path.join(root, f)
                 st = os.stat(p)
                 stats.append((p, st.st_mtime_ns, st.st_size))
-    return tuple(stats)
+    return tuple(sorted(stats))

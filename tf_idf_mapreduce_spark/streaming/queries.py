@@ -750,6 +750,7 @@ BOT_STATE_SCHEMA = StructType(
         StructField("sum_gap", LongType()),
         StructField("sum_gap2", LongType()),
         StructField("min_gap", LongType()),
+        StructField("n_late", LongType()),
     ]
 )
 
@@ -760,6 +761,7 @@ BOT_OUT_SCHEMA = StructType(
         StructField("sum_gap", LongType()),
         StructField("sum_gap2", LongType()),
         StructField("min_gap", LongType()),
+        StructField("n_late", LongType()),
     ]
 )
 
@@ -770,25 +772,35 @@ def _bot_group(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Per-user running cadence moments: state = (last_ts, n, Σg, Σg²,
-    min g) — five longs per user forever, the bounded-state form of the
-    batch screen. Gaps are a multiset invariant of equal-ts ordering,
-    so the within-batch ts sort reproduces the batch moments exactly."""
+    min g, n_late) — six longs per user forever, the bounded-state form
+    of the batch screen. Gaps are a multiset invariant of equal-ts
+    ordering, so the within-batch ts sort reproduces the batch moments
+    exactly WHEN delivery is per-user in-order across micro-batches.
+    Cross-batch stragglers (an event older than last_ts arriving in a
+    later batch) would make t - last negative and silently corrupt the
+    moments — those gaps are SKIPPED and counted in ``n_late``, the
+    visible divergence meter: n_late = 0 certifies the moments equal the
+    batch relation; n_late > 0 quantifies exactly how many gaps the
+    bounded-state screen dropped."""
     ts_parts = [pdf["ts_sec"] for pdf in pdfs]
     ts = pd.concat(ts_parts).sort_values().astype("int64").to_numpy()
     if state.exists:
-        last, n, s, s2, mn = state.get
+        last, n, s, s2, mn, late = state.get
     else:
-        last, n, s, s2, mn = None, 0, 0, 0, None
+        last, n, s, s2, mn, late = None, 0, 0, 0, None, 0
     for t in ts:
         t = int(t)
         if last is not None:
             g = t - last
+            if g < 0:
+                late += 1
+                continue
             n += 1
             s += g
             s2 += g * g
             mn = g if mn is None else min(mn, g)
-        last = t
-    state.update((last, n, s, s2, mn if mn is not None else 0))
+        last = t if last is None else max(last, t)
+    state.update((last, n, s, s2, mn if mn is not None else 0, late))
     yield pd.DataFrame(
         {
             "user_id": [int(key[0])],
@@ -796,6 +808,7 @@ def _bot_group(
             "sum_gap": [s],
             "sum_gap2": [s2],
             "min_gap": [mn if mn is not None else 0],
+            "n_late": [late],
         }
     )
 
