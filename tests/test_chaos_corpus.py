@@ -116,3 +116,111 @@ def test_chaos_events_never_abort(spark, chaos_events_dir, name):
 
     rows = entrymod.queries()[name](spark, chaos_events_dir).collect()
     assert rows is not None
+
+
+# --- real-codec decoder chaos: the three dependency-free codecs --------
+#
+# Same contract as the text/events passes, applied to the media kernels:
+# a truncated RIFF chunk table, a zero-frame / malformed Y4M, and a 1x1
+# or raster-truncated P6 PPM must flow through the Arrow kernels without
+# a job abort — corrupt payloads surface as structured-NULL rows, valid
+# edge-case payloads decode for real.
+
+
+def _good_wav(samples):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _media_df(spark, payloads):
+    rows = [(i, bytearray(p), "x", len(p)) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(
+        rows, "doc_id long, media binary, media_format string, n_bytes long"
+    )
+
+
+def test_chaos_wav_kernels_null_not_abort(spark):
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        audio_features,
+        audio_vad,
+    )
+
+    good = _good_wav([0, 1000, -1000, 2000, 0, 0, 0, 0])
+    payloads = [
+        good,
+        b"",                              # empty blob
+        b"RIFF\x10\x00\x00\x00WAVE",      # header only, no chunks
+        good[:30],                        # truncated mid-chunk-table
+        b"RIFF\x08\x00\x00\x00JUNK",      # wrong form type
+        good[:20] + b"\xff" * 4 + good[24:],  # fmt chunk size lies
+    ]
+    got = {r.doc_id: r for r in audio_features(_media_df(spark, payloads)).collect()}
+    assert len(got) == len(payloads)
+    assert got[0].sample_rate == 8000 and got[0].n_samples == 8
+    assert got[0].peak == 2000 and got[0].energy > 0
+    for bad in (1, 2, 3, 4, 5):
+        assert got[bad].sample_rate is None and got[bad].energy is None
+    vad = {r.doc_id: r for r in audio_vad(_media_df(spark, payloads)).collect()}
+    assert vad[0].n_frames is not None
+    for bad in (1, 2, 3, 4, 5):
+        assert vad[bad].n_frames is None and vad[bad].active_ratio is None
+
+
+def test_chaos_y4m_kernel_null_not_abort(spark):
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        Y4M_FRAME_BYTES,
+        scene_cuts,
+    )
+
+    head = b"YUV4MPEG2 W4 H4 F25:1 C444\n"
+    frame = lambda b: b"FRAME\n" + bytes([b]) * Y4M_FRAME_BYTES
+    payloads = [
+        head + frame(0) + frame(255),     # one real cut
+        head,                             # ZERO frames — valid, no pairs
+        head + frame(0)[: 20],            # truncated frame
+        b"not a y4m at all",              # no header
+        b"YUV4MPEG2 W-4 H4 C444\n",       # negative dim (idx-walk trap)
+        head + b"FRAME\n"[:3],            # malformed FRAME marker
+        b"YUV4MPEG2 W4 H4 C420\n",        # unsupported chroma
+    ]
+    rows = scene_cuts(_media_df(spark, payloads)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [ (r.frame_idx, r.sad, r.is_cut) for r in by_doc[0] ] == [
+        (1, 255 * Y4M_FRAME_BYTES, True)
+    ]
+    assert 1 not in by_doc  # zero frames -> zero pairs, clean decode
+    for bad in (2, 3, 4, 5, 6):
+        assert [(r.frame_idx, r.sad, r.is_cut) for r in by_doc[bad]] == [
+            (None, None, None)
+        ]
+
+
+def test_chaos_ppm_kernels_null_not_abort(spark):
+    from tf_idf_mapreduce_spark.operators.multimodal import (
+        ahash_images,
+        resize_thumbnails,
+    )
+
+    one_px = b"P6\n1 1\n255\n\x80\x40\x20"       # 1x1 — valid minimum
+    payloads = [
+        one_px,
+        b"P6\n4 4\n255\n" + b"\x01" * 10,         # truncated raster
+        b"P6\n",                                  # header cut mid-dims
+        b"P6\n4 4\n65535\n" + b"\x00" * 96,       # 2-byte maxval
+        b"P6\n# only a comment",                  # comment to EOF
+    ]
+    thumbs = {r.doc_id: r for r in resize_thumbnails(_media_df(spark, payloads)).collect()}
+    assert thumbs[0].src_side == 1 and thumbs[0].thumb_md5 is not None
+    hashes = {r.doc_id: r for r in ahash_images(_media_df(spark, payloads)).collect()}
+    # 1x1: every sampled pixel is the same red byte -> all bits equal
+    assert hashes[0].ahash_bits in ("1" * 64, "0" * 64)
+    for bad in (1, 2, 3, 4):
+        assert thumbs[bad].thumb_md5 is None and thumbs[bad].src_side is None
+        assert hashes[bad].ahash_bits is None

@@ -307,13 +307,20 @@ def resize_thumbnails(
         for pdf in batches:
             sides, digests = [], []
             for payload in pdf["media"]:
-                src, thumb = _thumb(bytes(payload))
+                # corrupt-row contract — a P6 header with a truncated
+                # raster (or garbage dims) yields a NULL thumb row
+                try:
+                    src, thumb = _thumb(bytes(payload))
+                except (ValueError, IndexError):
+                    sides.append(None)
+                    digests.append(None)
+                    continue
                 sides.append(src)
                 digests.append(hashlib.md5(thumb.hex().upper().encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "src_side": pd.Series(sides, dtype="int64"),
+                    "src_side": pd.array(sides, dtype="Int64"),
                     "thumb_side": side,
                     "thumb_md5": digests,
                 }
@@ -638,7 +645,18 @@ def audio_features(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in AUDIO_FEATURES_SCHEMA.names}
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                rate, v = decode_wav(bytes(payload))
+                # corrupt-row contract (same as ahash_images): a
+                # truncated/garbage RIFF yields a NULL-features row —
+                # damage visible, the 100 TB job never aborts on one
+                # bad blob
+                try:
+                    rate, v = decode_wav(bytes(payload))
+                except (ValueError, IndexError):
+                    out["doc_id"].append(doc_id)
+                    for k in AUDIO_FEATURES_SCHEMA.names:
+                        if k != "doc_id":
+                            out[k].append(None)
+                    continue
                 v64 = v.astype(np.int64)
                 n = len(v64)
                 silent = int(np.count_nonzero(np.abs(v64) < WAV_SILENCE_ABS))
@@ -655,9 +673,9 @@ def audio_features(media_df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(
                 {
-                    k: pd.Series(
+                    k: pd.array(
                         out[k],
-                        dtype="float64" if k == "silence_ratio" else "int64",
+                        dtype="Float64" if k == "silence_ratio" else "Int64",
                     )
                     for k in AUDIO_FEATURES_SCHEMA.names
                 }
@@ -783,6 +801,10 @@ def decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
             c = tag
     if w is None or h is None:
         raise ValueError("missing W/H header tags")
+    if w <= 0 or h <= 0:
+        # a negative dim would make frame_bytes negative and walk idx
+        # BACKWARDS below — an infinite loop, not just a bad decode
+        raise ValueError("non-positive frame dimensions")
     if c != b"C444":
         raise ValueError("only C444 supported")
     frame_bytes = 3 * w * h
@@ -815,7 +837,18 @@ def scene_cuts(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in SCENE_CUT_SCHEMA.names}
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                _w, _h, frames = decode_y4m(bytes(payload))
+                # corrupt-row contract — a malformed stream emits ONE
+                # null-frame row so the damage is visible (a silently
+                # absent doc would be indistinguishable from a valid
+                # single-frame clip), and the job never aborts
+                try:
+                    _w, _h, frames = decode_y4m(bytes(payload))
+                except (ValueError, IndexError):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(None)
+                    out["sad"].append(None)
+                    out["is_cut"].append(None)
+                    continue
                 arrs = [np.frombuffer(f, dtype=np.uint8).astype(np.int64) for f in frames]
                 for i in range(1, len(arrs)):
                     sad = int(np.abs(arrs[i] - arrs[i - 1]).sum())
@@ -826,9 +859,9 @@ def scene_cuts(media_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                    "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
-                    "sad": pd.Series(out["sad"], dtype="int64"),
-                    "is_cut": pd.Series(out["is_cut"], dtype="bool"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int64"),
+                    "sad": pd.array(out["sad"], dtype="Int64"),
+                    "is_cut": pd.array(out["is_cut"], dtype="boolean"),
                 }
             )
 
@@ -1094,7 +1127,15 @@ def audio_vad(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in AUDIO_VAD_SCHEMA.names}
             for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                _rate, v = decode_wav(bytes(payload))
+                # corrupt-row contract — NULL VAD row, never an abort
+                try:
+                    _rate, v = decode_wav(bytes(payload))
+                except (ValueError, IndexError):
+                    out["doc_id"].append(doc_id)
+                    for k in AUDIO_VAD_SCHEMA.names:
+                        if k != "doc_id":
+                            out[k].append(None)
+                    continue
                 v64 = v.astype(np.int64)
                 n_frames = len(v64) // VAD_FRAME_SAMPLES
                 e = (
@@ -1125,9 +1166,9 @@ def audio_vad(media_df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(
                 {
-                    k: pd.Series(
+                    k: pd.array(
                         out[k],
-                        dtype="float64" if k == "active_ratio" else "int64",
+                        dtype="Float64" if k == "active_ratio" else "Int64",
                     )
                     for k in AUDIO_VAD_SCHEMA.names
                 }
