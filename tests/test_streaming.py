@@ -390,3 +390,35 @@ def test_stream_bot_score_equals_batch(spark, sf_dir):
     batch = sorted(map(tuple, q_bot_score(spark, sf_dir).collect()))
     streamed = sorted(map(tuple, q_stream_bot_score(spark, sf_dir).collect()))
     assert streamed == batch
+
+
+def test_run_all_streams_concurrent_matches_sequential(spark, sf_dir):
+    """The production backlog-drain shape: the whole stream_* family
+    drained concurrently on one session must land on the SAME relations
+    as the sequential per-query drains (the bench's attribution shape),
+    and the hoisted shuffle-partitions conf must be restored afterward."""
+    import hashlib
+
+    from tf_idf_mapreduce_spark.streaming.runner import (
+        run_all_streams,
+        stream_registry,
+    )
+
+    def dfhash(df):
+        pdf = df.toPandas()
+        pdf = pdf[sorted(pdf.columns)]
+        pdf = (
+            pdf.astype(str)
+            .sort_values(list(pdf.columns))
+            .reset_index(drop=True)
+        )
+        return hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
+
+    names = sorted(stream_registry())
+    assert len(names) >= 15  # the whole family, not a cherry-picked pair
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    seq = run_all_streams(spark, sf_dir, names, concurrent=False)
+    conc = run_all_streams(spark, sf_dir, names, concurrent=True)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    mismatched = [n for n in names if dfhash(seq[n]) != dfhash(conc[n])]
+    assert mismatched == []
