@@ -644,6 +644,91 @@ def probe_bpe_vocab(spark: SparkSession, quick: bool) -> None:
         "shuffles, and the 1-row argmax is all the driver sees."
     )
     emit()
+    _probe_bpe_batching(spark, quick)
+
+
+def _probe_bpe_batching(spark: SparkSession, quick: bool) -> None:
+    """Rounds-vs-m: the round-7 merge-round batching. A production vocab
+    is ~30k merges; one driver round-trip + localCheckpoint per merge is
+    30k barriers. The batched learner SPECULATES the next m classic
+    picks and verifies every intermediate argmax in one distributed
+    pass (``textstats._bpe_safe_chain``), committing the longest
+    correct prefix — measure how many driver rounds K merges actually
+    cost at several m on a synthetic natural-ish corpus, with the
+    learned merge list asserted IDENTICAL across all m."""
+    import tempfile
+    import time
+
+    from tf_idf_mapreduce_spark.operators import textstats as ts
+
+    emit("### P7b — merge-round batching: driver rounds vs batch cap m")
+    emit()
+    n_docs = 20_000 if quick else 100_000
+    n_merges = 24
+    # hash-derived 'words' over a 26-letter alphabet with Zipf-ish rank
+    # mixing — enough pair-count spread that chains of disjoint merges
+    # exist, like natural text
+    ids = spark.range(n_docs)
+    word = lambda salt: F.concat(
+        *[
+            F.substring(
+                F.lit("etaoinshrdlcumwfgypbvkjxqz"),
+                (
+                    F.pmod(
+                        F.abs(F.xxhash64(F.col("id"), F.lit(f"{salt}:{k}"))),
+                        F.lit(26 - 2 * k),
+                    )
+                    + 1
+                ).cast("int"),
+                1,
+            )
+            for k in range(4)
+        ]
+    )
+    docs = ids.select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", word("a"), word("b"), word("c"), word("d"), word("e")
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("synth").alias("source"),
+        F.lit(24).cast("long").alias("n_chars"),
+    )
+    d = tempfile.mkdtemp(prefix="bpe_batch_probe_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    emit(f"{n_docs:,} docs, {n_merges} merges learned per configuration.")
+    emit()
+    emit("| batch cap m | driver rounds | mean chain | wall s | merges identical |")
+    emit("|---|---|---|---|---|")
+    baseline = None
+    for m in (1, 4, 8, 16):
+        ts._BPE_MERGE_CACHE.clear()
+        ts._BPE_TRAIN_STATS.update({"rounds": 0, "chain_lengths": []})
+        t0 = time.time()
+        merges = ts._bpe_learn_merges(spark, d, n_merges, batch_m=m)
+        wall = time.time() - t0
+        rounds = ts._BPE_TRAIN_STATS["rounds"]
+        chains = ts._BPE_TRAIN_STATS["chain_lengths"]
+        if baseline is None:
+            baseline = merges
+        same = "yes" if merges == baseline else "NO"
+        emit(
+            f"| {m} | {rounds} | "
+            f"{sum(chains) / max(len(chains), 1):.2f} | {wall:.1f} | {same} |"
+        )
+    emit()
+    emit(
+        "Reading: every configuration learns the IDENTICAL merge list "
+        "(commit-by-proof, never by hope), and the driver-barrier count "
+        "drops wherever the current top-m really is the classic "
+        "trajectory prefix. Truncations are genuine interference — a "
+        "created pair outranking the guess — re-speculated next round. "
+        "At a 30k-merge production vocab the same mechanism amortizes "
+        "the per-merge barrier and checkpoint by the mean chain length; "
+        "the verification pass adds one (m-1)-stage vocab job per round "
+        "and nothing corpus-sized ever moves."
+    )
+    emit()
 
 
 # --------------------------------------------------------------------------

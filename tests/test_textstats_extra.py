@@ -520,3 +520,96 @@ def test_source_overlap_hand_computed(spark, tmp_path):
     assert (r.n_common, r.sz_a, r.sz_b) == (1, 2, 2)
     assert r.vocab_jaccard == 1 / 3
     assert ("s1", "s3") not in got  # zero overlap -> no row (inner join)
+
+
+def test_bpe_batched_rounds_trajectory_exact(spark, tmp_path_factory):
+    """Round batching must FIRE when merges are provably independent
+    (disjoint 2-char words collapse to single symbols — zero new-pair
+    interference, so the whole set batches in one round) and the learned
+    table must still equal the classic one-merge-per-round trajectory."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        _bpe_pair_count_table,
+        _bpe_safe_chain,
+        bpe_train,
+    )
+
+    d = tmp_path_factory.mktemp("bpe_batch")
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["xy xy xy qw qw zv"],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": [17],
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    rows = [tuple(r) for r in bpe_train(spark, str(d)).collect()]
+    assert rows == [
+        (1, "x", "y", "xy", 3),
+        (2, "q", "w", "qw", 2),
+        (3, "z", "v", "zv", 1),
+    ]
+
+    # the unit seam: the safe chain for this corpus is the FULL batch
+    vocab = spark.createDataFrame(
+        [(3, ["x", "y"]), (2, ["q", "w"]), (1, ["z", "v"])],
+        "n long, syms array<string>",
+    )
+    top = (
+        _bpe_pair_count_table(vocab)
+        .orderBy("n_pair", ascending=False)
+        .collect()
+    )
+    assert [t[:2] for t in _bpe_safe_chain(vocab, top, 8)] == [
+        ("x", "y"),
+        ("q", "w"),
+        ("z", "v"),
+    ]
+
+
+def test_bpe_safe_chain_truncates_on_new_pair_interference(spark):
+    """When a merge CREATES a pair that outranks the guessed next
+    candidate ('ababab...': after (a,b), the true argmax is the new
+    (ab,ab) pair, not the guessed (b,a)), the verification pass must
+    truncate the chain to the classic single step."""
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        _bpe_pair_count_table,
+        _bpe_safe_chain,
+    )
+
+    # one word 'ababababab' (n=10) plus an independent low-count 'qw'
+    vocab = spark.createDataFrame(
+        [(10, list("ababababab")), (3, ["q", "w"])],
+        "n long, syms array<string>",
+    )
+    top = (
+        _bpe_pair_count_table(vocab)
+        .orderBy(["n_pair", "tok_left", "tok_right"], ascending=[False, True, True])
+        .collect()
+    )
+    # candidates: (a,b)=50, (b,a)=40, ... (b,a) overlaps -> consecutive
+    # prefix stops at 1 before any dominance check is even needed
+    chain = _bpe_safe_chain(vocab, top, 8)
+    assert [t[:2] for t in chain] == [("a", "b")]
+
+
+def test_bpe_safe_chain_verifies_through_interference(spark):
+    """Exactness cuts BOTH ways: when the post-merge table still ranks
+    the guessed candidate first ((a,b) and (q,w) tie at 6; after (a,b)
+    the created (ab,ab) pair only counts 3, so (q,w) really is the
+    classic step-2 argmax), the verification pass must COMMIT the batch
+    — and record (q,w)'s stage-1 selection-time count."""
+    from tf_idf_mapreduce_spark.operators.textstats import _bpe_safe_chain
+
+    vocab = spark.createDataFrame(
+        [(3, ["a", "b", "a", "b"]), (6, ["q", "w"])],
+        "n long, syms array<string>",
+    )
+    top = [
+        {"tok_left": "a", "tok_right": "b", "n_pair": 6},
+        {"tok_left": "q", "tok_right": "w", "n_pair": 6},
+    ]
+    assert _bpe_safe_chain(vocab, top, 8) == [("a", "b", 6), ("q", "w", 6)]
