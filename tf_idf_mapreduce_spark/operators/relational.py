@@ -1351,3 +1351,175 @@ def join_skew_report(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the TPC-H table the driver fixture lacks, synthesized
+# deterministically from part x supplier so Q2/Q11/Q16 run with a DuckDB
+# oracle over the SAME derivation (no parquet side-channel, no RNG)
+# ---------------------------------------------------------------------------
+
+def _partsupp_cte(dialect: str) -> str:
+    """The ``partsupp`` CTE, rendered for one engine. Four suppliers per
+    part (the TPC-H ps arity), suppkey by integer arithmetic over the
+    SCALE-DERIVED supplier count (never a hard-coded 100), availqty and
+    cost from the repo's md5-uniform convention — pure integer columns,
+    so both engines derive bit-identical rows. Costs are kept in CENTS
+    (BIGINT) so every aggregate over them is exact; the display dollar
+    value divides once at the end. Only dialect seams differ: integer
+    division, the 4-row generator, and hex->int."""
+    if dialect == "spark":
+        d13 = "(p.p_partkey div 13)"
+        gen4 = "(SELECT explode(sequence(0, 3)) AS i) g"
+        h = (
+            "CAST(conv(substr(md5('{tag}:' || p.p_partkey || ':' || g.i), "
+            "1, 8), 16, 10) AS BIGINT)"
+        )
+    else:
+        d13 = "(p.p_partkey // 13)"
+        gen4 = "(SELECT unnest(generate_series(0, 3)) AS i) g"
+        h = (
+            "CAST(concat('0x', substr(md5('{tag}:' || p.p_partkey || ':' "
+            "|| g.i), 1, 8)) AS BIGINT)"
+        )
+    return f"""
+  partsupp AS (
+    SELECT
+      p.p_partkey AS ps_partkey,
+      sup.s_base + ((p.p_partkey * 4 + g.i + {d13}) % sup.n_supp)
+        AS ps_suppkey,
+      1 + ({h.format(tag='psq')} % 9999) AS ps_availqty,
+      100 + ({h.format(tag='psc')} % 99900) AS ps_cost_cents
+    FROM part p
+    CROSS JOIN {gen4}
+    CROSS JOIN (
+      SELECT min(s_suppkey) AS s_base, count(*) AS n_supp FROM supplier
+    ) sup
+  )"""
+
+
+def q2_sql(dialect: str) -> str:
+    """TPC-H Q2 (minimum-cost supplier) over the derived partsupp.
+    Fixture adaptations, documented: p_mfgr/s_address/s_phone/s_comment
+    don't exist in the driver fixture — the select list keeps the
+    columns that do; the filters keep Q2's shape (size gate, type
+    suffix LIKE, region gate) over the fixture's value domains (the
+    spec's size equality keeps ~2 rows at sf0.01 — a range keeps the
+    min-cost correlation exercised across ~40 parts)."""
+    return f"""
+WITH {_partsupp_cte(dialect)}
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand, p.p_type,
+       CAST(ps.ps_cost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+FROM part p, supplier s, partsupp ps, nation n, region r
+WHERE p.p_partkey = ps.ps_partkey
+  AND s.s_suppkey = ps.ps_suppkey
+  AND p.p_size <= 15
+  AND p.p_type LIKE '%OMY'
+  AND s.s_nationkey = n.n_nationkey
+  AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'EUROPE'
+  AND ps.ps_cost_cents = (
+    SELECT min(ps2.ps_cost_cents)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p.p_partkey
+      AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def q11_sql(dialect: str) -> str:
+    """TPC-H Q11 (important stock) over the derived partsupp, one
+    nation's share. The HAVING threshold is the classic sum * fraction
+    — compared in exact integer cents (value * 10000 > national total)
+    so no float ever gates a row."""
+    return f"""
+WITH {_partsupp_cte(dialect)},
+nat_ps AS (
+  SELECT ps.ps_partkey,
+         ps.ps_cost_cents * ps.ps_availqty AS value_cents
+  FROM partsupp ps, supplier s, nation n
+  WHERE ps.ps_suppkey = s.s_suppkey
+    AND s.s_nationkey = n.n_nationkey
+    AND n.n_name = 'NATION_12'
+)
+SELECT ps_partkey,
+       round(CAST(sum(value_cents) AS DOUBLE) / 100.0, 6) AS value
+FROM nat_ps
+GROUP BY ps_partkey
+HAVING sum(value_cents) * 10000 > (
+  SELECT sum(value_cents) FROM nat_ps
+)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+def q16_sql(dialect: str) -> str:
+    """TPC-H Q16 (parts/supplier relationship) over the derived
+    partsupp. Fixture adaptation, documented: the spec excludes
+    suppliers by s_comment LIKE '%Customer%Complaints%', a column the
+    fixture lacks — the stand-in exclusion is s_acctbal < 0 (the
+    fixture's only supplier-level risk signal), same NOT IN topology."""
+    return f"""
+WITH {_partsupp_cte(dialect)}
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps, part p
+WHERE p.p_partkey = ps.ps_partkey
+  AND p.p_brand <> 'Brand#13'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+  AND ps.ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+def min_cost_supplier_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 through the SQL front-end, over the DERIVED partsupp
+    (``_partsupp_cte`` — deterministic part x supplier arithmetic both
+    engines replay bit-identically; closes the fixture gap from our
+    side instead of waiting for a partsupp parquet).
+
+    Plan shape: the correlated min-cost scalar subquery rewrites (as in
+    rel_sql_q17) to a grouped min + join back on ps_partkey; partsupp
+    itself is a part-scan x 4-row generator x 1-row broadcast scalar —
+    no corpus-sized shuffle materializes an 8000-row helper relation.
+    Region/nation gates broadcast; LIMIT 100 caps the global sort at
+    TakeOrderedAndProject. At 100 TB partsupp would be a real table and
+    the identical query text runs unchanged."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(q2_sql("spark"))
+
+
+def important_stock_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 through the SQL front-end over the derived partsupp.
+    The national value table is built ONCE as a CTE consumed by both
+    the grouped sum and the grand-total scalar; integer-cents
+    arithmetic keeps every comparison exact (no float HAVING gate). The
+    scalar total attaches as a 1-row broadcast, the same A4 shape as
+    tfidf's totalDocs (TfidfMapReduce.java:51)."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(q11_sql("spark"))
+
+
+def parts_supplier_cnt_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 through the SQL front-end over the derived partsupp.
+    NOT IN over a 6-row exclusion set plans as a broadcast null-aware
+    anti join; count(DISTINCT ps_suppkey) is the two-phase expand
+    aggregate. Ordered by supplier_cnt desc + full key tiebreak, so the
+    relation is deterministic."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(q16_sql("spark"))
