@@ -1275,3 +1275,32 @@ def test_audit_dashboard_recounts_its_sources(spark, sf_dir):
     assert got["pii"].n_flagged == sum(1 for r in pii if r.has_pii)
     cl = duplicate_clusters(spark, sf_dir).collect()
     assert got["near_dup"].n_flagged == sum(1 for r in cl if not r.is_keeper)
+
+
+def test_incremental_manifest_persist_screens_identical(spark, sf_dir):
+    """persist_screens changes the execution strategy (eager screen
+    barriers vs lazy composition) and must not change one row of the
+    admission manifest or the composed index fold."""
+    from tf_idf_mapreduce_spark.operators.curation import incremental_manifest
+    from tf_idf_mapreduce_spark.operators.tfidf import incremental_e2e_index
+
+    lazy = sorted(map(tuple, incremental_manifest(spark, sf_dir).collect()))
+    eager = sorted(
+        map(
+            tuple,
+            incremental_manifest(
+                spark, sf_dir, persist_screens=True
+            ).collect(),
+        )
+    )
+    assert lazy == eager
+    lazy_ix = sorted(map(tuple, incremental_e2e_index(spark, sf_dir).collect()))
+    eager_ix = sorted(
+        map(
+            tuple,
+            incremental_e2e_index(
+                spark, sf_dir, persist_screens=True
+            ).collect(),
+        )
+    )
+    assert lazy_ix == eager_ix

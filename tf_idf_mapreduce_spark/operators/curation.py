@@ -1558,7 +1558,9 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_manifest(
+    spark: SparkSession, sf_dir: str, persist_screens: bool = False
+) -> DataFrame:
     """Batch ADMISSION manifest — the incremental twin of ``keep_list``:
     for each document in the arriving batch slice (the deterministic
     ~10% ``hash_sample`` bucket), the decision a daily ingest makes
@@ -1578,6 +1580,16 @@ def incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the corpus-side signature indexes (MinHash bands +
     hyperplane buckets) are persisted and this whole manifest costs one
     pass over the day's arrivals.
+
+    ``persist_screens``: localCheckpoint each screen relation before
+    the composition joins. Default False — at fixture scale the lazy
+    composition wins (the eager barriers serialize the screens and
+    forfeit shared-scan reuse; measured 7.3 s lazy vs 10.9 s
+    checkpointed at sf0.1). The tradeoff INVERTS when the manifest plan
+    is re-evaluated by a multi-consumer parent (``incremental_e2e_index``
+    re-reads it per index branch) on a large corpus, where every
+    re-evaluation re-runs every screen's corpus scan — SCALE_PROBE P9
+    measures the crossover; flip it on past that scale.
     """
     from .dedup import incremental_dedup, incremental_semantic_dedup
     from .textstats import quality_scores
@@ -1603,6 +1615,13 @@ def incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pii = pii_scan(spark, sf_dir).select("doc_id", "has_pii")
     q = quality_scores(spark, sf_dir).select("doc_id", "keep")
+    if persist_screens:
+        # batch-sized, narrow relations — each barrier bounds every
+        # downstream re-evaluation to a checkpoint read instead of a
+        # full screen re-run over the corpus
+        inc, sem, contam, pii, q = (
+            r.localCheckpoint() for r in (inc, sem, contam, pii, q)
+        )
     status = (
         F.when(F.col("doc_id") % CONTAM_BENCH_MOD == 0, "benchmark")
         .when(F.col("dup_status") == "drop", "near_dup")

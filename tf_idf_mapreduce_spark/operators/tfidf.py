@@ -229,7 +229,9 @@ def merge_index(old_corpus: DataFrame, new_corpus: DataFrame) -> DataFrame:
     )
 
 
-def incremental_e2e_index(spark, sf_dir: str) -> DataFrame:
+def incremental_e2e_index(
+    spark, sf_dir: str, persist_screens: bool = False
+) -> DataFrame:
     """The day's index update END TO END: the arriving batch passes the
     ADMISSION manifest first (``curation.incremental_manifest`` — both
     dup screens, contamination, PII, quality), and only ``admitted``
@@ -242,6 +244,16 @@ def incremental_e2e_index(spark, sf_dir: str) -> DataFrame:
     docs) by replaying the manifest in SQL and filtering the token CTE's
     source — so the screen-then-merge composition must equal a from-
     scratch build over exactly the surviving documents.
+
+    ``persist_screens``: checkpoint the manifest screens AND the
+    admitted doc-id set. The merge's word-count / df / total-docs
+    branches each re-evaluate the batch side, and lazily that re-runs
+    the ENTIRE admission manifest (every screen's corpus scan) per
+    branch — the round-6 plan audit counted 74 documents scans in this
+    one query. Default False because the fixture measures lazy faster
+    (7.3 s vs 10.9 s at sf0.1 — the barriers serialize tiny screens);
+    SCALE_PROBE P9 measures where re-scan volume inverts that and the
+    flag should flip.
     """
     from ..sources.io import documents_as_corpus, load_table
     from .curation import SAMPLE_BUCKET_MAX, _sample_bucket, incremental_manifest
@@ -249,10 +261,14 @@ def incremental_e2e_index(spark, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
     admitted = (
-        incremental_manifest(spark, sf_dir)
+        incremental_manifest(spark, sf_dir, persist_screens=persist_screens)
         .where(F.col("status") == "admitted")
         .select("doc_id")
     )
+    if persist_screens:
+        # batch-sized single column: one barrier collapses the whole
+        # manifest subtree out of every merge-branch re-evaluation
+        admitted = admitted.localCheckpoint()
     batch_admitted = docs.where(is_batch).join(F.broadcast(admitted), "doc_id")
     return merge_index(
         documents_as_corpus(docs.where(~is_batch)),
