@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from tf_idf_mapreduce_spark.operators.caches import MODEL_CACHED_QUERIES
 from tf_idf_mapreduce_spark.session import get_spark
 
 
@@ -50,9 +51,19 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    warm_timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         try:
-            timings[name] = round(run_query(fn, spark, sf_dir), 3)
+            if name in MODEL_CACHED_QUERIES:
+                # price BOTH paths of a model-cached query: clear its
+                # fit cache so the timed run is a true fresh-process
+                # cold call (fit included), then time a second run for
+                # the warm steady-state the cache exists for
+                MODEL_CACHED_QUERIES[name]()
+                timings[name] = round(run_query(fn, spark, sf_dir), 3)
+                warm_timings[name] = round(run_query(fn, spark, sf_dir), 3)
+            else:
+                timings[name] = round(run_query(fn, spark, sf_dir), 3)
         except Exception as e:  # keep benching; a broken query shows as -1
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -78,6 +89,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_queries": warm_timings,
                 "sf": sf,
             },
             f,

@@ -49,13 +49,30 @@ def main(argv: list[str]) -> int:
     def run(name: str) -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from tf_idf_mapreduce_spark.operators.caches import MODEL_CACHED_QUERIES
+
     timed: dict[str, float] = {}
+    timed_warm: dict[str, float] = {}
     for name in names:
-        run(name)  # warm the session, scans, and any model caches
-        t0 = time.time()
-        run(name)
-        timed[name] = round(time.time() - t0, 3)
-        print(f"{name}: {timed[name]:.3f}s @ sf{sf}")
+        run(name)  # warm the session, scans, and codegen shapes
+        if name in MODEL_CACHED_QUERIES:
+            # dual pin: cold (fit cache cleared — prices the fit like a
+            # fresh process) AND warm (steady-state) — the round-6
+            # evidence-honesty rule for model-cached queries
+            MODEL_CACHED_QUERIES[name]()
+            t0 = time.time()
+            run(name)
+            timed[name] = round(time.time() - t0, 3)
+            t0 = time.time()
+            run(name)
+            timed_warm[name] = round(time.time() - t0, 3)
+            print(f"{name}: cold {timed[name]:.3f}s / warm "
+                  f"{timed_warm[name]:.3f}s @ sf{sf}")
+        else:
+            t0 = time.time()
+            run(name)
+            timed[name] = round(time.time() - t0, 3)
+            print(f"{name}: {timed[name]:.3f}s @ sf{sf}")
 
     for path in (base_path, detail_path):
         with open(path) as f:
@@ -65,6 +82,8 @@ def main(argv: list[str]) -> int:
                 print(f"NOTE {os.path.basename(path)} already has {name} "
                       f"({doc['queries'][name]}s) — overwriting with {sec}s")
             doc["queries"][name] = sec
+        if timed_warm:
+            doc.setdefault("warm_queries", {}).update(timed_warm)
         key = "total_sec" if "total_sec" in doc else "value"
         doc[key] = round(sum(doc["queries"].values()), 3)
         with open(path, "w") as f:
