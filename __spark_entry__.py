@@ -5745,6 +5745,117 @@ _CURATION_ORACLE["curate_classifier_eval"] = f"""
 """
 
 
+# --- round 7 additions: repetition screen, PMI collocations, context audit ---
+
+_LLMDATA_ORACLE["text_ngram_repetition"] = f"""
+WITH docs AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+),
+g2l AS (
+  SELECT doc_id, list_transform(generate_series(1, len(words) - 1),
+                                i -> array_to_string(words[i:i+1], ' ')) AS gs
+  FROM docs WHERE len(words) >= 2
+),
+c2 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(gs) AS g FROM g2l) GROUP BY doc_id, g
+),
+s2 AS (SELECT doc_id, sum(c) AS total2, max(c) AS top2 FROM c2 GROUP BY doc_id),
+g3l AS (
+  SELECT doc_id, list_transform(generate_series(1, len(words) - 2),
+                                i -> array_to_string(words[i:i+2], ' ')) AS gs
+  FROM docs WHERE len(words) >= 3
+),
+c3 AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(gs) AS g FROM g3l) GROUP BY doc_id, g
+),
+s3 AS (
+  SELECT doc_id, sum(c) AS total3, count(*) AS distinct3 FROM c3 GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id,
+         CAST(coalesce(s2.total2, 0) AS BIGINT) AS n_2grams,
+         CAST(coalesce(s3.total3, 0) AS BIGINT) AS n_3grams,
+         CASE WHEN coalesce(s3.total3, 0) > 0
+              THEN floor(CAST(s3.total3 - s3.distinct3 AS DOUBLE) / s3.total3
+                         * 1000000 + 0.5) / 1000000
+              ELSE 0.0 END AS dup3_frac,
+         CASE WHEN coalesce(s2.total2, 0) > 0
+              THEN floor(CAST(s2.top2 AS DOUBLE) / s2.total2
+                         * 1000000 + 0.5) / 1000000
+              ELSE 0.0 END AS top2_share
+  FROM docs d LEFT JOIN s2 ON d.doc_id = s2.doc_id
+              LEFT JOIN s3 ON d.doc_id = s3.doc_id
+)
+SELECT doc_id, n_2grams, n_3grams, dup3_frac, top2_share,
+       ((n_3grams >= {ts.REP_MIN_GRAMS} AND dup3_frac > {ts.REP_DUP3_MAX})
+        OR (n_2grams >= {ts.REP_MIN_GRAMS}
+            AND top2_share > {ts.REP_TOP2_MAX})) AS repetitive
+FROM j ORDER BY doc_id
+"""
+
+_LLMDATA_ORACLE["text_pmi"] = f"""
+WITH docs AS (
+  SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(words) AS w FROM docs) GROUP BY w
+),
+bi AS (
+  SELECT g.w1, g.w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM (
+    SELECT unnest(list_transform(
+             generate_series(1, len(words) - 1),
+             i -> struct_pack(w1 := words[i], w2 := words[i+1]))) AS g
+    FROM docs WHERE len(words) >= 2
+  )
+  GROUP BY g.w1, g.w2
+  HAVING count(*) >= {ts.PMI_MIN_PAIR}
+),
+tw AS (SELECT CAST(sum(c) AS BIGINT) AS w_total FROM uni),
+tb AS (
+  SELECT CAST(sum(greatest(len(words) - 1, 0)) AS BIGINT) AS b_total
+  FROM docs
+)
+SELECT bi.w1, bi.w2, bi.c_ab, ua.c AS c_a, ub.c AS c_b,
+       round(ln((CAST(bi.c_ab AS DOUBLE) / b_total)
+                / ((CAST(ua.c AS DOUBLE) / w_total)
+                   * (CAST(ub.c AS DOUBLE) / w_total))), 6) AS pmi
+FROM bi
+JOIN uni ua ON ua.w = bi.w1
+JOIN uni ub ON ub.w = bi.w2
+CROSS JOIN tw CROSS JOIN tb
+ORDER BY pmi DESC, bi.w1, bi.w2
+LIMIT {ts.PMI_TOP_K}
+"""
+
+_CURATION_ORACLE["curate_context_histogram"] = f"""
+WITH t AS (
+  SELECT CAST(len(regexp_extract_all(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT n_tokens,
+         CASE WHEN n_tokens > 0
+              THEN CAST(floor(log2(n_tokens)) AS BIGINT)
+              ELSE -1 END AS bucket_log2,
+         CASE WHEN n_tokens > {cur.CONTEXT_LEN} THEN 1 ELSE 0 END
+           AS truncated,
+         greatest(n_tokens - {cur.CONTEXT_LEN}, 0) AS lost
+  FROM t
+)
+SELECT bucket_log2,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(truncated) AS BIGINT) AS n_truncated,
+       CAST(sum(lost) AS BIGINT) AS tokens_lost
+FROM b GROUP BY bucket_log2 ORDER BY bucket_log2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries in STABLE declaration order (grouped by family), the
     same order every round.
@@ -6096,6 +6207,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sql_q2": rel.min_cost_supplier_sql,
         "rel_sql_q11": rel.important_stock_sql,
         "rel_sql_q16": rel.parts_supplier_cnt_sql,
+        "text_ngram_repetition": ts.repetition_stats,
+        "text_pmi": ts.pmi_collocations,
+        "curate_context_histogram": cur.context_length_histogram,
     }
 
 

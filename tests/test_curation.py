@@ -1304,3 +1304,36 @@ def test_incremental_manifest_persist_screens_identical(spark, sf_dir):
         )
     )
     assert lazy_ix == eager_ix
+
+
+def test_context_histogram_buckets_and_truncation(spark, tmp_path_factory):
+    """Token counts land in their floor-log2 buckets; docs past
+    CONTEXT_LEN are counted truncated with the exact token loss; empty
+    docs surface in the -1 bucket."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.curation import (
+        CONTEXT_LEN,
+        context_length_histogram,
+    )
+
+    d = tmp_path_factory.mktemp("ctx")
+    texts = [
+        "",  # 0 tokens -> bucket -1
+        "a b c",  # 3 tokens -> bucket 1
+        "w " * (CONTEXT_LEN + 100),  # over context -> truncated
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = {r.bucket_log2: r for r in context_length_histogram(spark, str(d)).collect()}
+    assert rows[-1].n_docs == 1 and rows[-1].total_tokens == 0
+    assert rows[1].n_docs == 1 and rows[1].total_tokens == 3
+    big = rows[11]  # floor(log2(2148)) = 11
+    assert big.n_truncated == 1 and big.tokens_lost == 100

@@ -613,3 +613,68 @@ def test_bpe_safe_chain_verifies_through_interference(spark):
         {"tok_left": "q", "tok_right": "w", "n_pair": 6},
     ]
     assert _bpe_safe_chain(vocab, top, 8) == [("a", "b", 6), ("q", "w", 6)]
+
+
+def test_ngram_repetition_planted(spark, tmp_path_factory):
+    """'spam spam spam spam' maxes both signals (top2_share=1, dup3=.5),
+    a distinct-word doc scores zero, and sub-n-gram docs are present
+    with zero grams rather than dropped."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.textstats import repetition_stats
+
+    d = tmp_path_factory.mktemp("rep")
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spam " * 12,  # 11 identical 2-grams, 10 identical 3-grams
+                "all words here differ fully and none of them ever "
+                "repeat anywhere in this sentence",
+                "one",
+                "",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [60, 83, 3, 0],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = {r.doc_id: r for r in repetition_stats(spark, str(d)).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0].n_2grams == 11 and rows[0].top2_share == 1.0
+    assert rows[0].n_3grams == 10 and rows[0].dup3_frac == 0.9
+    assert rows[0].repetitive
+    assert rows[1].dup3_frac == 0.0
+    assert not rows[1].repetitive  # distinct words, support met, clean
+    assert rows[2].n_2grams == 0 and rows[2].n_3grams == 0
+    assert not rows[2].repetitive and not rows[3].repetitive
+
+
+def test_pmi_collocations_planted(spark, tmp_path_factory):
+    """A pair that ALWAYS co-occurs ('new york' x5) must out-PMI a pair
+    of promiscuous common words, and pairs under the support floor must
+    not appear."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.operators.textstats import pmi_collocations
+
+    d = tmp_path_factory.mktemp("pmi")
+    texts = (
+        ["new york " + "the cat the dog the fox the cow"] * 5
+        + ["rare pair"] * 2
+    )
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+    rows = pmi_collocations(spark, str(d)).collect()
+    pairs = [(r.w1, r.w2) for r in rows]
+    assert ("new", "york") in pairs
+    assert ("rare", "pair") not in pairs  # support 2 < 5
+    by = {(r.w1, r.w2): r.pmi for r in rows}
+    assert by[("new", "york")] > by.get(("the", "cat"), float("-inf"))

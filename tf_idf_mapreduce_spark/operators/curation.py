@@ -2244,3 +2244,54 @@ def audit_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("audit")
+
+
+#: Model context length the truncation audit prices documents against.
+CONTEXT_LEN = 2048
+
+
+def context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning table: documents bucketed by
+    power-of-two token count, with each bucket's doc count, total
+    tokens, how many docs exceed the model context (``CONTEXT_LEN``),
+    and the tokens a truncate-at-context policy would discard — the
+    numbers that decide context length, packing strategy
+    (``curate_shard_pack`` packs what this table sizes), and how much
+    long-tail data a truncation policy silently burns.
+
+    One corpus scan (the same BPE-ish token count the shard packer
+    uses), one bucket-keyed aggregate over ~30 buckets — map-side
+    combined, nothing corpus-sized shuffles. Pure integer columns.
+    """
+    from .textstats import BPE_ISH_PATTERN
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+    )
+    # bucket = floor(log2(n)) as the power-of-two lower bound; 0-token
+    # docs get bucket -1 (their own row, visible damage not a crash)
+    bucket = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(F.log2("n_tokens")).cast("long"),
+    ).otherwise(F.lit(-1))
+    return (
+        d.select("doc_id", n_tok.alias("n_tokens"))
+        .select(
+            "n_tokens",
+            bucket.alias("bucket_log2"),
+            (F.col("n_tokens") > CONTEXT_LEN).cast("long").alias("truncated"),
+            F.greatest(F.col("n_tokens") - CONTEXT_LEN, F.lit(0)).alias(
+                "lost"
+            ),
+        )
+        .groupBy("bucket_log2")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("truncated").cast("long").alias("n_truncated"),
+            F.sum("lost").cast("long").alias("tokens_lost"),
+        )
+        .orderBy("bucket_log2")
+    )

@@ -1580,3 +1580,203 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style within-document repetition + corpus PMI collocations
+# ---------------------------------------------------------------------------
+
+#: Gopher-ish repetition gates (Rae et al. 2021 use per-n-gram character
+#: fractions; these are the token-count analogues at the same order of
+#: magnitude): a doc is flagged repetitive when over 30% of its 3-gram
+#: occurrences are repeats or one 2-gram alone covers over 20% — each
+#: rule applying only past a minimum gram support (a 5-word distinct
+#: doc has top2_share 0.25 by pigeonhole; short docs are the length
+#: screen's job, not this one's).
+REP_DUP3_MAX = 0.30
+REP_TOP2_MAX = 0.20
+REP_MIN_GRAMS = 10
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition screen, the Gopher repetition rules'
+    n-gram form: per doc, the fraction of 3-gram occurrences that are
+    duplicates (1 - distinct/total) and the share of 2-gram occurrences
+    claimed by the single most frequent 2-gram — boilerplate, keyword
+    stuffing, and looping generation all light these up while passing
+    the length/punctuation quality gates (``quality_scores`` cannot see
+    repetition; this is the complementary signal, and the cross-corpus
+    chunk dedup in ``text_chunks`` cannot see WITHIN-doc repeats).
+
+    Scale shape: one corpus scan feeds two gram explodes; each groups on
+    (doc_id, gram) — high-cardinality keys, map-side combined, no
+    corpus-wide hot key — then collapses to one row per doc. Docs too
+    short for an n-gram keep zero fractions (guarded sequences — no
+    short-doc pad shingle here, true n-gram semantics). Ratios are
+    exact int/int divisions on the @6dp floor grid.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = norm_words(F.col("text"))
+    base = d.select("doc_id", words.alias("ws"))
+
+    def grams(n: int) -> DataFrame:
+        idx = F.sequence(F.lit(1), F.size("ws") - (n - 1))
+        return (
+            base.where(F.size("ws") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        idx, lambda i: F.concat_ws(" ", F.slice("ws", i, n))
+                    )
+                ).alias("g"),
+            )
+        )
+
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    g2 = (
+        grams(2)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("total2"),
+            F.max("c").cast("long").alias("top2"),
+        )
+    )
+    g3 = (
+        grams(3)
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("total3"),
+            F.count("*").cast("long").alias("distinct3"),
+        )
+    )
+    dup3 = F.when(
+        F.col("total3") > 0,
+        grid(
+            (F.col("total3") - F.col("distinct3"))
+            / F.col("total3")
+        ),
+    ).otherwise(F.lit(0.0))
+    top2 = F.when(
+        F.col("total2") > 0, grid(F.col("top2") / F.col("total2"))
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select("doc_id")
+        .join(g2, "doc_id", "left")
+        .join(g3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("total2", F.lit(0)).cast("long").alias("n_2grams"),
+            F.coalesce("total3", F.lit(0)).cast("long").alias("n_3grams"),
+            dup3.alias("dup3_frac"),
+            top2.alias("top2_share"),
+        )
+        .select(
+            "*",
+            (
+                (
+                    (F.col("n_3grams") >= REP_MIN_GRAMS)
+                    & (F.col("dup3_frac") > REP_DUP3_MAX)
+                )
+                | (
+                    (F.col("n_2grams") >= REP_MIN_GRAMS)
+                    & (F.col("top2_share") > REP_TOP2_MAX)
+                )
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: PMI report knobs: a collocation needs >= 5 corpus occurrences (PMI of
+#: rare pairs is pure noise), and the report is the top 50.
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 50
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent word pairs, ``ln( (c_ab/B) / ((c_a/W)(c_b/W)) )`` with W =
+    total tokens and B = total bigrams — the statistical-phrase table
+    (multiword entities, templated boilerplate phrases) that complements
+    ``text_bpe_pairs``' raw-frequency ranking: frequency finds 'of the',
+    PMI finds the pairs that predict each other.
+
+    One scan; unigram and bigram counts are two map-side-combined
+    aggregations; the W/B scalars attach as broadcast 1-row aggregates
+    (the A4 shape). Only pairs with >= PMI_MIN_PAIR occurrences are
+    scored (rare-pair PMI is noise and the support filter also bounds
+    the ln's operand away from the grid edges); the @6dp grid absorbs
+    the cross-engine ln ulp exactly as the Gumbel/Zipf families do.
+    Top-``PMI_TOP_K`` by (pmi desc, pair) — TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = norm_words(F.col("text"))
+    base = d.select("doc_id", words.alias("ws"))
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    idx = F.sequence(F.lit(1), F.size("ws") - 1)
+    bi = (
+        base.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + F.lit(1)).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_PAIR)
+    )
+    tot_w = uni.agg(F.sum("c").cast("long").alias("W"))
+    tot_b = (
+        base.select(
+            F.greatest(F.size("ws") - 1, F.lit(0)).cast("long").alias("nb")
+        )
+        .agg(F.sum("nb").cast("long").alias("B"))
+    )
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("B"))
+        / (
+            (F.col("c_a").cast("double") / F.col("W"))
+            * (F.col("c_b").cast("double") / F.col("W"))
+        )
+    )
+    # vocab-keyed equi-joins, NOT broadcast: at 100 TB the distinct-word
+    # table is itself huge; AQE picks broadcast while it fits and the
+    # word-keyed shuffle (1 row per word per side, support-filtered
+    # pairs) is the scalable fallback
+    return (
+        bi.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot_w))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_K)
+    )
