@@ -4490,6 +4490,14 @@ _RELATIONAL_ORACLE["rel_sql_q17"] = rel.Q17_SQL
 _RELATIONAL_ORACLE["rel_sql_q2"] = rel.q2_sql("duckdb")
 _RELATIONAL_ORACLE["rel_sql_q11"] = rel.q11_sql("duckdb")
 _RELATIONAL_ORACLE["rel_sql_q16"] = rel.q16_sql("duckdb")
+# Q4-exact/Q12/Q13/Q22 run over DERIVED columns the fixture trims
+# (l_shipmode + commit/receipt epoch-days, o_comment, c_phone) — same
+# convention as partsupp: deterministic md5 key arithmetic rendered per
+# dialect, both engines replay identical rows.
+_RELATIONAL_ORACLE["rel_sql_q4_exact"] = rel.q4x_sql("duckdb")
+_RELATIONAL_ORACLE["rel_sql_q12"] = rel.q12_sql("duckdb")
+_RELATIONAL_ORACLE["rel_sql_q13"] = rel.q13_sql("duckdb")
+_RELATIONAL_ORACLE["rel_sql_q22"] = rel.q22_sql("duckdb")
 
 _RELATIONAL_ORACLE["rel_q21_waiting"] = f"""
     WITH li AS (
@@ -6207,6 +6215,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sql_q2": rel.min_cost_supplier_sql,
         "rel_sql_q11": rel.important_stock_sql,
         "rel_sql_q16": rel.parts_supplier_cnt_sql,
+        "rel_sql_q4_exact": rel.order_priority_exact_sql,
+        "rel_sql_q12": rel.shipmode_priority_sql,
+        "rel_sql_q13": rel.customer_distribution_sql,
+        "rel_sql_q22": rel.sales_opportunity_sql,
         "text_ngram_repetition": ts.repetition_stats,
         "text_pmi": ts.pmi_collocations,
         "curate_context_histogram": cur.context_length_histogram,

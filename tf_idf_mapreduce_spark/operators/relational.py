@@ -1523,3 +1523,258 @@ def parts_supplier_cnt_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(q16_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Derived columns: shipmode/commit/receipt dates, o_comment, c_phone — the
+# remaining TPC-H fixture gaps (Q4-exact, Q12, Q13, Q22), closed the same
+# way as partsupp: deterministic key arithmetic both engines replay
+# bit-identically, no parquet side-channel, no RNG
+# ---------------------------------------------------------------------------
+
+#: epoch-day constants used in the derived-date filters (computed once,
+#: embedded as integer literals so neither engine does date arithmetic
+#: beyond one datediff per row).
+import datetime as _dt
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def _epoch_day(iso: str) -> int:
+    return (_dt.date.fromisoformat(iso) - _EPOCH).days
+
+
+def _hash_bigint(dialect: str, expr: str) -> str:
+    """Portable ``md5(expr)[:8] -> BIGINT`` — the repo's uniform-hash
+    convention (same seam as ``_partsupp_cte``). ``expr`` is a SQL
+    string expression; the result is uniform on [0, 2^32)."""
+    if dialect == "spark":
+        return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _lineitem_x_cte(dialect: str) -> str:
+    """``lineitem_x``: lineitem extended with the three columns the
+    driver fixture trims (TESTDATA.md): ``l_shipmode`` (the TPC-H 7-mode
+    domain, hash-picked), and commit/receipt dates carried as EPOCH-DAY
+    BIGINTs (``l_commit_day``, ``l_receipt_day``) relative to the real
+    ``l_shipdate``. Integer day arithmetic sidesteps every cross-engine
+    timestamp-interval seam: commit is ship + [-30, +30] days, receipt is
+    ship + [1, 30] days, so ``commit < receipt`` holds for ~64% of lines
+    (the Q4/Q12 'late commit' predicate stays selective, not degenerate).
+    """
+    h = lambda tag: _hash_bigint(  # noqa: E731 — local template helper
+        dialect, f"'{tag}:' || l.l_orderkey || ':' || l.l_linenumber"
+    )
+    if dialect == "spark":
+        ship_day = "datediff(CAST(l.l_shipdate AS DATE), DATE '1970-01-01')"
+    else:
+        ship_day = "datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))"
+    return f"""
+  lineitem_x AS (
+    SELECT l.*,
+      CASE ({h('lsm')} % 7)
+        WHEN 0 THEN 'AIR'      WHEN 1 THEN 'AIR REG' WHEN 2 THEN 'RAIL'
+        WHEN 3 THEN 'SHIP'     WHEN 4 THEN 'TRUCK'   WHEN 5 THEN 'MAIL'
+        ELSE 'FOB'
+      END AS l_shipmode,
+      {ship_day} AS l_ship_day,
+      {ship_day} + ({h('lcd')} % 61) - 30 AS l_commit_day,
+      {ship_day} + 1 + ({h('lrd')} % 30) AS l_receipt_day
+    FROM lineitem l
+  )"""
+
+
+def _orders_x_cte(dialect: str) -> str:
+    """``orders_x``: orders extended with a derived ``o_comment`` — two
+    hash-picked words from 5x5 vocabularies where 'special' x 'requests'
+    is one cell, so ``NOT LIKE '%special%requests%'`` excludes ~4% of
+    orders (the Q13 comment-filter shape at fixture selectivity)."""
+    h = lambda tag: _hash_bigint(dialect, f"'{tag}:' || o.o_orderkey")  # noqa: E731
+    return f"""
+  orders_x AS (
+    SELECT o.*,
+      (CASE ({h('ow1')} % 5)
+         WHEN 0 THEN 'special' WHEN 1 THEN 'pending' WHEN 2 THEN 'express'
+         WHEN 3 THEN 'regular' ELSE 'bulk'
+       END) || ' ' ||
+      (CASE ({h('ow2')} % 5)
+         WHEN 0 THEN 'requests' WHEN 1 THEN 'deposits' WHEN 2 THEN 'packages'
+         WHEN 3 THEN 'accounts' ELSE 'instructions'
+       END) AS o_comment
+    FROM orders o
+  )"""
+
+
+def _customer_x_cte(dialect: str) -> str:
+    """``customer_x``: customer extended with a derived ``c_phone``
+    (country code 10..34 hash-picked, TPC-H phone shape) plus
+    ``c_cents`` (acctbal in exact BIGINT cents — round() lands on an
+    exact .0 double in both engines before the cast, so no float ever
+    gates a Q22 row) and the pre-sliced ``cntrycode``."""
+    h = _hash_bigint(dialect, "'cph:' || c.c_custkey")
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+  customer_x AS (
+    SELECT c.*,
+      CAST(10 + ({h} % 25) AS {s}) || '-555-' ||
+        CAST(1000 + ({h} % 9000) AS {s}) AS c_phone,
+      CAST(10 + ({h} % 25) AS {s}) AS cntrycode,
+      CAST(round(c.c_acctbal * 100) AS BIGINT) AS c_cents
+    FROM customer c
+  )"""
+
+
+def q4x_sql(dialect: str) -> str:
+    """TPC-H Q4 EXACT (order priority checking): the spec's
+    ``l_commitdate < l_receiptdate`` EXISTS predicate over the derived
+    epoch-day columns (the previously shipped rel_q4_adapted had to
+    substitute a shipdate window). Quarter window adapted to the fixture
+    date domain (1997Q1)."""
+    return f"""
+WITH {_lineitem_x_cte(dialect)}
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1997-01-01'
+  AND o.o_orderdate < DATE '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem_x l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_commit_day < l.l_receipt_day
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def q12_sql(dialect: str) -> str:
+    """TPC-H Q12 (shipping modes and order priority) over the derived
+    shipmode + commit/receipt days. The two-mode IN gate, the
+    late-commit predicates, and the receipt-year window are the spec's;
+    the year is adapted to the fixture domain (1997). Counts are exact
+    integers — no float crosses the engines."""
+    rlo, rhi = _epoch_day("1997-01-01"), _epoch_day("1998-01-01")
+    return f"""
+WITH {_lineitem_x_cte(dialect)}
+SELECT l.l_shipmode,
+  CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                  OR o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+       AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                 AND o.o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+       AS BIGINT) AS low_line_count
+FROM orders o, lineitem_x l
+WHERE o.o_orderkey = l.l_orderkey
+  AND l.l_shipmode IN ('MAIL', 'SHIP')
+  AND l.l_commit_day < l.l_receipt_day
+  AND l.l_ship_day < l.l_commit_day
+  AND l.l_receipt_day >= {rlo}
+  AND l.l_receipt_day < {rhi}
+GROUP BY l.l_shipmode
+ORDER BY l.l_shipmode
+"""
+
+
+def q13_sql(dialect: str) -> str:
+    """TPC-H Q13 (customer distribution) over the derived o_comment:
+    left-outer join with the comment filter IN THE JOIN CONDITION (the
+    Q13 signature — a WHERE filter would wrongly drop zero-order
+    customers), double grouping, custdist/c_count descending order."""
+    return f"""
+WITH {_orders_x_cte(dialect)}
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders_x o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_comment NOT LIKE '%special%requests%'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q22_sql(dialect: str) -> str:
+    """TPC-H Q22 (global sales opportunity) over the derived c_phone.
+    The avg-acctbal gate is evaluated in exact integer cents
+    (``c_cents * n_pos > s_pos`` — multiply through by the count instead
+    of dividing, so no float average ever gates a row); NOT EXISTS
+    anti-joins against orders. Fixture adaptation, documented: the
+    driver fixture is referentially complete (every customer has at
+    least one order, so the spec's literal NOT EXISTS selects nothing)
+    — the stand-in is 'no OPEN order' (o_orderstatus = 'O'), the same
+    anti-join topology over the fixture's only order-liveness signal.
+    Output sums convert cents to dollars once."""
+    return f"""
+WITH {_customer_x_cte(dialect)},
+eligible AS (
+  SELECT cntrycode, c_cents, c_custkey
+  FROM customer_x
+  WHERE cntrycode IN ('13', '31', '23', '29', '30', '18', '17')
+),
+gate AS (
+  SELECT count(*) AS n_pos, sum(c_cents) AS s_pos
+  FROM eligible WHERE c_cents > 0
+)
+SELECT e.cntrycode,
+       count(*) AS numcust,
+       round(CAST(sum(e.c_cents) AS DOUBLE) / 100.0, 2) AS totacctbal
+FROM eligible e, gate g
+WHERE e.c_cents * g.n_pos > g.s_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = e.c_custkey AND o.o_orderstatus = 'O'
+  )
+GROUP BY e.cntrycode
+ORDER BY e.cntrycode
+"""
+
+
+def order_priority_exact_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 exact through the SQL front-end (see ``q4x_sql``).
+
+    Plan shape: EXISTS plans as a left-semi join orders ⋈ lineitem_x on
+    orderkey; lineitem_x is a map-only projection over the lineitem scan
+    (md5 + datediff, whole-stage codegen'd), the late-commit filter
+    prunes before the semi join shuffles. At 100 TB both sides shuffle
+    on orderkey — the semi join keeps only order keys, never widths."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(q4x_sql("spark"))
+
+
+def shipmode_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 through the SQL front-end (see ``q12_sql``). The
+    derived-column projection is map-only; the receipt-window + mode
+    filters cut lineitem BEFORE the orders join shuffles; the final agg
+    is 2 groups wide. Scale-safe: one orderkey exchange each side."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(q12_sql("spark"))
+
+
+def customer_distribution_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 through the SQL front-end (see ``q13_sql``). The
+    outer-join keeps every customer (zero-order customers land in the
+    c_count=0 bucket); both groupings are additive — partials combine
+    map-side. At 100 TB this is one custkey exchange + one tiny
+    c_count exchange."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(q13_sql("spark"))
+
+
+def sales_opportunity_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 through the SQL front-end (see ``q22_sql``). The gate
+    aggregate is a 1-row broadcast (A4 shape, TfidfMapReduce.java:51);
+    NOT EXISTS plans as a left-anti join on custkey. Exact integer-cents
+    gating keeps both engines bit-identical."""
+    from ..sources.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(q22_sql("spark"))
