@@ -5864,6 +5864,86 @@ FROM b GROUP BY bucket_log2 ORDER BY bucket_log2
 """
 
 
+def _pareto_layers_oracle(n_layers: int) -> str:
+    """Onion-peeled skyline, layers unrolled as CTEs (the BPE-rounds
+    pattern): layer k = NOT EXISTS dominance over the k-th remainder.
+    Same integer criteria as the Spark kernel — bit-exact."""
+
+    def _sky(src: str, out: str) -> str:
+        return f"""
+{out} AS (
+  SELECT f.* FROM {src} f
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {src} o
+    WHERE o.n_words >= f.n_words AND o.n_types >= f.n_types
+      AND o.n_digits <= f.n_digits
+      AND (o.n_words > f.n_words OR o.n_types > f.n_types
+           OR o.n_digits < f.n_digits)))"""
+
+    parts = [
+        f"""
+feats0 AS (
+  SELECT doc_id,
+         CAST(len({_WORDS_SQL}) AS BIGINT) AS n_words,
+         CAST(len(list_distinct({_WORDS_SQL})) AS BIGINT) AS n_types,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS n_digits
+  FROM documents)"""
+    ]
+    for k in range(1, n_layers + 1):
+        parts.append(_sky(f"feats{k - 1}", f"sky{k}"))
+        if k < n_layers:
+            parts.append(
+                f"""
+feats{k} AS (
+  SELECT * FROM feats{k - 1}
+  WHERE doc_id NOT IN (SELECT doc_id FROM sky{k}))"""
+            )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS layer, doc_id, n_words, n_types,"
+        f" n_digits FROM sky{k}"
+        for k in range(1, n_layers + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"\nSELECT * FROM ({union})"
+        " ORDER BY layer, doc_id"
+    )
+
+
+_CURATION_ORACLE["curate_pareto_layers"] = _pareto_layers_oracle(
+    cur.PARETO_LAYERS
+)
+
+_CURATION_ORACLE["curate_epoch_plan"] = f"""
+WITH per AS (
+  SELECT source, CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS tokens_available
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, tokens_available,
+         CAST(floor(sqrt(tokens_available)) AS BIGINT)
+           * (CAST(concat('0x', substr(md5('pri:' || source), 1, 8))
+                   AS BIGINT) % 4 + 1) AS weight
+  FROM per
+),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS sum_w FROM w),
+planned AS (
+  SELECT w.source, w.tokens_available, w.weight,
+         CAST({cur.EPOCH_BUDGET_TOKENS} * w.weight // t.sum_w AS BIGINT)
+           AS target_tokens
+  FROM w, tot t
+)
+SELECT source, tokens_available, weight, target_tokens,
+       least(target_tokens, {cur.EPOCH_MAX} * tokens_available)
+         AS realized_tokens,
+       target_tokens > {cur.EPOCH_MAX} * tokens_available AS saturated,
+       floor(least(target_tokens, {cur.EPOCH_MAX} * tokens_available)
+             / tokens_available * 1000000 + 0.5) / 1000000 AS epochs
+FROM planned ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """All queries in STABLE declaration order (grouped by family), the
     same order every round.
@@ -6222,6 +6302,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_repetition": ts.repetition_stats,
         "text_pmi": ts.pmi_collocations,
         "curate_context_histogram": cur.context_length_histogram,
+        "curate_pareto_layers": cur.pareto_layers,
+        "curate_epoch_plan": cur.epoch_plan,
     }
 
 

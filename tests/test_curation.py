@@ -1337,3 +1337,76 @@ def test_context_histogram_buckets_and_truncation(spark, tmp_path_factory):
     assert rows[1].n_docs == 1 and rows[1].total_tokens == 3
     big = rows[11]  # floor(log2(2148)) = 11
     assert big.n_truncated == 1 and big.tokens_lost == 100
+
+
+def test_pareto_layers_dominance_and_invariance(spark, sf_dir):
+    """Layer 1 must contain no dominated doc; every deeper-layer doc
+    must be dominated by at least one layer-1 doc (maximal elements
+    dominate everything off the frontier, transitively); the result
+    must be invariant to input partitioning (the local-frontier shrink
+    is algebra, not an approximation)."""
+    from tf_idf_mapreduce_spark.operators.curation import pareto_layers
+
+    rows = pareto_layers(spark, sf_dir).collect()
+    assert rows
+    by_layer = {}
+    for r in rows:
+        by_layer.setdefault(r.layer, []).append(
+            (r.n_words, r.n_types, r.n_digits, r.doc_id)
+        )
+
+    def dom(a, b):  # a dominates b
+        return (
+            a[0] >= b[0] and a[1] >= b[1] and a[2] <= b[2]
+            and (a[0] > b[0] or a[1] > b[1] or a[2] < b[2])
+        )
+
+    l1 = by_layer[1]
+    allpts = [p for pts in by_layer.values() for p in pts]
+    for p in l1:
+        assert not any(dom(q, p) for q in allpts)
+    for layer, pts in by_layer.items():
+        if layer == 1:
+            continue
+        for p in pts:
+            assert any(dom(q, p) for q in l1)
+
+    # partition invariance: the local-shrink kernel must yield the same
+    # global frontier whatever batch boundaries it sees
+    from tf_idf_mapreduce_spark.operators.curation import _skyline_of
+
+    feats = spark.createDataFrame(
+        [(i, (i * 7) % 23, (i * 5) % 17, (i * 3) % 11) for i in range(200)],
+        "doc_id long, n_words long, n_types long, n_digits long",
+    )
+    one = sorted(map(tuple, _skyline_of(feats.repartition(1)).collect()))
+    many = sorted(map(tuple, _skyline_of(feats.repartition(13)).collect()))
+    assert one == many and one
+
+
+def test_epoch_plan_budget_and_caps(spark, sf_dir):
+    """The plan must conserve the budget (targets are floor shares, so
+    their sum is within n_sources of the budget), cap realized tokens
+    at EPOCH_MAX epochs, and flag exactly the cap-cut sources. At
+    sf0.001/sf0.01 the fixed budget over-subscribes the corpus, so both
+    regimes (saturated and not) must appear."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        EPOCH_BUDGET_TOKENS,
+        EPOCH_MAX,
+        epoch_plan,
+    )
+
+    rows = epoch_plan(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.target_tokens for r in rows) <= EPOCH_BUDGET_TOKENS
+    assert (
+        sum(r.target_tokens for r in rows)
+        > EPOCH_BUDGET_TOKENS - len(rows) * 2
+    )
+    for r in rows:
+        cap = EPOCH_MAX * r.tokens_available
+        assert r.realized_tokens == min(r.target_tokens, cap)
+        assert r.saturated == (r.target_tokens > cap)
+        assert r.epochs <= EPOCH_MAX + 1e-9
+    assert any(r.saturated for r in rows)
+    assert any(not r.saturated for r in rows)

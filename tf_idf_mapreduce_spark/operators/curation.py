@@ -2295,3 +2295,215 @@ def context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_log2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) — multi-criteria document selection
+# ---------------------------------------------------------------------------
+
+#: Skyline criteria over documents: maximize n_words (training mass),
+#: maximize n_types (vocabulary richness), minimize n_digits (OCR/table
+#: noise). All three are exact BIGINTs shared with the DuckDB oracle.
+SKYLINE_SCHEMA = (
+    "doc_id long, n_words long, n_types long, n_digits long"
+)
+
+
+def _skyline_batch(pdf):
+    """Batch-local skyline kernel (numpy): drop every row strictly
+    dominated by another row of the SAME batch. Dominance: >= on the
+    two maximize axes, <= on the minimize axis, strict on at least one.
+    Duplicated coordinate tuples dominate nobody — all copies stay.
+
+    Sort-filter-skyline order: descending (n_words + n_types - presence
+    of digits is NOT monotone) — use the classic monotone key n_words +
+    n_types - n_digits; a dominator's key is always >= the dominated
+    row's key, so one forward pass over the sorted batch suffices."""
+    import numpy as np
+
+    if len(pdf) == 0:
+        return pdf
+    w = pdf["n_words"].to_numpy(dtype=np.int64)
+    t = pdf["n_types"].to_numpy(dtype=np.int64)
+    g = pdf["n_digits"].to_numpy(dtype=np.int64)
+    order = np.argsort(-(w + t - g), kind="stable")
+    keep_rows = []
+    kw, kt, kg = [], [], []
+    for i in order:
+        wi, ti, gi = w[i], t[i], g[i]
+        dominated = False
+        for j in range(len(keep_rows)):
+            if (
+                kw[j] >= wi
+                and kt[j] >= ti
+                and kg[j] <= gi
+                and (kw[j] > wi or kt[j] > ti or kg[j] < gi)
+            ):
+                dominated = True
+                break
+        if not dominated:
+            keep_rows.append(i)
+            kw.append(wi)
+            kt.append(ti)
+            kg.append(gi)
+    return pdf.iloc[keep_rows]
+
+
+def _skyline_map(it):
+    for pdf in it:
+        yield _skyline_batch(pdf)
+
+
+#: How many frontier layers the onion-peeling query returns.
+PARETO_LAYERS = 3
+
+
+def _skyline_of(feats: DataFrame) -> DataFrame:
+    """One exact skyline pass: per-partition frontier shrink, then the
+    surviving candidates (KBs) merge on one partition. Correct because
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — idempotent and
+    distributive, the same algebra as a partial aggregate."""
+    local = feats.mapInPandas(_skyline_map, SKYLINE_SCHEMA)
+    return local.coalesce(1).mapInPandas(_skyline_map, SKYLINE_SCHEMA)
+
+
+def pareto_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-criteria document tiers: ``PARETO_LAYERS`` onion-peeled
+    Pareto frontiers (skylines) over (n_words UP, n_types UP, n_digits
+    DOWN). Layer 1 is the set of docs no other doc beats on every axis
+    at once; layer 2 is the frontier of the remainder; and so on — the
+    ranked tradeoff tiers a curation loop inspects when no single
+    quality scalar exists. All criteria are exact BIGINTs, so both
+    engines agree bit-for-bit.
+
+    Scale shape: one scan computes the integer criteria (cached across
+    layers — doc-count-sized, 3 narrow columns); each layer shrinks
+    every partition to its LOCAL frontier via ``mapInPandas`` (frontier
+    size grows polylogarithmically for independent axes), and only the
+    per-partition frontiers (KBs) move to the single-partition exact
+    merge. The corpus itself never shuffles; peeling removes the tiny
+    previous layer by broadcast anti-join. The final one-partition pass
+    rides the same model-size contract as k-means seeds: a frontier too
+    big to merge on one task means the criteria are degenerate, not
+    that the operator should shuffle the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    digits = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[0-9]", "")
+    )
+    words = d.select(
+        "doc_id", F.explode(norm_words(F.col("text"))).alias("w")
+    )
+    per = words.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.countDistinct("w").cast("long").alias("n_types"),
+    )
+    feats = (
+        per.join(
+            d.select("doc_id", digits.cast("long").alias("n_digits")),
+            "doc_id",
+        )
+        .select("doc_id", "n_words", "n_types", "n_digits")
+        .localCheckpoint(eager=False)
+    )
+    remaining = feats
+    layers: list[DataFrame] = []
+    for layer in range(1, PARETO_LAYERS + 1):
+        sky = _skyline_of(remaining).localCheckpoint(eager=False)
+        layers.append(sky.withColumn("layer", F.lit(layer).cast("long")))
+        if layer < PARETO_LAYERS:
+            remaining = remaining.join(
+                F.broadcast(sky.select("doc_id")), "doc_id", "left_anti"
+            )
+    out = layers[0]
+    for more in layers[1:]:
+        out = out.unionByName(more)
+    return out.select(
+        "layer", "doc_id", "n_words", "n_types", "n_digits"
+    ).orderBy("layer", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Epoch plan — token-budget allocation across sources (data budgeting)
+# ---------------------------------------------------------------------------
+
+#: Global training token budget the plan allocates (a plan input, not a
+#: corpus property — constant across scale factors so the same query is
+#: over-subscribed at sf0.01 and under-subscribed at sf0.1, both
+#: legitimate plan regimes).
+EPOCH_BUDGET_TOKENS = 100_000
+#: Repetition ceiling: never draw more than this many epochs of one
+#: source (quality degrades past ~4 repeats — the standard data-budget
+#: guardrail).
+EPOCH_MAX = 4
+
+
+def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch data budget per source: how many passes over each
+    source a fixed global token budget implies, with a repetition cap.
+
+    Weights: ``floor(sqrt(tokens_available)) * priority`` — sqrt is the
+    temperature-0.5 mixture (up-weights small sources), priority is a
+    deterministic 1..4 tier hashed from the source name (stand-in for a
+    quality tier; md5 arithmetic both engines replay). Targets are
+    exact integer floor-division shares of the budget; ``realized``
+    caps at ``EPOCH_MAX`` epochs and ``saturated`` flags the sources
+    whose target the cap cuts (their shortfall is what a practitioner
+    re-allocates or accepts).
+
+    Every gating comparison is BIGINT (floor(sqrt) of an exact-integer
+    double is exact; budget*weight stays far under 2^63) — the only
+    double is the display ``epochs`` ratio on the shared @6dp grid.
+    Scale: one tokenize scan + a 20-row aggregate + a 1-row broadcast
+    total; the plan itself is model-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.size(norm_words(F.col("text"))).alias("nw"))
+        .groupBy("source")
+        .agg(F.sum("nw").cast("long").alias("tokens_available"))
+    )
+    priority = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("pri:"), F.col("source"))), 1, 8), 16, 10)
+        .cast("long") % 4 + 1
+    )
+    w = per.select(
+        "source",
+        "tokens_available",
+        (
+            F.floor(F.sqrt(F.col("tokens_available"))).cast("long")
+            * priority
+        ).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").cast("long").alias("sum_w"))
+    target = F.expr(
+        f"CAST({EPOCH_BUDGET_TOKENS} AS BIGINT) * weight div sum_w"
+    )
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    planned = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "realized_tokens",
+            F.least(
+                F.col("target_tokens"),
+                F.lit(EPOCH_MAX) * F.col("tokens_available"),
+            ),
+        )
+        .withColumn(
+            "saturated",
+            F.col("target_tokens")
+            > F.lit(EPOCH_MAX) * F.col("tokens_available"),
+        )
+        .withColumn(
+            "epochs",
+            grid(F.col("realized_tokens") / F.col("tokens_available")),
+        )
+    )
+    return planned.select(
+        "source",
+        "tokens_available",
+        "weight",
+        "target_tokens",
+        "realized_tokens",
+        "saturated",
+        "epochs",
+    ).orderBy("source")
