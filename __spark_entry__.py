@@ -800,6 +800,60 @@ def _cosine_topk_sql(query_vec_id: int, k: int) -> str:
     """
 
 
+def _mmr_sql(query_vec_id: int, n_cand: int, k: int) -> str:
+    """Oracle for ``similarity.mmr_rerank`` — greedy steps unrolled as
+    CTE pairs (the BPE-rounds pattern): p{s} picks the argmax of
+    ``0.7*rel - 0.3*max_sim_to_selected`` over the remaining candidates
+    (score DESC, vec_id tiebreak), sel{s} accumulates the picks. All
+    comparisons run on the same @6dp-grid cosines the Spark side
+    collects, so the trajectories are bit-identical."""
+    lam, oml = sim.MMR_LAMBDA, sim.MMR_ONE_MINUS_LAMBDA
+    parts = [
+        f"""q AS (SELECT embedding AS qe FROM embeddings
+             WHERE vec_id = {query_vec_id})""",
+        f"""rel AS MATERIALIZED (
+          SELECT vec_id, round({_cos_sql('embedding', 'qe')}, 6) AS rel,
+                 embedding
+          FROM embeddings, q WHERE vec_id <> {query_vec_id}
+          ORDER BY rel DESC, vec_id LIMIT {n_cand})""",
+        f"""simsm AS MATERIALIZED (
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS sim
+          FROM rel a JOIN rel b ON a.vec_id <> b.vec_id)""",
+        f"""p1 AS (
+          SELECT 1 AS step, vec_id, rel, {lam}*rel - {oml}*0.0 AS score
+          FROM rel ORDER BY score DESC, vec_id LIMIT 1)""",
+        "sel1 AS (SELECT vec_id FROM p1)",
+    ]
+    for s in range(2, k + 1):
+        parts.append(
+            f"""p{s} AS (
+          SELECT {s} AS step, r.vec_id, r.rel,
+                 {lam}*r.rel - {oml}*(
+                   SELECT max(m.sim) FROM simsm m
+                   JOIN sel{s - 1} t ON m.va = r.vec_id
+                                    AND m.vb = t.vec_id) AS score
+          FROM rel r
+          WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{s - 1})
+          ORDER BY score DESC, r.vec_id LIMIT 1)"""
+        )
+        if s < k:
+            parts.append(
+                f"sel{s} AS MATERIALIZED (SELECT vec_id FROM sel{s - 1}"
+                f" UNION ALL SELECT vec_id FROM p{s})"
+            )
+    union = " UNION ALL ".join(
+        f"SELECT step, vec_id, rel AS relevance,"
+        f" floor(score*1000000 + 0.5)/1000000 AS mmr_score FROM p{s}"
+        for s in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM ({union}) ORDER BY step"
+    )
+
+
 def _range_search_sql(query_vec_id: int, min_cos: float) -> str:
     """Oracle for ``similarity.range_search`` — the same cosine/rounding
     conventions as ``_cosine_topk_sql`` with a radius filter instead of
@@ -1809,6 +1863,9 @@ _LLMDATA_ORACLE: dict[str, str] = {
         sim.NEARDUP_MIN_COSINE
     ),
     "sim_cosine_topk": _cosine_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
+    "sim_mmr_rerank": _mmr_sql(
+        sim.DEFAULT_QUERY_VEC, sim.MMR_CANDIDATES, sim.MMR_K
+    ),
     "sim_mips_topk": _mips_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_mips_prune_stats": _mips_prune_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_range_search": _range_search_sql(
@@ -6079,6 +6136,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_keep": dd.semantic_keep,
         # --- LLM-data pipeline: similarity search ---
         "sim_cosine_topk": sim.cosine_topk,
+        "sim_mmr_rerank": sim.mmr_rerank,
         "sim_mips_topk": sim.mips_topk,
         "sim_mips_prune_stats": sim.mips_prune_stats,
         # radius query: everything within min_cos of the query (linear

