@@ -2757,6 +2757,40 @@ _LLMDATA_ORACLE["dedup_threshold_sweep"] = f"""
     ORDER BY threshold
 """
 
+#: near-dup graph structure: edges replayed by the jaccard-pairs oracle,
+#: wedges from degrees, triangles by the canonical two-join closure
+_LLMDATA_ORACLE["dedup_graph_stats"] = f"""
+    WITH e AS MATERIALIZED (
+      SELECT doc_a, doc_b
+      FROM ({_LLMDATA_ORACLE["dedup_jaccard_pairs"]})
+      WHERE jaccard >= {dd.MINHASH_PRECISION_THRESHOLD}
+    ),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e)
+      GROUP BY v
+    ),
+    w AS (
+      SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(max(deg) AS BIGINT) AS max_degree
+      FROM deg
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.doc_b = e2.doc_a
+      JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    en AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT w.n_nodes, en.n_edges, w.max_degree, w.n_wedges, t.n_triangles,
+           CASE WHEN w.n_wedges > 0
+                THEN floor(3.0 * t.n_triangles / w.n_wedges * 1000000
+                           + 0.5) / 1000000
+                ELSE 0.0 END AS transitivity
+    FROM w, t, en
+"""
+
 #: cross-modal agreement: both pair sets replayed by their own existing
 #: oracles, intersected with a full outer join
 _LLMDATA_ORACLE["dedup_semantic_lexical_agreement"] = f"""
@@ -6127,6 +6161,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_banding_sweep": dd.banding_sweep,
         # cross-modal: do lexical and semantic near-dup passes agree?
         "dedup_semantic_lexical_agreement": dd.semantic_lexical_agreement,
+        "dedup_graph_stats": dd.graph_stats,
         # cosine-cutoff aggressiveness curve over one candidate pass
         "dedup_threshold_sweep": dd.threshold_sweep,
         # per-band bucket-size / verify-load monitoring report

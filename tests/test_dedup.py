@@ -618,3 +618,32 @@ def test_cluster_size_histogram_recounts_clusters(spark, sf_dir):
     for sz, r in got.items():
         assert r.n_docs == sz * sizes[sz]
     assert abs(sum(r.doc_share for r in got.values()) - 1.0) < 1e-4
+
+
+def test_graph_stats_invariants(spark, sf_dir):
+    """The structure report must be internally consistent: edge count
+    equals the thresholded verified-pair count, every closed triangle
+    consumes 3 wedges (so 3*triangles <= wedges), transitivity is the
+    claimed ratio in [0, 1], and degrees bound nodes by 2*edges."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        MINHASH_PRECISION_THRESHOLD,
+        graph_stats,
+        jaccard_verified_pairs,
+    )
+
+    r = graph_stats(spark, sf_dir).head()
+    n_pairs = (
+        jaccard_verified_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= MINHASH_PRECISION_THRESHOLD)
+        .count()
+    )
+    assert r.n_edges == n_pairs
+    assert r.n_nodes <= 2 * r.n_edges
+    assert 3 * r.n_triangles <= r.n_wedges or r.n_wedges == 0
+    assert 0.0 <= r.transitivity <= 1.0
+    if r.n_wedges:
+        assert r.transitivity == round(
+            (3.0 * r.n_triangles / r.n_wedges * 1e6 + 0.5) // 1 / 1e6, 6
+        )

@@ -2327,25 +2327,35 @@ def _skyline_batch(pdf):
     t = pdf["n_types"].to_numpy(dtype=np.int64)
     g = pdf["n_digits"].to_numpy(dtype=np.int64)
     order = np.argsort(-(w + t - g), kind="stable")
+    # grown-in-place frontier buffers; each candidate checks against the
+    # kept prefix in one vectorized pass (O(frontier) numpy ops/row)
+    cap = 256
+    kw = np.empty(cap, dtype=np.int64)
+    kt = np.empty(cap, dtype=np.int64)
+    kg = np.empty(cap, dtype=np.int64)
     keep_rows = []
-    kw, kt, kg = [], [], []
+    m = 0
     for i in order:
         wi, ti, gi = w[i], t[i], g[i]
-        dominated = False
-        for j in range(len(keep_rows)):
-            if (
-                kw[j] >= wi
-                and kt[j] >= ti
-                and kg[j] <= gi
-                and (kw[j] > wi or kt[j] > ti or kg[j] < gi)
-            ):
-                dominated = True
-                break
-        if not dominated:
-            keep_rows.append(i)
-            kw.append(wi)
-            kt.append(ti)
-            kg.append(gi)
+        if m:
+            dominated = bool(
+                np.any(
+                    (kw[:m] >= wi)
+                    & (kt[:m] >= ti)
+                    & (kg[:m] <= gi)
+                    & ((kw[:m] > wi) | (kt[:m] > ti) | (kg[:m] < gi))
+                )
+            )
+            if dominated:
+                continue
+        if m == cap:
+            cap *= 2
+            kw = np.resize(kw, cap)
+            kt = np.resize(kt, cap)
+            kg = np.resize(kg, cap)
+        kw[m], kt[m], kg[m] = wi, ti, gi
+        m += 1
+        keep_rows.append(i)
     return pdf.iloc[keep_rows]
 
 

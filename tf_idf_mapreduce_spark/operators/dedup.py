@@ -1264,3 +1264,68 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure report of the verified near-duplicate graph: nodes,
+    edges, wedges, triangles, and global transitivity (3*triangles /
+    wedges) — the one-row health check that tells a dedup pass whether
+    its pair relation is chains (transitivity ~0: drift, template
+    families) or cliques (~1: true duplicate clusters safe to collapse
+    to one keeper). Complements ``dedup_clusters`` (which only sees
+    connectivity, not density).
+
+    Edges are the jaccard-verified pairs at the shared precision
+    threshold (never all-pairs — the banded candidates bound them).
+    Triangle counting is the classic two-join formulation over the
+    a<b-canonical edge list: E(a,b) ⋈ E(b,c) builds open wedges, the
+    third join closes them — at 100 TB the join keys are edge
+    endpoints, so skew follows degree; the production hardening is
+    degree-ordered orientation (each edge stored low-degree→high-degree
+    caps fan-out at sqrt(E)); at the candidate-bounded edge volumes the
+    verify stage emits, AQE's skew split covers the fixture-to-PB
+    range. Every output but transitivity is an exact BIGINT."""
+    pairs = jaccard_verified_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= MINHASH_PRECISION_THRESHOLD
+    )
+    e = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .union(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        F.count("*").cast("long").alias("n_nodes"),
+        F.max("deg").cast("long").alias("max_degree"),
+    )
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    edges_n = e.agg(F.count("*").cast("long").alias("n_edges"))
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    return (
+        wedges.crossJoin(F.broadcast(edges_n))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                grid(3.0 * F.col("n_triangles") / F.col("n_wedges")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )
