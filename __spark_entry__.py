@@ -4160,6 +4160,69 @@ _EVENTS_ORACLE["events_transitions"] = """
     FROM c ORDER BY src, dst
 """
 
+def _markov_stationary_oracle(iters: int, damp_pct: int) -> str:
+    """Oracle for ``events.q_markov_stationary`` — the fixed-point
+    iteration unrolled as MATERIALIZED CTEs (exponential-inlining
+    lesson from the MMR oracle), all arithmetic BIGINT nano-units in
+    the same operation order as the Spark side."""
+    base_nano = (100 - damp_pct) * 10_000_000
+    parts = [
+        """seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             ) AS dst
+      FROM events)""",
+        """c AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)""",
+        """rt AS MATERIALIZED (
+      SELECT src, CAST(sum(n) AS BIGINT) AS r FROM c GROUP BY src)""",
+        """cm AS MATERIALIZED (
+      SELECT c.src, c.dst, c.n, rt.r FROM c JOIN rt USING (src))""",
+        """ty AS MATERIALIZED (SELECT DISTINCT event_type FROM events)""",
+        """tn AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS t FROM ty)""",
+        """pi0 AS MATERIALIZED (
+      SELECT event_type, CAST(1000000000 // t AS BIGINT) AS pi_nano
+      FROM ty, tn)""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""dang{i} AS MATERIALIZED (
+      SELECT CAST(coalesce(sum(p.pi_nano), 0) AS BIGINT) AS dm
+      FROM pi{i - 1} p LEFT JOIN rt ON rt.src = p.event_type
+      WHERE rt.src IS NULL)"""
+        )
+        parts.append(
+            f"""inb{i} AS MATERIALIZED (
+      SELECT cm.dst AS event_type,
+             CAST(sum((p.pi_nano * cm.n) // cm.r) AS BIGINT) AS inb
+      FROM cm JOIN pi{i - 1} p ON p.event_type = cm.src
+      GROUP BY cm.dst)"""
+        )
+        parts.append(
+            f"""pi{i} AS MATERIALIZED (
+      SELECT ty.event_type,
+             CAST({base_nano} // t.t
+                  + ({damp_pct} * (coalesce(i.inb, 0) + d.dm // t.t) + 50)
+                    // 100 AS BIGINT) AS pi_nano
+      FROM ty LEFT JOIN inb{i} i USING (event_type), tn t, dang{i} d)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT event_type, pi_nano,
+           pi_nano / 1000000000.0 AS pi
+    FROM pi{iters} ORDER BY event_type"""
+    )
+
+
+_EVENTS_ORACLE["events_markov_stationary"] = _markov_stationary_oracle(
+    ev.MARKOV_ITERS, ev.MARKOV_DAMP_PCT
+)
+
 _EVENTS_ORACLE["events_retention"] = """
     WITH e AS (
       SELECT user_id, (epoch_ns(ts) // 1000000000) // 604800 AS week
@@ -6128,6 +6191,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": ev.q_funnel,
         "events_retention": ev.q_retention,
         "events_transitions": ev.q_transitions,
+        "events_markov_stationary": ev.q_markov_stationary,
         "events_paths": ev.q_paths,
         "events_anomaly": ev.q_anomaly_hours,
         "events_wau": ev.q_wau,

@@ -1410,3 +1410,23 @@ def test_epoch_plan_budget_and_caps(spark, sf_dir):
         assert r.epochs <= EPOCH_MAX + 1e-9
     assert any(r.saturated for r in rows)
     assert any(not r.saturated for r in rows)
+
+
+def test_skyline_merge_guard_trips_on_anticorrelated(spark):
+    """Anti-correlated criteria keep every point near the tradeoff
+    surface; the merge guard must refuse rather than run an unbounded
+    single task (cap parameterized down so the fixture-scale test
+    exercises the production refusal path)."""
+    import pytest
+
+    from tf_idf_mapreduce_spark.operators.curation import _skyline_of
+    from tf_idf_mapreduce_spark.operators.guard import ExactPathTooLarge
+
+    anti = spark.createDataFrame(
+        [(i, i, 1000 - i, 0) for i in range(400)],
+        "doc_id long, n_words long, n_types long, n_digits long",
+    ).repartition(8)
+    with pytest.raises(ExactPathTooLarge):
+        _skyline_of(anti, max_merge_rows=100).collect()
+    # opt-out works and the full anti-chain IS the frontier
+    assert _skyline_of(anti, max_merge_rows=None).count() == 400

@@ -539,3 +539,23 @@ def test_transition_entropy_extremes(spark, tmp_path):
     assert c.n_dst_types == 2
     assert abs(c.entropy_nats - math.log(2)) < 1e-5
     assert c.top_dst == "D"  # tie on 3/3? D appears 3x, E 2x (last C ends seq)
+
+
+def test_markov_stationary_mass_and_determinism(spark, sf_dir):
+    """The damped stationary vector must conserve probability mass up
+    to integer-truncation dust (each round drops < 1 nano per type at
+    the div sites), stay strictly positive (teleport reaches every
+    type), and be bit-identical on re-run (integer fixed point)."""
+    from tf_idf_mapreduce_spark.operators.events import (
+        MARKOV_ITERS,
+        q_markov_stationary,
+    )
+
+    rows = q_markov_stationary(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.pi_nano for r in rows)
+    dust = MARKOV_ITERS * (len(rows) + 2) * 2 + len(rows)
+    assert abs(total - 1_000_000_000) <= dust
+    assert all(r.pi_nano > 0 for r in rows)
+    again = q_markov_stationary(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

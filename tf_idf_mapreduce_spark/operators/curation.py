@@ -2368,12 +2368,40 @@ def _skyline_map(it):
 PARETO_LAYERS = 3
 
 
-def _skyline_of(feats: DataFrame) -> DataFrame:
+#: Cap on the candidate volume entering the single-partition skyline
+#: merge. P10 measured the shrink: independent axes stay thousands of
+#: candidates at 50M rows, but ANTI-correlated axes (every point near
+#: the tradeoff surface) keep frontiers proportional to the surface —
+#: past this cap the merge task (O(candidates x frontier)) is no longer
+#: model-sized and the criteria themselves are the problem.
+SKYLINE_MERGE_MAX = 2_000_000
+
+
+def _skyline_of(feats: DataFrame, *, max_merge_rows: int | None = SKYLINE_MERGE_MAX) -> DataFrame:
     """One exact skyline pass: per-partition frontier shrink, then the
     surviving candidates (KBs) merge on one partition. Correct because
     skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — idempotent and
-    distributive, the same algebra as a partial aggregate."""
-    local = feats.mapInPandas(_skyline_map, SKYLINE_SCHEMA)
+    distributive, the same algebra as a partial aggregate.
+
+    Guarded like the exact quadratics: the local pass output is counted
+    (cheap — it IS the shrunk relation) and refused past
+    ``max_merge_rows``. A frontier that big means near-anti-correlated
+    criteria; the fix is a coarser grid on one axis or a dominance-
+    preserving pre-filter, not a bigger merge task."""
+    from .guard import ExactPathTooLarge
+
+    local = feats.mapInPandas(_skyline_map, SKYLINE_SCHEMA).localCheckpoint(
+        eager=False
+    )
+    if max_merge_rows is not None:
+        n = local.count()
+        if n > max_merge_rows:
+            raise ExactPathTooLarge(
+                f"skyline merge: {n:,} local-frontier candidates exceed "
+                f"the single-task cap of {max_merge_rows:,} — the "
+                f"criteria are near-anti-correlated; coarsen an axis or "
+                f"pre-filter, or pass max_merge_rows=None to force it."
+            )
     return local.coalesce(1).mapInPandas(_skyline_map, SKYLINE_SCHEMA)
 
 

@@ -985,3 +985,97 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src")
     )
+
+
+#: Stationary-distribution iteration count / damping (teleport) — shared
+#: with the unrolled-CTE oracle so the replay depth always matches.
+MARKOV_ITERS = 10
+MARKOV_DAMP_PCT = 85
+
+
+def q_markov_stationary(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = MARKOV_ITERS,
+    damp_pct: int = MARKOV_DAMP_PCT,
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: the
+    long-run share of time a user spends in each event type under the
+    observed first-order transition model (``events_transitions``) —
+    the steady-state companion to ``events_transition_entropy``
+    (which scores one step, not the limit). Damped with a uniform
+    teleport (the PageRank convention) so periodic or reducible chains
+    still converge; dangling types (never a source) spread their mass
+    uniformly.
+
+    Arithmetic is the engine's fixed-point convention (``pagerank``):
+    probabilities live as BIGINT nano-units, every step is integer
+    multiply-divide, sums are order-independent — bit-exact across
+    partitionings and engines at any iteration count.
+
+    Scale: ONE full-data pass (the per-user sequence shuffle) builds
+    the |types|^2 transition matrix; all ten iterations then run on
+    that model-sized relation — at 100 TB the iteration cost does not
+    see the corpus at all."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    row_tot = counts.groupBy("src").agg(F.sum("n").cast("long").alias("r"))
+    cm = counts.join(row_tot, "src").localCheckpoint(eager=False)
+
+    ty = ev.select("event_type").distinct().localCheckpoint(eager=False)
+    tn = ty.agg(F.count("*").cast("long").alias("t"))
+    pi = ty.crossJoin(F.broadcast(tn)).select(
+        "event_type",
+        F.expr("CAST(1000000000 AS BIGINT) div t").alias("pi_nano"),
+    )
+    base_nano = (100 - damp_pct) * 10_000_000  # (1-d) * 1e9
+    srcs = row_tot.select(F.col("src").alias("event_type"))
+    for i in range(iters):
+        dang = (
+            pi.join(srcs, "event_type", "left_anti")
+            .agg(
+                F.coalesce(F.sum("pi_nano"), F.lit(0))
+                .cast("long")
+                .alias("dm")
+            )
+        )
+        inb = (
+            cm.join(
+                pi.withColumnRenamed("event_type", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("event_type"))
+            .agg(
+                F.sum(F.expr("(pi_nano * n) div r"))
+                .cast("long")
+                .alias("inb")
+            )
+        )
+        pi = (
+            ty.join(inb, "event_type", "left")
+            .crossJoin(F.broadcast(tn))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "event_type",
+                F.expr(
+                    f"CAST({base_nano} AS BIGINT) div t"
+                    f" + ({damp_pct} * (coalesce(inb, CAST(0 AS BIGINT))"
+                    f" + dm div t) + 50) div 100"
+                ).alias("pi_nano"),
+            )
+        )
+        if (i + 1) % 4 == 0 and i + 1 < iters:
+            pi = pi.localCheckpoint(eager=False)
+    return pi.select(
+        "event_type",
+        "pi_nano",
+        (F.col("pi_nano") / 1_000_000_000).alias("pi"),
+    ).orderBy("event_type")
