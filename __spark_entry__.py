@@ -5877,6 +5877,33 @@ _CURATION_ORACLE["curate_classifier_roc"] = f"""
     FROM agg ORDER BY threshold
 """.replace("{CLS}", _quality_classifier_sql())
 
+# Reliability diagram over the scored relation: probs carried as exact
+# micro-units so the per-bucket sums are order-independent BIGINTs;
+# ratio expressions mirror curation.classifier_calibration's op order.
+_CURATION_ORACLE["curate_calibration"] = f"""
+    WITH s AS ({_quality_classifier_sql()}),
+    b AS (
+      SELECT least(CAST(floor(prob * 10) AS BIGINT), {cur.CAL_BUCKETS - 1})
+               AS bucket,
+             CAST(floor(prob * 1000000 + 0.5) AS BIGINT) AS micro,
+             label
+      FROM s),
+    agg AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(micro) AS BIGINT) AS sum_micro
+      FROM b GROUP BY bucket)
+    SELECT bucket, n_docs, n_pos,
+      floor((n_pos / n_docs) * 1000000 + 0.5)/1000000 AS frac_pos,
+      floor(((sum_micro / n_docs) / 1000000.0) * 1000000 + 0.5)/1000000
+        AS mean_prob,
+      floor(abs((sum_micro / n_docs) / 1000000.0 - n_pos / n_docs)
+            * 1000000 + 0.5)/1000000 AS calibration_gap
+    FROM agg ORDER BY bucket
+"""
+
 # Confusion matrix + grid-rounded derived metrics over the scored
 # relation; expression order mirrors curation.classifier_eval exactly.
 _CURATION_ORACLE["curate_classifier_eval"] = f"""
@@ -6461,6 +6488,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_context_histogram": cur.context_length_histogram,
         "curate_pareto_layers": cur.pareto_layers,
         "curate_epoch_plan": cur.epoch_plan,
+        "curate_calibration": cur.classifier_calibration,
     }
 
 

@@ -1430,3 +1430,24 @@ def test_skyline_merge_guard_trips_on_anticorrelated(spark):
         _skyline_of(anti, max_merge_rows=100).collect()
     # opt-out works and the full anti-chain IS the frontier
     assert _skyline_of(anti, max_merge_rows=None).count() == 400
+
+
+def test_calibration_mass_and_bucket_bounds(spark, sf_dir):
+    """Every scored doc lands in exactly one decile (counts sum to the
+    scored-relation size), positives never exceed the bucket count,
+    mean predicted prob stays inside the bucket's half-open range, and
+    the gap is |mean_prob - frac_pos| on the grid."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        classifier_calibration,
+        quality_classifier,
+    )
+
+    rows = classifier_calibration(spark, sf_dir).collect()
+    assert rows
+    n_scored = quality_classifier(spark, sf_dir).count()
+    assert sum(r.n_docs for r in rows) == n_scored
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n_docs
+        lo, hi = r.bucket / 10, (r.bucket + 1) / 10
+        assert lo - 1e-9 <= r.mean_prob <= (1.0 if r.bucket == 9 else hi) + 1e-9
+        assert abs(r.calibration_gap - abs(r.mean_prob - r.frac_pos)) < 2e-6

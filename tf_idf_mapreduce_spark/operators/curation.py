@@ -2545,3 +2545,51 @@ def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "saturated",
         "epochs",
     ).orderBy("source")
+
+
+#: Reliability-diagram bucket count (prob deciles, top-inclusive).
+CAL_BUCKETS = 10
+
+
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the learned quality filter: per predicted-
+    probability decile, the empirical positive rate vs the mean predicted
+    probability and their gap — the standard check that a classifier's
+    scores are usable as sampling WEIGHTS (DSIR-style reweighting needs
+    calibrated probabilities; precision/recall alone can't tell an
+    over-confident filter from a calibrated one).
+
+    Exactness: probabilities are already @6dp-grid values, so they are
+    carried as integer MICRO-units (floor(p*1e6+0.5) is exact) — the
+    per-bucket sums are BIGINT and order-independent, and every ratio is
+    a single identical-op-order expression grid-rounded at the end.
+    Scale: one pass over the scored relation, aggregate width = 10 rows.
+    """
+    scored = quality_classifier(spark, sf_dir)
+    b = F.least(
+        F.floor(F.col("prob") * 10).cast("long"),
+        F.lit(CAL_BUCKETS - 1).cast("long"),
+    )
+    micro = F.floor(F.col("prob") * 1_000_000 + F.lit(0.5)).cast("long")
+    agg = (
+        scored.select(
+            b.alias("bucket"), micro.alias("micro"), F.col("label")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("label").cast("long")).cast("long").alias("n_pos"),
+            F.sum("micro").cast("long").alias("sum_micro"),
+        )
+    )
+    grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
+    mean_prob = (F.col("sum_micro") / F.col("n_docs")) / F.lit(1_000_000.0)
+    frac_pos = F.col("n_pos") / F.col("n_docs")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "n_pos",
+        grid(frac_pos).alias("frac_pos"),
+        grid(mean_prob).alias("mean_prob"),
+        grid(F.abs(mean_prob - frac_pos)).alias("calibration_gap"),
+    ).orderBy("bucket")
