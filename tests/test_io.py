@@ -188,3 +188,47 @@ def test_kv_text_reader_handles_tabless_lines(spark, tmp_path):
     (p / "part-0.txt").write_text("a|d\t1.5\nno-tab-here\nk\t\n")
     rows = {r.key: r.val for r in read_kv_text(spark, str(p)).collect()}
     assert rows == {"a|d": "1.5", "no-tab-here": "", "k": ""}
+
+
+def test_csv_round_trip_with_quoting_and_corrupt_rows(spark, tmp_path):
+    """CSV sink/source: values containing commas, quotes, and newlines
+    must survive the round trip byte-exact (RFC-4180 quoting); a
+    malformed extra file surfaces per-row in _corrupt_record instead of
+    aborting the read (the reader-contract convention)."""
+    from tf_idf_mapreduce_spark.sources.io import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [
+            (1, 'plain', 10.5),
+            (2, 'comma, inside', -1.0),
+            (3, 'quote " inside', 0.25),
+            (4, 'new\nline', 1e-6),
+        ],
+        "id long, txt string, x double",
+    )
+    p = str(tmp_path / "csv_rt")
+    write_csv(df, p)
+    back = read_csv(spark, p, "id long, txt string, x double")
+    got = {
+        (r.id, r.txt, r.x)
+        for r in back.select("id", "txt", "x").collect()
+    }
+    want = {(r.id, r.txt, r.x) for r in df.collect()}
+    assert got == want
+    # Spark refuses plans that reference ONLY _corrupt_record — collect
+    # the parsed rows (id included) and inspect, per its own guidance
+    assert all(
+        r._corrupt_record is None
+        for r in back.select("id", "_corrupt_record").collect()
+    )
+
+    # corrupt file: a row whose long column isn't a long
+    with open(f"{p}/zzz_bad.csv", "w") as f:
+        f.write("id,txt,x\nnot_a_long,oops,nan_x\n5,fine,2.0\n")
+    again = read_csv(spark, p, "id long, txt string, x double").cache()
+    try:
+        bad = again.where("_corrupt_record IS NOT NULL").count()
+        ok5 = again.where("id = 5").count()
+    finally:
+        again.unpersist()
+    assert bad == 1 and ok5 == 1

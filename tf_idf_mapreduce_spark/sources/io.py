@@ -289,6 +289,39 @@ def read_kv_text(spark: SparkSession, path: str) -> DataFrame:
 
 
 
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink with header, RFC-4180 quoting, and explicit escape —
+    the interchange format for anything downstream that isn't Spark.
+    Timestamps serialize as ISO-8601; floats round-trip via Spark's
+    canonical repr. Overwrite semantics match the parquet sinks (S6)."""
+    df.write.mode("overwrite").option("header", True).option(
+        "escape", '"'
+    ).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV source with a REQUIRED explicit schema (inference is a full
+    extra pass at 100 TB and type-unstable across files) and PERMISSIVE
+    corrupt-row handling: malformed rows surface as nulls in a
+    ``_corrupt_record`` column — damage visible, job never aborted (the
+    reader-contract convention every binary codec here follows).
+
+    ``multiLine`` is on so quoted embedded newlines round-trip — the
+    honest cost: multiline CSV files are NOT line-splittable, so each
+    FILE becomes the parallelism unit (at 100 TB, write many files —
+    the sink above does — or keep newlines out of the data and flip
+    this off to regain intra-file splits)."""
+    return (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema + ", _corrupt_record string")
+        .csv(path)
+    )
+
+
 def table_fingerprint(sf_dir: str, table: str) -> tuple:
     """Cheap data fingerprint for process-lifetime model caches:
     (path, mtime_ns, size) of every file under the table's parquet path.
