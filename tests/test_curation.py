@@ -1451,3 +1451,45 @@ def test_calibration_mass_and_bucket_bounds(spark, sf_dir):
         lo, hi = r.bucket / 10, (r.bucket + 1) / 10
         assert lo - 1e-9 <= r.mean_prob <= (1.0 if r.bucket == 9 else hi) + 1e-9
         assert abs(r.calibration_gap - abs(r.mean_prob - r.frac_pos)) < 2e-6
+
+
+def test_skyline_kernel_matches_bruteforce_hypothesis():
+    """The vectorized batch kernel must equal the O(n^2) dominance
+    definition on arbitrary integer inputs — including duplicate
+    coordinate tuples (mutually non-dominating: all copies stay) and
+    single-axis ties."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tf_idf_mapreduce_spark.operators.curation import _skyline_batch
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 8), st.integers(0, 8), st.integers(0, 8)
+            ),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    def check(pts):
+        pdf = pd.DataFrame(
+            [(i, w, t, g) for i, (w, t, g) in enumerate(pts)],
+            columns=["doc_id", "n_words", "n_types", "n_digits"],
+        )
+        got = set(_skyline_batch(pdf)["doc_id"])
+        want = set()
+        for i, (w, t, g) in enumerate(pts):
+            dominated = any(
+                ow >= w and ot >= t and og <= g
+                and (ow > w or ot > t or og < g)
+                for j, (ow, ot, og) in enumerate(pts)
+                if j != i
+            )
+            if not dominated:
+                want.add(i)
+        assert got == want
+
+    check()
