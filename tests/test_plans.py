@@ -324,3 +324,54 @@ def test_e2e_manifest_plan_no_new_barriers(spark):
     # selected set, the latter twice: broadcast + shard branch) plus the
     # shard branch's re-read — no further materialization sneaks in
     assert plan.count("Scan ExistingRDD") <= 6
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["rel_sql_q4_exact", "rel_sql_q12", "rel_sql_q13", "rel_sql_q22",
+     "dedup_graph_stats"],
+)
+def test_round7_plans_avoid_cartesian(spark, name):
+    """The derived-column TPC-H closures and the near-dup graph report
+    must plan without cartesian products; any BroadcastNestedLoopJoin
+    span must be a 1-row scalar attach (the A4 shape), which these
+    queries keep under 2 per plan."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_markov_scalar_attaches_bounded_by_checkpoint_cadence(spark):
+    """events_markov_stationary attaches TWO 1-row broadcasts per
+    iteration (type count + dangling mass); localCheckpoint every 4
+    rounds truncates lineage, so the executed plan may carry at most
+    2 x cadence of those A4-shape spans — and never a cartesian."""
+    plan = _plan(spark, "events_markov_stationary")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 8
+
+
+def test_pareto_local_shrink_precedes_coalesce(spark):
+    """The skyline pass must run the per-partition frontier kernel
+    BEFORE the single-partition coalesce — the corpus-sized relation
+    never crosses to one task whole. (The registry query checkpoints
+    each layer, hiding the kernel from its final plan, so this pins the
+    uncheckpointed pass directly.)"""
+    from tf_idf_mapreduce_spark.operators.curation import _skyline_of
+
+    feats = spark.range(1000).selectExpr(
+        "id AS doc_id", "id % 97 AS n_words", "id % 53 AS n_types",
+        "id % 11 AS n_digits"
+    )
+    merged = _skyline_of(feats, max_merge_rows=None)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # the local pass is checkpointed (guard counts it without recompute),
+    # so the merge plan reads the ALREADY-SHRUNK RDD: final kernel above
+    # Coalesce(1) above the checkpoint scan — never the raw input
+    kernel = plan.find("MapInPandas")
+    coalesce = plan.find("Coalesce 1")
+    scan = plan.find("Scan ExistingRDD")
+    assert -1 < kernel < coalesce < scan
+    assert "Range" not in plan  # raw input never reaches the merge task
+    # and the shrink is real: the merge input is smaller than the corpus
+    assert merged.count() < 1000
