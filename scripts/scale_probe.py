@@ -918,19 +918,19 @@ def probe_screen_reuse(spark: SparkSession, quick: bool) -> None:
         shutil.rmtree(d, ignore_errors=True)
     emit()
     emit(
-        "Reading: the barriers pay off once the manifest's screen scans "
-        "dominate the re-evaluated plan, and the gap WIDENS with corpus "
-        "size (re-scan volume is linear in corpus x branch count while "
-        "the barrier cost stays batch-sized) — 4x at 20k dense synth "
-        "docs. The crossover is DATA-dependent, not just row-count-"
-        "dependent: the sparse sf0.1 fixture still prefers lazy "
-        "(re-measured this round: 12.5 s lazy vs 18-24 s persisted) "
-        "because its screens are scan-cheap and the barriers serialize "
-        "them. Default therefore stays lazy (matches the bench "
-        "fixture); a deployment whose screens do real per-byte work — "
-        "or any corpus past this probe's scale — passes "
-        "persist_screens=True (at true 100 TB the manifest is written "
-        "to a table, the same barrier spelled durably)."
+        "Reading: the table is the crossover map — persist/lazy under 1 "
+        "means the screen barriers pay (the manifest's re-evaluated "
+        "branches re-scan the corpus; checkpointing each screen trades "
+        "one materialization for all its re-reads), over 1 means the "
+        "barriers serialize scan-cheap screens for nothing. The "
+        "crossover is DATA-dependent, not just row-count-dependent: the "
+        "sparse sf0.1 fixture prefers lazy (its screens are scan-cheap) "
+        "while dense synthetic docs flip earlier. Default stays lazy "
+        "(matches the bench fixture); a deployment whose screens do "
+        "real per-byte work — or whose table above shows persist "
+        "winning at its scale — passes persist_screens=True (at true "
+        "100 TB the manifest is written to a table, the same barrier "
+        "spelled durably)."
     )
     emit()
 
