@@ -918,19 +918,18 @@ def probe_screen_reuse(spark: SparkSession, quick: bool) -> None:
         shutil.rmtree(d, ignore_errors=True)
     emit()
     emit(
-        "Reading: the table is the crossover map — persist/lazy under 1 "
-        "means the screen barriers pay (the manifest's re-evaluated "
-        "branches re-scan the corpus; checkpointing each screen trades "
-        "one materialization for all its re-reads), over 1 means the "
-        "barriers serialize scan-cheap screens for nothing. The "
-        "crossover is DATA-dependent, not just row-count-dependent: the "
-        "sparse sf0.1 fixture prefers lazy (its screens are scan-cheap) "
-        "while dense synthetic docs flip earlier. Default stays lazy "
-        "(matches the bench fixture); a deployment whose screens do "
-        "real per-byte work — or whose table above shows persist "
-        "winning at its scale — passes persist_screens=True (at true "
-        "100 TB the manifest is written to a table, the same barrier "
-        "spelled durably)."
+        "Reading: persist/lazy under 1 means the screen barriers pay "
+        "(checkpointing each screen trades one materialization for all "
+        "its re-reads), over 1 means they serialize scan-cheap screens "
+        "for nothing. ON THIS BOX the re-scans hit page-cached local "
+        "parquet, so they are nearly free and the materialized screens "
+        "grow linearly — persist wins only at the smallest corpus and "
+        "loses past it, which is why the default stays lazy. The flag "
+        "exists for the regime this probe CANNOT reproduce locally: a "
+        "cluster reading remote object storage, where every re-scan is "
+        "real network I/O and the 74-branch manifest re-reads the "
+        "corpus 74 times — there the barrier is the only sane plan, "
+        "and at true 100 TB it is spelled as a durable table write."
     )
     emit()
 
