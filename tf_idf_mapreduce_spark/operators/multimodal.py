@@ -978,6 +978,16 @@ PHASH_BANDS = 9  # 9 bands x 7 bits: hamming <= 8 pigeonholes into >= 1 clean ba
 PHASH_NEAR_MAX_HAMMING = 8
 
 
+#: Session cache for the checkpointed pHash pair relation — the
+#: SemDeDup accounting (dedup._SEMKEEP_RESULT_CACHE): the OWNER query
+#: ``mm_phash_pairs`` is pinned WITH the decode + band-join
+#: materialization; its consumers (``mm_phash_clusters``,
+#: ``mm_text_agreement``) ride the checkpoint instead of re-decoding
+#: every image per query. applicationId keys the entry to the live
+#: SparkContext (checkpoint blocks die with it).
+_PHASH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-domain image near-dup candidates: banded Hamming LSH over
     the 63-bit pHash — ``media_ahash_pairs``' structure (agree on >= 1 of
@@ -986,7 +996,24 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dups; exact Hamming verify, never all-pairs) applied to the
     DCT hash, which keys on low-frequency structure rather than
     brightness layout, so the two candidate sets catch different edits.
-    """
+
+    The result (candidate-sized) is checkpointed once per session and
+    reused by the cluster and cross-media consumers — the decode + DCT
+    pass over every image is the dominant cost and identical in all
+    three queries. At 100 TB the same reuse is an explicit pair-table
+    write shared by the dedup DAG's branches."""
+    from ..sources.io import table_fingerprint
+
+    cache_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    cached = _PHASH_PAIRS_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     h = media_phash(spark, sf_dir).select("doc_id", "phash_bits").localCheckpoint()
     chunk = 63 // PHASH_BANDS
     bands = h.select(
@@ -1033,13 +1060,15 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(PHASH_BANDS)
     )
-    return cand.select(
+    result = cand.select(
         "doc_a",
         "doc_b",
         "n_bands_shared",
         ham.cast("long").alias("hamming"),
         (ham <= F.lit(PHASH_NEAR_MAX_HAMMING)).alias("is_near"),
-    )
+    ).localCheckpoint()
+    _PHASH_PAIRS_CACHE[cache_key] = result
+    return result
 
 
 def media_phash_clusters(
