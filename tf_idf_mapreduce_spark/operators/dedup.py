@@ -259,9 +259,35 @@ def _docs_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", "source")
 
 
+#: Session cache for the checkpointed candidate-overlap relation — the
+#: semantic_keep accounting: the first registry consumer in declaration
+#: order (``dedup_jaccard_pairs``) is pinned WITH the shingle + minhash
+#: + band-join + intersection materialization; the other ten consumers
+#: (containment, leakage, clusters, keeper, precision, agreement,
+#: graph stats, threshold sweep, split leakage, cross-media agreement,
+#: cluster sizes) ride the checkpoint. applicationId keys entries to
+#: the live SparkContext.
+_CANDIDATE_OVERLAP_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, n_common, sz_a, sz_b) for every LSH candidate pair —
-    the shared verify-stage base of jaccard and containment."""
+    the shared verify-stage base of jaccard and containment, checkpointed
+    once per session (candidate-sized by LSH construction). At 100 TB
+    the same reuse is an explicit pair-table write shared by the dedup
+    DAG's branches."""
+    from ..sources.io import table_fingerprint
+
+    cache_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    cached = _CANDIDATE_OVERLAP_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     sh = doc_shingles(spark, sf_dir).localCheckpoint()
 
     hashed = sh.select("doc_id", word_hash32(F.col("shingle")).alias("h"))
@@ -305,7 +331,11 @@ def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     # sizes is corpus-sized (one row per doc): never force-broadcast it.
     # AQE broadcasts whichever side is actually small at runtime.
-    return inter.join(sz_a, "doc_a").join(sz_b, "doc_b")
+    result = (
+        inter.join(sz_a, "doc_a").join(sz_b, "doc_b").localCheckpoint()
+    )
+    _CANDIDATE_OVERLAP_CACHE[cache_key] = result
+    return result
 
 
 def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
