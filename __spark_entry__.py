@@ -6119,8 +6119,11 @@ SELECT source, tokens_available, weight, target_tokens,
        least(target_tokens, {cur.EPOCH_MAX} * tokens_available)
          AS realized_tokens,
        target_tokens > {cur.EPOCH_MAX} * tokens_available AS saturated,
-       floor(least(target_tokens, {cur.EPOCH_MAX} * tokens_available)
-             / tokens_available * 1000000 + 0.5) / 1000000 AS epochs
+       CASE WHEN tokens_available > 0
+            THEN floor(least(target_tokens,
+                             {cur.EPOCH_MAX} * tokens_available)
+                       / tokens_available * 1000000 + 0.5) / 1000000
+            ELSE 0.0 END AS epochs
 FROM planned ORDER BY source
 """
 

@@ -1493,3 +1493,31 @@ def test_skyline_kernel_matches_bruteforce_hypothesis():
         assert got == want
 
     check()
+
+
+def test_epoch_plan_zero_token_source(spark, tmp_path):
+    """A source whose docs are all empty after cleaning must plan 0
+    target / 0 realized / 0 epochs — never a divide-by-zero null."""
+    from tf_idf_mapreduce_spark.operators.curation import epoch_plan
+
+    d = str(tmp_path / "zero_tok")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "live", 16),
+            (2, "delta epsilon", "en", "live", 13),
+            (3, "   ", "en", "deadsrc", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r.source: r for r in epoch_plan(spark, d).collect()}
+    dead = rows["deadsrc"]
+    assert (
+        dead.tokens_available,
+        dead.weight,
+        dead.target_tokens,
+        dead.realized_tokens,
+        dead.epochs,
+    ) == (0, 0, 0, 0, 0.0)
+    assert not dead.saturated
+    live = rows["live"]
+    assert live.tokens_available == 5 and live.target_tokens > 0

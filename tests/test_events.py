@@ -559,3 +559,28 @@ def test_markov_stationary_mass_and_determinism(spark, sf_dir):
     assert all(r.pi_nano > 0 for r in rows)
     again = q_markov_stationary(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_markov_stationary_degenerate_no_transitions(spark, tmp_path):
+    """A corpus where every user has ONE event has no transitions at
+    all — every type dangles and the stationary vector must come out
+    uniform (teleport + uniform dangling spread), not crash or skew."""
+    import datetime
+
+    from tf_idf_mapreduce_spark.operators.events import q_markov_stationary
+
+    d = str(tmp_path / "one_event")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, i), f"u{i}", t, 1.0, "{}")
+        for i, t in enumerate(["click", "view", "buy", "scroll"])
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = q_markov_stationary(spark, d).collect()
+    assert len(out) == 4
+    nanos = {r.pi_nano for r in out}
+    assert len(nanos) == 1  # exactly uniform, bit-for-bit
+    assert abs(sum(r.pi_nano for r in out) - 1_000_000_000) < 1000

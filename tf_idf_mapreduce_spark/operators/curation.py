@@ -2532,8 +2532,14 @@ def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(EPOCH_MAX) * F.col("tokens_available"),
         )
         .withColumn(
+            # a zero-token source (possible in a real crawl slice: all
+            # docs empty after cleaning) must read 0 epochs, not a
+            # divide-by-zero NULL that diverges across engines
             "epochs",
-            grid(F.col("realized_tokens") / F.col("tokens_available")),
+            F.when(
+                F.col("tokens_available") > 0,
+                grid(F.col("realized_tokens") / F.col("tokens_available")),
+            ).otherwise(F.lit(0.0)),
         )
     )
     return planned.select(
