@@ -2771,7 +2771,7 @@ _LLMDATA_ORACLE["dedup_graph_stats"] = f"""
       GROUP BY v
     ),
     w AS (
-      SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+      SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
              CAST(count(*) AS BIGINT) AS n_nodes,
              CAST(max(deg) AS BIGINT) AS max_degree
       FROM deg
@@ -6111,8 +6111,10 @@ w AS (
 tot AS (SELECT CAST(sum(weight) AS BIGINT) AS sum_w FROM w),
 planned AS (
   SELECT w.source, w.tokens_available, w.weight,
-         CAST({cur.EPOCH_BUDGET_TOKENS} * w.weight // t.sum_w AS BIGINT)
-           AS target_tokens
+         CASE WHEN t.sum_w > 0
+              THEN CAST({cur.EPOCH_BUDGET_TOKENS} * w.weight // t.sum_w
+                        AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS target_tokens
   FROM w, tot t
 )
 SELECT source, tokens_available, weight, target_tokens,

@@ -1521,3 +1521,102 @@ def test_epoch_plan_zero_token_source(spark, tmp_path):
     assert not dead.saturated
     live = rows["live"]
     assert live.tokens_available == 5 and live.target_tokens > 0
+
+
+def test_skyline_merge_exact_across_arrow_batches(spark):
+    """The round-7 advisor bug: the merge pass ran the per-batch kernel
+    on each Arrow batch of the coalesced partition independently, so
+    past maxRecordsPerBatch candidates a row dominated only by a row in
+    a LATER batch survived. Construct 8 blocks of 100-point anti-chains
+    where block p+1 strictly dominates all of block p, shrink the batch
+    size so the merge sees many batches, and require EXACTLY the top
+    block back."""
+    from tf_idf_mapreduce_spark.operators.curation import _skyline_of
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "50")
+        data = [
+            (p * 100 + i, p * 1000 + i, p * 1000 + 99 - i, 0)
+            for p in range(8)
+            for i in range(100)
+        ]
+        feats = spark.createDataFrame(
+            data, "doc_id long, n_words long, n_types long, n_digits long"
+        )
+        got = sorted(r.doc_id for r in _skyline_of(feats).collect())
+        assert got == list(range(700, 800))
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_pareto_layers_keeps_zero_word_docs(spark, tmp_path):
+    """A whitespace-only doc has n_words = n_types = 0 but is still a
+    legitimate skyline input (it can surface in a deeper layer once
+    dominators peel away) — the oracle computes features per-row over
+    EVERY documents row, so the engine must not drop it via an inner
+    join on exploded words."""
+    from tf_idf_mapreduce_spark.operators.curation import pareto_layers
+
+    d = str(tmp_path / "zero_word")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta beta 7", "en", "s", 17),
+            (2, "alpha", "en", "s", 5),
+            (3, "   ", "en", "s", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r.doc_id: r for r in pareto_layers(spark, d).collect()}
+    assert 3 in rows
+    empty = rows[3]
+    assert (empty.n_words, empty.n_types, empty.n_digits) == (0, 0, 0)
+    # doc 1 (4,3,1) and doc 2 (1,1,0) are mutually non-dominating
+    # (doc 1 carries a digit) -> both layer 1; doc 2 strictly dominates
+    # the empty doc (1,1,0) > (0,0,0), so it surfaces in layer 2 -- the
+    # exact "deeper layer once dominators peel" case the advisor named
+    assert rows[1].layer == 1
+    assert rows[2].layer == 1
+    assert empty.layer == 2
+
+
+def test_epoch_plan_all_sources_empty(spark, tmp_path):
+    """sum(weight) = 0 (every source tokenizes empty) must yield a
+    well-defined all-zero plan in BOTH engines — not Spark NULLs vs a
+    DuckDB division error."""
+    from tf_idf_mapreduce_spark.operators.curation import epoch_plan
+
+    d = str(tmp_path / "all_empty")
+    spark.createDataFrame(
+        [(1, " ", "en", "a", 1), (2, "\t\n", "en", "b", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = epoch_plan(spark, d).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (
+            r.tokens_available,
+            r.weight,
+            r.target_tokens,
+            r.realized_tokens,
+            r.epochs,
+        ) == (0, 0, 0, 0, 0.0)
+        assert not r.saturated
+
+
+def test_session_cache_insert_evicting_unit():
+    """Stale entries sharing the (application, relation) prefix but a
+    different fingerprint/conf must be dropped on insert — otherwise a
+    long-lived session pins dead localCheckpoint blocks forever."""
+    from tf_idf_mapreduce_spark.operators.caches import insert_evicting
+
+    c = {}
+    insert_evicting(c, ("app", "tag", "dir", "fp1", "32"), "a", prefix=3)
+    insert_evicting(c, ("app", "tag", "dir", "fp2", "16"), "b", prefix=3)
+    assert c == {("app", "tag", "dir", "fp2", "16"): "b"}
+    insert_evicting(c, ("app", "other", "dir", "fp1", "32"), "c", prefix=3)
+    assert len(c) == 2
+    # re-insert of the SAME key is a plain overwrite
+    insert_evicting(c, ("app", "other", "dir", "fp1", "32"), "d", prefix=3)
+    assert c[("app", "other", "dir", "fp1", "32")] == "d"

@@ -23,6 +23,22 @@ from __future__ import annotations
 from typing import Callable
 
 
+def insert_evicting(cache: dict, key: tuple, value, *, prefix: int) -> None:
+    """Insert ``value`` at ``key``, first evicting every entry that
+    shares the leading ``prefix`` key fields (same application + logical
+    relation) but differs in the trailing fingerprint/conf fields.
+
+    The session caches hold ``localCheckpoint``-ed DataFrames; a
+    checkpoint's RDD blocks are only freed when the DataFrame is
+    garbage-collected, so in a long-lived session where the underlying
+    parquet or a keyed conf changes, stale entries would pin block-
+    manager storage monotonically. One live entry per (application,
+    relation) is the correct steady state — the newest key wins."""
+    for k in [k for k in cache if k != key and k[:prefix] == key[:prefix]]:
+        del cache[k]
+    cache[key] = value
+
+
 def _clear_pca() -> None:
     from . import similarity
 

@@ -2364,6 +2364,33 @@ def _skyline_map(it):
         yield _skyline_batch(pdf)
 
 
+def _skyline_merge(it):
+    """Merge-pass kernel: fold EVERY Arrow batch of the (coalesced)
+    partition into one accumulated frontier and yield once at the end.
+
+    ``mapInPandas`` splits even a single partition into
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``-sized batches
+    (default 10k), so running the per-batch kernel on the merge pass
+    would emit rows that a row in a LATER batch dominates once the
+    candidate volume crosses one batch. The fold is exact at any
+    volume because skyline is idempotent and distributive:
+    skyline(A ∪ B) = skyline(skyline(A) ∪ B)."""
+    import pandas as pd
+
+    acc = None
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        acc = (
+            pdf
+            if acc is None
+            else pd.concat([acc, pdf], ignore_index=True)
+        )
+        acc = _skyline_batch(acc).reset_index(drop=True)
+    if acc is not None:
+        yield acc
+
+
 #: How many frontier layers the onion-peeling query returns.
 PARETO_LAYERS = 3
 
@@ -2402,7 +2429,7 @@ def _skyline_of(feats: DataFrame, *, max_merge_rows: int | None = SKYLINE_MERGE_
                 f"criteria are near-anti-correlated; coarsen an axis or "
                 f"pre-filter, or pass max_merge_rows=None to force it."
             )
-    return local.coalesce(1).mapInPandas(_skyline_map, SKYLINE_SCHEMA)
+    return local.coalesce(1).mapInPandas(_skyline_merge, SKYLINE_SCHEMA)
 
 
 def pareto_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2414,33 +2441,31 @@ def pareto_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality scalar exists. All criteria are exact BIGINTs, so both
     engines agree bit-for-bit.
 
-    Scale shape: one scan computes the integer criteria (cached across
-    layers — doc-count-sized, 3 narrow columns); each layer shrinks
-    every partition to its LOCAL frontier via ``mapInPandas`` (frontier
-    size grows polylogarithmically for independent axes), and only the
-    per-partition frontiers (KBs) move to the single-partition exact
-    merge. The corpus itself never shuffles; peeling removes the tiny
-    previous layer by broadcast anti-join. The final one-partition pass
-    rides the same model-size contract as k-means seeds: a frontier too
-    big to merge on one task means the criteria are degenerate, not
-    that the operator should shuffle the corpus."""
+    Scale shape: one scan computes all three integer criteria per-row
+    (``size``/``array_distinct`` on the normalized words — NO explode,
+    NO shuffle; a zero-word doc legitimately enters with n_words=0
+    rather than being dropped by an inner join, matching the oracle);
+    each layer shrinks every partition to its LOCAL frontier via
+    ``mapInPandas`` (frontier size grows polylogarithmically for
+    independent axes), and only the per-partition frontiers (KBs) move
+    to the single-partition exact merge. The corpus itself never
+    shuffles; peeling removes the tiny previous layer by broadcast
+    anti-join. The final one-partition pass rides the same model-size
+    contract as k-means seeds: a frontier too big to merge on one task
+    means the criteria are degenerate, not that the operator should
+    shuffle the corpus."""
     d = load_table(spark, sf_dir, "documents")
     digits = F.length("text") - F.length(
         F.regexp_replace(F.col("text"), "[0-9]", "")
     )
-    words = d.select(
-        "doc_id", F.explode(norm_words(F.col("text"))).alias("w")
-    )
-    per = words.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_words"),
-        F.countDistinct("w").cast("long").alias("n_types"),
-    )
+    ws = norm_words(F.col("text"))
     feats = (
-        per.join(
-            d.select("doc_id", digits.cast("long").alias("n_digits")),
+        d.select(
             "doc_id",
+            F.size(ws).cast("long").alias("n_words"),
+            F.size(F.array_distinct(ws)).cast("long").alias("n_types"),
+            digits.cast("long").alias("n_digits"),
         )
-        .select("doc_id", "n_words", "n_types", "n_digits")
         .localCheckpoint(eager=False)
     )
     remaining = feats
@@ -2512,8 +2537,12 @@ def epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weight"),
     )
     tot = w.agg(F.sum("weight").cast("long").alias("sum_w"))
+    # sum_w = 0 (every source tokenizes empty) must yield a well-defined
+    # zero plan, not a NULL (Spark div) vs error (DuckDB //) divergence
     target = F.expr(
-        f"CAST({EPOCH_BUDGET_TOKENS} AS BIGINT) * weight div sum_w"
+        f"CASE WHEN sum_w > 0 THEN "
+        f"CAST({EPOCH_BUDGET_TOKENS} AS BIGINT) * weight div sum_w "
+        f"ELSE CAST(0 AS BIGINT) END"
     )
     grid = lambda x: F.floor(x * 1_000_000 + F.lit(0.5)) / 1_000_000
     planned = (

@@ -31,6 +31,7 @@ from ..functions.hashing import (
     word_hash32,
 )
 from ..sources.io import load_table
+from .caches import insert_evicting
 from .guard import EXACT_QUADRATIC_MAX_ROWS, guard_exact_quadratic
 from .similarity import NEARDUP_MIN_COSINE, lsh_bucket_pairs
 
@@ -334,7 +335,7 @@ def _candidate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = (
         inter.join(sz_a, "doc_a").join(sz_b, "doc_b").localCheckpoint()
     )
-    _CANDIDATE_OVERLAP_CACHE[cache_key] = result
+    insert_evicting(_CANDIDATE_OVERLAP_CACHE, cache_key, result, prefix=2)
     return result
 
 
@@ -1326,7 +1327,9 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("deg"))
     )
     wedges = deg.agg(
-        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        # integral all the way: deg*(deg-1) is even so `div 2` is exact
+        # per-term; a double sum would lose exactness past 2^53 wedges
+        F.expr("sum(deg * (deg - 1) div 2)")
         .cast("long")
         .alias("n_wedges"),
         F.count("*").cast("long").alias("n_nodes"),

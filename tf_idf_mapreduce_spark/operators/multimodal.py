@@ -32,6 +32,7 @@ from pyspark.sql.types import (
 )
 
 from ..sources.io import load_table
+from .caches import insert_evicting
 
 #: Output contract of the feature extractor.
 MEDIA_FEATURES_SCHEMA = StructType(
@@ -1067,7 +1068,7 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ham.cast("long").alias("hamming"),
         (ham <= F.lit(PHASH_NEAR_MAX_HAMMING)).alias("is_near"),
     ).localCheckpoint()
-    _PHASH_PAIRS_CACHE[cache_key] = result
+    insert_evicting(_PHASH_PAIRS_CACHE, cache_key, result, prefix=2)
     return result
 
 

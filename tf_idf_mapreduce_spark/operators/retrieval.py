@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.tokenize import tokenize
 from ..sources.io import documents_as_corpus, load_table
+from .caches import insert_evicting
 from .guard import EXACT_QUADRATIC_MAX_ROWS, guard_exact_quadratic
 from .tfidf import doc_freq, doc_totals, tfidf_pipeline, word_count
 
@@ -136,7 +137,7 @@ def _pruned_vectors_ck(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _RETRIEVAL_CACHE.get(key)
     if hit is None:
         hit = _pruned_vectors(spark, sf_dir).localCheckpoint()
-        _RETRIEVAL_CACHE[key] = hit
+        insert_evicting(_RETRIEVAL_CACHE, key, hit, prefix=3)
     return hit
 
 
@@ -322,7 +323,7 @@ def doc_similarity(
     )
     if cache_key is not None:
         result = result.localCheckpoint(eager=False)
-        _RETRIEVAL_CACHE[cache_key] = result
+        insert_evicting(_RETRIEVAL_CACHE, cache_key, result, prefix=3)
     return result
 
 
@@ -408,7 +409,7 @@ def doc_similarity_lsh(
     )
     if cache_key is not None:
         result = result.localCheckpoint(eager=False)
-        _RETRIEVAL_CACHE[cache_key] = result
+        insert_evicting(_RETRIEVAL_CACHE, cache_key, result, prefix=3)
     return result
 
 
