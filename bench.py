@@ -35,6 +35,19 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # start from an EMPTY durable model store: the per-query baseline
+    # prices each fit under its owner query, and a store left warm by a
+    # previous run would silently convert those fits into parquet loads
+    # and break pin comparability (the store's serving win is measured
+    # explicitly in tests/test_model_store.py, not smuggled into bench)
+    import shutil
+
+    from tf_idf_mapreduce_spark.sources.model_store import store_root
+
+    _root = store_root(spark)
+    if _root:
+        shutil.rmtree(_root, ignore_errors=True)
+
     # untimed warmup: run every batch query once at the smallest SF so
     # whole-stage-codegen compilation (~2-4s per distinct plan shape),
     # JVM/Python-worker startup, and broadcast machinery land here, not on

@@ -375,3 +375,66 @@ def test_pareto_local_shrink_precedes_coalesce(spark):
     assert "Range" not in plan  # raw input never reaches the merge task
     # and the shrink is real: the merge input is smaller than the corpus
     assert merged.count() < 1000
+
+
+def test_persist_screens_policy_resolution(spark):
+    """Explicit flag > conf > storage-scheme sniff: local paths compose
+    lazily, remote object-store schemes persist (the P9 regime note
+    turned into code)."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SCREEN_BARRIER_CONF,
+        resolve_persist_screens,
+    )
+
+    assert resolve_persist_screens(spark, SF, None) is False
+    assert resolve_persist_screens(spark, "s3a://bucket/sf1000", None) is True
+    assert resolve_persist_screens(spark, "hdfs://nn/corpus", None) is True
+    # explicit flag always wins
+    assert resolve_persist_screens(spark, "s3a://bucket/x", False) is False
+    assert resolve_persist_screens(spark, SF, True) is True
+    # conf overrides the sniff
+    spark.conf.set(SCREEN_BARRIER_CONF, "true")
+    try:
+        assert resolve_persist_screens(spark, SF, None) is True
+    finally:
+        spark.conf.unset(SCREEN_BARRIER_CONF)
+    spark.conf.set(SCREEN_BARRIER_CONF, "false")
+    try:
+        assert (
+            resolve_persist_screens(spark, "s3a://bucket/x", None) is False
+        )
+    finally:
+        spark.conf.unset(SCREEN_BARRIER_CONF)
+
+
+def test_incremental_manifest_persist_bounds_documents_scans(spark):
+    """In persist mode every screen is a durable parquet screen table,
+    so the manifest plan reads the corpus at most screens+1 times (the
+    round-7 verdict's done-criterion; lazily the same plan re-scans the
+    corpus inside every screen subtree)."""
+    from tf_idf_mapreduce_spark.operators.curation import (
+        incremental_manifest,
+    )
+
+    plan = (
+        incremental_manifest(spark, SF, persist_screens=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("documents.parquet") <= 6
+
+
+def test_incremental_e2e_persist_bounds_documents_scans(spark):
+    """The composed index update re-evaluates its batch side per merge
+    branch; with durable screen tables + the admitted barrier that is a
+    handful of corpus scans, not the 74 the lazy plan carries."""
+    from tf_idf_mapreduce_spark.operators.tfidf import incremental_e2e_index
+
+    plan = (
+        incremental_e2e_index(spark, SF, persist_screens=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("documents.parquet") <= 10

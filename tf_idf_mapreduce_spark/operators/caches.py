@@ -40,15 +40,21 @@ def insert_evicting(cache: dict, key: tuple, value, *, prefix: int) -> None:
 
 
 def _clear_pca() -> None:
+    from ..sources.model_store import drop_models
     from . import similarity
 
     similarity._PCA_CACHE.clear()
+    # the durable L2 too: a cold measurement must price the FIT, not a
+    # parquet load of a previous process's fit
+    drop_models("pca_components")
 
 
 def _clear_bpe() -> None:
+    from ..sources.model_store import drop_models
     from . import textstats
 
     textstats._BPE_MERGE_CACHE.clear()
+    drop_models("bpe_merges")
 
 
 #: query name -> cache-clear callable. Clearing before the timed run

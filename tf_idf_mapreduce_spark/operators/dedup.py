@@ -925,11 +925,7 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
     same reason. The cache holds a checkpointed DataFrame (executor-side
     blocks), NOT driver-collected rows — corpus-sized data never moves.
     """
-    from pyspark.sql.window import Window
-
-    from ..functions.vectors import cosine
     from ..sources.io import table_fingerprint
-    from .similarity import _nearest_centroid_udf, ivf_centroids
 
     # applicationId in the key: unlike the plain-list model caches, this
     # cache holds a checkpointed DataFrame whose blocks die with the
@@ -947,6 +943,42 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
     cached = _SEMKEEP_RESULT_CACHE.get(cache_key)
     if cached is not None:
         return cached
+
+    result = _semantic_keep_table(spark, sf_dir, cache_key, max_iter)
+    _SEMKEEP_RESULT_CACHE[cache_key] = result
+    return result
+
+
+def _semantic_keep_table(
+    spark: SparkSession, sf_dir: str, cache_key: tuple, max_iter: int
+) -> DataFrame:
+    """The SemDeDup disposition behind the durable model store: computed
+    once, WRITTEN once as a parquet table under the store, and read back
+    by every consumer in every session — the production shape (a dedup
+    pipeline persists its disposition; downstream joins read the table).
+    The durable key drops the applicationId (files outlive the context);
+    when the store is disabled the session ``localCheckpoint`` barrier
+    is kept so consumers still share one materialization."""
+    from ..sources.model_store import load_or_compute_table
+
+    result, origin = load_or_compute_table(
+        "semantic_keep",
+        ("semantic_keep",) + cache_key[1:],
+        spark,
+        lambda: _semantic_keep_compute(spark, sf_dir, max_iter),
+    )
+    if origin == "fit":
+        result = result.localCheckpoint()
+    return result
+
+
+def _semantic_keep_compute(
+    spark: SparkSession, sf_dir: str, max_iter: int
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine
+    from .similarity import _nearest_centroid_udf, ivf_centroids
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = ivf_centroids(e, cache_key=sf_dir)
@@ -1011,9 +1043,7 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
             .otherwise(F.lit("semantic_dup"))
             .alias("status"),
         )
-        .localCheckpoint()
     )
-    _SEMKEEP_RESULT_CACHE[cache_key] = result
     return result
 
 

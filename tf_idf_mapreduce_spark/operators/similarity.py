@@ -319,20 +319,51 @@ _IVF_CENT_CACHE: dict[tuple, list] = {}
 
 
 def ivf_centroids(e: DataFrame, cache_key: str | None = None) -> list:
-    """``kmeans_fit`` with the process-lifetime model cache in front."""
+    """``kmeans_fit`` behind the two-level model cache: the process dict
+    (L1, this session) in front of the durable fingerprint-keyed parquet
+    store (L2, survives the process — a fresh session LOADS the k×d
+    centroid table instead of re-running the distributed fit)."""
+    import pandas as pd
+
+    from ..sources.model_store import load_or_fit_pdf
+
     spark = e.sparkSession
     key = None
     if cache_key is not None:
         key = (
             cache_key,
             _embeddings_fingerprint(cache_key),
+            IVF_K,
+            IVF_ITERS,
             spark.conf.get("spark.sql.shuffle.partitions"),
             spark.conf.get("spark.sql.adaptive.enabled"),
         )
         cached = _IVF_CENT_CACHE.get(key)
         if cached is not None:
             return cached
-    cents = kmeans_fit(e)
+
+    def _fit_pdf():
+        cents = kmeans_fit(e)
+        return pd.DataFrame(
+            [
+                (c, d, v)
+                for c, row in enumerate(cents)
+                for d, v in enumerate(row)
+            ],
+            columns=["cid", "dim", "value"],
+        )
+
+    if key is None:
+        pdf = _fit_pdf()
+    else:
+        pdf, _ = load_or_fit_pdf("ivf_centroids", key, _fit_pdf, spark)
+    # decode (cid, dim, value) rows -> k lists of d floats; @6dp float64
+    # values round-trip parquet bit-exactly, so load == fit
+    pdf = pdf.sort_values(["cid", "dim"])
+    k = int(pdf["cid"].max()) + 1
+    cents = [
+        [float(v) for v in pdf[pdf["cid"] == c]["value"]] for c in range(k)
+    ]
     if key is not None:
         _IVF_CENT_CACHE[key] = cents
     return cents
@@ -1128,12 +1159,20 @@ def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:
     every codebook exactly (unrolled CTEs, one set per subspace)."""
     import numpy as np
 
+    import pandas as pd
+
+    from ..sources.model_store import load_or_fit_pdf
+
     spark = e.sparkSession
     key = None
     if cache_key is not None:
         key = (
             cache_key,
             _embeddings_fingerprint(cache_key),
+            PQ_M,
+            PQ_SUBDIM,
+            PQ_K,
+            PQ_ITERS,
             spark.conf.get("spark.sql.shuffle.partitions"),
             spark.conf.get("spark.sql.adaptive.enabled"),
         )
@@ -1141,15 +1180,36 @@ def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:
         if cached is not None:
             return cached
 
-    books = []
-    for m in range(PQ_M):
-        sub = e.select(
-            "vec_id",
-            F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("embedding"),
-        )
-        books.append(
-            np.asarray(kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS), dtype="float64")
-        )
+    def _fit_pdf():
+        rows = []
+        for m in range(PQ_M):
+            sub = e.select(
+                "vec_id",
+                F.slice(
+                    "embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM
+                ).alias("embedding"),
+            )
+            book = kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS)
+            rows.extend(
+                (m, c, d, v)
+                for c, cw in enumerate(book)
+                for d, v in enumerate(cw)
+            )
+        return pd.DataFrame(rows, columns=["m", "code", "dim", "value"])
+
+    if key is None:
+        pdf = _fit_pdf()
+    else:
+        # durable L2: a fresh process loads the M x K x subdim codeword
+        # table (@6dp doubles — parquet round-trip is bit-exact)
+        pdf, _ = load_or_fit_pdf("pq_codebooks", key, _fit_pdf, spark)
+    pdf = pdf.sort_values(["m", "code", "dim"])
+    books = [
+        np.asarray(
+            pdf[pdf["m"] == m]["value"], dtype="float64"
+        ).reshape(PQ_K, PQ_SUBDIM)
+        for m in range(PQ_M)
+    ]
     if key is not None:
         _PQ_BOOK_CACHE[key] = books
     return books
@@ -1924,6 +1984,10 @@ def _pca_components(
     entry an identical double on both engines, so the second chain is
     as bit-exact as the first. The driver sees only this model state.
     """
+    import pandas as pd
+
+    from ..sources.model_store import load_or_fit_pdf
+
     key = (
         sf_dir,
         int(iters),
@@ -1934,43 +1998,74 @@ def _pca_components(
     hit = _PCA_CACHE.get(key)
     if hit is not None and (len(hit) == 5 or not second):
         return hit
-    full = _pca_full_matrix(spark, sf_dir)
-    if hit is None:
-        trace = (
-            full.where(F.col("dim_i") == F.col("dim_j"))
-            .agg(_dsum(F.col("c")).alias("trace"))
-            .collect()[0]["trace"]
-        )
-        v1df = _power_iterate(full, spark, iters)
-        lam1 = _rayleigh(full, v1df)
-        v1 = [r["v"] for r in v1df.orderBy("j").collect()]
-        hit = (v1, lam1, trace)
-    else:
-        v1, lam1, trace = hit
-    if second:
-        v1df = spark.createDataFrame(
-            [(j, x) for j, x in enumerate(v1)], schema="j int, v double"
-        )
-        vi = v1df.select(F.col("j").alias("dim_i"), F.col("v").alias("vi"))
-        vj = v1df.select(F.col("j").alias("dim_j"), F.col("v").alias("vj"))
-        c2 = (
-            full.join(F.broadcast(vi), "dim_i")
-            .join(F.broadcast(vj), "dim_j")
-            .select(
-                "dim_i",
-                "dim_j",
-                (
-                    F.col("c") - F.lit(lam1) * F.col("vi") * F.col("vj")
-                ).alias("c"),
+
+    def _fit() -> tuple:
+        prior = hit
+        full = _pca_full_matrix(spark, sf_dir)
+        if prior is None:
+            trace = (
+                full.where(F.col("dim_i") == F.col("dim_j"))
+                .agg(_dsum(F.col("c")).alias("trace"))
+                .collect()[0]["trace"]
             )
-            .localCheckpoint()
-        )
-        v2df = _power_iterate(c2, spark, iters)
-        lam2 = _rayleigh(c2, v2df)
-        v2 = [r["v"] for r in v2df.orderBy("j").collect()]
-        hit = (v1, lam1, trace, v2, lam2)
-    _PCA_CACHE[key] = hit
-    return hit
+            v1df = _power_iterate(full, spark, iters)
+            lam1 = _rayleigh(full, v1df)
+            v1 = [r["v"] for r in v1df.orderBy("j").collect()]
+            res = (v1, lam1, trace)
+        else:
+            v1, lam1, trace = prior
+            res = prior
+        if second:
+            v1df = spark.createDataFrame(
+                [(j, x) for j, x in enumerate(v1)], schema="j int, v double"
+            )
+            vi = v1df.select(F.col("j").alias("dim_i"), F.col("v").alias("vi"))
+            vj = v1df.select(F.col("j").alias("dim_j"), F.col("v").alias("vj"))
+            c2 = (
+                full.join(F.broadcast(vi), "dim_i")
+                .join(F.broadcast(vj), "dim_j")
+                .select(
+                    "dim_i",
+                    "dim_j",
+                    (
+                        F.col("c") - F.lit(lam1) * F.col("vi") * F.col("vj")
+                    ).alias("c"),
+                )
+                .localCheckpoint()
+            )
+            v2df = _power_iterate(c2, spark, iters)
+            lam2 = _rayleigh(c2, v2df)
+            v2 = [r["v"] for r in v2df.orderBy("j").collect()]
+            res = (v1, lam1, trace, v2, lam2)
+        return res
+
+    def _encode(tup: tuple):
+        rows = [("v1", j, float(x)) for j, x in enumerate(tup[0])]
+        rows += [("lam1", 0, float(tup[1])), ("trace", 0, float(tup[2]))]
+        if len(tup) == 5:
+            rows += [("v2", j, float(x)) for j, x in enumerate(tup[3])]
+            rows.append(("lam2", 0, float(tup[4])))
+        return pd.DataFrame(rows, columns=["kind", "j", "value"])
+
+    def _decode(pdf) -> tuple:
+        v1 = pdf[pdf["kind"] == "v1"].sort_values("j")["value"].tolist()
+        lam1 = float(pdf[pdf["kind"] == "lam1"]["value"].iloc[0])
+        trace = float(pdf[pdf["kind"] == "trace"]["value"].iloc[0])
+        if (pdf["kind"] == "v2").any():
+            v2 = pdf[pdf["kind"] == "v2"].sort_values("j")["value"].tolist()
+            lam2 = float(pdf[pdf["kind"] == "lam2"]["value"].iloc[0])
+            return (v1, lam1, trace, v2, lam2)
+        return (v1, lam1, trace)
+
+    # durable L2: the artifact is d doubles per component + 3 scalars;
+    # the second-component flag keys a separate artifact (raw float64
+    # round-trips parquet bit-exactly, so load == fit)
+    pdf, _ = load_or_fit_pdf(
+        "pca_components", key + (bool(second),), lambda: _encode(_fit()), spark
+    )
+    out = _decode(pdf)
+    _PCA_CACHE[key] = out
+    return out
 
 
 def pca_project(

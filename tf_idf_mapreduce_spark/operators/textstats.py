@@ -1005,37 +1005,58 @@ def _bpe_learn_merges(
     )
     if key in _BPE_MERGE_CACHE:
         return _BPE_MERGE_CACHE[key]
-    words = _bpe_word_counts(spark, sf_dir)
-    vocab = words.select(
-        "n",
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda i: F.col("word").substr(i, F.lit(1)),
-        ).alias("syms"),
-    ).localCheckpoint()
-    merges: list[tuple] = []
-    while len(merges) < n_merges:
-        top = (
-            _bpe_pair_count_table(vocab)
-            .orderBy(F.desc("n_pair"), F.asc("tok_left"), F.asc("tok_right"))
-            .limit(BPE_BATCH_CANDIDATES)
-            .collect()
-        )
-        if not top:
-            break
-        chain = _bpe_safe_chain(
-            vocab, top, min(batch_m, n_merges - len(merges))
-        )
-        for left, right, n_pair in chain:
-            merges.append(
-                (len(merges) + 1, left, right, left + right, n_pair)
+
+    def _fit_pdf():
+        import pandas as pd
+
+        words = _bpe_word_counts(spark, sf_dir)
+        vocab = words.select(
+            "n",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ).alias("syms"),
+        ).localCheckpoint()
+        merges: list[tuple] = []
+        while len(merges) < n_merges:
+            top = (
+                _bpe_pair_count_table(vocab)
+                .orderBy(
+                    F.desc("n_pair"), F.asc("tok_left"), F.asc("tok_right")
+                )
+                .limit(BPE_BATCH_CANDIDATES)
+                .collect()
             )
-        syms = F.col("syms")
-        for left, right, n_pair in chain:
-            syms = _bpe_apply_merge(syms, left, right, left + right)
-        vocab = vocab.select("n", syms.alias("syms")).localCheckpoint()
-        _BPE_TRAIN_STATS["rounds"] += 1
-        _BPE_TRAIN_STATS["chain_lengths"].append(len(chain))
+            if not top:
+                break
+            chain = _bpe_safe_chain(
+                vocab, top, min(batch_m, n_merges - len(merges))
+            )
+            for left, right, n_pair in chain:
+                merges.append(
+                    (len(merges) + 1, left, right, left + right, n_pair)
+                )
+            syms = F.col("syms")
+            for left, right, n_pair in chain:
+                syms = _bpe_apply_merge(syms, left, right, left + right)
+            vocab = vocab.select("n", syms.alias("syms")).localCheckpoint()
+            _BPE_TRAIN_STATS["rounds"] += 1
+            _BPE_TRAIN_STATS["chain_lengths"].append(len(chain))
+        return pd.DataFrame(
+            merges,
+            columns=["rank", "tok_left", "tok_right", "merged", "n_pair"],
+        )
+
+    # durable L2 (model_store): a fresh process LOADS the learned merge
+    # table instead of re-running the round loop — ints/strings, so the
+    # parquet round-trip is trivially exact
+    from ..sources.model_store import load_or_fit_pdf
+
+    pdf, _ = load_or_fit_pdf("bpe_merges", key, _fit_pdf, spark)
+    merges = [
+        (int(r.rank), r.tok_left, r.tok_right, r.merged, int(r.n_pair))
+        for r in pdf.itertuples(index=False)
+    ]
     _BPE_MERGE_CACHE[key] = merges
     return merges
 

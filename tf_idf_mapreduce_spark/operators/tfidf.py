@@ -230,7 +230,7 @@ def merge_index(old_corpus: DataFrame, new_corpus: DataFrame) -> DataFrame:
 
 
 def incremental_e2e_index(
-    spark, sf_dir: str, persist_screens: bool = False
+    spark, sf_dir: str, persist_screens: bool | None = None
 ) -> DataFrame:
     """The day's index update END TO END: the arriving batch passes the
     ADMISSION manifest first (``curation.incremental_manifest`` — both
@@ -245,19 +245,29 @@ def incremental_e2e_index(
     source — so the screen-then-merge composition must equal a from-
     scratch build over exactly the surviving documents.
 
-    ``persist_screens``: checkpoint the manifest screens AND the
-    admitted doc-id set. The merge's word-count / df / total-docs
+    ``persist_screens``: barrier the manifest screens AND the admitted
+    doc-id set; ``None`` (default) resolves the barrier POLICY via
+    ``curation.resolve_persist_screens`` (explicit flag > conf >
+    storage-scheme sniff). The merge's word-count / df / total-docs
     branches each re-evaluate the batch side, and lazily that re-runs
     the ENTIRE admission manifest (every screen's corpus scan) per
     branch — the round-6 plan audit counted 74 documents scans in this
-    one query. Default False because the fixture measures lazy faster
-    (7.3 s vs 10.9 s at sf0.1 — the barriers serialize tiny screens);
-    SCALE_PROBE P9 measures where re-scan volume inverts that and the
-    flag should flip.
+    one query. On local page-cached parquet the lazy plan measures
+    faster (7.3 s vs 10.9 s at sf0.1 — the barriers serialize tiny
+    screens), so the sniff stays lazy there; against remote object
+    storage every re-scan is paid I/O and the policy flips to the
+    durable screen tables, bounding documents scans to a handful
+    (pinned by ``tests/test_plans.py``).
     """
     from ..sources.io import documents_as_corpus, load_table
-    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket, incremental_manifest
+    from .curation import (
+        SAMPLE_BUCKET_MAX,
+        _sample_bucket,
+        incremental_manifest,
+        resolve_persist_screens,
+    )
 
+    persist_screens = resolve_persist_screens(spark, sf_dir, persist_screens)
     docs = load_table(spark, sf_dir, "documents")
     is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
     admitted = (
