@@ -224,3 +224,90 @@ def test_chaos_ppm_kernels_null_not_abort(spark):
     for bad in (1, 2, 3, 4):
         assert thumbs[bad].thumb_md5 is None and thumbs[bad].src_side is None
         assert hashes[bad].ahash_bits is None
+
+
+@pytest.fixture(scope="module")
+def giant_doc_dir(spark, tmp_path_factory):
+    """One multi-MB document planted among normal rows — the degenerate
+    row that OOMs the reference's A2 reducer (CountTF.java:87-109
+    buffers the whole document in reducer memory). The Spark plans are
+    spillable by construction; this fixture proves it at default
+    executor memory, no config bumps."""
+    d = tmp_path_factory.mktemp("giant")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    # ~4 MB of text, ~580k words over a 4k-word LETTER-ONLY vocabulary
+    # (the reference tokenizer drops digit-bearing words — T2); repeats
+    # exercise the per-(word,doc) aggregate, and sentence punctuation
+    # every 20 words gives the chunker boundaries to split on
+    vocab = [
+        "w" + "".join(chr(97 + (v // 26**k) % 26) for k in range(3))
+        for v in range(4096)
+    ]
+    words = []
+    for i in range(580_000):
+        words.append(vocab[i % 4096])
+        if i % 20 == 19:
+            words.append("x.")
+    giant = " ".join(words)
+    rows = [
+        (0, "normal text with the and of to in is it words here", "en",
+         "src0", 51),
+        (1, giant, "en", "src1", len(giant)),
+        (2, "another small doc of plain words", "en", "src0", 32),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_giant_doc_doc_totals_tokenize(spark, giant_doc_dir):
+    """The reference's exact OOM shape: per-doc totals over one huge
+    document. The window/aggregate formulation must return the exact
+    token count, not buffer the doc."""
+    from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+    from tf_idf_mapreduce_spark.operators.tfidf import doc_totals, word_count
+    from tf_idf_mapreduce_spark.sources.io import documents_as_corpus, load_table
+
+    corpus = documents_as_corpus(load_table(spark, giant_doc_dir, "documents"))
+    wc = word_count(tokenize(corpus))
+    totals = {
+        r.doc: r.doc_total
+        for r in doc_totals(wc).select("doc", "doc_total").distinct().collect()
+    }
+    # 580k vocab words + 29k 'x.' sentence markers ('x' after trim)
+    assert totals["1"] == 580_000 + 29_000
+    assert totals["0"] == 12
+
+
+def test_giant_doc_chunking_and_lm_scoring(spark, giant_doc_dir):
+    """Chunking must emit CONTEXT-bounded pieces covering the giant doc
+    and LM scoring must return a finite score for it — both single
+    passes, no per-doc driver state."""
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        chunk_documents,
+        lm_doc_scores,
+    )
+
+    chunks = chunk_documents(spark, giant_doc_dir)
+    per_doc = {
+        r.doc_id: r.n
+        for r in chunks.groupBy("doc_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert per_doc[1] > 100  # the giant doc actually split
+    lm = {r.doc_id: r for r in lm_doc_scores(spark, giant_doc_dir).collect()}
+    assert 1 in lm
+
+
+def test_giant_doc_token_counts(spark, giant_doc_dir):
+    from tf_idf_mapreduce_spark.operators.textstats import token_counts
+
+    rows = {r.doc_id: r for r in token_counts(spark, giant_doc_dir).collect()}
+    assert rows[1].n_ws_tokens == 580_000 + 29_000

@@ -647,3 +647,55 @@ def test_graph_stats_invariants(spark, sf_dir):
         assert r.transitivity == round(
             (3.0 * r.n_triangles / r.n_wedges * 1e6 + 0.5) // 1 / 1e6, 6
         )
+
+
+def test_connected_components_path_graph_converges(spark):
+    """Planted path graph (round-7 verdict #5): a chain's diameter is
+    its length, the worst case for min-label propagation. Convergence
+    within max_iter must yield the true single component, label = min
+    doc_id, propagated the full length of the chain."""
+    from tf_idf_mapreduce_spark.operators.dedup import connected_components
+
+    n = 8
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.label for r in connected_components(nodes, edges, max_iter=20).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_diameter_past_max_iter_raises(spark):
+    """A chain longer than the round budget must REFUSE, not return
+    half-propagated labels that split one true component into many."""
+    import pytest
+
+    from tf_idf_mapreduce_spark.operators.dedup import connected_components
+    from tf_idf_mapreduce_spark.operators.guard import IterationLimitExceeded
+
+    n = 12  # diameter 11 > max_iter 5
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(IterationLimitExceeded):
+        connected_components(nodes, edges, max_iter=5)
+
+
+def test_connected_components_exact_round_budget_converges(spark):
+    """Convergence is verified by a no-change round: a chain whose
+    propagation finishes exactly at the budget edge still needs that
+    verifying round, so max_iter = rounds_needed + 1 succeeds while
+    max_iter = rounds_needed - 1 would raise (no silent boundary)."""
+    from tf_idf_mapreduce_spark.operators.dedup import connected_components
+
+    n = 5  # labels converge after 4 propagation rounds; round 5 verifies
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.label
+        for r in connected_components(nodes, edges, max_iter=5).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

@@ -434,7 +434,19 @@ def connected_components(
     DISTRIBUTED steps (the driver only sees a 1-row convergence count per
     round, never data), with ``localCheckpoint`` truncating lineage so
     plans don't grow per round.
+
+    Convergence is VERIFIED, never assumed: the loop only returns after
+    a round in which no label moved. A component whose diameter exceeds
+    ``max_iter`` (a long near-dup CHAIN — template drift, not a clique)
+    raises ``IterationLimitExceeded`` instead of silently returning
+    half-propagated labels that would split one true cluster into many.
+    The remedies the error names are honest: raise ``max_iter``
+    (diameter rounds suffice), or — at a scale where the diameter itself
+    is unbounded — switch to the large-star/small-star contraction
+    (Kiveris et al.), which converges in O(log n) rounds.
     """
+    from .guard import IterationLimitExceeded
+
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
@@ -458,8 +470,13 @@ def connected_components(
         changed = new_labels.where(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise IterationLimitExceeded(
+        f"connected_components did not converge in {max_iter} rounds — a "
+        f"component's diameter exceeds max_iter (labels were still moving "
+        f"in the final round). Raise max_iter toward the expected diameter, "
+        f"or use a large-star/small-star contraction for unbounded chains."
+    )
 
 
 def duplicate_clusters(

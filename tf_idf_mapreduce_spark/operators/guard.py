@@ -31,6 +31,13 @@ class ExactPathTooLarge(ValueError):
     input past its row cap — the bucketed twin is the scale path."""
 
 
+class IterationLimitExceeded(RuntimeError):
+    """Raised when an iterative algorithm (label propagation, power
+    iteration with a convergence contract) exhausts its round budget
+    with state still moving — returning the unconverged state would be
+    a silently wrong answer, so the operator refuses instead."""
+
+
 def guard_exact_quadratic(
     rel: DataFrame, *, what: str, twin: str, max_rows: int | None
 ) -> int:
