@@ -1,26 +1,27 @@
 #!/usr/bin/env python3
-"""Measured evidence for the 100 TB design claims (round-4 verdict #1).
+"""Measured evidence for the 100 TB design claims (round-4 verdict #1,
+extended every round since).
 
-Four probes, each 10-400x the sf0.1 fixture's row counts, all
+Eleven probes, each 10-2000x the sf0.1 fixture's row counts, all
 deterministic (hash-derived randomness — no RNG state, no seeds to
 coordinate). Results go to stdout and SCALE_PROBE.md.
 
-P1  doc_freq (agg + join back) vs doc_freq_salted under Zipf word skew,
-    with AQE skew handling on and off — where does the explicit salt
-    start paying?
-P2  MinHash LSH bucket packing under 20x duplication + hot-token
-    injection — does the banded equi-join's "buckets stay small" claim
-    survive a corpus that is mostly near-duplicates?
-P3  two-phase prefix sum vs the single-partition global window it
-    replaces — the cost of the classic trap, measured.
-P4  the learned-filter GD iteration (grid-integer gradient aggregate) —
-    is training really iters x one scan-speed partial aggregate, with
-    only model state crossing to the driver?
+P1  doc_freq agg+join vs explicit salt under Zipf word skew (AQE on/off)
+P2  MinHash LSH bucket packing under 20x duplication + hot tokens
+P3  two-phase prefix sum vs the single-partition global window
+P4  learned-filter GD iteration — model state only crosses to the driver
+P5  count-min sketch vs exact word count
+P6  incremental index fold vs full rebuild
+P7  BPE trainer vocab-pass rounds + speculative batching
+P8  M4 downsample: mergeable aggregate vs 4-way window sort
+P9  composed-manifest screen reuse: lazy vs persist barriers
+P10 skyline local-frontier shrink under both axis regimes
+P11 the flagship TF-IDF chain at 1-10M docs + range-sort sampling
 
-Scratch parquet lives under /tmp and is removed at exit. Runtime ~4 min
-on local[32].
+Scratch parquet lives under /tmp and is removed at exit. Run the full
+set via scripts/scale_probe_all.sh (one fresh JVM per section).
 
-Usage: python scripts/scale_probe.py [--quick]
+Usage: python scripts/scale_probe.py [--quick] [--only=pN]
 """
 
 from __future__ import annotations
@@ -52,6 +53,11 @@ def emit(line: str = "") -> None:
 
 
 def _noop(df: DataFrame) -> float:
+    # force a full GC BEFORE the clock starts: 32 worker threads of
+    # codegen'd row processing leave enough garbage that a measurement
+    # can otherwise absorb a 10-20s G1 pause caused by PREVIOUS work
+    # (observed on P11: the same plan timed 0.7s and 19s in one JVM)
+    df.sparkSession.sparkContext._jvm.System.gc()
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
@@ -1011,6 +1017,138 @@ def probe_skyline(spark: SparkSession, quick: bool) -> None:
     emit()
 
 
+# --------------------------------------------------------------------------
+# P11: the flagship TF-IDF pipeline at 100x fixture scale
+# --------------------------------------------------------------------------
+
+def synth_corpus(spark: SparkSession, n_docs: int, doc_len: int, vocab: int) -> DataFrame:
+    """Deterministic synthetic corpus: ``n_docs`` docs of ``doc_len``
+    words drawn Zipf-s=1 from a ``vocab``-word letter-only vocabulary
+    (the reference tokenizer drops digit-bearing words — T2 — so words
+    are digit→letter translated). Randomness is xxhash64 of
+    (doc id, position) — no RNG state, reproducible across runs."""
+    ids = spark.range(n_docs)
+
+    def word_at(p: int):
+        u = (
+            F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit(p))), F.lit(1_000_000))
+            / F.lit(1_000_000.0)
+        )
+        rank = F.pow(F.lit(float(vocab)), u).cast("long")
+        return F.concat(
+            F.lit("w"),
+            F.translate(rank.cast("string"), "0123456789", "abcdefghij"),
+        )
+
+    return ids.select(
+        F.col("id").cast("string").alias("doc"),
+        F.concat_ws(" ", *[word_at(p) for p in range(doc_len)]).alias("text"),
+    )
+
+
+def probe_tfidf_flagship(spark: SparkSession, quick: bool) -> None:
+    """The reference's whole value is the 4-job TF-IDF chain
+    (TfidfMapReduce.java:36-100); the engine's flagship claim is that
+    the 3-exchange Spark plan (word_count groupBy, doc_totals window,
+    doc_freq agg+join, then either TakeOrdered top-30 or the range-
+    partitioned global sort) scales linearly in corpus size. Measure it
+    at 200x-2000x the sf0.1 fixture's 5k docs, and measure the global
+    sort's range-partitioner sampling knob
+    (``spark.sql.execution.rangeExchange.sampleSizePerPartition``):
+    sample size buys partition balance (max/mean skew of the sorted
+    exchange) with a driver-side sampling pass — the knob a 1000-
+    executor deployment actually tunes."""
+    from tf_idf_mapreduce_spark.operators.tfidf import (
+        tfidf_pipeline,
+        tfidf_sorted,
+    )
+
+    emit("## P11 — flagship TF-IDF pipeline at 100x: 3-exchange scaling + range-sort sampling")
+    emit()
+    sizes = [100_000, 300_000] if quick else [1_000_000, 3_000_000, 10_000_000]
+    sweep_size = sizes[-2]
+    doc_len, vocab = 20, 50_000
+    emit(f"Docs of {doc_len} Zipf-s=1 words over a {vocab:,}-word vocab "
+         f"(sf0.1 fixture: 5k docs). Timings best-of-2 noop-sink "
+         f"(single run at the largest size — its checkpoint blocks are "
+         f"a large share of the 48g local JVM, and a repeat measures "
+         f"block-manager pressure, not the plan).")
+    emit()
+    emit("| docs | token rows | scored s | top30 s | full sort s | scored rows |")
+    emit("|---|---|---|---|---|---|")
+    for n in sizes:
+        corpus = synth_corpus(spark, n, doc_len, vocab).localCheckpoint()
+        scored = tfidf_pipeline(corpus)
+        t_scored = _timed(scored) if n < sizes[-1] else _noop(scored)
+        # materialize ONCE for the two sort consumers — the probe prices
+        # the sorts, not a third pipeline rerun. The largest relation
+        # (~190M rows) persists DISK_ONLY: deserialized checkpoint
+        # blocks for it exceed the single local JVM's heap (measured
+        # OOM at 48g) — a regime a real cluster sizes around, while
+        # the probe just needs a stable input for the sort timings.
+        if n < sizes[-1]:
+            scored_ck = scored.localCheckpoint()
+        else:
+            from pyspark import StorageLevel
+
+            scored_ck = scored.persist(StorageLevel.DISK_ONLY)
+        n_scored = scored_ck.count()
+        top30 = scored_ck.orderBy(
+            F.desc("tfidf"), F.asc("word"), F.asc("doc")
+        ).limit(30)
+        t_top = _timed(top30)
+        t_sort = _timed(tfidf_sorted(scored_ck))
+        emit(
+            f"| {n:,} | {n * doc_len:,} | {t_scored:.1f} | {t_top:.2f} "
+            f"| {t_sort:.1f} | {n_scored:,} |"
+        )
+        if n == sweep_size:
+            # sweep the sampling knob at the SECOND-largest size, before
+            # the largest size's blocks crowd the JVM — the knob's
+            # effect is balance, visible at any non-trivial volume
+            emit()
+            emit("Range-sort sampling at the second-largest size "
+                 "(partition skew = max/mean rows of the sorted "
+                 "exchange's output partitions):")
+            emit()
+            emit("| sampleSizePerPartition | sort s | partitions | max/mean skew |")
+            emit("|---|---|---|---|")
+            key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+            prev = spark.conf.get(key)
+            try:
+                for ss in (10, 100, 1000):
+                    spark.conf.set(key, str(ss))
+                    srt = tfidf_sorted(scored_ck)
+                    t = _timed(srt)
+                    sizes_pdf = (
+                        srt.select(F.spark_partition_id().alias("pid"))
+                        .groupBy("pid")
+                        .count()
+                        .toPandas()
+                    )
+                    skew = float(
+                        sizes_pdf["count"].max() / sizes_pdf["count"].mean()
+                    )
+                    emit(f"| {ss} | {t:.1f} | {len(sizes_pdf)} | {skew:.2f} |")
+            finally:
+                spark.conf.set(key, prev)
+            emit()
+            emit("| docs | token rows | scored s | top30 s | full sort s | scored rows |")
+            emit("|---|---|---|---|---|---|")
+    emit()
+    emit("Reading: scored wall grows ~linearly with docs while the "
+         "working set fits the single local JVM; at the largest size "
+         "the resident checkpoint blocks push execution memory into "
+         "spill — a regime a real cluster does not enter (per-executor "
+         "share stays constant as executors scale with data). Top-30 is "
+         "TakeOrdered (per-partition heads, no global exchange) and "
+         "stays near-flat; the full sort pays one range exchange whose "
+         "balance the sample size controls. The reference's Job 4 is a "
+         "SINGLE reducer (SortByValue.java:111-126) — its sort is one "
+         "machine's merge no matter the corpus.")
+    emit()
+
+
 PROBES = {
     "p1": probe_doc_freq,
     "p2": probe_lsh_buckets,
@@ -1022,6 +1160,7 @@ PROBES = {
     "p8": probe_m4,
     "p9": probe_screen_reuse,
     "p10": probe_skyline,
+    "p11": probe_tfidf_flagship,
 }
 
 

@@ -699,3 +699,51 @@ def test_connected_components_exact_round_budget_converges(spark):
         for r in connected_components(nodes, edges, max_iter=5).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_doubling_long_chain(spark):
+    """The unbounded-diameter path: a 200-link chain (diameter 199,
+    far past the plain propagator's budget) must converge in the
+    doubling variant's O(log d) rounds and agree with ground truth;
+    a two-component graph must keep its components separate."""
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        connected_components_doubling,
+    )
+
+    n = 200
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n + 3)], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(n + 1, n + 2)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.label
+        for r in connected_components_doubling(nodes, edges, max_iter=12).collect()
+    }
+    want = {i: 0 for i in range(n)}
+    want.update({n: n, n + 1: n + 1, n + 2: n + 1})
+    assert got == want
+
+
+def test_connected_components_doubling_matches_plain_on_fixture_graph(spark, sf_dir):
+    """Both CC implementations must label the real candidate graph
+    identically — the doubling variant is a drop-in scale path, not a
+    different semantics."""
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        _docs,
+        connected_components,
+        connected_components_doubling,
+        minhash_candidate_pairs,
+    )
+
+    edges = (
+        minhash_candidate_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    nodes = _docs(spark, sf_dir).select("doc_id")
+    a = sorted(map(tuple, connected_components(nodes, edges).collect()))
+    b = sorted(map(tuple, connected_components_doubling(nodes, edges).collect()))
+    assert a == b

@@ -475,7 +475,80 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds — a "
         f"component's diameter exceeds max_iter (labels were still moving "
         f"in the final round). Raise max_iter toward the expected diameter, "
-        f"or use a large-star/small-star contraction for unbounded chains."
+        f"or use connected_components_doubling (O(log diameter) rounds) "
+        f"for unbounded chains."
+    )
+
+
+def connected_components_doubling(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Connected components in O(log diameter) rounds: min-neighbor
+    propagation PLUS pointer doubling (label(u) ← label(label(u)) each
+    round — the shortcut step of the large-star/small-star family,
+    Kiveris et al. 2014). Same contract and output as
+    ``connected_components``; this is the UNBOUNDED-DIAMETER path the
+    plain propagator's ``IterationLimitExceeded`` points at — a 1000-
+    link near-dup chain (template drift) finishes in ~11 rounds instead
+    of 1000.
+
+    Per round: one neighbor-min aggregate (candidate-edge-sized shuffle)
+    plus one label self-join (node-sized shuffle). Labels only ever
+    decrease toward the component min, doubling compresses any chain of
+    stale pointers geometrically, and convergence is verified by a
+    no-change round exactly like the plain propagator. The default
+    budget of 30 covers diameters past 2^28 — every graph that fits in
+    storage — so the raise survives only as a safety contract.
+    """
+    from .guard import IterationLimitExceeded
+
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce("nlabel", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: follow the label's own label one hop —
+        # label values are node ids of the same relation, so this is a
+        # self-join of the stepped table on (label = doc_id)
+        parent = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("plabel")
+        )
+        doubled = (
+            stepped.join(parent, "label", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("plabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            return labels
+    raise IterationLimitExceeded(
+        f"connected_components_doubling did not converge in {max_iter} "
+        f"rounds — with pointer doubling that means a component diameter "
+        f"past 2^{max_iter - 2}; the input is almost certainly wrong."
     )
 
 
