@@ -438,3 +438,19 @@ def test_incremental_e2e_persist_bounds_documents_scans(spark):
         .toString()
     )
     assert plan.count("documents.parquet") <= 10
+
+
+def test_incremental_e2e_lazy_admitted_barrier_bounds_scans(spark):
+    """Even in lazy mode the admitted-set barrier must collapse the
+    admission manifest out of the merge branches: the round-6 audit
+    counted 74 documents scans without it; with it the plan reads the
+    corpus a handful of times (screens once + the two merge sides)."""
+    from tf_idf_mapreduce_spark.operators.tfidf import incremental_e2e_index
+
+    plan = (
+        incremental_e2e_index(spark, SF, persist_screens=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("documents.parquet") <= 8

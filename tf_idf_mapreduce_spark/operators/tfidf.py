@@ -245,19 +245,20 @@ def incremental_e2e_index(
     source — so the screen-then-merge composition must equal a from-
     scratch build over exactly the surviving documents.
 
-    ``persist_screens``: barrier the manifest screens AND the admitted
-    doc-id set; ``None`` (default) resolves the barrier POLICY via
-    ``curation.resolve_persist_screens`` (explicit flag > conf >
-    storage-scheme sniff). The merge's word-count / df / total-docs
-    branches each re-evaluate the batch side, and lazily that re-runs
-    the ENTIRE admission manifest (every screen's corpus scan) per
-    branch — the round-6 plan audit counted 74 documents scans in this
-    one query. On local page-cached parquet the lazy plan measures
-    faster (7.3 s vs 10.9 s at sf0.1 — the barriers serialize tiny
-    screens), so the sniff stays lazy there; against remote object
-    storage every re-scan is paid I/O and the policy flips to the
-    durable screen tables, bounding documents scans to a handful
-    (pinned by ``tests/test_plans.py``).
+    The admitted doc-id set carries an UNCONDITIONAL ``localCheckpoint``
+    (batch-sized, one column): the merge's word-count / df / total-docs
+    branches each re-evaluate the batch side, and without the barrier
+    the ENTIRE admission manifest (every screen's corpus scan) re-ran
+    per branch — the round-6 plan audit counted 74 documents scans; the
+    barrier alone cuts the plan to 6 scans and measured 6.9 s → 1.8 s
+    at sf0.1 (round 8).
+
+    ``persist_screens``: additionally barrier the manifest's screen
+    relations as durable parquet tables; ``None`` (default) resolves
+    the POLICY via ``curation.resolve_persist_screens`` (explicit flag
+    > conf > storage-scheme sniff — against remote object storage every
+    screen re-scan is paid I/O, so the policy flips to the durable
+    tables; plan bounds pinned by ``tests/test_plans.py``).
     """
     from ..sources.io import documents_as_corpus, load_table
     from .curation import (
@@ -274,11 +275,15 @@ def incremental_e2e_index(
         incremental_manifest(spark, sf_dir, persist_screens=persist_screens)
         .where(F.col("status") == "admitted")
         .select("doc_id")
+        # UNCONDITIONAL barrier, batch-sized single column: the merge's
+        # three branches each re-evaluate the batch side, and without
+        # this the whole admission manifest (every screen) re-runs per
+        # branch — measured 6.9 s lazy vs 1.8 s with only this barrier
+        # at sf0.1 (round 8; the round-7 "lazy wins" number compared
+        # screen-level checkpoints, not this one). A one-column slice
+        # of the day's arrivals is safe to materialize at any scale.
+        .localCheckpoint()
     )
-    if persist_screens:
-        # batch-sized single column: one barrier collapses the whole
-        # manifest subtree out of every merge-branch re-evaluation
-        admitted = admitted.localCheckpoint()
     batch_admitted = docs.where(is_batch).join(F.broadcast(admitted), "doc_id")
     return merge_index(
         documents_as_corpus(docs.where(~is_batch)),
