@@ -1147,6 +1147,48 @@ def _semantic_keep_compute(
 INCREMENTAL_EST_JACCARD = MINHASH_PRECISION_THRESHOLD
 
 
+#: Session cache for the two incremental arrival screens — batch-sized
+#: relations consumed by dedup_incremental (OWNER, first in registry
+#: order), the semantic twin's consumers, the admission manifest, and
+#: the composed index update. Durable parquet under the model store
+#: (load-or-compute), L1-keyed by applicationId like the other
+#: DataFrame caches.
+_INCREMENTAL_SCREEN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _incremental_screen_table(
+    spark: SparkSession, sf_dir: str, name: str, compute
+) -> DataFrame:
+    """Durable-table wrapper for an arrival screen: computed once,
+    written once under the model store, read by every consumer in every
+    session (the production pipeline persists the day's screen verdicts
+    for exactly this reason); ``localCheckpoint`` fallback when the
+    store is disabled."""
+    from ..sources.io import table_fingerprint
+    from ..sources.model_store import load_or_compute_table
+    from .caches import insert_evicting
+
+    key = (
+        spark.sparkContext.applicationId,
+        name,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        table_fingerprint(sf_dir, "embeddings"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    hit = _INCREMENTAL_SCREEN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    result, origin = load_or_compute_table(
+        name, ("incremental",) + key[1:], spark, compute
+    )
+    if origin == "fit":
+        result = result.localCheckpoint()
+    insert_evicting(_INCREMENTAL_SCREEN_CACHE, key, result, prefix=3)
+    return result
+
+
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup screen: a NEW BATCH of documents against the
     EXISTING corpus — the verb a daily-crawl pipeline runs, where the
@@ -1176,6 +1218,15 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clears ``INCREMENTAL_EST_JACCARD``; ``match_doc_id`` is the smallest
     matching corpus doc (stable under re-partitioning).
     """
+    return _incremental_screen_table(
+        spark,
+        sf_dir,
+        "incremental_dedup",
+        lambda: _incremental_dedup_compute(spark, sf_dir),
+    )
+
+
+def _incremental_dedup_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
 
     docs = _docs(spark, sf_dir)
@@ -1234,6 +1285,15 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     math batched). Rounding mirrors the lsh-pairs convention:
     floor(cos*1e6+0.5)/1e6, threshold applied to the rounded value.
     """
+    return _incremental_screen_table(
+        spark,
+        sf_dir,
+        "incremental_semantic_dedup",
+        lambda: _incremental_semantic_compute(spark, sf_dir),
+    )
+
+
+def _incremental_semantic_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import cosine
     from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
     from .similarity import NEARDUP_MIN_COSINE, _band_rows, lsh_signatures
