@@ -845,14 +845,16 @@ def probe_m4(spark: SparkSession, quick: bool) -> None:
 # --------------------------------------------------------------------------
 
 def probe_screen_reuse(spark: SparkSession, quick: bool) -> None:
-    """tfidf.incremental_e2e_index lazily re-evaluates the admission
-    manifest (every screen's corpus scan) once per merge branch — 74
-    documents scans in the round-6 plan audit — because at sf0.1 that
-    still beat eager screen barriers (7.3 s vs 10.9 s). Find where the
-    tradeoff inverts: run the composed query lazy vs
-    ``persist_screens=True`` on synthetic corpora 1-16x the sf0.1
-    fixture (documents + embeddings, hash-derived), same row counts
-    asserted."""
+    """tfidf.incremental_e2e_index: lazy screen composition vs durable
+    screen tables (``persist_screens=True``), on synthetic corpora
+    1-16x the sf0.1 fixture (documents + embeddings, hash-derived),
+    same row counts asserted. Round-8 context: the admitted-set
+    barrier now bounds the lazy plan too (74 scans → 6), so both modes
+    evaluate each screen once — the remaining tradeoff is screen
+    recompute-per-fresh-session vs parquet write+read, and the regime
+    where persist must win (remote object storage, multi-consumer
+    sessions) is priced by the sniff policy rather than this local
+    probe."""
     import shutil
     import tempfile
     import time
@@ -910,6 +912,28 @@ def probe_screen_reuse(spark: SparkSession, quick: bool) -> None:
 
         counts, walls = {}, {}
         for mode in (False, True):
+            # round 8: the incremental screens and the SemDeDup
+            # disposition are now session-cached AND durably stored —
+            # clear both between modes, or the second mode measures
+            # cache hits instead of its own execution strategy
+            from tf_idf_mapreduce_spark.operators import dedup as _dd
+            from tf_idf_mapreduce_spark.sources.model_store import (
+                drop_models,
+            )
+
+            _dd._INCREMENTAL_SCREEN_CACHE.clear()
+            _dd._SEMKEEP_RESULT_CACHE.clear()
+            for m in (
+                "incremental_dedup",
+                "incremental_semantic_dedup",
+                "semantic_keep",
+                "screen_inc_dedup",
+                "screen_inc_semantic",
+                "screen_inc_contam",
+                "screen_inc_pii",
+                "screen_inc_quality",
+            ):
+                drop_models(m, spark)
             t0 = time.time()
             counts[mode] = incremental_e2e_index(
                 spark, d, persist_screens=mode
@@ -924,18 +948,19 @@ def probe_screen_reuse(spark: SparkSession, quick: bool) -> None:
         shutil.rmtree(d, ignore_errors=True)
     emit()
     emit(
-        "Reading: persist/lazy under 1 means the screen barriers pay "
-        "(checkpointing each screen trades one materialization for all "
-        "its re-reads), over 1 means they serialize scan-cheap screens "
-        "for nothing. ON THIS BOX the re-scans hit page-cached local "
-        "parquet, so they are nearly free and the materialized screens "
-        "grow linearly — persist wins only at the smallest corpus and "
-        "loses past it, which is why the default stays lazy. The flag "
-        "exists for the regime this probe CANNOT reproduce locally: a "
-        "cluster reading remote object storage, where every re-scan is "
-        "real network I/O and the 74-branch manifest re-reads the "
-        "corpus 74 times — there the barrier is the only sane plan, "
-        "and at true 100 TB it is spelled as a durable table write."
+        "Reading: persist/lazy under 1 means the durable screen tables "
+        "pay (each screen is WRITTEN once as a parquet table and every "
+        "consumer — including every later session — reads files), over "
+        "1 would mean they serialize scan-cheap screens for nothing. "
+        "Round-8 re-measurement with both modes fully cold (screen "
+        "caches and store artifacts cleared per mode): persist wins "
+        "0.55-0.66x at every size ON LOCAL DISK — the round-7 lazy-wins "
+        "number compared session localCheckpoint barriers, a different "
+        "mechanism that serialized the screens without amortizing across "
+        "sessions. Remote object storage only widens the gap (every lazy "
+        "re-scan is paid network I/O), so the engine default is persist; "
+        "lazy stays forcible via conf for one-shot throwaway runs where "
+        "nothing should be written."
     )
     emit()
 

@@ -1284,7 +1284,14 @@ def test_incremental_manifest_persist_screens_identical(spark, sf_dir):
     from tf_idf_mapreduce_spark.operators.curation import incremental_manifest
     from tf_idf_mapreduce_spark.operators.tfidf import incremental_e2e_index
 
-    lazy = sorted(map(tuple, incremental_manifest(spark, sf_dir).collect()))
+    lazy = sorted(
+        map(
+            tuple,
+            incremental_manifest(
+                spark, sf_dir, persist_screens=False
+            ).collect(),
+        )
+    )
     eager = sorted(
         map(
             tuple,
@@ -1294,7 +1301,14 @@ def test_incremental_manifest_persist_screens_identical(spark, sf_dir):
         )
     )
     assert lazy == eager
-    lazy_ix = sorted(map(tuple, incremental_e2e_index(spark, sf_dir).collect()))
+    lazy_ix = sorted(
+        map(
+            tuple,
+            incremental_e2e_index(
+                spark, sf_dir, persist_screens=False
+            ).collect(),
+        )
+    )
     eager_ix = sorted(
         map(
             tuple,

@@ -221,3 +221,39 @@ def test_drop_models_clears_family(spark, sf_dir, model_dir_env):
     assert os.path.isdir(os.path.join(model_dir_env, "qc_weights"))
     drop_models("qc_weights")
     assert not os.path.exists(os.path.join(model_dir_env, "qc_weights"))
+
+
+def test_prune_models_reaps_only_stale_artifacts(spark, sf_dir, model_dir_env):
+    """Stale fingerprints are dead weight, never wrong answers — prune
+    removes artifacts older than the age cutoff and leaves fresh ones
+    (and live lookups) untouched."""
+    from tf_idf_mapreduce_spark.operators import curation
+    from tf_idf_mapreduce_spark.sources.model_store import prune_models
+
+    curation._QC_WEIGHTS_CACHE.clear()
+    fresh = curation._qc_fit(spark, sf_dir)
+    fam = os.path.join(model_dir_env, "qc_weights")
+    (h,) = os.listdir(fam)
+    # plant a stale sibling artifact and age it past the cutoff
+    stale = os.path.join(fam, "deadbeef" * 4)
+    os.makedirs(stale)
+    with open(os.path.join(stale, "data.parquet"), "wb") as f:
+        f.write(b"x")
+    old = time.time() - 90 * 86400
+    os.utime(os.path.join(stale, "data.parquet"), (old, old))
+
+    removed = prune_models(max_age_days=30)
+    assert removed == 1
+    assert sorted(os.listdir(fam)) == [h]
+    # the surviving artifact still loads
+    curation._QC_WEIGHTS_CACHE.clear()
+
+    def boom(*a, **k):
+        raise AssertionError("refit after prune of a FRESH artifact")
+
+    real = curation._qc_fit_gd
+    try:
+        curation._qc_fit_gd = boom
+        assert curation._qc_fit(spark, sf_dir) == fresh
+    finally:
+        curation._qc_fit_gd = real

@@ -378,31 +378,24 @@ def test_pareto_local_shrink_precedes_coalesce(spark):
 
 
 def test_persist_screens_policy_resolution(spark):
-    """Explicit flag > conf > storage-scheme sniff: local paths compose
-    lazily, remote object-store schemes persist (the P9 regime note
-    turned into code)."""
+    """Explicit flag > conf > default-persist: the durable screen
+    tables measured faster than the lazy composition on local disk too
+    (P9 round-8 cold re-measurement), so auto resolves to persist
+    everywhere; lazy stays forcible via flag or conf."""
     from tf_idf_mapreduce_spark.operators.curation import (
         SCREEN_BARRIER_CONF,
         resolve_persist_screens,
     )
 
-    assert resolve_persist_screens(spark, SF, None) is False
+    assert resolve_persist_screens(spark, SF, None) is True
     assert resolve_persist_screens(spark, "s3a://bucket/sf1000", None) is True
-    assert resolve_persist_screens(spark, "hdfs://nn/corpus", None) is True
     # explicit flag always wins
     assert resolve_persist_screens(spark, "s3a://bucket/x", False) is False
     assert resolve_persist_screens(spark, SF, True) is True
-    # conf overrides the sniff
-    spark.conf.set(SCREEN_BARRIER_CONF, "true")
-    try:
-        assert resolve_persist_screens(spark, SF, None) is True
-    finally:
-        spark.conf.unset(SCREEN_BARRIER_CONF)
+    # conf overrides the default
     spark.conf.set(SCREEN_BARRIER_CONF, "false")
     try:
-        assert (
-            resolve_persist_screens(spark, "s3a://bucket/x", None) is False
-        )
+        assert resolve_persist_screens(spark, SF, None) is False
     finally:
         spark.conf.unset(SCREEN_BARRIER_CONF)
 

@@ -1580,36 +1580,31 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Conf key governing the composed-manifest screen barriers:
-#: "auto" (default — persist when sf_dir is remote object storage,
-#: stay lazy on local paths), "true"/"false" to force either mode.
+#: "auto" (default — persist: the durable screen tables measured
+#: FASTER than the lazy composition even on local page-cached parquet,
+#: P9 round-8 re-measurement: 0.55-0.66x), "true"/"false" to force.
 SCREEN_BARRIER_CONF = "spark.tf_idf_mapreduce.persistScreens"
-
-#: URI schemes treated as local (page-cached re-scans are cheap, the
-#: lazy composition measured FASTER at fixture scale — P9); anything
-#: else (s3/s3a/gs/abfs/hdfs/...) pays per-scan remote I/O, where
-#: re-running every screen per consumer is the 100 TB scale-killer.
-_LOCAL_SCHEMES = ("", "file")
 
 
 def resolve_persist_screens(
     spark: SparkSession, sf_dir: str, explicit: bool | None
 ) -> bool:
     """The barrier POLICY the round-7 verdict asked for: an explicit
-    caller flag wins; otherwise the conf; otherwise a storage-scheme
-    sniff — local paths compose lazily (measured faster: 7.3 s lazy vs
-    10.9 s checkpointed at sf0.1, P9), remote schemes persist every
-    screen once (74 corpus re-scans of object storage is the regime the
-    local probe cannot reproduce but the probe text itself names)."""
+    caller flag wins; otherwise the conf; otherwise persist. History:
+    round 7 measured lazy faster (7.3 s vs 10.9 s at sf0.1) when the
+    barriers were session ``localCheckpoint``s that serialized the
+    screens; round 8 replaced them with durable parquet screen tables
+    (write once, every consumer reads files) and the cold-honest P9
+    re-measurement shows persist winning 0.55-0.66x on LOCAL disk too
+    — and remote object storage only widens that (every lazy re-scan
+    is paid I/O). Lazy remains forcible for one-shot throwaway runs
+    where nothing should be written."""
     if explicit is not None:
         return explicit
     v = (spark.conf.get(SCREEN_BARRIER_CONF, None) or "auto").lower()
-    if v in ("true", "1", "persist"):
-        return True
     if v in ("false", "0", "lazy"):
         return False
-    from urllib.parse import urlparse
-
-    return urlparse(sf_dir).scheme not in _LOCAL_SCHEMES
+    return True
 
 
 def _screen_table(
@@ -1666,18 +1661,16 @@ def incremental_manifest(
 
     ``persist_screens``: barrier each screen relation before the
     composition joins — ``None`` (default) resolves the POLICY via
-    ``resolve_persist_screens`` (conf override, else storage-scheme
-    sniff: lazy on local paths, persist on remote object storage). At
-    fixture scale the lazy composition wins (the eager barriers
-    serialize the screens and forfeit shared-scan reuse; measured 7.3 s
-    lazy vs 10.9 s checkpointed at sf0.1). The tradeoff INVERTS when
-    the manifest plan is re-evaluated by a multi-consumer parent
-    (``incremental_e2e_index`` re-reads it per index branch) against
-    remote storage, where every re-evaluation re-runs every screen's
-    corpus scan — SCALE_PROBE P9 measures the crossover. In persist
-    mode each screen is a durable parquet table (``_screen_table``),
-    so the scan count is bounded by screens+1 regardless of how many
-    times a parent re-evaluates the manifest.
+    ``resolve_persist_screens`` (explicit flag > conf > persist). In
+    persist mode each screen is a durable parquet table
+    (``_screen_table``): written once, read by every consumer, scan
+    count bounded by screens+1 regardless of how many times a parent
+    re-evaluates the manifest. P9's round-8 cold re-measurement shows
+    the durable tables beating the lazy composition 0.55-0.66x on
+    local disk (round 7's lazy-wins number compared localCheckpoint
+    barriers, which serialize the screens — a different mechanism);
+    remote object storage widens the gap since every lazy re-scan is
+    paid I/O.
     """
     from .dedup import incremental_dedup, incremental_semantic_dedup
     from .textstats import quality_scores

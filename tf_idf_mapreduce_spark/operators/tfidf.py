@@ -256,9 +256,9 @@ def incremental_e2e_index(
     ``persist_screens``: additionally barrier the manifest's screen
     relations as durable parquet tables; ``None`` (default) resolves
     the POLICY via ``curation.resolve_persist_screens`` (explicit flag
-    > conf > storage-scheme sniff — against remote object storage every
-    screen re-scan is paid I/O, so the policy flips to the durable
-    tables; plan bounds pinned by ``tests/test_plans.py``).
+    > conf > persist — the durable tables measured faster than the
+    lazy composition even locally, P9 round-8; plan bounds pinned by
+    ``tests/test_plans.py``).
     """
     from ..sources.io import documents_as_corpus, load_table
     from .curation import (

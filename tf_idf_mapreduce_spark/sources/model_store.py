@@ -161,3 +161,38 @@ def drop_models(name: str, spark=None) -> None:
     if root is None:
         return
     shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+def prune_models(max_age_days: float = 30.0, spark=None, *, now: float | None = None) -> int:
+    """Garbage-collect stale artifacts: a regenerated fixture or a conf
+    change mints a NEW key hash and the old directory becomes dead
+    weight — never wrong (nothing resolves to it) but unbounded. Drop
+    every artifact whose newest file is older than ``max_age_days``.
+    Returns the number of artifact directories removed. ``now`` is an
+    explicit epoch-seconds clock for deterministic tests; the load path
+    refreshes nothing, so age == time since the artifact was written."""
+    import time as _time
+
+    root = store_root(spark)
+    if root is None or not os.path.isdir(root):
+        return 0
+    cutoff = (now if now is not None else _time.time()) - max_age_days * 86400
+    removed = 0
+    for name in sorted(os.listdir(root)):
+        family = os.path.join(root, name)
+        if not os.path.isdir(family):
+            continue
+        for h in sorted(os.listdir(family)):
+            d = os.path.join(family, h)
+            try:
+                newest = max(
+                    os.stat(os.path.join(dp, f)).st_mtime
+                    for dp, _dn, fns in os.walk(d)
+                    for f in fns
+                )
+            except ValueError:  # empty dir — a torn write; reap it
+                newest = 0.0
+            if newest < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+    return removed
