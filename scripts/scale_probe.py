@@ -851,15 +851,13 @@ def probe_screen_reuse(spark: SparkSession, quick: bool) -> None:
     same row counts asserted. Round-8 context: the admitted-set
     barrier now bounds the lazy plan too (74 scans → 6), so both modes
     evaluate each screen once — the remaining tradeoff is screen
-    recompute-per-fresh-session vs parquet write+read, and the regime
-    where persist must win (remote object storage, multi-consumer
-    sessions) is priced by the sniff policy rather than this local
-    probe."""
+    recompute-per-fresh-session vs parquet write+read, and persist is
+    now the engine default (this probe's cold re-measurement is the
+    evidence), with lazy forcible via conf for throwaway runs."""
     import shutil
     import tempfile
     import time
 
-    from tf_idf_mapreduce_spark.operators import similarity as _sim
     from tf_idf_mapreduce_spark.operators.tfidf import incremental_e2e_index
 
     emit("## P9 — composed-manifest screen reuse: lazy vs persist_screens")
@@ -944,7 +942,6 @@ def probe_screen_reuse(spark: SparkSession, quick: bool) -> None:
             f"{walls[True] / max(walls[False], 1e-9):.2f}x | "
             f"{'yes' if counts[False] == counts[True] else 'NO'} |"
         )
-        _sim._MODEL_CACHE.clear() if hasattr(_sim, "_MODEL_CACHE") else None
         shutil.rmtree(d, ignore_errors=True)
     emit()
     emit(

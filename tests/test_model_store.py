@@ -257,3 +257,16 @@ def test_prune_models_reaps_only_stale_artifacts(spark, sf_dir, model_dir_env):
         assert curation._qc_fit(spark, sf_dir) == fresh
     finally:
         curation._qc_fit_gd = real
+
+
+def test_unwritable_store_degrades_to_compute(spark, sf_dir, monkeypatch):
+    """A read-only store root (baked deployment image) must never break
+    a query that worked before the store existed — the table path
+    probes writability and degrades to compute-only."""
+    from tf_idf_mapreduce_spark.operators import dedup
+
+    # a path under a FILE can never be created -> makedirs raises
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", "/dev/null/no_store")
+    dedup._INCREMENTAL_SCREEN_CACHE.clear()
+    rows = dedup.incremental_dedup(spark, sf_dir).collect()
+    assert rows and all(r.status in ("keep", "drop") for r in rows)

@@ -144,6 +144,21 @@ def load_or_compute_table(
             return spark.read.parquet(d), "store"
         except Exception:
             pass
+    # probe writability BEFORE running compute through a parquet sink:
+    # on a read-only store root (e.g. a baked deployment image) the
+    # store must degrade to compute-only, never break a query that
+    # worked before the store existed. Genuine compute errors still
+    # surface naturally from the uncaught write below.
+    try:
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        probe = os.path.join(
+            os.path.dirname(d), f".probe-{uuid.uuid4().hex}"
+        )
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+    except OSError:
+        return compute(), "fit"
     tmp = f"{d}.tmp-{uuid.uuid4().hex}"
     compute().write.mode("overwrite").parquet(tmp)
     try:
