@@ -39,14 +39,28 @@ def main() -> None:
     # prices each fit under its owner query, and a store left warm by a
     # previous run would silently convert those fits into parquet loads
     # and break pin comparability (the store's serving win is measured
-    # explicitly in tests/test_model_store.py, not smuggled into bench)
-    import shutil
-
-    from tf_idf_mapreduce_spark.sources.model_store import store_root
+    # explicitly in tests/test_model_store.py, not smuggled into bench).
+    # clear_store refuses roots it can't prove are store-owned (marker /
+    # `_models` basename) — a shared directory is never bulk-deleted.
+    from tf_idf_mapreduce_spark.sources.model_store import (
+        MODEL_STORE_ENV,
+        clear_store,
+        store_root,
+    )
 
     _root = store_root(spark)
     if _root:
-        shutil.rmtree(_root, ignore_errors=True)
+        # export the SESSION-resolved root so the cache-clear callables
+        # (which run without a session handle) resolve the SAME root —
+        # a conf-set store would otherwise be missed and "cold" timings
+        # would silently load the warmup's parquet artifact
+        os.environ[MODEL_STORE_ENV] = _root
+        if not clear_store(spark):
+            print(
+                f"bench: refusing bulk clear of unmarked store root {_root}; "
+                "cold pins may read pre-existing artifacts",
+                file=sys.stderr,
+            )
 
     # untimed warmup: run every batch query once at the smallest SF so
     # whole-stage-codegen compilation (~2-4s per distinct plan shape),

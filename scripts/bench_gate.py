@@ -50,6 +50,16 @@ def _retime(names: list[str], sf: float, cold: set[str]) -> dict[str, float]:
     sf_dir = f"/root/testdata/sf{sf}"
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    # cache-clear callables run sessionless — point their drop_models at
+    # the session-resolved store root (same fix as bench.py round 9)
+    from tf_idf_mapreduce_spark.sources.model_store import (
+        MODEL_STORE_ENV,
+        store_root,
+    )
+
+    _root = store_root(spark)
+    if _root:
+        os.environ[MODEL_STORE_ENV] = _root
     qs = entrymod.queries()
 
     def run(name):

@@ -46,6 +46,17 @@ def main(argv: list[str]) -> int:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
+    # the cache-clear callables run without a session handle — export the
+    # session-resolved store root so their drop_models hits the real root
+    from tf_idf_mapreduce_spark.sources.model_store import (
+        MODEL_STORE_ENV,
+        store_root,
+    )
+
+    _root = store_root(spark)
+    if _root:
+        os.environ[MODEL_STORE_ENV] = _root
+
     def run(name: str) -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 

@@ -1608,14 +1608,22 @@ def resolve_persist_screens(
 
 
 def _screen_table(
-    spark: SparkSession, sf_dir: str, name: str, df: DataFrame
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame,
+    params: tuple = (),
 ) -> DataFrame:
     """The durable-table variant of a screen barrier: the screen
     relation is WRITTEN once as a fingerprint-keyed parquet table under
     the model store and every consumer (including every merge-branch
     re-evaluation in a parent plan) reads the files — exactly the temp-
     table write the per-operator docstrings describe for 100 TB. Falls
-    back to a session ``localCheckpoint`` when the store is disabled."""
+    back to a session ``localCheckpoint`` when the store is disabled.
+
+    ``params`` carries the screen's governing hyperparameters (contam
+    n-gram size, PII patterns, quality thresholds, ...) into the durable
+    key — the round-8 ADVICE gap: a key of fingerprints + confs alone
+    would silently serve a STALE table after an algorithm change. Every
+    call site passes the constants its screen SQL actually reads, so a
+    threshold edit mints a new hash and refits."""
     from ..sources.io import table_fingerprint
     from ..sources.model_store import load_or_compute_table
 
@@ -1627,6 +1635,7 @@ def _screen_table(
         table_fingerprint(sf_dir, "embeddings"),
         spark.conf.get("spark.sql.shuffle.partitions"),
         spark.conf.get("spark.sql.adaptive.enabled"),
+        params,
     )
     out, origin = load_or_compute_table(
         f"screen_{name}", key, spark, lambda: df
@@ -1701,12 +1710,27 @@ def incremental_manifest(
         # batch-sized, narrow relations — each durable-table barrier
         # bounds every downstream re-evaluation to a parquet read of
         # the screen table instead of a full screen re-run over the
-        # corpus (localCheckpoint fallback when the store is disabled)
-        inc = _screen_table(spark, sf_dir, "inc_dedup", inc)
-        sem = _screen_table(spark, sf_dir, "inc_semantic", sem)
-        contam = _screen_table(spark, sf_dir, "inc_contam", contam)
-        pii = _screen_table(spark, sf_dir, "inc_pii", pii)
-        q = _screen_table(spark, sf_dir, "inc_quality", q)
+        # corpus (localCheckpoint fallback when the store is disabled).
+        # inc/sem are NOT re-wrapped: incremental_dedup and
+        # incremental_semantic_dedup are already durable store tables
+        # (`dedup._incremental_screen_table`); wrapping their narrow
+        # projections again would write a second redundant parquet copy
+        # per fingerprint (round-8 ADVICE) — the projection of a store
+        # table is already just a pruned file scan.
+        from .textstats import QUALITY_KEEP_MAX_PUNCT, QUALITY_KEEP_MIN_WORDS
+
+        contam = _screen_table(
+            spark, sf_dir, "inc_contam", contam,
+            params=(CONTAM_NGRAM, CONTAM_BENCH_MOD),
+        )
+        pii = _screen_table(
+            spark, sf_dir, "inc_pii", pii,
+            params=tuple(sorted(PII_PATTERNS.items())),
+        )
+        q = _screen_table(
+            spark, sf_dir, "inc_quality", q,
+            params=(QUALITY_KEEP_MIN_WORDS, QUALITY_KEEP_MAX_PUNCT),
+        )
     status = (
         F.when(F.col("doc_id") % CONTAM_BENCH_MOD == 0, "benchmark")
         .when(F.col("dup_status") == "drop", "near_dup")

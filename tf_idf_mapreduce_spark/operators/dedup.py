@@ -1021,6 +1021,8 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
     # cache holds a checkpointed DataFrame whose blocks die with the
     # SparkContext — a hit from a previous (stopped) session would hand
     # every consumer a DataFrame bound to dead executors.
+    from .similarity import IVF_ITERS, IVF_K
+
     cache_key = (
         spark.sparkContext.applicationId,
         sf_dir,
@@ -1029,6 +1031,11 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
         spark.conf.get("spark.sql.shuffle.partitions"),
         spark.conf.get("spark.sql.adaptive.enabled"),
         max_iter,
+        # governing hyperparameters (round-8 ADVICE): the durable table
+        # must refit, not silently reload, when the algorithm changes
+        IVF_K,
+        IVF_ITERS,
+        SEMDEDUP_COSINE,
     )
     cached = _SEMKEEP_RESULT_CACHE.get(cache_key)
     if cached is not None:
@@ -1157,13 +1164,19 @@ _INCREMENTAL_SCREEN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _incremental_screen_table(
-    spark: SparkSession, sf_dir: str, name: str, compute
+    spark: SparkSession, sf_dir: str, name: str, compute,
+    params: tuple = (),
 ) -> DataFrame:
     """Durable-table wrapper for an arrival screen: computed once,
     written once under the model store, read by every consumer in every
     session (the production pipeline persists the day's screen verdicts
     for exactly this reason); ``localCheckpoint`` fallback when the
-    store is disabled."""
+    store is disabled.
+
+    ``params`` folds the screen's governing hyperparameters (MinHash
+    shape, thresholds, LSH geometry, batch-slice rule) into the durable
+    key so an algorithm change mints a NEW hash instead of silently
+    serving a stale verdict table (round-8 ADVICE)."""
     from ..sources.io import table_fingerprint
     from ..sources.model_store import load_or_compute_table
     from .caches import insert_evicting
@@ -1176,6 +1189,7 @@ def _incremental_screen_table(
         table_fingerprint(sf_dir, "embeddings"),
         spark.conf.get("spark.sql.shuffle.partitions"),
         spark.conf.get("spark.sql.adaptive.enabled"),
+        params,
     )
     hit = _INCREMENTAL_SCREEN_CACHE.get(key)
     if hit is not None:
@@ -1218,11 +1232,18 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clears ``INCREMENTAL_EST_JACCARD``; ``match_doc_id`` is the smallest
     matching corpus doc (stable under re-partitioning).
     """
+    from ..functions.hashing import MINHASH_B, MINHASH_R
+    from .curation import SAMPLE_BUCKET_MAX
+
     return _incremental_screen_table(
         spark,
         sf_dir,
         "incremental_dedup",
         lambda: _incremental_dedup_compute(spark, sf_dir),
+        params=(
+            MINHASH_K, MINHASH_R, MINHASH_B,
+            INCREMENTAL_EST_JACCARD, SAMPLE_BUCKET_MAX,
+        ),
     )
 
 
@@ -1285,11 +1306,15 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     math batched). Rounding mirrors the lsh-pairs convention:
     floor(cos*1e6+0.5)/1e6, threshold applied to the rounded value.
     """
+    from .curation import SAMPLE_BUCKET_MAX
+    from .similarity import BAND_BITS, N_BANDS
+
     return _incremental_screen_table(
         spark,
         sf_dir,
         "incremental_semantic_dedup",
         lambda: _incremental_semantic_compute(spark, sf_dir),
+        params=(BAND_BITS, N_BANDS, NEARDUP_MIN_COSINE, SAMPLE_BUCKET_MAX),
     )
 
 

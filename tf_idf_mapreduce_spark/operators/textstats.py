@@ -76,6 +76,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Composite keep/drop rule thresholds (C4-style): minimum word count
+#: and maximum punctuation ratio. Named (not inline) so durable screen
+#: tables can fold them into their store keys — a threshold change must
+#: mint a NEW key hash, never silently reuse a stale screen verdict.
+QUALITY_KEEP_MIN_WORDS = 10
+QUALITY_KEEP_MAX_PUNCT = 0.3
+
+
 def quality_exprs(text: Column, words: Column) -> dict[str, Column]:
     """The per-doc quality signals as a named column-expression bundle —
     ONE definition shared by ``quality_scores`` and the fused
@@ -105,10 +113,10 @@ def quality_exprs(text: Column, words: Column) -> dict[str, Column]:
             F.lit(0.0)
         ),
         "keep": (
-            (n_words >= 10)
-            & F.when(n_chars > 0, n_punct / n_chars < 0.3).otherwise(
-                F.lit(False)
-            )
+            (n_words >= QUALITY_KEEP_MIN_WORDS)
+            & F.when(
+                n_chars > 0, n_punct / n_chars < QUALITY_KEEP_MAX_PUNCT
+            ).otherwise(F.lit(False))
         ),
     }
 

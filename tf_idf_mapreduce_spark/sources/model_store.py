@@ -31,9 +31,14 @@ sessions at worst both fit and one write wins — never a torn read. The
 one Spark-written artifact (the SemDeDup disposition, a relation) uses
 write-to-tmp-dir + ``os.rename`` with the same lose-gracefully contract.
 
-At 100 TB the store root is an object-store prefix and the artifacts are
-ordinary parquet tables any engine can read — the load path IS the
-production serving path, not a test convenience.
+The artifacts are ordinary parquet tables any engine can read — the
+load path IS the production serving path, not a test convenience. The
+implementation requires a FILESYSTEM-backed root (local disk, NFS, or a
+fuse-mounted bucket): atomicity comes from ``os.replace``/``os.rename``,
+which raw ``s3://``-style prefixes don't provide. Pointing the root at
+an object store directly would need an FS abstraction with a
+commit-protocol rename (staging-dir + manifest) in place of the two
+rename calls — noted here rather than claimed.
 """
 
 from __future__ import annotations
@@ -50,6 +55,25 @@ MODEL_STORE_CONF = "spark.tf_idf_mapreduce.modelStore"
 #: Environment fallback used when no conf is set (also lets non-Spark
 #: tooling — bench cache-clears — resolve the same root).
 MODEL_STORE_ENV = "SPARK_GRAFT_MODEL_DIR"
+#: Marker file written at the store root on first artifact write. Bulk
+#: destructive tooling (bench's start-from-empty clear) refuses to
+#: rmtree a directory that lacks it — a root misconfigured to a shared
+#: long-lived directory loses at most stale model families, never
+#: unrelated files.
+STORE_MARKER = ".tf_idf_mapreduce_model_store"
+
+
+def _mark_root(root: str) -> None:
+    """Drop the store marker at ``root`` (best-effort; read-only roots
+    simply stay unmarked and bulk clears then refuse)."""
+    try:
+        os.makedirs(root, exist_ok=True)
+        marker = os.path.join(root, STORE_MARKER)
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("model store root — safe for bulk clears\n")
+    except OSError:
+        pass
 
 
 def _strip_file_scheme(p: str) -> str:
@@ -112,6 +136,7 @@ def load_or_fit_pdf(
     pdf = fit()
     if path is not None:
         try:
+            _mark_root(store_root(spark))
             os.makedirs(d, exist_ok=True)
             tmp = f"{path}.tmp-{uuid.uuid4().hex}"
             pdf.to_parquet(tmp, index=False)
@@ -150,6 +175,7 @@ def load_or_compute_table(
     # worked before the store existed. Genuine compute errors still
     # surface naturally from the uncaught write below.
     try:
+        _mark_root(store_root(spark))
         os.makedirs(os.path.dirname(d), exist_ok=True)
         probe = os.path.join(
             os.path.dirname(d), f".probe-{uuid.uuid4().hex}"
@@ -167,6 +193,106 @@ def load_or_compute_table(
         # a concurrent session won the rename race — read its copy
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(d), "store"
+
+
+def load_or_compute_bucketed_table(
+    name: str,
+    key: tuple,
+    spark,
+    compute: Callable[[], "pyspark.sql.DataFrame"],  # noqa: F821
+    bucket_col: str,
+    n_buckets: int,
+):
+    """Bucketed variant of ``load_or_compute_table`` for artifacts that
+    are JOIN-SIDE relations (the persisted TF-IDF postings/df tables):
+    the relation is written once with ``bucketBy(n, col)`` + ``sortBy``
+    and re-registered on every load as an EXTERNAL bucketed catalog
+    table over the stored files, so equi-joins on ``bucket_col`` against
+    it need NO shuffle on the table side — the scan itself reports the
+    hash partitioning. This is the "persisted index is word-bucketed so
+    the df merge is shuffle-free" shape the 100 TB story needs: the
+    daily fold shuffles only the arrival slice into the index's bucket
+    layout, never the index.
+
+    The session catalog is in-memory, so the catalog ENTRY is per
+    process while the FILES are durable: each load re-creates the
+    external-table pointer (name derived from the key hash — distinct
+    keys never collide) with the writer's exact bucket spec. Spark
+    identifies each file's bucket from its ``_0000N`` filename suffix,
+    which the atomic directory rename preserves. Returns ``(df,
+    origin)`` like the other loaders; disabled/read-only stores degrade
+    to the computed (unbucketed) relation."""
+    d = model_dir(name, key, spark)
+    if d is None:
+        return compute(), "fit"
+    tbl = f"{name}_{key_hash(key)[:12]}"
+
+    def register() -> "pyspark.sql.DataFrame":  # noqa: F821
+        schema_ddl = spark.read.parquet(d).schema.toDDL()
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(
+            f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
+            f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{d}'"
+        )
+        return spark.table(tbl)
+
+    if os.path.isdir(d):
+        try:
+            return register(), "store"
+        except Exception:
+            pass
+    try:
+        _mark_root(store_root(spark))
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        probe = os.path.join(
+            os.path.dirname(d), f".probe-{uuid.uuid4().hex}"
+        )
+        with open(probe, "w"):
+            pass
+        os.remove(probe)
+    except OSError:
+        return compute(), "fit"
+    tmp_tbl = f"{tbl}_w{uuid.uuid4().hex[:8]}"
+    tmp = f"{d}.tmp-{uuid.uuid4().hex}"
+    (
+        compute()
+        .write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .mode("overwrite")
+        .option("path", tmp)
+        .saveAsTable(tmp_tbl)
+    )
+    # the write above registered an external table at the TMP path; drop
+    # the catalog entry (files survive an external drop) before renaming
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        # a concurrent session won the rename race — read its copy
+        shutil.rmtree(tmp, ignore_errors=True)
+    return register(), "store"
+
+
+def clear_store(spark=None) -> bool:
+    """Remove EVERY artifact under the store root — the bench
+    start-from-empty clear. Destructive-by-design, so it is scoped: the
+    root is only wiped when it carries the :data:`STORE_MARKER` (written
+    on first artifact write) or its basename is ``_models`` (the
+    warehouse default this package mints itself). A root misconfigured
+    to a shared long-lived directory is REFUSED — returns ``False`` and
+    the caller degrades to per-family ``drop_models`` — so no bulk clear
+    can destroy files this package didn't write (round-8 ADVICE)."""
+    root = store_root(spark)
+    if root is None or not os.path.isdir(root):
+        return True  # nothing durable to clear
+    if (
+        os.path.basename(os.path.normpath(root)) == "_models"
+        or os.path.exists(os.path.join(root, STORE_MARKER))
+    ):
+        shutil.rmtree(root, ignore_errors=True)
+        return True
+    return False
 
 
 def drop_models(name: str, spark=None) -> None:
