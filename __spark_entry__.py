@@ -44,6 +44,7 @@ from tf_idf_mapreduce_spark.operators.tfidf import (
     doc_totals,
     incremental_e2e_index,
     incremental_index,
+    incremental_index_persisted,
     tfidf_pipeline,
     tfidf_sorted,
     word_count,
@@ -6494,6 +6495,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pareto_layers": cur.pareto_layers,
         "curate_epoch_plan": cur.epoch_plan,
         "curate_calibration": cur.classifier_calibration,
+        # round 9: the fold with the old side READ from the persisted
+        # word-bucketed index tables instead of re-tokenized in-plan
+        "tfidf_incremental_persisted": incremental_index_persisted,
     }
 
 
@@ -6659,4 +6663,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_tfidf"] = out["tfidf_full"]
     # the incremental merge must land on the one-shot index, bit-for-bit
     out["tfidf_incremental_index"] = out["tfidf_full"]
+    # ... and so must the persisted-old-side fold: the store is invisible
+    # in the relation, visible only in the plan and the runtime
+    out["tfidf_incremental_persisted"] = out["tfidf_full"]
     return out

@@ -189,21 +189,43 @@ def incremental_index(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_side(corpus: DataFrame):
+    """One side of the index merge: postings (word, doc, count,
+    doc_total), per-word document frequency, and the 1-row document
+    count. N comes from the CORPUS, not the postings — a zero-word
+    document contributes no postings rows but still raises the IDF
+    denominator (the reference's directory-entry semantics)."""
+    wtc = doc_totals(word_count(tokenize(corpus)))
+    dfx = wtc.groupBy("word").agg(F.count("*").alias("dfx"))
+    n = corpus.agg(F.countDistinct("doc").alias("nx"))
+    return wtc, dfx, n
+
+
 def merge_index(old_corpus: DataFrame, new_corpus: DataFrame) -> DataFrame:
     """The index-merge core shared by ``incremental_index`` (whole batch)
     and ``incremental_e2e_index`` (admitted batch docs only): postings
     union, additive df full-outer merge, scalar-N add, idf re-multiply."""
+    return merge_index_parts(*_index_side(old_corpus), new_corpus)
 
-    def side(corpus):
-        wtc = doc_totals(word_count(tokenize(corpus)))
-        dfx = wtc.groupBy("word").agg(F.count("*").alias("dfx"))
-        n = corpus.agg(F.countDistinct("doc").alias("nx"))
-        return wtc, dfx, n
 
-    old_wtc, old_df, old_n = side(old_corpus)
-    new_wtc, new_df, new_n = side(new_corpus)
+def merge_index_parts(
+    old_wtc: DataFrame, old_df: DataFrame, old_n: DataFrame,
+    new_corpus: DataFrame,
+) -> DataFrame:
+    """The merge with the OLD side passed as its three index parts —
+    either built in-plan (``merge_index``) or LOADED from the persisted
+    index (``incremental_index_persisted``), which is the whole point:
+    the fold's topology is identical whether the old side is a subplan
+    or a table.
 
-    postings = old_wtc.unionByName(new_wtc)
+    The scored relation is built join-then-union, not union-then-join:
+    an inner join distributes over union (identical rows), and keeping
+    the old postings OUT of the union lets a word-bucketed persisted
+    postings table join ``df_merged`` with ZERO exchange on the
+    corpus-sized side — only the vocabulary-sized df table and the
+    arrival slice shuffle into the bucket layout."""
+    new_wtc, new_df, new_n = _index_side(new_corpus)
+
     df_merged = (
         old_df.withColumnRenamed("dfx", "df_old")
         .join(new_df.withColumnRenamed("dfx", "df_new"), "word", "full_outer")
@@ -221,12 +243,120 @@ def merge_index(old_corpus: DataFrame, new_corpus: DataFrame) -> DataFrame:
         F.broadcast(new_n.withColumnRenamed("nx", "nx_new"))
     ).select((F.col("nx") + F.col("nx_new")).alias("total_docs"))
     scored = tfidf(
-        postings.join(df_merged, "word").crossJoin(F.broadcast(n_total)),
+        old_wtc.join(df_merged, "word")
+        .unionByName(new_wtc.join(df_merged, "word"))
+        .crossJoin(F.broadcast(n_total)),
         F.col("total_docs"),
     )
     return scored.select(
         "word", "doc", "count", "doc_total", "df", F.round("tfidf", 6).alias("tfidf")
     )
+
+
+#: Bucket count for the persisted index tables. On the local[32] test
+#: box this matches the shuffle width; a real deployment sizes it to
+#: ~2-3x total cores once (bucket count is baked into the files). Folded
+#: into the store key, so a different width refits rather than
+#: mis-reading an old layout.
+INDEX_BUCKETS = 32
+
+
+def _index_store_key(spark, sf_dir: str) -> tuple:
+    from ..sources.io import table_fingerprint
+    from .curation import SAMPLE_BUCKET_MAX
+
+    return (
+        "tfidf_index",
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        SAMPLE_BUCKET_MAX,  # the batch-slice rule is part of what "old corpus" means
+        INDEX_BUCKETS,
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+
+
+def persisted_index(spark, sf_dir: str):
+    """The TF-IDF index ITSELF as three durable store tables — postings
+    (word, doc, count, doc_total) and df (word, dfx), both word-bucketed
+    parquet, plus the 1-row document count — fit once over the old
+    corpus (the ~90% non-batch slice) and LOADED by every later fold.
+    This closes the round-8 gap: ``incremental_index`` re-tokenized the
+    whole old corpus in-plan every run; here the daily cost is tokenizing
+    the arrival slice plus one word-keyed merge against a vocabulary-
+    sized df table, exactly the shape the docstring promised at 100 TB.
+
+    Layout matters as much as persistence: both relations are written
+    ``bucketBy(INDEX_BUCKETS, word)`` and re-registered as external
+    bucketed catalog tables on load, so the fold's two word-keyed joins
+    read the corpus-sized postings WITHOUT shuffling it — only the
+    arrival slice and the df-merge output move. df derives from the
+    persisted postings (one bucketed scan, shuffle-free group-by); N
+    comes from the corpus because zero-word docs carry no postings but
+    still count (reference directory-entry semantics,
+    TfidfMapReduce.java:51).
+
+    Returns ``(postings, df, n, origin)`` with origin "store" when all
+    three loaded without a fit."""
+    from ..sources.io import documents_as_corpus, load_table
+    from ..sources.model_store import (
+        load_or_compute_bucketed_table,
+        load_or_compute_table,
+    )
+    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
+
+    key = _index_store_key(spark, sf_dir)
+
+    def old_corpus():
+        docs = load_table(spark, sf_dir, "documents")
+        return documents_as_corpus(
+            docs.where(~(_sample_bucket() <= SAMPLE_BUCKET_MAX))
+        )
+
+    postings, o1 = load_or_compute_bucketed_table(
+        "tfidf_index_postings",
+        key,
+        spark,
+        lambda: doc_totals(word_count(tokenize(old_corpus()))),
+        "word",
+        INDEX_BUCKETS,
+    )
+    dfx, o2 = load_or_compute_bucketed_table(
+        "tfidf_index_df",
+        key,
+        spark,
+        # derived from the (already persisted) postings: one bucketed
+        # scan, and the word group-by needs no shuffle
+        lambda: postings.groupBy("word").agg(F.count("*").alias("dfx")),
+        "word",
+        INDEX_BUCKETS,
+    )
+    n, o3 = load_or_compute_table(
+        "tfidf_index_n",
+        key,
+        spark,
+        lambda: old_corpus().agg(F.countDistinct("doc").alias("nx")),
+    )
+    origin = "store" if (o1, o2, o3) == ("store",) * 3 else "fit"
+    return postings, dfx, n, origin
+
+
+def incremental_index_persisted(spark, sf_dir: str) -> DataFrame:
+    """``incremental_index`` in its PRODUCTION shape: the old side is the
+    persisted index (``persisted_index`` — word-bucketed store tables),
+    so the fold never re-tokenizes the old corpus. Same batch slice,
+    same additive merge, and the result must hash-match the one-shot
+    ``tfidf_full`` oracle exactly — the persistence is invisible in the
+    relation, visible only in the plan (old-side documents scans: 0 when
+    warm) and the runtime."""
+    from ..sources.io import documents_as_corpus, load_table
+    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
+
+    postings, dfx, n, _origin = persisted_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = documents_as_corpus(
+        docs.where(_sample_bucket() <= SAMPLE_BUCKET_MAX)
+    )
+    return merge_index_parts(postings, dfx, n, batch)
 
 
 def incremental_e2e_index(
