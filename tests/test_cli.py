@@ -131,3 +131,119 @@ def test_cli_query_subcommand(tmp_path, sf_dir, capsys):
     assert got == want
 
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_acceptance_100_file_corpus_roundtrips_through_kv_sink(
+    tmp_path, spark
+):
+    """Round-9 acceptance run of the reference's actual usage mode
+    (TfidfMapReduce.java:36-100): a ~100-file text directory in, the
+    sorted packed ``word|file TAB score`` relation out of the S5 KV
+    sink — re-read with ``read_kv_text`` and value-matched against the
+    library pipeline over the same corpus. Exercises ``cli.main``, not
+    library calls, end to end through the packed-format sink."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+    from tf_idf_mapreduce_spark.operators.tfidf import (
+        doc_freq,
+        doc_totals,
+        tfidf,
+        word_count,
+    )
+    from tf_idf_mapreduce_spark.sources.io import (
+        read_kv_text,
+        read_text_corpus,
+    )
+
+    vocab = [
+        "spark", "engine", "query", "shuffle", "codegen", "catalyst",
+        "arrow", "column", "broadcast", "partition", "&amp;entity",
+        "<b>tagged</b>", "42", "7seas", "...dots", "mixedCASE",
+    ]
+    inp = tmp_path / "corpus100"
+    inp.mkdir()
+    for i in range(100):
+        # deterministic, varied content: each doc cycles a vocab slice
+        # with repetition so tf varies; some docs are empty (still count
+        # toward N via the directory-entry rule)
+        if i % 25 == 24:
+            body = ""
+        else:
+            words = [vocab[(i + j) % len(vocab)] for j in range(i % 13 + 2)]
+            body = " ".join(words * (i % 3 + 1))
+        (inp / f"doc{i:03d}.txt").write_text(body)
+    out = tmp_path / "cli_out"
+    assert main([str(inp), str(out)]) == 0
+
+    kv = read_kv_text(spark, str(out / "SortedTFIDF"))
+    got = {
+        (r.word, r.doc): float(r.val)
+        for r in kv.select(
+            F.substring_index("key", "|", 1).alias("word"),
+            F.substring_index("key", "|", -1).alias("doc"),
+            "val",
+        ).collect()
+    }
+
+    expected_df = tfidf(
+        doc_freq(
+            doc_totals(word_count(tokenize(read_text_corpus(spark, str(inp)))))
+        ),
+        F.lit(100),  # directory-entry count, incl. the empty files
+    )
+    expected = {(r.word, r.doc): r.tfidf for r in expected_df.collect()}
+    assert set(got) == set(expected) and len(got) > 300
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=1e-12), k
+
+    # the sink is the reference's SORTED output: concatenating the part
+    # files in filename order must be non-increasing by score
+    scores = []
+    for part in sorted((out / "SortedTFIDF").glob("part-*")):
+        scores += [
+            float(l.rsplit("\t", 1)[1])
+            for l in part.read_text().splitlines()
+            if l
+        ]
+    assert len(scores) == len(got)
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+
+
+def test_cli_models_ls_prune_drop(tmp_path, monkeypatch, capsys):
+    """The store-hygiene subcommands: ls lists artifacts with family,
+    hash, size and age; drop removes a family; prune reaps stale
+    artifacts past the age cutoff."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.sources.model_store import load_or_fit_pdf
+
+    root = str(tmp_path / "models")
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", root)
+    load_or_fit_pdf("fam_a", ("k1",), lambda: pd.DataFrame({"x": [1, 2]}))
+    load_or_fit_pdf("fam_b", ("k2",), lambda: pd.DataFrame({"y": [3]}))
+
+    assert main(["models", "ls"]) == 0
+    out = capsys.readouterr().out
+    assert "fam_a" in out and "fam_b" in out and "2 artifacts" in out
+
+    assert main(["models", "drop", "fam_a"]) == 0
+    assert not os.path.exists(os.path.join(root, "fam_a"))
+    assert os.path.isdir(os.path.join(root, "fam_b"))
+
+    # age fam_b's artifact past the cutoff and prune it
+    for dp, _dn, fns in os.walk(os.path.join(root, "fam_b")):
+        for fn in fns:
+            old = time.time() - 99 * 86400
+            os.utime(os.path.join(dp, fn), (old, old))
+    assert main(["models", "prune", "--max-age-days", "30"]) == 0
+    assert "pruned 1" in capsys.readouterr().out
+    assert not os.listdir(os.path.join(root, "fam_b"))
+
+    assert main(["models", "drop"]) == 2  # family name required
+    assert main(["models", "ls"]) == 0  # empty store lists cleanly

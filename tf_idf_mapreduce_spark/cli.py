@@ -196,19 +196,97 @@ def _query_main(argv: list[str]) -> int:
     return 0
 
 
+def _models_main(argv: list[str]) -> int:
+    """``models ls|prune|drop`` — hygiene for the durable model store
+    (`sources/model_store.py`). The store grows one dead directory per
+    regenerated fixture or changed hyperparameter (stale hashes are
+    never resolved again); this is the production cleanup loop the
+    tests exercise but an operator needs at the command line.
+
+    - ``ls``: one line per artifact — family, key hash, size, age days.
+    - ``prune [--max-age-days D]``: reap artifacts older than D days.
+    - ``drop <family> [...]``: delete whole model families (the bench
+      cold-path clear, manually).
+
+    No SparkSession is started: the store root resolves from
+    ``$SPARK_GRAFT_MODEL_DIR`` / ``--root`` (conf-based roots belong to
+    a running session; export the env to address one here)."""
+    import time
+
+    from .sources.model_store import drop_models, prune_models, store_root
+
+    p = argparse.ArgumentParser(
+        prog="tf_idf_mapreduce_spark models",
+        description="inspect / garbage-collect the durable model store",
+    )
+    p.add_argument("action", choices=("ls", "prune", "drop"))
+    p.add_argument("families", nargs="*", help="model families (drop)")
+    p.add_argument(
+        "--root", default=None,
+        help="store root (default: $SPARK_GRAFT_MODEL_DIR, else ./spark-warehouse/_models)",
+    )
+    p.add_argument(
+        "--max-age-days", type=float, default=30.0,
+        help="prune artifacts whose newest file is older than this (default 30)",
+    )
+    args = p.parse_args(argv[1:])
+    if args.root is not None:
+        os.environ["SPARK_GRAFT_MODEL_DIR"] = args.root
+    root = store_root()
+
+    if args.action == "ls":
+        if root is None or not os.path.isdir(root):
+            print(f"(empty store: {root})")
+            return 0
+        now = time.time()
+        n = 0
+        for fam in sorted(os.listdir(root)):
+            fam_dir = os.path.join(root, fam)
+            if not os.path.isdir(fam_dir):
+                continue
+            for h in sorted(os.listdir(fam_dir)):
+                d = os.path.join(fam_dir, h)
+                size = newest = 0
+                for dp, _dn, fns in os.walk(d):
+                    for fn in fns:
+                        st = os.stat(os.path.join(dp, fn))
+                        size += st.st_size
+                        newest = max(newest, st.st_mtime)
+                age = (now - newest) / 86400 if newest else float("inf")
+                print(f"{fam}\t{h}\t{size}\t{age:.1f}d")
+                n += 1
+        print(f"({n} artifacts under {root})")
+        return 0
+    if args.action == "prune":
+        removed = prune_models(max_age_days=args.max_age_days)
+        print(f"pruned {removed} artifact(s) older than {args.max_age_days}d from {root}")
+        return 0
+    # drop
+    if not args.families:
+        print("drop requires at least one model family name", file=sys.stderr)
+        return 2
+    for fam in args.families:
+        drop_models(fam)
+        print(f"dropped {fam}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else list(argv)
     if argv and argv[0] in STAGES:
         return _stage_main(argv)
     if argv and argv[0] == "query":
         return _query_main(argv)
+    if argv and argv[0] == "models":
+        return _models_main(argv)
 
     p = argparse.ArgumentParser(
         prog="tf_idf_mapreduce_spark",
         description=(
             "TF-IDF over a directory of text documents (Spark-native); "
             f"per-stage jobs: {', '.join(STAGES)}; "
-            "'query <name>' runs any registered analytics query"
+            "'query <name>' runs any registered analytics query; "
+            "'models ls|prune|drop' manages the durable model store"
         ),
     )
     p.add_argument("input", help="directory of text files (one doc per file)")
