@@ -447,3 +447,26 @@ def test_incremental_e2e_lazy_admitted_barrier_bounds_scans(spark):
         .toString()
     )
     assert plan.count("documents.parquet") <= 8
+
+
+def test_ann_scorecard_shares_base_and_exact(spark):
+    """Round-9: the five recall branches must read ONE checkpointed
+    (vec_id, embedding) base and ONE exact top-k — the round-8 audit
+    counted 46 embeddings re-scans and 33 NLJ spans from per-branch
+    re-derivation. With the shared base the executed plan contains NO
+    embeddings file scan at all (every branch reads the checkpoint) and
+    only bounded 1-row broadcast attaches remain."""
+    plan = _plan(spark, "sim_ann_scorecard")
+    assert len(re.findall(r"FileScan parquet.*embeddings", plan)) == 0
+    assert plan.count("FileScan") <= 10
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_persisted_fold_reads_index_tables(spark):
+    """The persisted-index fold: documents scans belong to the batch
+    branches only (<=4) and both bucketed index tables appear as
+    catalog-table scans."""
+    plan = _plan(spark, "tfidf_incremental_persisted")
+    assert plan.count("documents.parquet") <= 4
+    assert "tfidf_index_postings" in plan
+    assert "tfidf_index_df" in plan

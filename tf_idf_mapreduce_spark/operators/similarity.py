@@ -64,15 +64,19 @@ def _query_vector(e: DataFrame, query_vec_id: int) -> DataFrame:
 
 
 def cosine_topk(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK
+    spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine against one stored query vector.
 
     The 1-row query side is broadcast (scalar-broadcast pattern, A4
     analogue); the corpus is scanned once; orderBy+limit plans as
     TakeOrderedAndProject. Cosine rounded @6dp, vec_id tiebreak.
+    ``e`` lets a composed report (``ann_scorecard``) supply a shared
+    materialized (vec_id, embedding) base instead of a fresh scan.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = _query_vector(e, query_vec_id)
     cos = F.round(cosine(F.col("embedding"), F.col("q_emb")), 6)
     return (
@@ -100,8 +104,11 @@ def lsh_sig_column(embedding: Column) -> Column:
     return sig
 
 
-def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def lsh_signatures(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sig_udf = fold_dot_matrix_udf(hyperplanes())
     return e.select("vec_id", sig_udf(F.col("embedding")).alias("lsh_sig"))
 
@@ -416,6 +423,7 @@ def ivf_topk(
     query_vec_id: int = DEFAULT_QUERY_VEC,
     k: int = DEFAULT_TOPK,
     nprobe: int = IVF_NPROBE,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign the corpus to k-means cells once, probe
     only the ``nprobe`` cells nearest the query, exact cosine within them.
@@ -424,7 +432,8 @@ def ivf_topk(
     index table is partitioned by cid, so probing is partition pruning, not
     a filter over the full corpus.
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = ivf_centroids(e, cache_key=sf_dir)
     probe = [int(c) for c in _probe_order(e, cents, query_vec_id)[:nprobe]]
 
@@ -517,7 +526,8 @@ def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_topk(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK
+    spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine, computed only for vectors sharing
     at least one LSH band with the query.
@@ -526,8 +536,9 @@ def lsh_topk(
     an equi-join on (band_idx, band_val) against the (tiny, broadcast)
     query band set, then one exact-cosine pass over the pruned set.
     """
-    sigs = lsh_signatures(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sigs = lsh_signatures(spark, sf_dir, e=e)
     q_bands = _band_rows(sigs.where(F.col("vec_id") == query_vec_id)).select(
         "band_idx", "band_val"
     )
@@ -816,28 +827,12 @@ def knn_ann_recall(
     )
 
 
-def lsh_recall(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK
-) -> DataFrame:
-    """Recall@k of the LSH-pruned search against the exact scan — the
-    approximation-quality metric an ANN deployment is tuned by (bands/bits
-    trade recall for candidate count; this closes the loop by MEASURING
-    it). One row: hits, k, recall.
-
-    Composes the two existing operators; both sides are k-row relations,
-    so the intersection is a trivial broadcast semi-join — at 100 TB the
-    cost is one exact scan + one LSH probe, each already characterized.
-
-    The denominator is the EXACT side's actual row count, not the literal
-    k: a corpus with fewer than k non-query vectors (or any non-default k)
-    would otherwise silently over/understate recall.
-    """
-    exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
-        "vec_id"
-    )
-    approx = lsh_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
-        "vec_id"
-    )
+def _recall_report(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """The shared recall@k tail every ANN recall query ends with: hits =
+    |exact ∩ approx| via a broadcast semi-join of two k-row relations;
+    the denominator is the EXACT side's actual row count, not the
+    literal k (a corpus with fewer than k non-query vectors, or any
+    non-default k, would otherwise silently over/understate recall)."""
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     hits = exact.join(approx, "vec_id", "left_semi").agg(
         F.count("*").alias("n_hits")
@@ -853,12 +848,39 @@ def lsh_recall(
     )
 
 
+def lsh_recall(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = DEFAULT_QUERY_VEC, k: int = DEFAULT_TOPK,
+    e: DataFrame | None = None, exact: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of the LSH-pruned search against the exact scan — the
+    approximation-quality metric an ANN deployment is tuned by (bands/bits
+    trade recall for candidate count; this closes the loop by MEASURING
+    it). One row: hits, k, recall.
+
+    Composes the two existing operators; both sides are k-row relations,
+    so the intersection is a trivial broadcast semi-join — at 100 TB the
+    cost is one exact scan + one LSH probe, each already characterized.
+    ``e``/``exact`` let ``ann_scorecard`` share one materialized base and
+    ONE exact top-k across all its recall branches.
+    """
+    if exact is None:
+        exact = cosine_topk(
+            spark, sf_dir, query_vec_id=query_vec_id, k=k, e=e
+        ).select("vec_id")
+    approx = lsh_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k, e=e).select(
+        "vec_id"
+    )
+    return _recall_report(exact, approx, k)
+
+
 def ivf_recall(
     spark: SparkSession,
     sf_dir: str,
     query_vec_id: int = DEFAULT_QUERY_VEC,
     k: int = DEFAULT_TOPK,
     nprobe: int = IVF_NPROBE,
+    e: DataFrame | None = None,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF cluster-probed search against the exact scan —
     closes the quality loop for the one ANN path that had no measured
@@ -869,25 +891,14 @@ def ivf_recall(
     baseline being priced) + one nprobe-pruned probe; the intersection of
     two k-row relations is a broadcast semi-join, cost ~0.
     """
-    exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
-        "vec_id"
-    )
+    if exact is None:
+        exact = cosine_topk(
+            spark, sf_dir, query_vec_id=query_vec_id, k=k, e=e
+        ).select("vec_id")
     approx = ivf_topk(
-        spark, sf_dir, query_vec_id=query_vec_id, k=k, nprobe=nprobe
+        spark, sf_dir, query_vec_id=query_vec_id, k=k, nprobe=nprobe, e=e
     ).select("vec_id")
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    hits = exact.join(approx, "vec_id", "left_semi").agg(
-        F.count("*").alias("n_hits")
-    )
-    return hits.crossJoin(F.broadcast(n_exact)).select(
-        "n_hits",
-        F.lit(k).cast("long").alias("k"),
-        F.col("n_exact").cast("long").alias("n_exact"),
-        (
-            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
-            / 1_000_000
-        ).alias("recall"),
-    )
+    return _recall_report(exact, approx, k)
 
 
 #: nprobe values swept by ``ivf_probe_sweep`` (the default IVF_NPROBE=4
@@ -1220,6 +1231,7 @@ def pq_topk(
     sf_dir: str,
     query_vec_id: int = DEFAULT_QUERY_VEC,
     k: int = DEFAULT_TOPK,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization ADC top-k: every vector is encoded as M
     per-subspace codeword ids; the query's dot product against a vector
@@ -1244,7 +1256,8 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = _pq_codebooks(e, cache_key=sf_dir)
     qrow = e.where(F.col("vec_id") == query_vec_id).head()
     if qrow is None:
@@ -1286,6 +1299,8 @@ def pq_recall(
     sf_dir: str,
     query_vec_id: int = DEFAULT_QUERY_VEC,
     k: int = DEFAULT_TOPK,
+    e: DataFrame | None = None,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of PQ-ADC ranking against the exact cosine scan — the
     measured-quality twin every ANN path in this engine ships with
@@ -1302,25 +1317,14 @@ def pq_recall(
     this metric exists precisely so that call is made from data, and at
     100 TB the standard fix is PQ-then-rerank: ADC shortlists ~10k
     candidates, exact cosine re-ranks the shortlist."""
-    exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
+    if exact is None:
+        exact = cosine_topk(
+            spark, sf_dir, query_vec_id=query_vec_id, k=k, e=e
+        ).select("vec_id")
+    approx = pq_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k, e=e).select(
         "vec_id"
     )
-    approx = pq_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
-        "vec_id"
-    )
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    hits = exact.join(approx, "vec_id", "left_semi").agg(
-        F.count("*").alias("n_hits")
-    )
-    return hits.crossJoin(F.broadcast(n_exact)).select(
-        "n_hits",
-        F.lit(k).cast("long").alias("k"),
-        F.col("n_exact").cast("long").alias("n_exact"),
-        (
-            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
-            / 1_000_000
-        ).alias("recall"),
-    )
+    return _recall_report(exact, approx, k)
 
 
 #: ADC shortlist size for the rerank stage (shortlist/k = 5 here; at
@@ -1482,6 +1486,7 @@ def ivf_pq_topk(
     query_vec_id: int = DEFAULT_QUERY_VEC,
     k: int = DEFAULT_TOPK,
     nprobe: int = IVF_NPROBE,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the billion-scale index architecture (FAISS's
     IVFADC shape): the coarse k-means quantizer prunes the corpus to
@@ -1502,7 +1507,8 @@ def ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = ivf_centroids(e, cache_key=sf_dir)
     probe = [int(c) for c in _probe_order(e, cents, query_vec_id)[:nprobe]]
     books = _pq_codebooks(e, cache_key=sf_dir)
@@ -2236,6 +2242,7 @@ def rp_topk(
     sf_dir: str,
     query_vec_id: int = DEFAULT_QUERY_VEC,
     k: int = DEFAULT_TOPK,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k nearest neighbours in the RP sketch space (squared L2 over
     the 16 JL coordinates) — the brute-force scan a pipeline runs over
@@ -2245,7 +2252,8 @@ def rp_topk(
     corpus scan (of 16-dim sketches, not 64-dim vectors), orderBy+limit
     plans as TakeOrderedAndProject. JL preserves L2, so this is the
     honest candidate generator ``rp_recall`` prices."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     proj = e.select("vec_id", _rp_array(F.col("embedding")).alias("y"))
     q = proj.where(F.col("vec_id") == query_vec_id).select(
         F.col("y").alias("qy")
@@ -2266,15 +2274,18 @@ def rp_recall(
     sf_dir: str,
     query_vec_id: int = DEFAULT_QUERY_VEC,
     k: int = DEFAULT_TOPK,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the RP-sketch scan against the exact L2 scan over the
     original embeddings — closes the measurement loop for the JL sketch
     the way ``lsh_recall``/``ivf_recall``/``pq_recall`` do for their
     structures (exact side computed HERE in L2, not cosine: JL's
-    guarantee is about distances, and pricing it against a different
-    metric would flatter or slander it arbitrarily). One row:
+    guarantee is about distances, so the shared cosine exact of the
+    other recalls does NOT apply — pricing the sketch against a
+    different metric would flatter or slander it arbitrarily). One row:
     n_hits, k, n_exact, recall."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qe")
     )
@@ -2289,22 +2300,10 @@ def rp_recall(
         .limit(k)
         .select("vec_id")
     )
-    approx = rp_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
+    approx = rp_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k, e=e).select(
         "vec_id"
     )
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    hits = exact.join(approx, "vec_id", "left_semi").agg(
-        F.count("*").alias("n_hits")
-    )
-    return hits.crossJoin(F.broadcast(n_exact)).select(
-        "n_hits",
-        F.lit(k).cast("long").alias("k"),
-        F.col("n_exact").cast("long").alias("n_exact"),
-        (
-            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
-            / 1_000_000
-        ).alias("recall"),
-    )
+    return _recall_report(exact, approx, k)
 
 
 def drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2619,6 +2618,8 @@ def ivf_pq_recall(
     query_vec_id: int = DEFAULT_QUERY_VEC,
     k: int = DEFAULT_TOPK,
     nprobe: int = IVF_NPROBE,
+    e: DataFrame | None = None,
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the COMPOSED IVF+PQ index against the exact cosine
     scan — the missing cell of the measured-quality matrix (lsh/ivf/pq/
@@ -2627,25 +2628,14 @@ def ivf_pq_recall(
     approximation alone). Same report shape and denominators as
     ``pq_recall``; the same low-recall-on-near-uniform-fixture reading
     applies, and the production fix is the same rerank stage."""
-    exact = cosine_topk(spark, sf_dir, query_vec_id=query_vec_id, k=k).select(
-        "vec_id"
-    )
+    if exact is None:
+        exact = cosine_topk(
+            spark, sf_dir, query_vec_id=query_vec_id, k=k, e=e
+        ).select("vec_id")
     approx = ivf_pq_topk(
-        spark, sf_dir, query_vec_id=query_vec_id, k=k, nprobe=nprobe
+        spark, sf_dir, query_vec_id=query_vec_id, k=k, nprobe=nprobe, e=e
     ).select("vec_id")
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    hits = exact.join(approx, "vec_id", "left_semi").agg(
-        F.count("*").alias("n_hits")
-    )
-    return hits.crossJoin(F.broadcast(n_exact)).select(
-        "n_hits",
-        F.lit(k).cast("long").alias("k"),
-        F.col("n_exact").cast("long").alias("n_exact"),
-        (
-            F.floor(F.col("n_hits") / F.col("n_exact") * 1_000_000 + F.lit(0.5))
-            / 1_000_000
-        ).alias("recall"),
-    )
+    return _recall_report(exact, approx, k)
 
 
 def ann_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2653,21 +2643,32 @@ def ann_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exact scan, in one relation — (method, n_hits, k, n_exact,
     recall) for lsh / ivf / pq / ivf_pq / rp — the single artifact an
     index-selection review reads instead of five separate queries (and
-    the one to chart over corpus versions). Pure composition: each row
-    is the already-pinned recall query tagged with its method name;
-    the exact side recomputes per method by construction (each recall
-    is independently correct), which at 100 TB a review amortizes by
-    materializing the exact top-k once — noted, not hidden."""
+    the one to chart over corpus versions). The five branches share ONE
+    materialized (vec_id, embedding) base and ONE exact cosine top-k
+    (round-8 plan audit: re-deriving them per branch re-scanned the
+    embeddings table 46x for a single diagnostic) — at 100 TB the base
+    is the persisted ANN index relation and the exact top-k is the
+    k-row baseline a review materializes once by construction. rp keeps
+    its own L2 exact side: JL's guarantee is about distances, not
+    cosine. Identical rows to the five standalone recall queries."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    exact = (
+        cosine_topk(spark, sf_dir, e=e).select("vec_id").localCheckpoint()
+    )
     parts = []
-    for name, fn in (
-        ("lsh", lsh_recall),
-        ("ivf", ivf_recall),
-        ("pq", pq_recall),
-        ("ivf_pq", ivf_pq_recall),
-        ("rp", rp_recall),
+    for name, report in (
+        ("lsh", lsh_recall(spark, sf_dir, e=e, exact=exact)),
+        ("ivf", ivf_recall(spark, sf_dir, e=e, exact=exact)),
+        ("pq", pq_recall(spark, sf_dir, e=e, exact=exact)),
+        ("ivf_pq", ivf_pq_recall(spark, sf_dir, e=e, exact=exact)),
+        ("rp", rp_recall(spark, sf_dir, e=e)),
     ):
         parts.append(
-            fn(spark, sf_dir).select(
+            report.select(
                 F.lit(name).alias("method"),
                 "n_hits",
                 "k",
