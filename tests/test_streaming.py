@@ -422,3 +422,183 @@ def test_run_all_streams_concurrent_matches_sequential(spark, sf_dir):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     mismatched = [n for n in names if dfhash(seq[n]) != dfhash(conc[n])]
     assert mismatched == []
+
+
+def _poll_kill(q, min_batches: int, timeout_sec: float = 120.0):
+    """Stop a running drain once >= min_batches data batches committed;
+    returns how many data batches the killed run got through."""
+    import time
+
+    deadline = time.time() + timeout_sec
+    while time.time() < deadline and q.isActive:
+        done = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        if done >= min_batches:
+            break
+        time.sleep(0.01)
+    q.stop()
+    q.awaitTermination(60)
+    return len([p for p in q.recentProgress if p["numInputRows"] > 0])
+
+
+def test_stream_tfidf_state_survives_mid_drain_kill(spark, sf_dir, tmp_path):
+    """Round-9 crash-resume: the stream_tfidf stateful aggregation is
+    KILLED mid-feed (after >=2 of 8 micro-batches commit), restarted
+    from the SAME checkpoint, and the drained state must still equal
+    the batch twin exactly — a committed batch replayed after resume
+    would double-count, a lost one would under-count, so equality IS
+    the exactly-once claim, exercised."""
+    from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+    from tf_idf_mapreduce_spark.sources.io import documents_as_corpus
+    from tf_idf_mapreduce_spark.streaming.runner import (
+        STREAM_STATE_PARTITIONS,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = str(tmp_path / "split8")
+    docs.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(split)
+    ckpt = str(tmp_path / "ckpt_tfidf_crash")
+
+    def start(name):
+        def src():
+            return (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(split)
+            )
+
+        words = tokenize(documents_as_corpus(src())).select(
+            F.lit("w").alias("kind"), "word", "doc"
+        )
+        registry = src().select(
+            F.lit("d").alias("kind"),
+            F.lit("").alias("word"),
+            F.col("doc_id").cast("string").alias("doc"),
+        )
+        agg = (
+            words.unionByName(registry)
+            .groupBy("kind", "word", "doc")
+            .agg(F.count("*").alias("count"))
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        n_before = _poll_kill(start("tfidf_crash_p1"), min_batches=2)
+        # the kill must land MID-FEED for the resume to mean anything
+        # (both sources x 8 files = 16 data batches in a full drain)
+        assert 1 <= n_before < 16
+        q2 = start("tfidf_crash_p2")
+        assert q2.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    got = _rows(spark.table("tfidf_crash_p2"), ["kind", "word", "doc", "count"])
+    from tf_idf_mapreduce_spark.functions.tokenize import tokenize as tok
+
+    batch_words = tok(documents_as_corpus(docs)).select(
+        F.lit("w").alias("kind"), "word", "doc"
+    )
+    batch_reg = docs.select(
+        F.lit("d").alias("kind"),
+        F.lit("").alias("word"),
+        F.col("doc_id").cast("string").alias("doc"),
+    )
+    want = _rows(
+        batch_words.unionByName(batch_reg)
+        .groupBy("kind", "word", "doc")
+        .agg(F.count("*").alias("count")),
+        ["kind", "word", "doc", "count"],
+    )
+    assert got == want and len(got) > 100
+    for name in ("tfidf_crash_p1", "tfidf_crash_p2"):
+        spark.catalog.dropTempView(name)
+
+
+def test_stream_dedup_file_sink_exactly_once_across_kill(spark, sf_dir, tmp_path):
+    """The append-mode twin of the crash-resume proof, through the
+    PARQUET sink's commit log: watermarked dedup over an 8-file event
+    feed, killed mid-drain, resumed from the same checkpoint into the
+    same output directory. Reading the sink back (which honors the
+    _spark_metadata exactly-once log) must yield every event exactly
+    once — no batch lost, none emitted twice."""
+    from tf_idf_mapreduce_spark.sources.io import normalize_events
+    from tf_idf_mapreduce_spark.streaming.runner import (
+        STREAM_STATE_PARTITIONS,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = str(tmp_path / "ev_split8")
+    # split by EVENT TIME, not id, and stamp ascending mtimes in part
+    # order: the file source drains files by MODIFICATION TIME, and the
+    # parallel writer finishes partitions in arbitrary order — a
+    # time-shuffled feed advances the watermark past earlier files and
+    # they arrive entirely "late" (correctly dropped, but then the test
+    # measures watermark semantics instead of crash-resume)
+    events.repartitionByRange(8, "ts").write.mode("overwrite").parquet(split)
+    import glob
+    import os as _os
+    import time as _time
+
+    base_t = _time.time() - 1000
+    for i, f in enumerate(sorted(glob.glob(f"{split}/part-*.parquet"))):
+        _os.utime(f, (base_t + i, base_t + i))
+    ckpt = str(tmp_path / "ckpt_dedup_crash")
+    out = str(tmp_path / "dedup_out")
+
+    def start():
+        src = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(split)
+        )
+        deduped = (
+            normalize_events(src)
+            .select("event_id", "user_id", "ts", "ts_sec")
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .drop("ts")
+        )
+        return (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .start()
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+    )
+    try:
+        n_before = _poll_kill(start(), min_batches=2)
+        assert 1 <= n_before < 8
+        q2 = start()
+        assert q2.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    got = _rows(
+        spark.read.parquet(out), ["event_id", "user_id", "ts_sec"]
+    )
+    want = _rows(
+        ev.load_events(spark, sf_dir)
+        .select("event_id", "user_id", "ts_sec")
+        .dropDuplicates(["event_id"]),
+        ["event_id", "user_id", "ts_sec"],
+    )
+    assert got == want and len(got) > 500
