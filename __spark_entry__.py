@@ -42,6 +42,7 @@ from tf_idf_mapreduce_spark.operators.textstats import LANG_LEXICONS, STOPWORDS_
 from tf_idf_mapreduce_spark.operators.tfidf import (
     doc_freq,
     doc_totals,
+    incremental_chain_index,
     incremental_e2e_index,
     incremental_index,
     incremental_index_persisted,
@@ -6498,6 +6499,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: the fold with the old side READ from the persisted
         # word-bucketed index tables instead of re-tokenized in-plan
         "tfidf_incremental_persisted": incremental_index_persisted,
+        # ... and TWO consecutive folds against it — the associativity
+        # proof: ((index + day1) + day2) == the one-shot build
+        "tfidf_incremental_chain": incremental_chain_index,
     }
 
 
@@ -6666,4 +6670,7 @@ def oracle_sql() -> dict[str, str]:
     # ... and so must the persisted-old-side fold: the store is invisible
     # in the relation, visible only in the plan and the runtime
     out["tfidf_incremental_persisted"] = out["tfidf_full"]
+    # ... and two consecutive folds: the additive df/N merges associate,
+    # so day ordering cannot leak into idf
+    out["tfidf_incremental_chain"] = out["tfidf_full"]
     return out

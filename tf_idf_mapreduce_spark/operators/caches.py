@@ -92,6 +92,15 @@ def _clear_semantic_keep() -> None:
     drop_models("semantic_keep")
 
 
+def _clear_e2e_index() -> None:
+    """The composed daily update reads BOTH durable layers: the five
+    screen tables and the three index tables. Cold = day zero (every
+    screen + the index build + the fold); warm = the production daily
+    read-path."""
+    _clear_incremental_screens()
+    _clear_tfidf_index()
+
+
 #: query name -> cache-clear callable. Clearing before the timed run
 #: makes the measurement a true fresh-process cold call even when an
 #: earlier query in the same bench session shares the cache
@@ -110,4 +119,6 @@ MODEL_CACHED_QUERIES: dict[str, Callable[[], None]] = {
     # gone — price the write-path and read-path separately
     "curate_incremental_manifest": _clear_incremental_screens,
     "dedup_semantic_keep": _clear_semantic_keep,
+    # round 9: the composed update now reads the persisted index too
+    "tfidf_incremental_e2e": _clear_e2e_index,
 }

@@ -208,6 +208,34 @@ def merge_index(old_corpus: DataFrame, new_corpus: DataFrame) -> DataFrame:
     return merge_index_parts(*_index_side(old_corpus), new_corpus)
 
 
+def _merge_state(
+    old_wtc: DataFrame, old_df: DataFrame, old_n: DataFrame,
+    new_corpus: DataFrame,
+):
+    """Fold one arrival batch into index STATE (postings, df, N) without
+    scoring — the chainable form: state_k = _merge_state(state_{k-1},
+    day_k). Scoring (idf re-multiply) is a pure function of state, so
+    only the final state is scored; each intermediate merge is the same
+    additive df full-outer + postings union + scalar-N add the one-shot
+    fold uses, which is what makes consecutive daily folds associate."""
+    new_wtc, new_df, new_n = _index_side(new_corpus)
+    wtc = old_wtc.unionByName(new_wtc)
+    df = (
+        old_df.withColumnRenamed("dfx", "df_old")
+        .join(new_df.withColumnRenamed("dfx", "df_new"), "word", "full_outer")
+        .select(
+            "word",
+            (
+                F.coalesce("df_old", F.lit(0)) + F.coalesce("df_new", F.lit(0))
+            ).alias("dfx"),
+        )
+    )
+    n = F.broadcast(old_n).crossJoin(
+        F.broadcast(new_n.withColumnRenamed("nx", "nx_new"))
+    ).select((F.col("nx") + F.col("nx_new")).alias("nx"))
+    return wtc, df, n
+
+
 def merge_index_parts(
     old_wtc: DataFrame, old_df: DataFrame, old_n: DataFrame,
     new_corpus: DataFrame,
@@ -359,6 +387,57 @@ def incremental_index_persisted(spark, sf_dir: str) -> DataFrame:
     return merge_index_parts(postings, dfx, n, batch)
 
 
+def incremental_chain_index(spark, sf_dir: str) -> DataFrame:
+    """TWO consecutive daily folds against the persisted index — the
+    associativity proof a production index-maintenance loop rests on:
+    ((index ⊕ day1) ⊕ day2) must equal the one-shot build over
+    everything, bit for bit. The batch slice splits into two "days" by
+    the hash character AFTER the sampling bucket's (same deterministic
+    md5 preimage, so the split replays in SQL); each fold is the same
+    additive state merge (``_merge_state``), and only the final state
+    is scored. Hash-matches the one-shot ``tfidf_full`` oracle — if the
+    df merge or the scalar-N add were not associative (e.g. a
+    max-merge, a recomputed N), day ordering would leak into idf and
+    the hash would break.
+
+    At 100 TB each fold's cost is its day's tokenize + a
+    vocabulary-sized df merge (P6/P12-priced); the chain shows the
+    update rule composes across days without index rebuilds in
+    between."""
+    from ..sources.io import documents_as_corpus, load_table
+    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
+
+    postings, dfx, n, _origin = persisted_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
+    day_char = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("doc_id").cast("string"),
+                F.coalesce(F.col("text"), F.lit("")),
+            )
+        ),
+        3,
+        1,
+    )
+    day1 = documents_as_corpus(docs.where(is_batch & (day_char < "8")))
+    day2 = documents_as_corpus(docs.where(is_batch & (day_char >= "8")))
+    state1 = _merge_state(postings, dfx, n, day1)
+    state2 = _merge_state(*state1, day2)
+    wtc, df_final, n_final = state2
+    scored = tfidf(
+        wtc.join(df_final.withColumnRenamed("dfx", "df"), "word").crossJoin(
+            F.broadcast(n_final.withColumnRenamed("nx", "total_docs"))
+        ),
+        F.col("total_docs"),
+    )
+    return scored.select(
+        "word", "doc", "count", "doc_total", "df",
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
 def incremental_e2e_index(
     spark, sf_dir: str, persist_screens: bool | None = None
 ) -> DataFrame:
@@ -415,7 +494,10 @@ def incremental_e2e_index(
         .localCheckpoint()
     )
     batch_admitted = docs.where(is_batch).join(F.broadcast(admitted), "doc_id")
-    return merge_index(
-        documents_as_corpus(docs.where(~is_batch)),
-        documents_as_corpus(batch_admitted),
-    )
+    # round 9: the old side is the PERSISTED index — the composed daily
+    # update now costs one screen pass + the admitted-slice tokenize +
+    # the word-keyed merge, with the old corpus never re-read (store
+    # disabled → persisted_index degrades to the same in-plan build as
+    # before)
+    postings, dfx, n, _origin = persisted_index(spark, sf_dir)
+    return merge_index_parts(postings, dfx, n, documents_as_corpus(batch_admitted))
