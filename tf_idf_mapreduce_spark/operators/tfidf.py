@@ -170,9 +170,11 @@ def incremental_index(spark, sf_dir: str) -> DataFrame:
     pass over postings. At 100 TB the old side's (postings, df, N) is
     the PERSISTED index — the daily cost is tokenizing the ~0.1% batch
     plus one word-keyed outer join against a df table of vocabulary
-    size, instead of re-scanning the corpus. Here both sides are built
-    in-plan (nothing persisted at fixture scale), but the merge topology
-    — the part that matters — is identical.
+    size, instead of re-scanning the corpus. This variant builds both
+    sides in-plan — the topology pin, deliberately store-free so the
+    merge itself stays pinned even with durability disabled;
+    ``incremental_index_persisted`` (round 9) is the production shape
+    whose old side IS the loaded index.
 
     Must reproduce the one-shot ``tfidf_full`` EXACTLY (its oracle is
     the one-shot SQL): same (word, doc, count, doc_total, df) rows, same

@@ -271,7 +271,13 @@ def load_or_compute_bucketed_table(
     except OSError:
         # a concurrent session won the rename race — read its copy
         shutil.rmtree(tmp, ignore_errors=True)
-    return register(), "store"
+    try:
+        return register(), "store"
+    except Exception:
+        # unregisterable artifact (e.g. an EMPTY relation writes only
+        # _SUCCESS, and schema inference has nothing to read) — the
+        # store degrades to compute-only, never breaks the query
+        return compute(), "fit"
 
 
 def clear_store(spark=None) -> bool:
