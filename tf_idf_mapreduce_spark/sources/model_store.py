@@ -46,8 +46,12 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import threading
 import uuid
 from typing import Callable
+
+#: Serializes bucketed-table catalog re-registration (DROP+CREATE).
+_REGISTER_LOCK = threading.Lock()
 
 #: Spark conf key for the store root. Set to "" to disable durability
 #: (every call fits; the L1 dict caches still apply).
@@ -228,14 +232,18 @@ def load_or_compute_bucketed_table(
     tbl = f"{name}_{key_hash(key)[:12]}"
 
     def register() -> "pyspark.sql.DataFrame":  # noqa: F821
-        schema_ddl = spark.read.parquet(d).schema.toDDL()
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        spark.sql(
-            f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
-            f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
-            f"INTO {n_buckets} BUCKETS LOCATION '{d}'"
-        )
-        return spark.table(tbl)
+        # DROP+CREATE is a session-global catalog mutation: serialize it
+        # so two threads loading the SAME key (the concurrent-drain
+        # pattern) can't interleave between the two statements
+        with _REGISTER_LOCK:
+            schema_ddl = spark.read.parquet(d).schema.toDDL()
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            spark.sql(
+                f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
+                f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{d}'"
+            )
+            return spark.table(tbl)
 
     if os.path.isdir(d):
         try:
