@@ -1228,6 +1228,38 @@ def _ivf_histogram_sql() -> str:
     """
 
 
+def _ivf_incremental_assign_sql() -> str:
+    """Oracle for ``similarity.ivf_incremental_assign`` — the k-means
+    replay + the md5 sample-bucket rule, per-cell integer counts and the
+    @6dp arrival share (double/double division, same IEEE sequence)."""
+    ip = "list_inner_product"
+    kk, iters = sim.IVF_K, sim.IVF_ITERS
+    key = (
+        f"floor((-2*{ip}(e.v, c.c) + {ip}(c.c, c.c))*1000000 + 0.5)*{kk} + c.cid"
+    )
+    return f"""
+        WITH {_ivf_cent_ctes(kk, iters)},
+        tag AS (
+          SELECT doc_id,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
+                        1, 2) <= '{cur.SAMPLE_BUCKET_MAX}' AS is_batch
+          FROM documents),
+        assigned AS (
+          SELECT e.vec_id, min_by(c.cid, {key}) AS cid
+          FROM emb e CROSS JOIN cent{iters} c GROUP BY e.vec_id, e.v),
+        j AS (SELECT a.cid, t.is_batch
+              FROM assigned a JOIN tag t ON t.doc_id = a.vec_id)
+        SELECT cid,
+               CAST(sum(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+               CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+               CAST(count(*) AS BIGINT) AS n_total,
+               floor(CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+                 AS batch_share
+        FROM j GROUP BY cid ORDER BY cid
+    """
+
+
 def _ivf_recall_sql(query_vec_id: int, k: int, nprobe: int) -> str:
     """Oracle for ``similarity.ivf_recall`` — intersection of the exact
     and IVF top-k oracles, denominator = the exact side's row count."""
@@ -1895,6 +1927,7 @@ _LLMDATA_ORACLE: dict[str, str] = {
         sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK, sim.IVF_NPROBE
     ),
     "sim_ivf_histogram": _ivf_histogram_sql(),
+    "sim_ivf_incremental": _ivf_incremental_assign_sql(),
     "sim_pq_topk": _pq_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_pq_recall": _pq_recall_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_pq_rerank": _pq_rerank_sql(
@@ -6502,6 +6535,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ... and TWO consecutive folds against it — the associativity
         # proof: ((index + day1) + day2) == the one-shot build
         "tfidf_incremental_chain": incremental_chain_index,
+        # the ANN-side incremental verb: arrivals assigned to the
+        # current quantizer, per-cell drift report
+        "sim_ivf_incremental": sim.ivf_incremental_assign,
     }
 
 

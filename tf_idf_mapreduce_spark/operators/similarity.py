@@ -466,6 +466,64 @@ def ivf_cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cid").agg(F.count("*").alias("n_vectors"))
 
 
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-batch IVF index maintenance — the ANN-side twin of
+    ``tfidf.incremental_index_persisted``: the day's arrival vectors
+    (the deterministic ~10% ``hash_sample`` slice, vec_id == doc_id)
+    are assigned to the CURRENT coarse quantizer WITHOUT a refit, and
+    the report shows, per cell, the existing occupancy, the arrival
+    count, and the arrival share — the drift dashboard that decides
+    when the quantizer is refit (a cell absorbing a disproportionate
+    arrival share means the embedding space moved there; IVF recall
+    and SemDeDup quality degrade in that cell first).
+
+    Scale shape: assignment is one map pass over the arrivals with the
+    fitted centroids riding the closure (the persisted quantizer — the
+    same ``ivf_centroids`` artifact every IVF query loads); the report
+    is a k-row aggregate. At 100 TB the daily cost is the arrival
+    slice's assignment — the corpus-side occupancy is the persisted
+    cell index's metadata, not a re-scan (here both tags come from one
+    scan because the fixture is small; the join topology is the
+    batch-sized one either way). Exact-replay oracle: the @6dp k-means
+    CTE + the md5 bucket rule, integer counts, @6dp share."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e, cache_key=sf_dir)
+    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
+
+    tag = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        (_sample_bucket() <= SAMPLE_BUCKET_MAX).alias("is_batch"),
+    )
+    assigned = e.join(tag, "vec_id").select(
+        "is_batch",
+        _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
+    )
+    agg = assigned.groupBy("cid").agg(
+        F.sum(F.when(~F.col("is_batch"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corpus"),
+        F.sum(F.when(F.col("is_batch"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_batch"),
+    )
+    share = (
+        F.floor(
+            F.col("n_batch").cast("double")
+            / (F.col("n_corpus") + F.col("n_batch")).cast("double")
+            * 1_000_000
+            + F.lit(0.5)
+        )
+        / 1_000_000
+    )
+    return agg.select(
+        "cid",
+        "n_corpus",
+        "n_batch",
+        (F.col("n_corpus") + F.col("n_batch")).cast("long").alias("n_total"),
+        share.alias("batch_share"),
+    ).orderBy("cid")
+
+
 def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-IVF-cell CORPUS profile: join the cell assignment back to the
     documents table (vec_id == doc_id, the repo-wide convention) and
