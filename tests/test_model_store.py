@@ -438,3 +438,20 @@ def test_table_store_concurrent_writers_rename_race(spark, model_dir_env):
     r2 = d2.groupBy("writer").count().collect()
     assert len(r1) == 1 and r1[0]["count"] == 2000
     assert [tuple(x) for x in r1] == [tuple(x) for x in r2]  # same winner
+
+
+def test_hyperparam_change_mints_new_screen_key(spark, sf_dir, model_dir_env, monkeypatch):
+    """Round-8 ADVICE (medium): durable screen keys must fold their
+    governing constants — changing a threshold mints a NEW key hash and
+    refits, never silently serving the stale verdict table."""
+    from tf_idf_mapreduce_spark.operators import dedup
+
+    dedup._INCREMENTAL_SCREEN_CACHE.clear()
+    dedup.incremental_dedup(spark, sf_dir).collect()
+    fam = os.path.join(model_dir_env, "incremental_dedup")
+    n1 = len(os.listdir(fam))
+
+    dedup._INCREMENTAL_SCREEN_CACHE.clear()
+    monkeypatch.setattr(dedup, "INCREMENTAL_EST_JACCARD", 0.9)
+    dedup.incremental_dedup(spark, sf_dir).collect()
+    assert len(os.listdir(fam)) == n1 + 1
