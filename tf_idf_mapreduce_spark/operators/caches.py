@@ -80,6 +80,7 @@ def _clear_incremental_screens() -> None:
         "screen_inc_contam",
         "screen_inc_pii",
         "screen_inc_quality",
+        "corpus_band_index",
     ):
         drop_models(family)
 

@@ -1203,6 +1203,52 @@ def _incremental_screen_table(
     return result
 
 
+def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-side MinHash band relation AS THE PERSISTED ARTIFACT
+    the incremental screens' docstrings promise: (c_doc, sig_c, band,
+    key), computed once per documents fingerprint, written under the
+    model store, and READ by every consumer — the batch arrival screen
+    (``incremental_dedup``) and the live one
+    (``streaming.q_stream_incremental_dedup``), which previously each
+    re-signed the whole corpus per run. At 100 TB this is the signature
+    index a dedup service maintains; the daily cost is the arrival
+    slice's signatures only. Keyed on the MinHash shape + batch-slice
+    rule like every durable screen (a hyperparameter edit refits)."""
+    from ..functions.hashing import MINHASH_B, MINHASH_R
+    from ..sources.io import table_fingerprint
+    from ..sources.model_store import load_or_compute_table
+    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
+
+    key = (
+        "corpus_band_index",
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+        MINHASH_K,
+        MINHASH_R,
+        MINHASH_B,
+        SAMPLE_BUCKET_MAX,
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+
+    def compute() -> DataFrame:
+        corpus = _docs(spark, sf_dir).where(
+            ~(_sample_bucket() <= SAMPLE_BUCKET_MAX)
+        )
+        return minhash_bands(corpus).select(
+            F.col("doc_id").alias("c_doc"),
+            F.col("sig").alias("sig_c"),
+            "band",
+            "key",
+        )
+
+    result, origin = load_or_compute_table(
+        "corpus_band_index", key, spark, compute
+    )
+    if origin == "fit":
+        result = result.localCheckpoint()
+    return result
+
+
 def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup screen: a NEW BATCH of documents against the
     EXISTING corpus — the verb a daily-crawl pipeline runs, where the
@@ -1253,14 +1299,13 @@ def _incremental_dedup_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
     batch_docs = docs.where(is_batch)
-    corpus_docs = docs.where(~is_batch)
 
     bb = minhash_bands(batch_docs).select(
         F.col("doc_id").alias("b_doc"), F.col("sig").alias("sig_b"), "band", "key"
     )
-    cb = minhash_bands(corpus_docs).select(
-        F.col("doc_id").alias("c_doc"), F.col("sig").alias("sig_c"), "band", "key"
-    )
+    # the corpus side is the persisted signature index (shared with the
+    # streaming screen) — only the arrival slice is signed per run
+    cb = corpus_band_index(spark, sf_dir)
     agree = F.size(
         F.filter(F.zip_with("sig_b", "sig_c", lambda x, y: x == y), lambda m: m)
     )

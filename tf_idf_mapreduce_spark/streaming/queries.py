@@ -643,27 +643,18 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles,
     )
     from ..operators.curation import SAMPLE_BUCKET_MAX, _sample_bucket
-    from ..operators.dedup import INCREMENTAL_EST_JACCARD, minhash_bands
-    from ..sources.io import load_table
+    from ..operators.dedup import INCREMENTAL_EST_JACCARD, corpus_band_index
 
     is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
-    corpus = load_table(spark, sf_dir, "documents").where(~is_batch)
-    # materialize the index ONCE per run: the static side re-plans per
-    # micro-batch, and without this barrier every trigger re-signs the
-    # whole corpus (measured 7.7 -> 6.5 s at sf0.1 — the rest of the wall
-    # is the stream side's stateless interpreted signature fold plus the
-    # per-trigger drain floor). This is the in-plan stand-in for the
-    # persisted bucketed signature table production keeps.
-    static_bands = (
-        minhash_bands(corpus)
-        .select(
-            F.col("doc_id").alias("c_doc"),
-            F.col("sig").alias("sig_c"),
-            "band",
-            "key",
-        )
-        .localCheckpoint()
-    )
+    # the static side is the PERSISTED signature index (round 9:
+    # ``dedup.corpus_band_index`` — shared with the batch arrival
+    # screen, computed once per documents fingerprint, read from the
+    # store by every later run/session). The static side re-plans per
+    # micro-batch, so the table barrier also stops each trigger from
+    # re-signing the corpus (the pre-store localCheckpoint measured
+    # 7.7 -> 6.5 s at sf0.1; the persisted table removes the re-sign
+    # from every run after the first).
+    static_bands = corpus_band_index(spark, sf_dir)
 
     sig = minhash_signature(shingle_hashes(shingles(norm_words(F.col("text")))))
     batch = (
