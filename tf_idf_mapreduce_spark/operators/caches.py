@@ -93,6 +93,26 @@ def _clear_semantic_keep() -> None:
     drop_models("semantic_keep")
 
 
+def _clear_incremental_dedup() -> None:
+    """The lexical arrival screen owns its durable result table AND the
+    shared corpus band index: cold = sign corpus + write index + band
+    join + write verdicts; warm = read the verdict table."""
+    from ..sources.model_store import drop_models
+    from . import dedup
+
+    dedup._INCREMENTAL_SCREEN_CACHE.clear()
+    drop_models("incremental_dedup")
+    drop_models("corpus_band_index")
+
+
+def _clear_incremental_semantic() -> None:
+    from ..sources.model_store import drop_models
+    from . import dedup
+
+    dedup._INCREMENTAL_SCREEN_CACHE.clear()
+    drop_models("incremental_semantic_dedup")
+
+
 def _clear_e2e_index() -> None:
     """The composed daily update reads BOTH durable layers: the five
     screen tables and the three index tables. Cold = day zero (every
@@ -120,6 +140,10 @@ MODEL_CACHED_QUERIES: dict[str, Callable[[], None]] = {
     # gone — price the write-path and read-path separately
     "curate_incremental_manifest": _clear_incremental_screens,
     "dedup_semantic_keep": _clear_semantic_keep,
+    # the two arrival screens own durable verdict tables (and, for the
+    # lexical one, the shared corpus band index)
+    "dedup_incremental": _clear_incremental_dedup,
+    "dedup_incremental_semantic": _clear_incremental_semantic,
     # round 9: the composed update now reads the persisted index too
     "tfidf_incremental_e2e": _clear_e2e_index,
 }
