@@ -470,3 +470,19 @@ def test_incremental_persisted_fold_reads_index_tables(spark):
     assert plan.count("documents.parquet") <= 4
     assert "tfidf_index_postings" in plan
     assert "tfidf_index_df" in plan
+
+
+def test_chain_fold_reads_index_tables(spark):
+    """The two-day chained fold must read the persisted index for its
+    old side exactly like the single fold: documents scans belong to
+    the two day-slices only."""
+    plan = _plan(spark, "tfidf_incremental_chain")
+    assert plan.count("documents.parquet") <= 8  # two in-plan day sides
+    assert "tfidf_index_postings" in plan
+    assert "tfidf_index_df" in plan
+
+
+def test_ivf_incremental_no_cartesian(spark):
+    plan = _plan(spark, "sim_ivf_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
