@@ -486,3 +486,15 @@ def test_ivf_incremental_no_cartesian(spark):
     plan = _plan(spark, "sim_ivf_incremental")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_serving_is_jvm_side_over_codes_table(spark):
+    """Round-9: ADC serving must be a JVM-codegen scan of the persisted
+    codes table — no Python evaluation node in the warm plan, and the
+    embeddings are never read (the FAISS-IVFADC storage claim, literal)."""
+    entrymod.queries()["sim_pq_topk"](spark, SF)  # warm the codes table
+    for name in ("sim_pq_topk", "sim_ivf_pq_topk"):
+        plan = _plan(spark, name)
+        assert "pq_code_table" in plan
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+        assert len(re.findall(r"FileScan parquet.*embeddings", plan)) == 0

@@ -113,6 +113,15 @@ def _clear_incremental_semantic() -> None:
     drop_models("incremental_semantic_dedup")
 
 
+def _clear_pq_codes() -> None:
+    """The persisted quantized index (codes + norms + cid): cold = the
+    one-time Arrow encode of every vector + table write + ADC scan;
+    warm = the JVM-codegen ADC scan the serving path runs."""
+    from ..sources.model_store import drop_models
+
+    drop_models("pq_code_table")
+
+
 def _clear_e2e_index() -> None:
     """The composed daily update reads BOTH durable layers: the five
     screen tables and the three index tables. Cold = day zero (every
@@ -144,6 +153,8 @@ MODEL_CACHED_QUERIES: dict[str, Callable[[], None]] = {
     # lexical one, the shared corpus band index)
     "dedup_incremental": _clear_incremental_dedup,
     "dedup_incremental_semantic": _clear_incremental_semantic,
+    # the quantized-index owner: cold prices the one-time encode
+    "sim_pq_topk": _clear_pq_codes,
     # round 9: the composed update now reads the persisted index too
     "tfidf_incremental_e2e": _clear_e2e_index,
 }

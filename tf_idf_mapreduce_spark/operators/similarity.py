@@ -1284,6 +1284,97 @@ def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:
     return books
 
 
+def pq_code_table(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """The quantized ANN index AS A PERSISTED ARTIFACT: one row per
+    vector — (vec_id, cid, code_0..code_{M-1}, norm) — encoded once per
+    embeddings fingerprint with the same numpy kernels the fits use
+    (coarse cid via ``_assign_cids`` against the IVF centroids, one
+    3-bit code per PQ subspace, the true L2 norm), written under the
+    model store, and READ by every ADC query. This is the FAISS-IVFADC
+    storage layout made literal: at 100 TB the serving scan reads
+    M bytes of codes + one norm per vector, and the raw embeddings are
+    touched only by a rerank stage. Keyed on both quantizers' shapes
+    (a hyperparameter edit re-encodes). Store disabled → the encode
+    runs in-plan, same relation."""
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.io import table_fingerprint
+    from ..sources.model_store import load_or_compute_table
+
+    if e is None:
+        e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_centroids(e, cache_key=sf_dir)
+    books = _pq_codebooks(e, cache_key=sf_dir)
+    cmat = np.asarray(cents, dtype="float64")
+    cn2 = (cmat**2).sum(axis=1)
+    key = (
+        "pq_code_table",
+        sf_dir,
+        table_fingerprint(sf_dir, "embeddings"),
+        IVF_K,
+        IVF_ITERS,
+        PQ_M,
+        PQ_SUBDIM,
+        PQ_K,
+        PQ_ITERS,
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    out_schema = (
+        "vec_id long, cid long, "
+        + ", ".join(f"code_{m} long" for m in range(PQ_M))
+        + ", norm double"
+    )
+
+    def compute() -> DataFrame:
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                row = {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": _assign_cids(x, cmat, cn2).astype("int64"),
+                }
+                for m in range(PQ_M):
+                    xs = x[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                    bm = books[m]
+                    row[f"code_{m}"] = _assign_cids(
+                        xs, bm, (bm**2).sum(axis=1)
+                    ).astype("int64")
+                row["norm"] = np.linalg.norm(x, axis=1)
+                yield pd.DataFrame(row)
+
+        return e.mapInPandas(kernel, out_schema)
+
+    result, origin = load_or_compute_table("pq_code_table", key, spark, compute)
+    if origin == "fit":
+        result = result.localCheckpoint()
+    return result
+
+
+def _adc_score(dtabs, qn: float):
+    """JVM-side ADC cosine over the codes table: Σ_m dtab_m[code_m]
+    normalized by the stored true norm x the query norm, on the repo's
+    @6dp grid. The dtab literals fold into codegen; the left-to-right
+    ``+`` chain reproduces the numpy kernel's accumulation order, so the
+    scores are bit-identical to the Arrow kernel this replaced — no
+    Python runs in the serving path at all."""
+    adc = None
+    for m, tab in enumerate(dtabs):
+        dt = F.array(*[F.lit(float(v)) for v in tab])
+        term = F.element_at(dt, (F.col(f"code_{m}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    return (
+        F.floor(
+            adc / (F.col("norm") * F.lit(float(qn))) * 1_000_000 + F.lit(0.5)
+        )
+        / 1_000_000
+    )
+
+
 def pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -1312,7 +1403,6 @@ def pq_topk(
     assignment and lookup in SQL.
     """
     import numpy as np
-    import pandas as pd
 
     if e is None:
         e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1326,27 +1416,13 @@ def pq_topk(
         _round6(books[m] @ q[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM])
         for m in range(PQ_M)
     ]
-    out_schema = "vec_id long, adc_cos double"
-
-    def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:  # np.stack raises on zero-row Arrow batches
-                continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            vid = pdf["vec_id"].to_numpy()
-            adc = np.zeros(len(x), dtype="float64")
-            for m in range(PQ_M):
-                xs = x[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-                cmat = books[m]
-                code = _assign_cids(xs, cmat, (cmat**2).sum(axis=1))
-                adc += dtabs[m][code]
-            nx = np.linalg.norm(x, axis=1)
-            score = np.floor(adc / (nx * qn) * 1e6 + 0.5) / 1e6
-            yield pd.DataFrame({"vec_id": vid, "adc_cos": score})
-
+    # serving is a JVM-codegen scan of the PERSISTED codes table — the
+    # per-query Arrow re-encode of every vector this replaced is now
+    # paid once at index build (pq_code_table); scores bit-identical
+    codes = pq_code_table(spark, sf_dir, e=e)
     return (
-        e.mapInPandas(kernel, out_schema)
-        .where(F.col("vec_id") != query_vec_id)
+        codes.where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", _adc_score(dtabs, qn).alias("adc_cos"))
         .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
         .limit(k)
     )
@@ -1563,7 +1639,6 @@ def ivf_pq_topk(
     replays the coarse centroids AND all four codebooks exactly.
     """
     import numpy as np
-    import pandas as pd
 
     if e is None:
         e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1579,37 +1654,14 @@ def ivf_pq_topk(
         _round6(books[m] @ q[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM])
         for m in range(PQ_M)
     ]
-    assigned = e.select(
-        "vec_id",
-        "embedding",
-        _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
-    ).where(F.col("cid").isin(probe))
-
-    out_schema = "vec_id long, cid long, adc_cos double"
-
-    def kernel(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            adc = np.zeros(len(x), dtype="float64")
-            for m in range(PQ_M):
-                xs = x[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-                cmat = books[m]
-                code = _assign_cids(xs, cmat, (cmat**2).sum(axis=1))
-                adc += dtabs[m][code]
-            nx = np.linalg.norm(x, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cid": pdf["cid"].to_numpy(),
-                    "adc_cos": np.floor(adc / (nx * qn) * 1e6 + 0.5) / 1e6,
-                }
-            )
-
+    # the probed scan is a cid IN-list filter + JVM ADC over the
+    # persisted codes table — at 100 TB the table is partitioned by cid
+    # and probing is partition pruning; the embeddings never load
+    codes = pq_code_table(spark, sf_dir, e=e)
     return (
-        assigned.mapInPandas(kernel, out_schema)
+        codes.where(F.col("cid").isin(probe))
         .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "cid", _adc_score(dtabs, qn).alias("adc_cos"))
         .orderBy(F.desc("adc_cos"), F.asc("vec_id"))
         .limit(k)
     )
