@@ -115,10 +115,16 @@ def _clear_incremental_semantic() -> None:
 
 def _clear_pq_codes() -> None:
     """The persisted quantized index (codes + norms + cid): cold = the
-    one-time Arrow encode of every vector + table write + ADC scan;
-    warm = the JVM-codegen ADC scan the serving path runs."""
+    codebook fit + the one-time Arrow encode of every vector + table
+    write + ADC scan (exactly what a fresh bench process pays under
+    this owner); warm = the JVM-codegen ADC scan the serving path runs.
+    The codebooks clear WITH the codes — an isolated re-pin with warm
+    codebooks under-prices cold 3.5x (round-9 gate catch)."""
     from ..sources.model_store import drop_models
+    from . import similarity
 
+    similarity._PQ_BOOK_CACHE.clear()
+    drop_models("pq_codebooks")
     drop_models("pq_code_table")
 
 
