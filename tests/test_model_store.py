@@ -455,3 +455,37 @@ def test_hyperparam_change_mints_new_screen_key(spark, sf_dir, model_dir_env, mo
     monkeypatch.setattr(dedup, "INCREMENTAL_EST_JACCARD", 0.9)
     dedup.incremental_dedup(spark, sf_dir).collect()
     assert len(os.listdir(fam)) == n1 + 1
+
+
+def test_clear_store_scoping(tmp_path, monkeypatch):
+    """Bulk clears are scoped (round-9 ADVICE): a MARKED root wipes; an
+    unmarked directory merely NAMED `_models` (a user's pre-existing
+    dir pointed at via env) is refused; only the exact package-minted
+    default root gets the markerless escape."""
+    from tf_idf_mapreduce_spark.sources.model_store import (
+        STORE_MARKER,
+        clear_store,
+    )
+
+    # 1) unmarked user dir named `_models` via env -> REFUSED
+    user = tmp_path / "data" / "_models"
+    user.mkdir(parents=True)
+    (user / "precious.txt").write_text("not ours")
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", str(user))
+    assert clear_store() is False
+    assert (user / "precious.txt").exists()
+
+    # 2) the same dir WITH the marker -> wiped
+    (user / STORE_MARKER).write_text("ours")
+    assert clear_store() is True
+    assert not user.exists()
+
+    # 3) the package-minted default root (cwd/spark-warehouse/_models)
+    #    clears even without a marker (read-only-marker degradation)
+    monkeypatch.delenv("SPARK_GRAFT_MODEL_DIR")
+    monkeypatch.chdir(tmp_path)
+    default = tmp_path / "spark-warehouse" / "_models"
+    default.mkdir(parents=True)
+    (default / "fam").mkdir()
+    assert clear_store() is True
+    assert not default.exists()

@@ -119,11 +119,17 @@ def _clear_pq_codes() -> None:
     write + ADC scan (exactly what a fresh bench process pays under
     this owner); warm = the JVM-codegen ADC scan the serving path runs.
     The codebooks clear WITH the codes — an isolated re-pin with warm
-    codebooks under-prices cold 3.5x (round-9 gate catch)."""
+    codebooks under-prices cold 3.5x (round-9 gate catch) — and so does
+    the COARSE quantizer (round-9 ADVICE): the code table's cid column
+    depends on the IVF centroids, and leaving them warm made the cold
+    pin silently assume an IVF query always ran (and persisted its fit)
+    earlier in the same bench process."""
     from ..sources.model_store import drop_models
     from . import similarity
 
     similarity._PQ_BOOK_CACHE.clear()
+    similarity._IVF_CENT_CACHE.clear()
+    drop_models("ivf_centroids")
     drop_models("pq_codebooks")
     drop_models("pq_code_table")
 

@@ -1228,6 +1228,10 @@ def corpus_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         MINHASH_B,
         SAMPLE_BUCKET_MAX,
         spark.conf.get("spark.sql.shuffle.partitions"),
+        # content is AQE-invariant, but every sibling durable key carries
+        # this conf — uniform key discipline beats a per-key exception
+        # (round-9 ADVICE)
+        spark.conf.get("spark.sql.adaptive.enabled"),
     )
 
     def compute() -> DataFrame:

@@ -1321,6 +1321,10 @@ def pq_code_table(
         PQ_K,
         PQ_ITERS,
         spark.conf.get("spark.sql.shuffle.partitions"),
+        # content is AQE-invariant, but every sibling durable key carries
+        # this conf — uniform key discipline beats a per-key exception
+        # (round-9 ADVICE)
+        spark.conf.get("spark.sql.adaptive.enabled"),
     )
     out_schema = (
         "vec_id long, cid long, "

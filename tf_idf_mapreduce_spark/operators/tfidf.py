@@ -302,6 +302,9 @@ def _index_store_key(spark, sf_dir: str) -> tuple:
         SAMPLE_BUCKET_MAX,  # the batch-slice rule is part of what "old corpus" means
         INDEX_BUCKETS,
         spark.conf.get("spark.sql.shuffle.partitions"),
+        # uniform durable-key discipline (round-9 ADVICE): every store
+        # key carries the AQE conf even where content is AQE-invariant
+        spark.conf.get("spark.sql.adaptive.enabled"),
     )
 
 

@@ -104,6 +104,20 @@ def store_root(spark=None) -> str | None:
     return os.path.join(os.getcwd(), "spark-warehouse", "_models")
 
 
+def _package_default_root(spark=None) -> str:
+    """The store root this package mints ITSELF when no conf/env is set:
+    ``<spark.sql.warehouse.dir>/_models`` (or the warehouse default
+    ``<cwd>/spark-warehouse/_models`` without a session). Computed
+    ignoring conf/env deliberately — it answers "what directory would WE
+    have created", which is the only markerless root a bulk clear may
+    touch."""
+    if spark is not None:
+        wh = _strip_file_scheme(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh:
+            return os.path.join(wh, "_models")
+    return os.path.join(os.getcwd(), "spark-warehouse", "_models")
+
+
 def key_hash(key: tuple) -> str:
     return hashlib.md5(repr(key).encode()).hexdigest()
 
@@ -172,7 +186,12 @@ def load_or_compute_table(
         try:
             return spark.read.parquet(d), "store"
         except Exception:
-            pass
+            # the artifact EXISTS but can't be read (empty relation wrote
+            # only _SUCCESS, transient reader error). Don't fall through
+            # to the write path: the rename onto the existing dir would
+            # always lose, discarding a full Spark write job per load
+            # (round-9 ADVICE). Degrade to compute-only.
+            return compute(), "fit"
     # probe writability BEFORE running compute through a parquet sink:
     # on a read-only store root (e.g. a baked deployment image) the
     # store must degrade to compute-only, never break a query that
@@ -249,7 +268,13 @@ def load_or_compute_bucketed_table(
         try:
             return register(), "store"
         except Exception:
-            pass
+            # existing-but-unregisterable artifact (empty relation wrote
+            # only _SUCCESS; transient catalog error): the write path
+            # below could never land — its rename onto the existing dir
+            # always fails — so falling through would burn a full
+            # bucketed Spark write per load and discard it (round-9
+            # ADVICE). Degrade to the computed relation directly.
+            return compute(), "fit"
     try:
         _mark_root(store_root(spark))
         os.makedirs(os.path.dirname(d), exist_ok=True)
@@ -292,16 +317,20 @@ def clear_store(spark=None) -> bool:
     """Remove EVERY artifact under the store root — the bench
     start-from-empty clear. Destructive-by-design, so it is scoped: the
     root is only wiped when it carries the :data:`STORE_MARKER` (written
-    on first artifact write) or its basename is ``_models`` (the
-    warehouse default this package mints itself). A root misconfigured
-    to a shared long-lived directory is REFUSED — returns ``False`` and
-    the caller degrades to per-family ``drop_models`` — so no bulk clear
-    can destroy files this package didn't write (round-8 ADVICE)."""
+    on first artifact write) or it IS the exact package-minted default
+    root (full resolved ``<warehouse>/_models`` path — not any directory
+    that merely shares the basename; a user's pre-existing
+    ``/data/_models`` pointed at via conf/env stays refused, round-9
+    ADVICE). A root misconfigured to a shared long-lived directory is
+    REFUSED — returns ``False`` and the caller degrades to per-family
+    ``drop_models`` — so no bulk clear can destroy files this package
+    didn't write (round-8 ADVICE)."""
     root = store_root(spark)
     if root is None or not os.path.isdir(root):
         return True  # nothing durable to clear
+    default = os.path.normpath(os.path.abspath(_package_default_root(spark)))
     if (
-        os.path.basename(os.path.normpath(root)) == "_models"
+        os.path.normpath(os.path.abspath(root)) == default
         or os.path.exists(os.path.join(root, STORE_MARKER))
     ):
         shutil.rmtree(root, ignore_errors=True)
