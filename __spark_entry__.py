@@ -43,6 +43,7 @@ from tf_idf_mapreduce_spark.operators.tfidf import (
     doc_freq,
     doc_totals,
     incremental_chain_index,
+    incremental_chain_persisted,
     incremental_e2e_index,
     incremental_index,
     incremental_index_persisted,
@@ -6538,6 +6539,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the ANN-side incremental verb: arrivals assigned to the
         # current quantizer, per-cell drift report
         "sim_ivf_incremental": sim.ivf_incremental_assign,
+        # round 10: the chain with each day's fold PROMOTED back into
+        # the store as a new index version — day k reads day k-1's
+        # parquet, the warm plan reads zero documents
+        "tfidf_incremental_chain_persisted": incremental_chain_persisted,
     }
 
 
@@ -6709,4 +6714,7 @@ def oracle_sql() -> dict[str, str]:
     # ... and two consecutive folds: the additive df/N merges associate,
     # so day ordering cannot leak into idf
     out["tfidf_incremental_chain"] = out["tfidf_full"]
+    # ... and the PROMOTED chain: per-day write-back into versioned
+    # store tables is an execution strategy, invisible in the relation
+    out["tfidf_incremental_chain_persisted"] = out["tfidf_full"]
     return out

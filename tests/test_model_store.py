@@ -489,3 +489,55 @@ def test_clear_store_scoping(tmp_path, monkeypatch):
     (default / "fam").mkdir()
     assert clear_store() is True
     assert not default.exists()
+
+
+def test_promoted_chain_versions_and_equality(spark, sf_dir, model_dir_env):
+    """Round-10 headline: each daily fold is PROMOTED back into the
+    store as a new index version. The 3-day promoted chain must equal
+    the in-plan fold bit-for-bit, mint one postings segment + one df +
+    one N table per day, and a second build must be all-store."""
+    from tf_idf_mapreduce_spark.operators.tfidf import (
+        CHAIN_DAYS,
+        incremental_chain_persisted,
+        incremental_index,
+        promoted_index,
+    )
+
+    chained = sorted(
+        map(tuple, incremental_chain_persisted(spark, sf_dir).collect())
+    )
+    inplan = sorted(map(tuple, incremental_index(spark, sf_dir).collect()))
+    assert chained == inplan and chained
+    # base + one artifact per promoted day, all in the same families
+    for fam, n in (
+        ("tfidf_index_postings", 1 + CHAIN_DAYS),
+        ("tfidf_index_df", 1 + CHAIN_DAYS),
+        ("tfidf_index_n", 1 + CHAIN_DAYS),
+    ):
+        assert len(os.listdir(os.path.join(model_dir_env, fam))) == n
+    _s, _d, _n, origin = promoted_index(spark, sf_dir, CHAIN_DAYS)
+    assert origin == "store"
+
+
+def test_promoted_chain_partial_version_heals(spark, sf_dir, model_dir_env):
+    """A crash between a version's three table writes leaves a partial
+    version; the next run recomputes ONLY the missing tables from
+    v_{k-1} — deterministically, so the result is unchanged."""
+    import shutil
+
+    from tf_idf_mapreduce_spark.operators.tfidf import (
+        incremental_chain_persisted,
+    )
+
+    before = sorted(
+        map(tuple, incremental_chain_persisted(spark, sf_dir).collect())
+    )
+    fam = os.path.join(model_dir_env, "tfidf_index_df")
+    victims = sorted(os.listdir(fam))
+    assert victims
+    shutil.rmtree(os.path.join(fam, victims[0]))
+    after = sorted(
+        map(tuple, incremental_chain_persisted(spark, sf_dir).collect())
+    )
+    assert after == before
+    assert len(os.listdir(fam)) == len(victims)

@@ -498,3 +498,29 @@ def test_pq_serving_is_jvm_side_over_codes_table(spark):
         assert "pq_code_table" in plan
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
         assert len(re.findall(r"FileScan parquet.*embeddings", plan)) == 0
+
+
+def test_promoted_chain_warm_plan_is_all_parquet(spark):
+    """Round-10: the fully-warm promoted chain serves from versioned
+    store tables ONLY — zero documents scans (even the day slices come
+    from promoted segments), one postings-segment scan per day plus the
+    base, and plan depth per day is constant: going from a 2-day to a
+    3-day chain adds exactly ONE segment scan, never a re-execution of
+    prior merges (the round-9 linear-lineage gap, closed)."""
+    from tf_idf_mapreduce_spark.operators.tfidf import promoted_index, score_index
+
+    entrymod.queries()["tfidf_incremental_chain_persisted"](spark, SF)  # warm
+
+    def scans(upto_day):
+        plan = score_index(
+            *promoted_index(spark, SF, upto_day)[:3]
+        )._jdf.queryExecution().executedPlan().toString()
+        return (
+            plan.count("documents.parquet"),
+            len(re.findall(r"FileScan.*tfidf_index_postings", plan)),
+        )
+
+    docs2, segs2 = scans(2)
+    docs3, segs3 = scans(3)
+    assert docs2 == 0 and docs3 == 0
+    assert segs2 == 3 and segs3 == 4  # base + k segments; +1 per day

@@ -156,6 +156,11 @@ MODEL_CACHED_QUERIES: dict[str, Callable[[], None]] = {
     # index tables; warm prices the production daily-fold shape (load +
     # tokenize the arrival slice only)
     "tfidf_incremental_persisted": _clear_tfidf_index,
+    # the promoted chain (round 10): version keys live in the same three
+    # families, so the clear wipes base + every promoted day. Cold =
+    # build v0 + three per-day promotes + score; warm = the all-parquet
+    # serving read (zero documents scans, plan-pinned)
+    "tfidf_incremental_chain_persisted": _clear_tfidf_index,
     # the durable screen-table writers (round-9 verdict #6): one
     # host-contention spike on a cold-only pin and the 2x margin is
     # gone — price the write-path and read-path separately
