@@ -541,3 +541,58 @@ def test_promoted_chain_partial_version_heals(spark, sf_dir, model_dir_env):
     )
     assert after == before
     assert len(os.listdir(fam)) == len(victims)
+
+
+def test_compacted_chain_flat_plan_and_files(spark, sf_dir, model_dir_env):
+    """Round-9 verdict #7: after `models compact`, an N-day chain's
+    serving plan scans ONE postings table regardless of N, ancestors are
+    pruned, the store's data-file count shrinks, and the relation is
+    unchanged — proved here on a 5-day chain."""
+    import re
+
+    from tf_idf_mapreduce_spark.operators.tfidf import (
+        _index_store_key,
+        compact_index,
+        incremental_index,
+        promoted_index,
+        score_index,
+    )
+
+    def plan_scans(upto, n_days):
+        state = promoted_index(spark, sf_dir, upto, n_days)[:3]
+        plan = (
+            score_index(*state)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        return state, len(re.findall(r"FileScan.*tfidf_index_postings", plan))
+
+    state5, segs5 = plan_scans(5, 5)
+    assert segs5 == 6  # base + 5 day segments before compaction
+    expected = sorted(map(tuple, score_index(*state5).collect()))
+    assert expected == sorted(
+        map(tuple, incremental_index(spark, sf_dir).collect())
+    )
+
+    summary = compact_index(spark, sf_dir, upto_day=5, n_days=5, prune=True)
+    assert summary["segments_before"] == 6
+    assert summary["ancestors_pruned"] >= 3 + 3 * 5  # base + 5 day triples
+    assert summary["files_after"] < summary["files_before"]
+
+    state_c, segs_c = plan_scans(5, 5)
+    assert segs_c == 1  # one clean bucketed table, day count invisible
+    assert sorted(map(tuple, score_index(*state_c).collect())) == expected
+    # the postings family now holds ONLY the compacted artifact
+    fam = os.path.join(model_dir_env, "tfidf_index_postings")
+    live = [h for h in os.listdir(fam) if not h.startswith(".")]
+    assert len(live) == 1
+
+
+def test_models_compact_cli(sf_dir, model_dir_env, monkeypatch, capsys):
+    """`models compact` drives compact_index end-to-end from the CLI."""
+    from tf_idf_mapreduce_spark.cli import main
+
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", model_dir_env)
+    rc = main(["models", "compact", "--sf-dir", sf_dir])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "compacted through day 3" in outp and "-> 1" in outp

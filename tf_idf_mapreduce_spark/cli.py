@@ -207,10 +207,15 @@ def _models_main(argv: list[str]) -> int:
     - ``prune [--max-age-days D]``: reap artifacts older than D days.
     - ``drop <family> [...]``: delete whole model families (the bench
       cold-path clear, manually).
+    - ``compact --sf-dir D [--days N]``: merge the promoted TF-IDF
+      index chain's postings segments into one clean bucketed table and
+      prune the superseded ancestors (``operators.tfidf.compact_index``
+      — the only subcommand that starts a SparkSession).
 
-    No SparkSession is started: the store root resolves from
-    ``$SPARK_GRAFT_MODEL_DIR`` / ``--root`` (conf-based roots belong to
-    a running session; export the env to address one here)."""
+    Except for ``compact``, no SparkSession is started: the store root
+    resolves from ``$SPARK_GRAFT_MODEL_DIR`` / ``--root`` (conf-based
+    roots belong to a running session; export the env to address one
+    here)."""
     import time
 
     from .sources.model_store import drop_models, prune_models, store_root
@@ -219,8 +224,18 @@ def _models_main(argv: list[str]) -> int:
         prog="tf_idf_mapreduce_spark models",
         description="inspect / garbage-collect the durable model store",
     )
-    p.add_argument("action", choices=("ls", "prune", "drop"))
+    p.add_argument("action", choices=("ls", "prune", "drop", "compact"))
     p.add_argument("families", nargs="*", help="model families (drop)")
+    p.add_argument(
+        "--sf-dir", default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        ),
+        help="data dir whose promoted index chain to compact",
+    )
+    p.add_argument(
+        "--days", type=int, default=None,
+        help="compact through this day (default: the full chain)",
+    )
     p.add_argument(
         "--root", default=None,
         help="store root (default: $SPARK_GRAFT_MODEL_DIR, else ./spark-warehouse/_models)",
@@ -256,6 +271,23 @@ def _models_main(argv: list[str]) -> int:
                 print(f"{fam}\t{h}\t{size}\t{age:.1f}d")
                 n += 1
         print(f"({n} artifacts under {root})")
+        return 0
+    if args.action == "compact":
+        from .operators.tfidf import CHAIN_DAYS, compact_index
+        from .session import get_spark
+
+        spark = get_spark(app_name="models-compact")
+        spark.sparkContext.setLogLevel("ERROR")
+        days = args.days if args.days is not None else CHAIN_DAYS
+        summary = compact_index(
+            spark, args.sf_dir, upto_day=days, prune=True
+        )
+        print(
+            f"compacted through day {summary['compacted_through_day']}: "
+            f"{summary['segments_before']} segments -> 1, "
+            f"files {summary['files_before']} -> {summary['files_after']}, "
+            f"{summary['ancestors_pruned']} ancestor artifact(s) pruned"
+        )
         return 0
     if args.action == "prune":
         removed = prune_models(max_age_days=args.max_age_days)

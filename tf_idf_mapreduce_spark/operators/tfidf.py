@@ -516,13 +516,23 @@ def promoted_index(spark, sf_dir: str, upto_day: int, n_days: int = CHAIN_DAYS):
     )
     from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
 
-    base_postings, dfx, n, origin = persisted_index(spark, sf_dir)
-    origins = [origin]
     key = _index_store_key(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
-    segments = [base_postings]
-    for k in range(1, upto_day + 1):
+
+    # resolve the newest COMPACTED version at or below upto_day: after
+    # `models compact`, the merged segment (plus its derived df/N)
+    # replaces base + day segments, whose dirs may be pruned
+    start, segments, origins = 0, [], []
+    for c in range(upto_day, 0, -1):
+        seg, dfx, n, o = _load_compacted(spark, sf_dir, key, c, n_days, docs, is_batch)
+        if seg is not None:
+            start, segments, origins = c, [seg], [o]
+            break
+    if not segments:
+        base_postings, dfx, n, origin = persisted_index(spark, sf_dir)
+        segments, origins = [base_postings], [origin]
+    for k in range(start + 1, upto_day + 1):
         day_corpus = documents_as_corpus(
             docs.where(is_batch & _chain_day_pred(k, n_days))
         )
@@ -576,6 +586,167 @@ def promoted_index(spark, sf_dir: str, upto_day: int, n_days: int = CHAIN_DAYS):
         origins += [o1, o2, o3]
     origin = "store" if all(o == "store" for o in origins) else "fit"
     return segments, dfx, n, origin
+
+
+def _compact_keys(key: tuple, c: int, n_days: int):
+    return (
+        key + ("chain", n_days, "compact", c),
+        key + ("chain", n_days, "compact_df", c),
+        key + ("chain", n_days, "compact_n", c),
+    )
+
+
+def _load_compacted(spark, sf_dir: str, key: tuple, c: int, n_days: int,
+                    docs, is_batch):
+    """Load version ``c``'s compacted (postings, df, N) if the compacted
+    postings artifact exists; ``(None, None, None, None)`` otherwise.
+    df/N are DERIVED from the compacted state if their artifacts were
+    lost: df is a shuffle-free group-by of the bucketed postings (the
+    compacted segment IS all postings through day c), N a count over the
+    corpus slice admitted through day c (zero-word docs carry no
+    postings but still count — directory-entry semantics)."""
+    import os as _os
+
+    from ..sources.io import documents_as_corpus
+    from ..sources.model_store import (
+        load_or_compute_bucketed_table,
+        load_or_compute_table,
+        model_dir,
+    )
+
+    pk, dk, nk = _compact_keys(key, c, n_days)
+    d = model_dir("tfidf_index_postings", pk, spark)
+    if d is None or not _os.path.isdir(d):
+        return None, None, None, None
+    seg, o1 = load_or_compute_bucketed_table(
+        "tfidf_index_postings", pk, spark,
+        # dir exists, so this runs only if catalog registration failed:
+        # a plain parquet read of the same files is the same relation,
+        # merely without the bucketing guarantee
+        lambda: spark.read.parquet(d),
+        "word", INDEX_BUCKETS,
+    )
+    dfx, o2 = load_or_compute_bucketed_table(
+        "tfidf_index_df", dk, spark,
+        lambda: seg.groupBy("word").agg(F.count("*").alias("dfx")),
+        "word", INDEX_BUCKETS,
+    )
+    upto_pred = is_batch
+    if c < n_days:
+        day_ors = _chain_day_pred(1, n_days)
+        for k in range(2, c + 1):
+            day_ors = day_ors | _chain_day_pred(k, n_days)
+        upto_pred = is_batch & day_ors
+    admitted = docs.where((~is_batch) | upto_pred)
+    n, o3 = load_or_compute_table(
+        "tfidf_index_n", nk, spark,
+        lambda: documents_as_corpus(admitted).agg(
+            F.countDistinct("doc").alias("nx")
+        ),
+    )
+    origin = "store" if (o1, o2, o3) == ("store",) * 3 else "fit"
+    return seg, dfx, n, origin
+
+
+def compact_index(
+    spark, sf_dir: str, upto_day: int = CHAIN_DAYS,
+    n_days: int = CHAIN_DAYS, prune: bool = False,
+) -> dict:
+    """The LSM-style merge verb for the promoted chain (round-9 verdict
+    #7): rewrite the current version's postings segments (base + one per
+    promoted day, each carrying its own small files) into ONE clean
+    word-bucketed table, persist the derived df/N beside it, and —
+    optionally — prune every ancestor artifact the compacted state
+    supersedes. After compaction an N-day chain's serving plan scans ONE
+    postings table regardless of N, and the store's file count stays
+    flat instead of accreting a segment per day. The compacted relation
+    is provably identical: postings union is row-disjoint (each doc
+    lives in exactly one segment), df/N re-derive from it exactly
+    (``test_compacted_chain_*``).
+
+    Returns a summary dict (files/segments before and after). Exposed as
+    ``models compact`` in the CLI."""
+    import os as _os
+
+    from ..sources.io import load_table
+    from ..sources.model_store import (
+        load_or_compute_bucketed_table,
+        load_or_compute_table,
+        model_dir,
+    )
+    from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
+
+    key = _index_store_key(spark, sf_dir)
+    segments, dfx, n, _origin = promoted_index(spark, sf_dir, upto_day, n_days)
+    n_files_before = _index_file_count(spark, key)
+    pk, dk, nk = _compact_keys(key, upto_day, n_days)
+
+    def union_all():
+        from functools import reduce
+
+        return reduce(lambda a, b: a.unionByName(b), segments)
+
+    seg, _ = load_or_compute_bucketed_table(
+        "tfidf_index_postings", pk, spark, union_all, "word", INDEX_BUCKETS
+    )
+    load_or_compute_bucketed_table(
+        "tfidf_index_df", dk, spark,
+        lambda: seg.groupBy("word").agg(F.count("*").alias("dfx")),
+        "word", INDEX_BUCKETS,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
+    _load_compacted(spark, sf_dir, key, upto_day, n_days, docs, is_batch)
+
+    pruned = 0
+    if prune:
+        # ancestors the compacted state supersedes: the base tables and
+        # every per-day segment/df/N at or below the compaction point
+        victims = [
+            ("tfidf_index_postings", key),
+            ("tfidf_index_df", key),
+            ("tfidf_index_n", key),
+        ]
+        for k in range(1, upto_day + 1):
+            victims += [
+                ("tfidf_index_postings", key + ("chain", n_days, "day", k)),
+                ("tfidf_index_df", key + ("chain", n_days, "df", k)),
+                ("tfidf_index_n", key + ("chain", n_days, "n", k)),
+            ]
+        import shutil as _shutil
+
+        for fam, vkey in victims:
+            d = model_dir(fam, vkey, spark)
+            if d and _os.path.isdir(d):
+                _shutil.rmtree(d, ignore_errors=True)
+                pruned += 1
+    return {
+        "compacted_through_day": upto_day,
+        "segments_before": len(segments),
+        "files_before": n_files_before,
+        "files_after": _index_file_count(spark, key),
+        "ancestors_pruned": pruned,
+    }
+
+
+def _index_file_count(spark, key: tuple) -> int:
+    """Data-file count across the three index families (bucket files
+    only, not markers) — the flat-after-compaction pin's metric."""
+    import os as _os
+
+    from ..sources.model_store import store_root
+
+    root = store_root(spark)
+    if root is None:
+        return 0
+    total = 0
+    for fam in ("tfidf_index_postings", "tfidf_index_df", "tfidf_index_n"):
+        famdir = _os.path.join(root, fam)
+        if not _os.path.isdir(famdir):
+            continue
+        for dp, _dn, fns in _os.walk(famdir):
+            total += sum(1 for f in fns if f.endswith(".parquet"))
+    return total
 
 
 def score_index(segments, dfx, n) -> DataFrame:
