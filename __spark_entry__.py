@@ -6543,6 +6543,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the store as a new index version — day k reads day k-1's
         # parquet, the warm plan reads zero documents
         "tfidf_incremental_chain_persisted": incremental_chain_persisted,
+        # ... and the same loop LIVE: every micro-batch foreachBatch-
+        # merges into versioned index tables (manifest-committed, the
+        # promoted chain's fold), final serving read = the batch index
+        "stream_tfidf_index_merge": st.q_stream_tfidf_index_merge,
     }
 
 
@@ -6717,4 +6721,7 @@ def oracle_sql() -> dict[str, str]:
     # ... and the PROMOTED chain: per-day write-back into versioned
     # store tables is an execution strategy, invisible in the relation
     out["tfidf_incremental_chain_persisted"] = out["tfidf_full"]
+    # ... and its STREAMING twin: per-micro-batch merge into versioned
+    # index tables lands on the same relation
+    out["stream_tfidf_index_merge"] = out["tfidf_full"]
     return out

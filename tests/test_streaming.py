@@ -602,3 +602,51 @@ def test_stream_dedup_file_sink_exactly_once_across_kill(spark, sf_dir, tmp_path
         ["event_id", "user_id", "ts_sec"],
     )
     assert got == want and len(got) > 500
+
+
+def test_stream_index_merge_exactly_once_across_kill(spark, sf_dir, tmp_path):
+    """Round-10: the foreachBatch index MERGE is killed mid-drain and
+    resumed from the same checkpoint into the same index root. The
+    manifest's parent-pointer commit (written only after a version's
+    data writes) makes a replayed batch idempotent — the final served
+    index must equal the batch tfidf_full relation exactly: a replayed
+    merge would double df/N, a lost one would drop a segment."""
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        _index_manifest_versions,
+        make_index_merge,
+        read_merged_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = str(tmp_path / "idx_split8")
+    docs.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(split)
+    root = str(tmp_path / "idx_root")
+    ckpt = str(tmp_path / "ckpt_idx_crash")
+
+    def start():
+        src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(split)
+        )
+        return (
+            src.writeStream.foreachBatch(make_index_merge(root))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    n_before = _poll_kill(start(), min_batches=2)
+    assert 1 <= n_before < 8  # the kill landed mid-feed
+    q2 = start()
+    assert q2.awaitTermination(300)
+
+    committed = _index_manifest_versions(root)
+    assert len(committed) == 8  # every batch committed exactly one version
+    cols = ["word", "doc", "count", "doc_total", "df", "tfidf"]
+    import __spark_entry__ as entrymod
+
+    got = _rows(read_merged_index(spark, root), cols)
+    want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
+    assert got == want and len(got) > 1000

@@ -861,3 +861,185 @@ def q_stream_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.coalesce(cv < BOT_MAX_CV, F.lit(False))
         ).alias("bot_like"),
     ).orderBy("user_id")
+
+
+def _index_manifest_versions(root: str) -> dict:
+    """Committed versions of a streamed index merge: one JSON file per
+    version under ``<root>/manifest``, written ATOMICALLY (tmp +
+    os.replace) only after that version's data writes completed — so a
+    version is either fully present or absent, never torn. Returns
+    {batch_id: {"parent": int|None, "segment": bool}}."""
+    import json
+    import os
+
+    mdir = os.path.join(root, "manifest")
+    if not os.path.isdir(mdir):
+        return {}
+    out = {}
+    for f in os.listdir(mdir):
+        if f.startswith("v"):
+            with open(os.path.join(mdir, f)) as fh:
+                out[int(f[1:])] = json.load(fh)
+    return out
+
+
+def make_index_merge(root: str):
+    """The ``foreachBatch`` MERGE for live TF-IDF index maintenance —
+    the streaming side of ``operators.tfidf.promoted_index``'s loop
+    (round-9 verdict #2): every micro-batch folds into versioned index
+    tables exactly like a promoted daily batch.
+
+    Per batch: tokenize ONLY the batch slice, write its postings as an
+    append-only segment, additively merge its word counts into the
+    parent version's df table, add its doc count into N (corpus-side
+    count, so zero-word docs still raise the IDF denominator), then
+    commit a manifest entry carrying the parent pointer. Restart safety
+    comes from the manifest, not driver memory: batch ids are stable
+    under Structured Streaming's checkpoint, a replayed batch finds its
+    parent (the newest committed version below its id), overwrites its
+    own dirs, and re-commits — idempotent, so at-least-once
+    ``foreachBatch`` delivery composes to exactly-once index state
+    (exercised by the mid-drain-kill test)."""
+    import json
+    import os
+    import uuid
+
+    from ..operators.tfidf import doc_totals, word_count
+    from ..functions.tokenize import tokenize
+    from ..sources.io import documents_as_corpus
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        committed = _index_manifest_versions(root)
+        parents = [v for v in committed if v < batch_id]
+        parent = max(parents) if parents else None
+
+        corpus = documents_as_corpus(batch_df)
+        has_rows = batch_df.limit(1).count() > 0
+        day_df = day_n = None
+        if has_rows:
+            seg_path = os.path.join(root, f"seg_v{batch_id}")
+            doc_totals(word_count(tokenize(corpus))).write.mode(
+                "overwrite"
+            ).parquet(seg_path)
+            # derive the batch df from the JUST-WRITTEN segment: one scan,
+            # and the tokenize never re-evaluates per consumer
+            day_df = (
+                sess.read.parquet(seg_path)
+                .groupBy("word")
+                .agg(F.count("*").alias("df_new"))
+            )
+            day_n = corpus.agg(F.countDistinct("doc").alias("nx_new"))
+
+        df_path = os.path.join(root, f"df_v{batch_id}")
+        n_path = os.path.join(root, f"n_v{batch_id}")
+        if parent is None:
+            merged_df = (
+                day_df.select("word", F.col("df_new").alias("dfx"))
+                if day_df is not None
+                else sess.range(0).select(
+                    F.lit("").alias("word"), F.lit(0).cast("long").alias("dfx")
+                ).where(F.lit(False))
+            )
+            merged_n = (
+                day_n.select(F.col("nx_new").alias("nx"))
+                if day_n is not None
+                else sess.range(1).select(F.lit(0).cast("long").alias("nx"))
+            )
+        else:
+            prev_df = sess.read.parquet(os.path.join(root, f"df_v{parent}"))
+            prev_n = sess.read.parquet(os.path.join(root, f"n_v{parent}"))
+            if day_df is None:
+                merged_df, merged_n = prev_df, prev_n
+            else:
+                merged_df = (
+                    prev_df.withColumnRenamed("dfx", "df_old")
+                    .join(day_df, "word", "full_outer")
+                    .select(
+                        "word",
+                        (
+                            F.coalesce("df_old", F.lit(0))
+                            + F.coalesce("df_new", F.lit(0))
+                        ).alias("dfx"),
+                    )
+                )
+                merged_n = (
+                    F.broadcast(prev_n)
+                    .crossJoin(F.broadcast(day_n))
+                    .select((F.col("nx") + F.col("nx_new")).alias("nx"))
+                )
+        merged_df.write.mode("overwrite").parquet(df_path)
+        merged_n.write.mode("overwrite").parquet(n_path)
+
+        mdir = os.path.join(root, "manifest")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"parent": parent, "segment": has_rows}, fh)
+        os.replace(tmp, os.path.join(mdir, f"v{batch_id}"))
+
+    return merge
+
+
+def read_merged_index(spark: SparkSession, root: str) -> DataFrame:
+    """Score the streamed index at its newest committed version: walk
+    the manifest's parent chain for the postings segments (orphan dirs
+    from an uncommitted crash are skipped by construction), read the
+    current df/N, and reuse the batch scorer — the serving relation is
+    a pure function of the maintained tables, exactly like the batch
+    promoted chain."""
+    import os
+
+    from ..operators.tfidf import score_index
+
+    committed = _index_manifest_versions(root)
+    assert committed, "no micro-batch committed an index version"
+    cur = max(committed)
+    segs = []
+    v = cur
+    while v is not None:
+        m = committed[v]
+        if m["segment"]:
+            segs.append(spark.read.parquet(os.path.join(root, f"seg_v{v}")))
+        v = m["parent"]
+    dfx = spark.read.parquet(os.path.join(root, f"df_v{cur}"))
+    n = spark.read.parquet(os.path.join(root, f"n_v{cur}"))
+    return score_index(segs, dfx, n)
+
+
+def q_stream_tfidf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live index maintenance END TO END: the corpus drains in four
+    micro-batches and each one MERGEs into versioned index tables via
+    ``make_index_merge`` — postings segment append + additive df merge
+    + scalar-N add, manifest-committed per batch. The final serving
+    read must hash-match the batch ``tfidf_full`` oracle: micro-batch
+    boundaries are invisible in the relation because the fold is the
+    same associative state merge the batch chain proves."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_dir = _corpus_split_dir(sf_dir, docs)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split_dir)
+    )
+    root = tempfile.mkdtemp(prefix="stream_tfidf_index_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_idx_merge_")
+    try:
+        query = (
+            src.writeStream.foreachBatch(make_index_merge(root))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("stream_tfidf_index_merge still running after 300s")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return read_merged_index(spark, root)
