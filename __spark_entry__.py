@@ -1261,6 +1261,25 @@ def _ivf_incremental_assign_sql() -> str:
     """
 
 
+def _ivf_refit_decision_sql() -> str:
+    """Oracle for ``similarity.ivf_refit_decision`` — the drift report
+    wrapped with the exact integer/6dp thresholds: per-cell drifted
+    flag + the global refit verdict every row carries."""
+    drift = (
+        f"(batch_share >= {sim.REFIT_SHARE} "
+        f"AND n_batch >= {sim.REFIT_MIN_ARRIVALS})"
+    )
+    return f"""
+        WITH rep AS ({_ivf_incremental_assign_sql()}),
+        g AS (SELECT sum(CASE WHEN {drift} THEN 1 ELSE 0 END) AS n_drift
+              FROM rep)
+        SELECT rep.cid, rep.n_corpus, rep.n_batch, rep.n_total,
+               rep.batch_share, {drift} AS drifted,
+               (g.n_drift >= {sim.REFIT_MIN_CELLS}) AS refit
+        FROM rep, g ORDER BY rep.cid
+    """
+
+
 def _ivf_recall_sql(query_vec_id: int, k: int, nprobe: int) -> str:
     """Oracle for ``similarity.ivf_recall`` — intersection of the exact
     and IVF top-k oracles, denominator = the exact side's row count."""
@@ -1929,6 +1948,7 @@ _LLMDATA_ORACLE: dict[str, str] = {
     ),
     "sim_ivf_histogram": _ivf_histogram_sql(),
     "sim_ivf_incremental": _ivf_incremental_assign_sql(),
+    "sim_ivf_refit_decision": _ivf_refit_decision_sql(),
     "sim_pq_topk": _pq_topk_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_pq_recall": _pq_recall_sql(sim.DEFAULT_QUERY_VEC, sim.DEFAULT_TOPK),
     "sim_pq_rerank": _pq_rerank_sql(
@@ -6547,6 +6567,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merges into versioned index tables (manifest-committed, the
         # promoted chain's fold), final serving read = the batch index
         "stream_tfidf_index_merge": st.q_stream_tfidf_index_merge,
+        # the ANN lifecycle's decision half: drift report thresholded
+        # into per-cell drifted flags + the global refit verdict
+        # (apply_refit_decision acts on it — generation bump re-keys
+        # the quantizer and every dependent artifact)
+        "sim_ivf_refit_decision": sim.ivf_refit_decision,
     }
 
 

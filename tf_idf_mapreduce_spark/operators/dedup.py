@@ -1022,6 +1022,7 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
     # SparkContext — a hit from a previous (stopped) session would hand
     # every consumer a DataFrame bound to dead executors.
     from .similarity import IVF_ITERS, IVF_K
+    from .similarity import quantizer_generation as _quantizer_generation
 
     cache_key = (
         spark.sparkContext.applicationId,
@@ -1036,6 +1037,9 @@ def semantic_keep(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataF
         IVF_K,
         IVF_ITERS,
         SEMDEDUP_COSINE,
+        # disposition blocks on IVF cells, so it is a quantizer
+        # DEPENDENT: a refit-decision generation bump re-keys it too
+        _quantizer_generation(spark, sf_dir),
     )
     cached = _SEMKEEP_RESULT_CACHE.get(cache_key)
     if cached is not None:

@@ -344,6 +344,9 @@ def ivf_centroids(e: DataFrame, cache_key: str | None = None) -> list:
             IVF_ITERS,
             spark.conf.get("spark.sql.shuffle.partitions"),
             spark.conf.get("spark.sql.adaptive.enabled"),
+            # the refit-decision loop versions the quantizer: a bumped
+            # generation re-keys this fit and every dependent artifact
+            quantizer_generation(spark, cache_key),
         )
         cached = _IVF_CENT_CACHE.get(key)
         if cached is not None:
@@ -522,6 +525,126 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_corpus") + F.col("n_batch")).cast("long").alias("n_total"),
         share.alias("batch_share"),
     ).orderBy("cid")
+
+
+#: Refit-decision thresholds (round-9 verdict #3): a cell is DRIFTED
+#: when arrivals are at least this share of its occupancy AND the cell
+#: absorbed a non-trivial arrival count; the quantizer refits when at
+#: least REFIT_MIN_CELLS cells drifted. Folded into the decision oracle,
+#: so an edit re-verifies rather than silently changing policy.
+REFIT_SHARE = 0.5
+REFIT_MIN_ARRIVALS = 5
+REFIT_MIN_CELLS = 1
+
+#: Session-local generation fallback when the durable store is disabled.
+_GEN_SESSION: dict[str, int] = {}
+
+
+def quantizer_generation(spark: SparkSession, sf_dir: str) -> int:
+    """The current coarse-quantizer GENERATION — the version number the
+    refit decision bumps. Every quantizer-derived artifact key folds it
+    in (IVF centroids, PQ codebooks, the quantized code table, the
+    SemDeDup disposition), so a bump re-keys the whole dependent cascade:
+    stale artifacts are never served because their keys never resolve
+    again — the same staleness-by-construction the hyperparameter-keyed
+    store already guarantees, extended to index lifecycle."""
+    import json
+    import os
+
+    from ..sources.model_store import model_dir
+
+    g = _GEN_SESSION.get(sf_dir, 0)
+    d = model_dir("ivf_generation", (sf_dir,), spark)
+    if d is not None:
+        try:
+            with open(os.path.join(d, "gen.json")) as f:
+                g = max(g, int(json.load(f)["generation"]))
+        except (OSError, ValueError, KeyError):
+            pass
+    return g
+
+
+def _bump_quantizer_generation(spark: SparkSession, sf_dir: str) -> int:
+    import json
+    import os
+    import uuid
+
+    from ..sources.model_store import _mark_root, model_dir, store_root
+
+    new = quantizer_generation(spark, sf_dir) + 1
+    _GEN_SESSION[sf_dir] = new
+    d = model_dir("ivf_generation", (sf_dir,), spark)
+    if d is not None:
+        try:
+            _mark_root(store_root(spark))
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump({"generation": new}, f)
+            os.replace(tmp, os.path.join(d, "gen.json"))
+        except OSError:
+            pass  # read-only store: the session fallback carries it
+    return new
+
+
+def ivf_refit_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision half of index maintenance: threshold the
+    ``ivf_incremental_assign`` drift report into a per-cell DRIFTED flag
+    and a global REFIT verdict — the relation an index-maintenance
+    scheduler acts on (``apply_refit_decision`` is the actor). A drifted
+    cell is one where the arrival batch is at least :data:`REFIT_SHARE`
+    of occupancy with at least :data:`REFIT_MIN_ARRIVALS` arrivals — the
+    embedding space moved there, and IVF recall / SemDeDup quality decay
+    in that cell first. Pure k-row relation, exact-replay oracle (the
+    k-means CTE + integer thresholds)."""
+    from pyspark.sql.window import Window
+
+    rep = ivf_incremental_assign(spark, sf_dir)
+    drifted = (F.col("batch_share") >= F.lit(REFIT_SHARE)) & (
+        F.col("n_batch") >= F.lit(REFIT_MIN_ARRIVALS)
+    )
+    # global verdict over the k-row report: a single-partition window is
+    # exactly right at model size (k cells, never data-sized)
+    w = Window.partitionBy(F.lit(1))
+    return (
+        rep.withColumn("drifted", drifted)
+        .withColumn(
+            "refit",
+            F.sum(F.col("drifted").cast("int")).over(w)
+            >= F.lit(REFIT_MIN_CELLS),
+        )
+        .orderBy("cid")
+    )
+
+
+def apply_refit_decision(spark: SparkSession, sf_dir: str) -> dict:
+    """Act on :func:`ivf_refit_decision`: when the verdict is REFIT,
+    mint the next quantizer generation. No artifact is deleted — the
+    generation is part of every dependent key, so the next consumer of
+    the centroids / PQ codebooks / code table / SemDeDup disposition
+    fits fresh under the new key while the ancestors become dead
+    directories (``models prune`` reaps them by age). Returns a summary
+    with the verdict, old/new generation, and the re-keyed dependent
+    families."""
+    head = ivf_refit_decision(spark, sf_dir).select("refit").head()
+    refit = bool(head and head["refit"])
+    old = quantizer_generation(spark, sf_dir)
+    new = old
+    dependents = []
+    if refit:
+        new = _bump_quantizer_generation(spark, sf_dir)
+        dependents = [
+            "ivf_centroids",
+            "pq_codebooks",
+            "pq_code_table",
+            "semantic_keep",
+        ]
+    return {
+        "refit": refit,
+        "old_generation": old,
+        "new_generation": new,
+        "rekeyed_dependents": dependents,
+    }
 
 
 def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,6 +1367,7 @@ def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:
             PQ_ITERS,
             spark.conf.get("spark.sql.shuffle.partitions"),
             spark.conf.get("spark.sql.adaptive.enabled"),
+            quantizer_generation(spark, cache_key),
         )
         cached = _PQ_BOOK_CACHE.get(key)
         if cached is not None:
@@ -1325,6 +1449,7 @@ def pq_code_table(
         # this conf — uniform key discipline beats a per-key exception
         # (round-9 ADVICE)
         spark.conf.get("spark.sql.adaptive.enabled"),
+        quantizer_generation(spark, sf_dir),
     )
     out_schema = (
         "vec_id long, cid long, "
