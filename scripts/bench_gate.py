@@ -114,6 +114,27 @@ def main(argv: list[str]) -> int:
         )
         return 0
 
+    # host calibration (round-9 verdict #4): both files may carry a
+    # deterministic single-thread probe time (bench.host_calibration_sec).
+    # Their ratio estimates how much slower/faster THIS host ran than the
+    # host that pinned the baseline, so every flagged ratio is reported
+    # raw AND calibration-normalized — the reviewer separates a ~1.4x
+    # box slowdown from a plan regression at a glance instead of
+    # re-deriving it from isolated re-times.
+    host_factor = None
+    if detail.get("calibration_sec") and base.get("calibration_sec"):
+        host_factor = detail["calibration_sec"] / base["calibration_sec"]
+        print(
+            f"host calibration: detail {detail['calibration_sec']:.3f}s / "
+            f"baseline {base['calibration_sec']:.3f}s -> factor "
+            f"{host_factor:.2f}x (normalized ratios divide by this)"
+        )
+
+    def _norm(ratio: float) -> str:
+        if host_factor is None:
+            return ""
+        return f", {ratio / host_factor:.2f}x host-normalized"
+
     cur, ref = detail["queries"], base["queries"]
     new = sorted(set(cur) - set(ref))
     gone = sorted(set(ref) - set(cur))
@@ -184,11 +205,15 @@ def main(argv: list[str]) -> int:
             if i > r * RATIO_MAX and i - r > ABS_FLOOR_SEC:
                 confirmed.append((mode, name, r, min(c, i)))
             else:
-                print(f"noise {name} ({mode}): recorded {c:.2f}s, isolated "
+                print(f"noise {name} ({mode}): recorded {c:.2f}s"
+                      f"{_norm(c / r)}, isolated "
                       f"{i:.2f}s (baseline {r:.2f}s) — cleared")
         failures = confirmed
     for mode, name, r, c in failures:
-        print(f"FAIL {name} ({mode}): {r:.2f}s -> {c:.2f}s ({c / r:.2f}x)")
+        print(
+            f"FAIL {name} ({mode}): {r:.2f}s -> {c:.2f}s "
+            f"({c / r:.2f}x{_norm(c / r)})"
+        )
     n = len(set(cur) & set(ref)) + len(set(cur_warm) & set(ref_warm))
     if failures:
         print(f"RESULT: FAIL ({len(failures)}/{n} comparisons regressed >{RATIO_MAX}x)")
