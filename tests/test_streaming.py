@@ -650,3 +650,58 @@ def test_stream_index_merge_exactly_once_across_kill(spark, sf_dir, tmp_path):
     got = _rows(read_merged_index(spark, root), cols)
     want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
     assert got == want and len(got) > 1000
+
+
+def test_stream_index_merge_compaction_bounds_segments(spark, sf_dir, tmp_path):
+    """In-stream compaction: with compact_every=4 over an 8-batch
+    drain (killed and resumed mid-feed), the serving read walks at most
+    4 segments — the newest base subsumes its ancestors, whose files
+    are reaped — and the served index still equals batch tfidf_full."""
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        _index_manifest_versions,
+        _segment_chain,
+        make_index_merge,
+        read_merged_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = str(tmp_path / "idxc_split8")
+    docs.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(split)
+    root = str(tmp_path / "idxc_root")
+    ckpt = str(tmp_path / "ckpt_idxc")
+
+    def start():
+        src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(split)
+        )
+        return (
+            src.writeStream.foreachBatch(make_index_merge(root, compact_every=4))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    n_before = _poll_kill(start(), min_batches=2)
+    assert 1 <= n_before < 8
+    q2 = start()
+    assert q2.awaitTermination(300)
+
+    committed = _index_manifest_versions(root)
+    assert len(committed) == 8
+    chain = _segment_chain(committed, max(committed))
+    assert len(chain) <= 4  # bounded by compact_every
+    assert committed[7].get("base")  # batch 7 compacted (7 % 4 == 3)
+    # ancestors below the newest base were reaped
+    import os as _os
+
+    live_segs = {f for f in _os.listdir(root) if f.startswith("seg_v")}
+    assert live_segs == {f"seg_v{v}" for v in chain}
+    cols = ["word", "doc", "count", "doc_total", "df", "tfidf"]
+    import __spark_entry__ as entrymod
+
+    got = _rows(read_merged_index(spark, root), cols)
+    want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
+    assert got == want and len(got) > 1000

