@@ -1338,8 +1338,9 @@ def probe_bucketed_fold_skew(spark: SparkSession, quick: bool) -> None:
     emit("word / bucket (32 buckets, Spark's Murmur3 word hash).")
     emit()
     emit("| events | docs | vocab | postings | hot word | hot bucket "
-         "| bcast df | SMJ AQE | SMJ noAQE |")
-    emit("|---|---|---|---|---|---|---|---|---|")
+         "| derived df bcast | derived SMJ AQE | derived SMJ noAQE "
+         "| STORED df bcast |")
+    emit("|---|---|---|---|---|---|---|---|---|---|")
     configs = [
         # (events, docs, vocab): s=2 throughout — the stopword regime.
         # Short-doc config second: fewer distinct words per doc raises
@@ -1390,10 +1391,10 @@ def probe_bucketed_fold_skew(spark: SparkSession, quick: bool) -> None:
             )
         )
 
-        def serve():
+        def serve(dfm):
             scored = (
-                postings.join(df_merged, "word")
-                .unionByName(new_wtc.join(df_merged, "word"))
+                postings.join(dfm, "word")
+                .unionByName(new_wtc.join(dfm, "word"))
                 .withColumn("doc_total", F.lit(80).cast("long"))
                 .crossJoin(
                     F.broadcast(
@@ -1406,21 +1407,28 @@ def probe_bucketed_fold_skew(spark: SparkSession, quick: bool) -> None:
             return tfidf(scored, F.col("total_docs"))
 
         times = {}
-        times["bcast"] = _timed(serve())
+        times["bcast"] = _timed(serve(df_merged))
         saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             for aqe in ("true", "false"):
                 spark.conf.set("spark.sql.adaptive.enabled", aqe)
-                times[f"smj_{aqe}"] = _timed(serve())
+                times[f"smj_{aqe}"] = _timed(serve(df_merged))
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
             spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # the PROMOTED regime: df persisted per version (exactly what
+        # operators.tfidf.promoted_index writes), scoring joins the
+        # stored vocab-sized table — the write is the promote step's
+        # cost, priced under the fold's cold pin, not the serving join
+        df_path = os.path.join(store, "p13_df_stored")
+        df_merged.write.mode("overwrite").parquet(df_path)
+        times["stored"] = _timed(serve(spark.read.parquet(df_path)))
         emit(
             f"| {n_events:,} | {n_docs:,} | {vocab:,} | {n_rows:,} "
             f"| {hot_word:.2%} | {hot_bucket:.2%} "
             f"| {times['bcast']:.2f}s | {times['smj_true']:.2f}s "
-            f"| {times['smj_false']:.2f}s |"
+            f"| {times['smj_false']:.2f}s | {times['stored']:.2f}s |"
         )
     if saved_env is None:
         os.environ.pop(MODEL_STORE_ENV, None)
@@ -1428,23 +1436,28 @@ def probe_bucketed_fold_skew(spark: SparkSession, quick: bool) -> None:
         os.environ[MODEL_STORE_ENV] = saved_env
     emit()
     emit(
-        "Reading: the df merge is skew-FREE by construction (one row per "
-        "word per side), and the scoring join's per-word share is capped "
-        "at ~1/(distinct words per doc) — the token-space stopword skew "
-        "P1 measured never reaches the postings relation, because the "
-        "(word, doc) group-by absorbs it behind map-side combine. What "
-        "remains is bucket-level imbalance on the bucketed scan, which "
-        "AQE cannot split (no exchange) — visible as the SMJ numbers "
-        "trailing broadcast but NOT exploding, since the hot bucket "
-        "tops out near (hot-word + 1/buckets) of the relation. Rule "
-        "shipped with the engine (persisted_index docstring): keep the "
-        "vocabulary-sized df on the broadcast side — then the bucketed "
-        "postings never shuffle AND hot words stay spread across scan "
-        "partitions; fall back to bucketed SMJ only when the vocabulary "
-        "outgrows broadcast, accepting the capped bucket imbalance; the "
-        "doc_freq_salted treatment is for UNBUCKETED corpus-side joins "
-        "(P1), not this layout — salting here would force the reshuffle "
-        "the bucket layout exists to avoid."
+        "Reading — two findings, one expected and one the probe caught. "
+        "(1) Skew is a NON-ISSUE for this layout, as predicted: the df "
+        "merge is skew-free by construction (one row per word per "
+        "side), the scoring join's per-word share is capped at "
+        "~1/(distinct words per doc) (measured 13-22% even at Zipf s=2, "
+        "vs the ~50% token share the same distribution gives P1), the "
+        "hot BUCKET tops out barely above the hot word, and no regime "
+        "explodes — the doc_freq_salted treatment does not apply here; "
+        "salting would force the reshuffle the bucket layout exists to "
+        "avoid. (2) The dominant cost is HOW OFTEN THE DERIVED DF-MERGE "
+        "SUBPLAN EXECUTES, not the join strategy: broadcasting the "
+        "derived merge builds it once per segment branch and collects "
+        "each copy to the driver (slowest, 0 reused exchanges in the "
+        "executed plan); the two SMJ variants land ~2x under it and within noise of each other (plan check: without AQE Catalyst reuses the merge's shuffle across branches — 1 ReusedExchange — while AQE re-plans each branch; at this scale the re-execution is partly hidden by the running stages). The STORED-df column is "
+        "the production answer and the fastest: persist the vocab-sized "
+        "merged df — exactly what index PROMOTION (promoted_index) "
+        "writes per version — and the serving join broadcasts a small "
+        "parquet read per branch, skew-immune and re-execution-free. "
+        "Rule shipped with the engine (persisted_index docstring): "
+        "score against the PERSISTED df table (broadcast-from-store); "
+        "never broadcast a derived df-merge across multiple segment "
+        "branches without materializing it first."
     )
     emit()
 

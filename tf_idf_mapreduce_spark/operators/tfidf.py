@@ -328,18 +328,20 @@ def persisted_index(spark, sf_dir: str):
     still count (reference directory-entry semantics,
     TfidfMapReduce.java:51).
 
-    Skew rule (measured, SCALE_PROBE P13): keep the vocabulary-sized df
-    on the BROADCAST side of the scoring join — the bucketed postings
-    then never shuffle and a stopword's rows stay spread across scan
-    partitions. The df MERGE itself cannot skew (one row per word per
-    side), and the postings-side per-word share is structurally capped
-    at ~1/(distinct words per doc) — token-space Zipf skew never
-    reaches this relation. Only if the vocabulary outgrows broadcast
-    does the join fall back to bucketed SMJ, whose hot-bucket imbalance
-    is capped near (hot-word + 1/buckets) and which AQE cannot split
-    (bucketed scans have no exchange); the ``doc_freq_salted``
-    treatment does NOT apply here — salting would force the reshuffle
-    this layout exists to avoid.
+    Skew & serving rule (measured, SCALE_PROBE P13): word skew is a
+    non-issue for this layout — the df MERGE cannot skew (one row per
+    word per side), the postings-side per-word share is structurally
+    capped at ~1/(distinct words per doc) (13-22% measured even at
+    Zipf s=2, where the same distribution gives ~50% TOKEN share), and
+    the residual hot-bucket imbalance tops out barely above the hot
+    word; the ``doc_freq_salted`` treatment does NOT apply — salting
+    would force the reshuffle this layout exists to avoid. What DOES
+    matter is materialization: score against the PERSISTED df table
+    (broadcast a small parquet read per segment branch — what
+    ``promoted_index`` writes per version). Broadcasting a DERIVED
+    df-merge re-executes its whole subplan once per segment branch
+    (Catalyst reuses the exchange only in the no-AQE SMJ shape) —
+    measured slowest of all four regimes at probe scale.
 
     Returns ``(postings, df, n, origin)`` with origin "store" when all
     three loaded without a fit."""
