@@ -45,6 +45,7 @@ from tf_idf_mapreduce_spark.operators.tfidf import (
     incremental_chain_index,
     incremental_chain_persisted,
     incremental_e2e_index,
+    incremental_e2e_promoted,
     incremental_index,
     incremental_index_persisted,
     tfidf_pipeline,
@@ -6572,6 +6573,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (apply_refit_decision acts on it — generation bump re-keys
         # the quantizer and every dependent artifact)
         "sim_ivf_refit_decision": sim.ivf_refit_decision,
+        # the production day as one closed verb: screens -> fold of the
+        # admitted slice -> PROMOTE into the store -> serve from
+        # parquet (warm plan: zero documents AND zero screen scans)
+        "tfidf_e2e_promoted": incremental_e2e_promoted,
     }
 
 
@@ -6749,4 +6754,7 @@ def oracle_sql() -> dict[str, str]:
     # ... and its STREAMING twin: per-micro-batch merge into versioned
     # index tables lands on the same relation
     out["stream_tfidf_index_merge"] = out["tfidf_full"]
+    # the promoted day must land on the in-lineage e2e relation — the
+    # store write-back is invisible in the rows
+    out["tfidf_e2e_promoted"] = out["tfidf_incremental_e2e"]
     return out

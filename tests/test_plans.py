@@ -524,3 +524,15 @@ def test_promoted_chain_warm_plan_is_all_parquet(spark):
     docs3, segs3 = scans(3)
     assert docs2 == 0 and docs3 == 0
     assert segs2 == 3 and segs3 == 4  # base + k segments; +1 per day
+
+
+def test_e2e_promoted_warm_plan_is_all_parquet(spark):
+    """The promoted production day: once the admitted segment/df/N are
+    written, serving reads ONLY index tables — no documents scans, no
+    screen-table scans, exactly two postings segments (base + day)."""
+    entrymod.queries()["tfidf_e2e_promoted"](spark, SF)  # warm
+    plan = _plan(spark, "tfidf_e2e_promoted")
+    assert len(re.findall(r"FileScan parquet.*documents", plan)) == 0
+    for screen in ("incremental_dedup", "screen_inc"):
+        assert screen not in plan
+    assert len(re.findall(r"FileScan.*tfidf_index_postings", plan)) == 2

@@ -174,4 +174,7 @@ MODEL_CACHED_QUERIES: dict[str, Callable[[], None]] = {
     "sim_pq_topk": _clear_pq_codes,
     # round 9: the composed update now reads the persisted index too
     "tfidf_incremental_e2e": _clear_e2e_index,
+    # round 10: the promoted day owns the same two durable layers plus
+    # its own e2e-keyed segment/df/N (same three index families)
+    "tfidf_e2e_promoted": _clear_e2e_index,
 }

@@ -810,6 +810,119 @@ def incremental_chain_persisted(spark, sf_dir: str) -> DataFrame:
     return score_index(segments, dfx, n)
 
 
+def incremental_e2e_promoted(
+    spark, sf_dir: str, persist_screens: bool | None = None
+) -> DataFrame:
+    """The production DAY as one closed verb: admission screens → fold
+    of the ADMITTED slice → PROMOTE the merged state into the store as
+    an e2e index version → serve from parquet. Where
+    ``incremental_e2e_index`` scores the fold in lineage (the screens
+    and the merge re-plan every run), here day zero writes the admitted
+    segment + merged df + N once, and every later run — tomorrow's
+    dashboards, every downstream consumer — reads ONLY index tables:
+    zero documents scans, zero screen-table scans (plan-pinned). The
+    promote key folds every constant the admission depends on (dup
+    thresholds, MinHash shape, contamination/PII/quality rules) plus
+    both data fingerprints, so a policy edit refits rather than serving
+    a stale admission. Hash-equal to the ``tfidf_incremental_e2e``
+    oracle — promotion is invisible in the relation."""
+    from ..functions.hashing import MINHASH_B, MINHASH_R
+    from ..sources.io import documents_as_corpus, load_table, table_fingerprint
+    from ..sources.model_store import (
+        load_or_compute_bucketed_table,
+        load_or_compute_table,
+    )
+    from .curation import (
+        CONTAM_BENCH_MOD,
+        CONTAM_NGRAM,
+        PII_PATTERNS,
+        SAMPLE_BUCKET_MAX,
+        _sample_bucket,
+        incremental_manifest,
+        resolve_persist_screens,
+    )
+    from .dedup import INCREMENTAL_EST_JACCARD, MINHASH_K, NEARDUP_MIN_COSINE
+    from .textstats import QUALITY_KEEP_MAX_PUNCT, QUALITY_KEEP_MIN_WORDS
+
+    persist_screens = resolve_persist_screens(spark, sf_dir, persist_screens)
+    postings, dfx, n, _origin = persisted_index(spark, sf_dir)
+    key = _index_store_key(spark, sf_dir) + (
+        "e2e",
+        table_fingerprint(sf_dir, "embeddings"),
+        MINHASH_K,
+        MINHASH_R,
+        MINHASH_B,
+        INCREMENTAL_EST_JACCARD,
+        NEARDUP_MIN_COSINE,
+        CONTAM_NGRAM,
+        CONTAM_BENCH_MOD,
+        tuple(sorted(PII_PATTERNS.items())),
+        QUALITY_KEEP_MIN_WORDS,
+        QUALITY_KEEP_MAX_PUNCT,
+    )
+
+    def day_corpus():
+        # COLD path only: once the segment/df/N are promoted, no run
+        # ever re-evaluates the manifest (the screens' own durable
+        # tables make the second call here cheap on day zero too)
+        docs = load_table(spark, sf_dir, "documents")
+        admitted = (
+            incremental_manifest(spark, sf_dir, persist_screens=persist_screens)
+            .where(F.col("status") == "admitted")
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        return documents_as_corpus(
+            docs.where(_sample_bucket() <= SAMPLE_BUCKET_MAX).join(
+                F.broadcast(admitted), "doc_id"
+            )
+        )
+
+    seg, _ = load_or_compute_bucketed_table(
+        "tfidf_index_postings",
+        key + ("day",),
+        spark,
+        lambda: doc_totals(word_count(tokenize(day_corpus()))),
+        "word",
+        INDEX_BUCKETS,
+    )
+    df1, _ = load_or_compute_bucketed_table(
+        "tfidf_index_df",
+        key + ("df",),
+        spark,
+        lambda: (
+            dfx.withColumnRenamed("dfx", "df_old")
+            .join(
+                seg.groupBy("word").agg(F.count("*").alias("df_new")),
+                "word",
+                "full_outer",
+            )
+            .select(
+                "word",
+                (
+                    F.coalesce("df_old", F.lit(0))
+                    + F.coalesce("df_new", F.lit(0))
+                ).alias("dfx"),
+            )
+        ),
+        "word",
+        INDEX_BUCKETS,
+    )
+    n1, _ = load_or_compute_table(
+        "tfidf_index_n",
+        key + ("n",),
+        spark,
+        lambda: F.broadcast(n)
+        .crossJoin(
+            F.broadcast(
+                day_corpus().agg(F.countDistinct("doc").alias("nx_new"))
+            )
+        )
+        .select((F.col("nx") + F.col("nx_new")).alias("nx")),
+    )
+    return score_index([postings, seg], df1, n1)
+
+
 def incremental_e2e_index(
     spark, sf_dir: str, persist_screens: bool | None = None
 ) -> DataFrame:
