@@ -247,3 +247,15 @@ def test_cli_models_ls_prune_drop(tmp_path, monkeypatch, capsys):
 
     assert main(["models", "drop"]) == 2  # family name required
     assert main(["models", "ls"]) == 0  # empty store lists cleanly
+
+
+def test_models_refit_cli(sf_dir, tmp_path, monkeypatch, capsys):
+    """`models refit` drives the drift decision end-to-end: KEEP on the
+    real fixture (arrivals ~10% everywhere), generation untouched."""
+    from tf_idf_mapreduce_spark.cli import main
+
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", str(tmp_path / "m"))
+    rc = main(["models", "refit", "--sf-dir", sf_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "KEEP" in out and "generation stays 0" in out

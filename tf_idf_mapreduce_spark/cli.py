@@ -209,13 +209,16 @@ def _models_main(argv: list[str]) -> int:
       cold-path clear, manually).
     - ``compact --sf-dir D [--days N]``: merge the promoted TF-IDF
       index chain's postings segments into one clean bucketed table and
-      prune the superseded ancestors (``operators.tfidf.compact_index``
-      — the only subcommand that starts a SparkSession).
+      prune the superseded ancestors (``operators.tfidf.compact_index``).
+    - ``refit --sf-dir D``: evaluate the ANN drift report and, on a
+      REFIT verdict, bump the quantizer generation — re-keying the
+      centroids/codebooks/code-table/disposition cascade
+      (``operators.similarity.apply_refit_decision``).
 
-    Except for ``compact``, no SparkSession is started: the store root
-    resolves from ``$SPARK_GRAFT_MODEL_DIR`` / ``--root`` (conf-based
-    roots belong to a running session; export the env to address one
-    here)."""
+    Except for ``compact``/``refit`` (which start a SparkSession), no
+    SparkSession is started: the store root resolves from
+    ``$SPARK_GRAFT_MODEL_DIR`` / ``--root`` (conf-based roots belong to
+    a running session; export the env to address one here)."""
     import time
 
     from .sources.model_store import drop_models, prune_models, store_root
@@ -224,7 +227,7 @@ def _models_main(argv: list[str]) -> int:
         prog="tf_idf_mapreduce_spark models",
         description="inspect / garbage-collect the durable model store",
     )
-    p.add_argument("action", choices=("ls", "prune", "drop", "compact"))
+    p.add_argument("action", choices=("ls", "prune", "drop", "compact", "refit"))
     p.add_argument("families", nargs="*", help="model families (drop)")
     p.add_argument(
         "--sf-dir", default=os.environ.get(
@@ -288,6 +291,25 @@ def _models_main(argv: list[str]) -> int:
             f"files {summary['files_before']} -> {summary['files_after']}, "
             f"{summary['ancestors_pruned']} ancestor artifact(s) pruned"
         )
+        return 0
+    if args.action == "refit":
+        from .operators.similarity import apply_refit_decision
+        from .session import get_spark
+
+        spark = get_spark(app_name="models-refit")
+        spark.sparkContext.setLogLevel("ERROR")
+        s = apply_refit_decision(spark, args.sf_dir)
+        if s["refit"]:
+            print(
+                f"REFIT: generation {s['old_generation']} -> "
+                f"{s['new_generation']}; re-keyed: "
+                f"{', '.join(s['rekeyed_dependents'])}"
+            )
+        else:
+            print(
+                f"KEEP: no drifted cells past threshold (generation stays "
+                f"{s['old_generation']})"
+            )
         return 0
     if args.action == "prune":
         removed = prune_models(max_age_days=args.max_age_days)
