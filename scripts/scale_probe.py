@@ -2,7 +2,7 @@
 """Measured evidence for the 100 TB design claims (round-4 verdict #1,
 extended every round since).
 
-Thirteen probes, each 10-2000x the sf0.1 fixture's row counts, all
+Fourteen probes, each 10-2000x the sf0.1 fixture's row counts, all
 deterministic (hash-derived randomness — no RNG state, no seeds to
 coordinate). Results go to stdout and SCALE_PROBE.md.
 
@@ -19,6 +19,7 @@ P10 skyline local-frontier shrink under both axis regimes
 P11 the flagship TF-IDF chain at 1-10M docs + range-sort sampling
 P12 durable-store amortization (index fold + screen table) at 0.3-3M docs
 P13 persisted fold's word-keyed joins under Zipf s=2 (bucketed SMJ vs broadcast)
+P14 promoted N-day chain vs in-lineage chain (+ compaction) at 0.3-1M docs
 
 Scratch parquet lives under /tmp and is removed at exit. Run the full
 set via scripts/scale_probe_all.sh (one fresh JVM per section).
@@ -1462,6 +1463,127 @@ def probe_bucketed_fold_skew(spark: SparkSession, quick: bool) -> None:
     emit()
 
 
+def probe_promoted_chain(spark: SparkSession, quick: bool) -> None:
+    """P14: the round-10 headline priced past fixture scale — an N-day
+    chain where each fold PROMOTES its state back into the store
+    (``promoted_index``) vs the in-lineage chain (``_merge_state``
+    nesting, what round 9 shipped). The claim under test: per-day
+    promote cost is FLAT in the day number (day k reads day k-1's
+    parquet), while the in-lineage chain's day-k cost grows because it
+    re-executes every prior merge; and compaction keeps the serving
+    read flat in N (one segment scan).
+    """
+    import importlib
+
+    T = importlib.import_module("tf_idf_mapreduce_spark.operators.tfidf")
+    from tf_idf_mapreduce_spark.sources.io import documents_as_corpus
+    from tf_idf_mapreduce_spark.sources.model_store import MODEL_STORE_ENV
+    from tf_idf_mapreduce_spark.operators.curation import (
+        SAMPLE_BUCKET_MAX,
+        _sample_bucket,
+    )
+
+    emit("## P14 — promoted N-day chain vs in-lineage chain at probe scale")
+    emit()
+    emit("| docs | day | promote s | serve s | in-lineage day-k s |")
+    emit("|---|---|---|---|---|")
+    cases = [300_000, 1_000_000]
+    if quick:
+        cases = cases[:1]
+    n_days = 3
+    for n_docs in cases:
+        sf_tmp = tempfile.mkdtemp(prefix="p14_sf_")
+        store = tempfile.mkdtemp(prefix="p14_store_")
+        atexit.register(shutil.rmtree, sf_tmp, ignore_errors=True)
+        atexit.register(shutil.rmtree, store, ignore_errors=True)
+        os.environ[MODEL_STORE_ENV] = store
+        wpd = 20
+        ids = spark.range(n_docs * wpd)
+        u = (
+            F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit("w"))), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        rank = F.floor(F.pow(F.lit(50_000.0), u)).cast("long")
+        (
+            ids.select(
+                (F.col("id") / wpd).cast("long").alias("doc_id"),
+                F.translate(
+                    rank.cast("string"), "0123456789", "abcdefghij"
+                ).alias("word"),
+            )
+            .groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.collect_list("word")).alias("text"))
+            .write.mode("overwrite")
+            .parquet(f"{sf_tmp}/documents.parquet")
+        )
+        # base index (v0) built once, outside the per-day numbers —
+        # production schedules it, the days amortize it
+        T.persisted_index(spark, sf_tmp)
+
+        # the in-lineage comparison: state_k nests all prior merges;
+        # day k's number re-executes the whole chain up to k
+        docs = spark.read.parquet(f"{sf_tmp}/documents.parquet").select(
+            F.col("doc_id"), F.col("text")
+        )
+        is_batch = _sample_bucket() <= SAMPLE_BUCKET_MAX
+
+        def lineage_day(k: int) -> float:
+            postings, dfx, n, _ = T.persisted_index(spark, sf_tmp)
+            state = (postings, dfx, n)
+            for d in range(1, k + 1):
+                day = documents_as_corpus(
+                    docs.where(is_batch & T._chain_day_pred(d, n_days))
+                )
+                state = T._merge_state(*state, day)
+            wtc, df_f, n_f = state
+            scored = T.tfidf(
+                wtc.join(df_f.withColumnRenamed("dfx", "df"), "word").crossJoin(
+                    F.broadcast(n_f.withColumnRenamed("nx", "total_docs"))
+                ),
+                F.col("total_docs"),
+            )
+            return _noop(scored)
+
+        for k in range(1, n_days + 1):
+            t0 = time.time()
+            state = T.promoted_index(spark, sf_tmp, k, n_days)
+            t_promote = time.time() - t0  # day k's writes (k-1 warm)
+            t_serve = _timed(T.score_index(*state[:3]))
+            t_lineage = lineage_day(k)
+            emit(
+                f"| {n_docs:,} | {k} | {t_promote:.2f} | {t_serve:.2f} "
+                f"| {t_lineage:.2f} |"
+            )
+        t0 = time.time()
+        summary = T.compact_index(
+            spark, sf_tmp, upto_day=n_days, n_days=n_days, prune=True
+        )
+        t_compact = time.time() - t0
+        state = T.promoted_index(spark, sf_tmp, n_days, n_days)
+        t_serve_c = _timed(T.score_index(*state[:3]))
+        emit(
+            f"| {n_docs:,} | compact | {t_compact:.2f} | {t_serve_c:.2f} "
+            f"| files {summary['files_before']} -> {summary['files_after']}, "
+            f"{summary['ancestors_pruned']} pruned |"
+        )
+    emit()
+    emit(
+        "Reading: the per-day promote cost is flat in the day number — "
+        "day k tokenizes only its slice and merges against day k-1's "
+        "PARQUET (the vocabulary-sized df rewrite dominates and does not "
+        "grow with k), while the in-lineage chain's day-k cost climbs "
+        "with k because every prior day's tokenize + merge re-executes "
+        "inside the nested plan. Serving stays flat too (segments join "
+        "the stored df separately), and compaction folds the segments "
+        "into one bucketed table — the serve time after compaction is "
+        "the single-table read an N-day-old index should cost, with the "
+        "ancestor files reclaimed. This is the measured case for "
+        "promotion as the production loop: the round-9 in-lineage chain "
+        "was an associativity PROOF, not a deployable cadence. One measured nuance: the post-compaction serve reads ONE bucketed table, which caps scan parallelism at the bucket count (32 partitions vs 4 segments x 32) — slightly slower wall here than the 4-segment read on an idle 32-core box; at deployment scale INDEX_BUCKETS is sized to the cluster once, and the compaction win is file count + metadata + plan size, not raw scan speed."
+    )
+    emit()
+
+
 PROBES = {
     "p1": probe_doc_freq,
     "p2": probe_lsh_buckets,
@@ -1476,6 +1598,7 @@ PROBES = {
     "p11": probe_tfidf_flagship,
     "p12": probe_store_amortization,
     "p13": probe_bucketed_fold_skew,
+    "p14": probe_promoted_chain,
 }
 
 
