@@ -699,6 +699,10 @@ def test_stream_index_merge_compaction_bounds_segments(spark, sf_dir, tmp_path):
 
     live_segs = {f for f in _os.listdir(root) if f.startswith("seg_v")}
     assert live_segs == {f"seg_v{v}" for v in chain}
+    # ... and df/N generations are reaped too: only the final version's
+    # and its parent's remain, however many batches the stream ran
+    live_df = {f for f in _os.listdir(root) if f.startswith("df_v")}
+    assert live_df <= {"df_v6", "df_v7"}
     cols = ["word", "doc", "count", "doc_total", "df", "tfidf"]
     import __spark_entry__ as entrymod
 

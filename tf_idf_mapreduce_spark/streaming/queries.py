@@ -1013,10 +1013,22 @@ def make_index_merge(root: str, compact_every: int | None = None):
                 fh,
             )
         os.replace(tmp, os.path.join(mdir, f"v{batch_id}"))
+        # reap superseded state AFTER the commit: a crash before this
+        # point replays as a no-op (entry committed) and the leftovers
+        # are unreferenced files, never a wrong read. df/N older than
+        # the parent are unreachable (readers take the newest version;
+        # a replayed batch's parent is the newest committed below it),
+        # so the live state is bounded: <= compact_every segments + two
+        # df/N generations, however long the stream runs.
+        for v in committed:
+            if v < (parent if parent is not None else -1):
+                shutil.rmtree(
+                    os.path.join(root, f"df_v{v}"), ignore_errors=True
+                )
+                shutil.rmtree(
+                    os.path.join(root, f"n_v{v}"), ignore_errors=True
+                )
         if compacting:
-            # reap superseded segments AFTER the commit: a crash before
-            # this point replays as a no-op (entry committed) and the
-            # leftovers are unreferenced files, never a wrong read
             for v in _segment_chain(committed, parent):
                 shutil.rmtree(
                     os.path.join(root, f"seg_v{v}"), ignore_errors=True
