@@ -698,3 +698,26 @@ def test_crashed_staging_heals_on_next_write(spark, model_dir_env):
     assert live != "v-deadbeef"
     t2, o2 = load_or_compute_table("heal_table", key, spark, lambda: 1 / 0)
     assert o2 == "store" and t2.count() == 50
+
+
+def test_promoted_chain_with_store_disabled(spark, sf_dir, model_dir_env):
+    """Durability off -> every promote degrades to its compute relation
+    (the chain composes in lineage, like the round-9 topology variant)
+    but the RESULT is unchanged — the store is an execution strategy,
+    never a semantic dependency."""
+    from tf_idf_mapreduce_spark.operators.tfidf import (
+        incremental_chain_persisted,
+        incremental_index,
+    )
+    from tf_idf_mapreduce_spark.sources.model_store import MODEL_STORE_CONF
+
+    spark.conf.set(MODEL_STORE_CONF, "")
+    try:
+        chained = sorted(
+            map(tuple, incremental_chain_persisted(spark, sf_dir).collect())
+        )
+        assert not os.path.exists(os.path.join(model_dir_env, "tfidf_index_postings"))
+    finally:
+        spark.conf.unset(MODEL_STORE_CONF)
+    inplan = sorted(map(tuple, incremental_index(spark, sf_dir).collect()))
+    assert chained == inplan and chained
