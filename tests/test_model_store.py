@@ -721,3 +721,27 @@ def test_promoted_chain_with_store_disabled(spark, sf_dir, model_dir_env):
         spark.conf.unset(MODEL_STORE_CONF)
     inplan = sorted(map(tuple, incremental_index(spark, sf_dir).collect()))
     assert chained == inplan and chained
+
+
+def test_crashed_probe_file_does_not_poison_artifact(spark, model_dir_env):
+    """A crash between writability-probe creation and removal leaves a
+    dot-file in the artifact dir; it must not read as a legacy parquet
+    dir (which would pin the artifact to compute-only forever) — the
+    next load stages, promotes, and serves normally."""
+    from tf_idf_mapreduce_spark.sources.model_store import (
+        load_or_compute_table,
+        model_dir,
+    )
+
+    key = ("probe-poison",)
+    d = model_dir("poison_table", key, spark)
+    os.makedirs(d)
+    with open(os.path.join(d, ".probe-deadbeef"), "w"):
+        pass
+
+    t, o = load_or_compute_table(
+        "poison_table", key, spark, lambda: spark.range(25)
+    )
+    assert o == "store" and t.count() == 25
+    t2, o2 = load_or_compute_table("poison_table", key, spark, lambda: 1 / 0)
+    assert o2 == "store" and t2.count() == 25

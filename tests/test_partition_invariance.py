@@ -113,6 +113,16 @@ QUERIES = [
     "sim_batch_topk",
     # six audit arms composed (incl. the clusters iteration)
     "curate_audit_dashboard",
+    # round 10: the promoted chain — store keys include the partition
+    # conf, so each configuration builds (and folds against) its OWN
+    # versioned index tables; the served relation must be identical
+    "tfidf_incremental_chain_persisted",
+    # the drift report + thresholded verdict: centroid fits are
+    # @6dp-grid k-means per conf, counts exact integers
+    "sim_ivf_refit_decision",
+    # the promoted production day: screens + admitted fold + promote
+    # under both layouts must serve the same rows
+    "tfidf_e2e_promoted",
 ]
 
 

@@ -205,8 +205,12 @@ def _live_table_dir(d: str) -> str | None:
     if cur is not None:
         p = os.path.join(d, cur)
         return p if os.path.isdir(p) else None
+    # legacy detection requires a DATA file (part-*.parquet): dot-files
+    # (a crashed writability probe) and underscore files (_SUCCESS, a
+    # torn _CURRENT.tmp-*) must not make a staged-only dir look legacy —
+    # that would permanently poison the artifact into compute-only
     if os.path.isdir(d) and any(
-        e.name != CURRENT_MARKER and not e.is_dir()
+        not e.name.startswith((".", "_")) and not e.is_dir()
         for e in os.scandir(d)
     ):
         return d
