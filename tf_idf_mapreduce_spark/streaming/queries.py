@@ -925,82 +925,71 @@ def make_index_merge(root: str, compact_every: int | None = None):
             # a replayed, already-committed batch: everything it would
             # write is complete (manifest commits last) — idempotent skip
             return
+        if batch_df.limit(1).count() == 0:
+            # an EMPTY batch mints no version at all: the parent chain is
+            # untouched, readers keep serving the previous version, and a
+            # replay re-skips — simpler and safer than committing a
+            # version whose empty df/N parquet a later batch couldn't read
+            return
         parents = [v for v in committed if v < batch_id]
         parent = max(parents) if parents else None
 
         corpus = documents_as_corpus(batch_df)
-        has_rows = batch_df.limit(1).count() > 0
         compacting = (
             compact_every is not None
             and parent is not None
-            and has_rows
             and batch_id % compact_every == compact_every - 1
         )
-        day_df = day_n = None
-        if has_rows:
-            seg_path = os.path.join(root, f"seg_v{batch_id}")
-            batch_postings = doc_totals(word_count(tokenize(corpus)))
-            if compacting:
-                # fold the parent chain's segments into THIS segment —
-                # docs are disjoint across segments, so the union IS the
-                # merged postings; the batch df/N still derive from the
-                # batch slice alone (df/N lineage is additive as ever)
-                chain = _segment_chain(committed, parent)
-                for v in chain:
-                    batch_postings = batch_postings.unionByName(
-                        sess.read.parquet(os.path.join(root, f"seg_v{v}"))
-                    )
-            batch_postings.write.mode("overwrite").parquet(seg_path)
-            # derive the batch df from the JUST-WRITTEN segment: one scan,
-            # and the tokenize never re-evaluates per consumer. When
-            # compacting, restrict to the batch's own docs (the rest of
-            # the segment is already counted in the parent's df)
-            seg = sess.read.parquet(seg_path)
-            if compacting:
-                own = corpus.select(F.col("doc").alias("_d")).distinct()
-                seg = seg.join(
-                    F.broadcast(own), seg["doc"] == own["_d"]
-                ).drop("_d")
-            day_df = seg.groupBy("word").agg(F.count("*").alias("df_new"))
-            day_n = corpus.agg(F.countDistinct("doc").alias("nx_new"))
+        seg_path = os.path.join(root, f"seg_v{batch_id}")
+        batch_postings = doc_totals(word_count(tokenize(corpus)))
+        if compacting:
+            # fold the parent chain's segments into THIS segment —
+            # docs are disjoint across segments, so the union IS the
+            # merged postings; the batch df/N still derive from the
+            # batch slice alone (df/N lineage is additive as ever)
+            chain = _segment_chain(committed, parent)
+            for v in chain:
+                batch_postings = batch_postings.unionByName(
+                    sess.read.parquet(os.path.join(root, f"seg_v{v}"))
+                )
+        batch_postings.write.mode("overwrite").parquet(seg_path)
+        # derive the batch df from the JUST-WRITTEN segment: one scan,
+        # and the tokenize never re-evaluates per consumer. When
+        # compacting, restrict to the batch's own docs (the rest of
+        # the segment is already counted in the parent's df)
+        seg = sess.read.parquet(seg_path)
+        if compacting:
+            own = corpus.select(F.col("doc").alias("_d")).distinct()
+            seg = seg.join(
+                F.broadcast(own), seg["doc"] == own["_d"]
+            ).drop("_d")
+        day_df = seg.groupBy("word").agg(F.count("*").alias("df_new"))
+        day_n = corpus.agg(F.countDistinct("doc").alias("nx_new"))
 
         df_path = os.path.join(root, f"df_v{batch_id}")
         n_path = os.path.join(root, f"n_v{batch_id}")
         if parent is None:
-            merged_df = (
-                day_df.select("word", F.col("df_new").alias("dfx"))
-                if day_df is not None
-                else sess.range(0).select(
-                    F.lit("").alias("word"), F.lit(0).cast("long").alias("dfx")
-                ).where(F.lit(False))
-            )
-            merged_n = (
-                day_n.select(F.col("nx_new").alias("nx"))
-                if day_n is not None
-                else sess.range(1).select(F.lit(0).cast("long").alias("nx"))
-            )
+            merged_df = day_df.select("word", F.col("df_new").alias("dfx"))
+            merged_n = day_n.select(F.col("nx_new").alias("nx"))
         else:
             prev_df = sess.read.parquet(os.path.join(root, f"df_v{parent}"))
             prev_n = sess.read.parquet(os.path.join(root, f"n_v{parent}"))
-            if day_df is None:
-                merged_df, merged_n = prev_df, prev_n
-            else:
-                merged_df = (
-                    prev_df.withColumnRenamed("dfx", "df_old")
-                    .join(day_df, "word", "full_outer")
-                    .select(
-                        "word",
-                        (
-                            F.coalesce("df_old", F.lit(0))
-                            + F.coalesce("df_new", F.lit(0))
-                        ).alias("dfx"),
-                    )
+            merged_df = (
+                prev_df.withColumnRenamed("dfx", "df_old")
+                .join(day_df, "word", "full_outer")
+                .select(
+                    "word",
+                    (
+                        F.coalesce("df_old", F.lit(0))
+                        + F.coalesce("df_new", F.lit(0))
+                    ).alias("dfx"),
                 )
-                merged_n = (
-                    F.broadcast(prev_n)
-                    .crossJoin(F.broadcast(day_n))
-                    .select((F.col("nx") + F.col("nx_new")).alias("nx"))
-                )
+            )
+            merged_n = (
+                F.broadcast(prev_n)
+                .crossJoin(F.broadcast(day_n))
+                .select((F.col("nx") + F.col("nx_new")).alias("nx"))
+            )
         merged_df.write.mode("overwrite").parquet(df_path)
         merged_n.write.mode("overwrite").parquet(n_path)
 
@@ -1009,7 +998,7 @@ def make_index_merge(root: str, compact_every: int | None = None):
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(
-                {"parent": parent, "segment": has_rows, "base": compacting},
+                {"parent": parent, "segment": True, "base": compacting},
                 fh,
             )
         os.replace(tmp, os.path.join(mdir, f"v{batch_id}"))
