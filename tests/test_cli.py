@@ -259,3 +259,26 @@ def test_models_refit_cli(sf_dir, tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "KEEP" in out and "generation stays 0" in out
+
+
+def test_models_promote_cli(sf_dir, tmp_path, monkeypatch, capsys):
+    """`models promote` runs the daily promotion loop (idempotent: the
+    second invocation resolves every version from the store). The table
+    loaders report origin "store" even on the first build — every load,
+    including the first, reads the written parquet back — so the output
+    is asserted on the segment count and the artifacts on disk."""
+    import os
+
+    from tf_idf_mapreduce_spark.cli import main
+
+    root = str(tmp_path / "m")
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", root)
+    assert main(["models", "promote", "--sf-dir", sf_dir]) == 0
+    out1 = capsys.readouterr().out
+    assert "promoted through day 3: 4 postings segment(s) live" in out1
+    # base + 3 day versions per family, written under the test root
+    assert len(os.listdir(os.path.join(root, "tfidf_index_postings"))) == 4
+    assert main(["models", "promote", "--sf-dir", sf_dir]) == 0
+    out2 = capsys.readouterr().out
+    assert "4 postings segment(s) live, origin store" in out2
+    assert len(os.listdir(os.path.join(root, "tfidf_index_postings"))) == 4

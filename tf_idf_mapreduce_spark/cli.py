@@ -214,11 +214,15 @@ def _models_main(argv: list[str]) -> int:
       REFIT verdict, bump the quantizer generation — re-keying the
       centroids/codebooks/code-table/disposition cascade
       (``operators.similarity.apply_refit_decision``).
+    - ``promote --sf-dir D [--days N]``: run the daily index-promotion
+      loop through day N — each day's fold written back as a new
+      versioned index (``operators.tfidf.promoted_index``); idempotent,
+      already-promoted days load from the store.
 
-    Except for ``compact``/``refit`` (which start a SparkSession), no
-    SparkSession is started: the store root resolves from
-    ``$SPARK_GRAFT_MODEL_DIR`` / ``--root`` (conf-based roots belong to
-    a running session; export the env to address one here)."""
+    Except for ``compact``/``refit``/``promote`` (which start a
+    SparkSession), no SparkSession is started: the store root resolves
+    from ``$SPARK_GRAFT_MODEL_DIR`` / ``--root`` (conf-based roots
+    belong to a running session; export the env to address one here)."""
     import time
 
     from .sources.model_store import drop_models, prune_models, store_root
@@ -227,7 +231,10 @@ def _models_main(argv: list[str]) -> int:
         prog="tf_idf_mapreduce_spark models",
         description="inspect / garbage-collect the durable model store",
     )
-    p.add_argument("action", choices=("ls", "prune", "drop", "compact", "refit"))
+    p.add_argument(
+        "action",
+        choices=("ls", "prune", "drop", "compact", "refit", "promote"),
+    )
     p.add_argument("families", nargs="*", help="model families (drop)")
     p.add_argument(
         "--sf-dir", default=os.environ.get(
@@ -290,6 +297,19 @@ def _models_main(argv: list[str]) -> int:
             f"{summary['segments_before']} segments -> 1, "
             f"files {summary['files_before']} -> {summary['files_after']}, "
             f"{summary['ancestors_pruned']} ancestor artifact(s) pruned"
+        )
+        return 0
+    if args.action == "promote":
+        from .operators.tfidf import CHAIN_DAYS, promoted_index
+        from .session import get_spark
+
+        spark = get_spark(app_name="models-promote")
+        spark.sparkContext.setLogLevel("ERROR")
+        days = args.days if args.days is not None else CHAIN_DAYS
+        segments, _dfx, _n, origin = promoted_index(spark, args.sf_dir, days)
+        print(
+            f"promoted through day {days}: {len(segments)} postings "
+            f"segment(s) live, origin {origin}"
         )
         return 0
     if args.action == "refit":

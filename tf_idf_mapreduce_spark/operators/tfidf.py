@@ -354,8 +354,12 @@ def persisted_index(spark, sf_dir: str):
     (Catalyst reuses the exchange only in the no-AQE SMJ shape) —
     measured slowest of all four regimes at probe scale.
 
-    Returns ``(postings, df, n, origin)`` with origin "store" when all
-    three loaded without a fit."""
+    Returns ``(postings, df, n, origin)``. Origin "store" means all
+    three relations are served from durable store files — which, per
+    the table loaders' contract, includes the very first build (the
+    write path reads its own parquet back, so every consumer in every
+    session sees literally the same files); "fit" appears only when
+    durability degraded (store disabled/read-only/unreadable)."""
     from ..sources.io import documents_as_corpus, load_table
     from ..sources.model_store import (
         load_or_compute_bucketed_table,
@@ -534,7 +538,9 @@ def promoted_index(spark, sf_dir: str, upto_day: int, n_days: int = CHAIN_DAYS):
 
     Returns ``(segments, df, n, origin)`` — postings segment list
     (base first), the version-``upto_day`` df and N relations, and
-    "store" iff every artifact loaded without a fit."""
+    origin "store" iff every artifact is served from durable store
+    files (true from the first build on; "fit" only under degraded
+    durability — see ``persisted_index``)."""
     from ..sources.io import documents_as_corpus, load_table
     from ..sources.model_store import (
         load_or_compute_bucketed_table,
