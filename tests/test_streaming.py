@@ -655,8 +655,12 @@ def test_stream_index_merge_exactly_once_across_kill(spark, sf_dir, tmp_path):
 def test_stream_index_merge_compaction_bounds_segments(spark, sf_dir, tmp_path):
     """In-stream compaction: with compact_every=4 over an 8-batch
     drain (killed and resumed mid-feed), the serving read walks at most
-    4 segments — the newest base subsumes its ancestors, whose files
-    are reaped — and the served index still equals batch tfidf_full."""
+    4 segments — the newest base subsumes its ancestors. Segments folded
+    by the FIRST compaction (batch 3) are swept by the SECOND (batch 7)
+    — one grace generation for in-flight readers — while batch 7's own
+    folded chain (3..6) survives as the new grace set; manifest entries
+    below the newest base are pruned. The served index still equals
+    batch tfidf_full."""
     from tf_idf_mapreduce_spark.streaming.queries import (
         _index_manifest_versions,
         _segment_chain,
@@ -690,15 +694,19 @@ def test_stream_index_merge_compaction_bounds_segments(spark, sf_dir, tmp_path):
     assert q2.awaitTermination(300)
 
     committed = _index_manifest_versions(root)
-    assert len(committed) == 8
+    # batch 7's sweep pruned manifest entries below the first base (3)
+    assert set(committed) == {3, 4, 5, 6, 7}
     chain = _segment_chain(committed, max(committed))
     assert len(chain) <= 4  # bounded by compact_every
     assert committed[7].get("base")  # batch 7 compacted (7 % 4 == 3)
-    # ancestors below the newest base were reaped
+    # segments folded by the FIRST compaction (0..2) were swept at the
+    # second; the second's own folded chain (3..6) is the grace set and
+    # remains beside the new base 7 — total <= 2*compact_every
     import os as _os
 
     live_segs = {f for f in _os.listdir(root) if f.startswith("seg_v")}
-    assert live_segs == {f"seg_v{v}" for v in chain}
+    assert live_segs == {f"seg_v{v}" for v in (3, 4, 5, 6, 7)}
+    assert set(chain) <= {3, 4, 5, 6, 7}
     # ... and df/N generations are reaped too: only the final version's
     # and its parent's remain, however many batches the stream ran
     live_df = {f for f in _os.listdir(root) if f.startswith("df_v")}
@@ -709,3 +717,169 @@ def test_stream_index_merge_compaction_bounds_segments(spark, sf_dir, tmp_path):
     got = _rows(read_merged_index(spark, root), cols)
     want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
     assert got == want and len(got) > 1000
+
+
+def test_stream_index_merge_against_schemed_root(spark, sf_dir, tmp_path):
+    """Round-10 verdict #1: the index merge's manifest/commit/reap must
+    work against a SCHEMED root, not just driver-local paths. A full
+    4-batch drain with in-stream compaction runs against a ``file://``
+    URI, which forces every non-Spark I/O through the Hadoop
+    ``FileSystem`` branch of ``sources.fs`` — the identical code path an
+    ``hdfs://``/``s3a://`` root takes. The served index must still equal
+    batch tfidf_full."""
+    from tf_idf_mapreduce_spark.sources import fs
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        _index_manifest_versions,
+        make_index_merge,
+        read_merged_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = str(tmp_path / "idxs_split4")
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(split)
+    root = f"file://{tmp_path}/idxs_root"  # schemed -> Hadoop FS branch
+    ckpt = str(tmp_path / "ckpt_idxs")
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split)
+    )
+    q = (
+        src.writeStream.foreachBatch(make_index_merge(root, compact_every=3))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    committed = _index_manifest_versions(root, spark)
+    assert set(committed) == {0, 1, 2, 3}
+    assert committed[2].get("base")  # 2 % 3 == 2 -> compacted
+    # the manifest really lives under the schemed root
+    assert fs.list_names(fs.join(root, "manifest"), spark)
+    cols = ["word", "doc", "count", "doc_total", "df", "tfidf"]
+    import __spark_entry__ as entrymod
+
+    got = _rows(read_merged_index(spark, root), cols)
+    want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
+    assert got == want and len(got) > 1000
+
+
+def test_stream_index_merge_never_renames(spark, sf_dir, tmp_path, monkeypatch):
+    """Mirror of the store's never-renames test for the stream (round-10
+    verdict #1 done-criterion): os.rename/os.replace are patched to
+    RAISE for any path under the index root while a full drain runs —
+    the manifest protocol must need only create-exclusive + delete, the
+    primitives object stores provide."""
+    import os as _os
+
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        make_index_merge,
+        read_merged_index,
+    )
+
+    root = str(tmp_path / "idxnr_root")
+    real_rename, real_replace = _os.rename, _os.replace
+
+    def guard(fn):
+        def inner(src, dst, *a, **k):
+            if str(src).startswith(root) or str(dst).startswith(root):
+                raise AssertionError(
+                    f"rename/replace under index root: {src} -> {dst}"
+                )
+            return fn(src, dst, *a, **k)
+
+        return inner
+
+    monkeypatch.setattr(_os, "rename", guard(real_rename))
+    monkeypatch.setattr(_os, "replace", guard(real_replace))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = str(tmp_path / "idxnr_split4")
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(split)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split)
+    )
+    ckpt = str(tmp_path / "ckpt_idxnr")
+    q = (
+        src.writeStream.foreachBatch(make_index_merge(root, compact_every=3))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    cols = ["word", "doc", "count", "doc_total", "df", "tfidf"]
+    import __spark_entry__ as entrymod
+
+    got = _rows(read_merged_index(spark, root), cols)
+    want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
+    assert got == want
+
+
+def test_stream_index_merge_sweep_heals_orphans(spark, sf_dir, tmp_path):
+    """ADVICE r10: a crash that leaks version dirs (e.g. after a commit,
+    before any reap — or a torn write whose manifest entry never
+    landed) must be healed by a later compaction's sweep, not leak
+    forever. Orphan seg/df/n dirs are PLANTED in the root mid-protocol;
+    after the drain's final compaction they are gone, committed state
+    is intact, and the served index is unchanged."""
+    import os as _os
+
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        _index_manifest_versions,
+        make_index_merge,
+        read_merged_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = str(tmp_path / "idxo_split8")
+    docs.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(split)
+    root = str(tmp_path / "idxo_root")
+    ckpt = str(tmp_path / "ckpt_idxo")
+
+    inner = make_index_merge(root, compact_every=4)
+
+    def merge_with_planted_orphans(batch_df, batch_id):
+        if batch_id == 6:
+            # uncommitted ids below the next compacting batch: exactly
+            # what a crashed batch (data written, manifest entry never
+            # committed) or a pre-grace-window leak leaves behind —
+            # plus a non-version name the sweep must never touch
+            for name in ("seg_v0", "df_v0", "n_v0", "seg_v3x"):
+                _os.makedirs(_os.path.join(root, name), exist_ok=True)
+        inner(batch_df, batch_id)
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split)
+    )
+    q = (
+        src.writeStream.foreachBatch(merge_with_planted_orphans)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    committed = _index_manifest_versions(root)
+    assert committed[7].get("base")
+    # batch 7's sweep reaped the planted orphans (ids not committed and
+    # below the batch id) along with the expired grace generation
+    names = set(_os.listdir(root))
+    assert "seg_v0" not in names and "df_v0" not in names
+    assert "n_v0" not in names
+    # non-version names are never touched by the sweep
+    assert "seg_v3x" in names
+    cols = ["word", "doc", "count", "doc_total", "df", "tfidf"]
+    import __spark_entry__ as entrymod
+
+    got = _rows(read_merged_index(spark, root), cols)
+    want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
+    assert got == want

@@ -529,8 +529,9 @@ def promoted_index(spark, sf_dir: str, upto_day: int, n_days: int = CHAIN_DAYS):
       from the CORPUS slice so zero-word docs still raise it —
       directory-entry semantics, TfidfMapReduce.java:51).
 
-    Promotion is atomic per table (the store's tmp-dir + rename
-    protocol); a crash between the three writes leaves a partial version
+    Promotion is atomic per table (the store's stage + O_EXCL
+    ``_CURRENT``-manifest protocol — no directory renames, object-store
+    safe); a crash between the three writes leaves a partial version
     whose missing tables the next run recomputes deterministically from
     v_{k-1} — never a torn read, never a wrong answer. Mirrors the
     reference's own job-chain materialization (TfidfMapReduce.java:63-84)

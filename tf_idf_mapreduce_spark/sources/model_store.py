@@ -139,33 +139,31 @@ CURRENT_MARKER = "_CURRENT"
 
 def _put_text_atomic(path: str, text: str) -> None:
     """Atomic OVERWRITE of one small file (tmp + replace locally; a
-    plain PUT on an object store)."""
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(text)
-    os.replace(tmp, path)
+    plain PUT on an object store). Shared with the streaming index
+    merge via ``sources.fs`` — one scheme-dispatched implementation of
+    the protocol's primitives."""
+    from . import fs
+
+    fs.put_text_atomic(path, text)
 
 
 def _put_text_exclusive(path: str, text: str) -> bool:
     """Atomic CREATE of one small file; False if it already exists
     (``O_EXCL`` locally; a conditional If-None-Match PUT on an object
-    store). The store's only concurrency primitive."""
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        return False
-    with os.fdopen(fd, "w") as f:
-        f.write(text)
-    return True
+    store). The store's only concurrency primitive — shared via
+    ``sources.fs``."""
+    from . import fs
+
+    return fs.put_text_exclusive(path, text)
 
 
 def _read_current(d: str) -> str | None:
-    try:
-        with open(os.path.join(d, CURRENT_MARKER)) as f:
-            v = f.read().strip()
-        return v or None
-    except OSError:
+    from . import fs
+
+    v = fs.read_text(os.path.join(d, CURRENT_MARKER))
+    if v is None:
         return None
+    return v.strip() or None
 
 
 def _promote(d: str, version: str) -> str:
@@ -360,9 +358,10 @@ def load_or_compute_bucketed_table(
     external-table pointer (name derived from the key hash — distinct
     keys never collide) with the writer's exact bucket spec. Spark
     identifies each file's bucket from its ``_0000N`` filename suffix,
-    which the atomic directory rename preserves. Returns ``(df,
-    origin)`` like the other loaders; disabled/read-only stores degrade
-    to the computed (unbucketed) relation."""
+    which survives unchanged under the stage + ``_CURRENT``-manifest
+    promote (files are never moved or renamed after the staged write).
+    Returns ``(df, origin)`` like the other loaders; disabled/read-only
+    stores degrade to the computed (unbucketed) relation."""
     d = model_dir(name, key, spark)
     if d is None:
         return compute(), "fit"

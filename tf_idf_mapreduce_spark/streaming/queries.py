@@ -863,24 +863,81 @@ def q_stream_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-def _index_manifest_versions(root: str) -> dict:
+def _index_manifest_versions(root: str, spark=None) -> dict:
     """Committed versions of a streamed index merge: one JSON file per
-    version under ``<root>/manifest``, written ATOMICALLY (tmp +
-    os.replace) only after that version's data writes completed — so a
-    version is either fully present or absent, never torn. Returns
-    {batch_id: {"parent": int|None, "segment": bool}}."""
+    version under ``<root>/manifest``, CREATE-EXCLUSIVE-committed
+    (``fs.put_text_exclusive`` — O_EXCL locally, conditional PUT on an
+    object store) only after that version's data writes completed — so
+    a version is either fully present or absent, never torn. Returns
+    {batch_id: {"parent": int|None, "segment": bool, "base": bool}}.
+    A tmp file from the retired tmp+replace commit (or any non-``v<id>``
+    name) is ignored. All I/O goes through ``sources.fs``, so ``root``
+    may be a local dir, ``file://``, ``hdfs://``, or ``s3a://``."""
     import json
-    import os
 
-    mdir = os.path.join(root, "manifest")
-    if not os.path.isdir(mdir):
-        return {}
+    from ..sources import fs
+
     out = {}
-    for f in os.listdir(mdir):
-        if f.startswith("v"):
-            with open(os.path.join(mdir, f)) as fh:
-                out[int(f[1:])] = json.load(fh)
+    for name in fs.list_names(fs.join(root, "manifest"), spark):
+        if name.startswith("v") and name[1:].isdigit():
+            text = fs.read_text(fs.join(root, "manifest", name), spark)
+            if text:
+                out[int(name[1:])] = json.loads(text)
     return out
+
+
+def _sweep_index_root(sess, root: str, committed: dict, batch_id: int) -> None:
+    """Reap state the manifest can no longer reach. Runs at the START of
+    every compacting batch — never after a commit, so a crash can only
+    DEFER a sweep to the next compaction, never skip one forever (the
+    round-10 leak: a crash between a compacting commit and its reap left
+    those segments permanently orphaned).
+
+    Three sweeps, all against already-unreachable state:
+
+    - **segments** not on the newest version's chain (the chain stops at
+      the newest base). This is also where the previous compaction's
+      folded segments finally go: they are kept as a GRACE generation
+      until the next compacting batch, so a reader that resolved a
+      version on the live stream can lazily scan its segments without
+      hitting FileNotFound until a full compaction cycle later.
+    - **df/N generations** other than the newest version's and its
+      parent's (the per-batch post-commit reap keeps the same pair; this
+      heals crash leaks).
+    - **manifest entries** strictly below the newest base: no chain walk
+      visits them (chains stop at the base) and parent resolution takes
+      the max, so the manifest stays O(compact_every) files however long
+      the stream runs instead of one file per micro-batch forever.
+
+    Versions at/above ``batch_id`` are never touched: an id equal to the
+    current batch is this batch's own crashed earlier attempt, about to
+    be overwritten by its replay."""
+    import re as _re
+
+    from ..sources import fs
+
+    if not committed:
+        return
+    cur = max(committed)
+    live_segs = set(_segment_chain(committed, cur))
+    live_dfn = {cur}
+    if committed[cur].get("parent") is not None:
+        live_dfn.add(committed[cur]["parent"])
+    for name in fs.list_names(root, sess):
+        m = _re.match(r"^(seg|df|n)_v(\d+)$", name)
+        if not m:
+            continue
+        kind, v = m.group(1), int(m.group(2))
+        if v >= batch_id:
+            continue
+        if v not in (live_segs if kind == "seg" else live_dfn):
+            fs.delete_recursive(fs.join(root, name), sess)
+    bases = [v for v, meta in committed.items() if meta.get("base")]
+    if bases:
+        cutoff = max(bases)
+        for v in [v for v in committed if v < cutoff]:
+            fs.delete_recursive(fs.join(root, "manifest", f"v{v}"), sess)
+            del committed[v]
 
 
 def make_index_merge(root: str, compact_every: int | None = None):
@@ -905,22 +962,36 @@ def make_index_merge(root: str, compact_every: int | None = None):
     segment per micro-batch; every ``compact_every``-th batch instead
     folds its parent chain's segments INTO its own segment and marks
     the manifest entry ``base`` (read stops there), so the serving
-    scan count stays bounded by ``compact_every`` forever — the
-    in-stream twin of ``models compact``. Superseded segments below
-    the new base are reaped after the commit; the decision depends
-    only on the stable batch id, so replays take the same path."""
+    scan count stays bounded forever — the in-stream twin of ``models
+    compact``. Segments a compaction supersedes are NOT reaped by that
+    compaction: they survive as a GRACE generation (readers that
+    resolved the pre-compaction version keep scanning them) and are
+    swept at the START of the NEXT compacting batch, together with any
+    dirs a crash orphaned and any manifest entries below the newest
+    base (``_sweep_index_root``). Sweep-then-commit (never
+    commit-then-reap) means a crash can only defer a sweep, never leak
+    state forever. Live state is therefore bounded at <=
+    2*compact_every segments + 2 df/N generations + O(compact_every)
+    manifest files, however long the stream runs. The compaction
+    decision depends only on the stable batch id, so replays take the
+    same path.
+
+    ``root`` may be local, ``file://``, ``hdfs://``, or ``s3a://``:
+    every non-Spark I/O here (manifest list/read/commit, reaps) goes
+    through ``sources.fs``, whose primitives are create-exclusive /
+    put / list / delete — no directory renames, the same posture the
+    batch model store's commit protocol earned (model_store.py
+    module docstring)."""
     import json
-    import os
-    import shutil
-    import uuid
 
     from ..operators.tfidf import doc_totals, word_count
     from ..functions.tokenize import tokenize
+    from ..sources import fs
     from ..sources.io import documents_as_corpus
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        committed = _index_manifest_versions(root)
+        committed = _index_manifest_versions(root, sess)
         if batch_id in committed:
             # a replayed, already-committed batch: everything it would
             # write is complete (manifest commits last) — idempotent skip
@@ -940,7 +1011,13 @@ def make_index_merge(root: str, compact_every: int | None = None):
             and parent is not None
             and batch_id % compact_every == compact_every - 1
         )
-        seg_path = os.path.join(root, f"seg_v{batch_id}")
+        if compacting:
+            # sweep BEFORE any write of this batch: expired-grace
+            # segments, crash-orphaned dirs, stale manifest entries.
+            # The fold chain below is exactly the newest version's
+            # chain, which the sweep preserves by construction.
+            _sweep_index_root(sess, root, committed, batch_id)
+        seg_path = fs.join(root, f"seg_v{batch_id}")
         batch_postings = doc_totals(word_count(tokenize(corpus)))
         if compacting:
             # fold the parent chain's segments into THIS segment —
@@ -950,7 +1027,7 @@ def make_index_merge(root: str, compact_every: int | None = None):
             chain = _segment_chain(committed, parent)
             for v in chain:
                 batch_postings = batch_postings.unionByName(
-                    sess.read.parquet(os.path.join(root, f"seg_v{v}"))
+                    sess.read.parquet(fs.join(root, f"seg_v{v}"))
                 )
         batch_postings.write.mode("overwrite").parquet(seg_path)
         # derive the batch df from the JUST-WRITTEN segment: one scan,
@@ -966,14 +1043,14 @@ def make_index_merge(root: str, compact_every: int | None = None):
         day_df = seg.groupBy("word").agg(F.count("*").alias("df_new"))
         day_n = corpus.agg(F.countDistinct("doc").alias("nx_new"))
 
-        df_path = os.path.join(root, f"df_v{batch_id}")
-        n_path = os.path.join(root, f"n_v{batch_id}")
+        df_path = fs.join(root, f"df_v{batch_id}")
+        n_path = fs.join(root, f"n_v{batch_id}")
         if parent is None:
             merged_df = day_df.select("word", F.col("df_new").alias("dfx"))
             merged_n = day_n.select(F.col("nx_new").alias("nx"))
         else:
-            prev_df = sess.read.parquet(os.path.join(root, f"df_v{parent}"))
-            prev_n = sess.read.parquet(os.path.join(root, f"n_v{parent}"))
+            prev_df = sess.read.parquet(fs.join(root, f"df_v{parent}"))
+            prev_n = sess.read.parquet(fs.join(root, f"n_v{parent}"))
             merged_df = (
                 prev_df.withColumnRenamed("dfx", "df_old")
                 .join(day_df, "word", "full_outer")
@@ -993,35 +1070,26 @@ def make_index_merge(root: str, compact_every: int | None = None):
         merged_df.write.mode("overwrite").parquet(df_path)
         merged_n.write.mode("overwrite").parquet(n_path)
 
-        mdir = os.path.join(root, "manifest")
-        os.makedirs(mdir, exist_ok=True)
-        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"parent": parent, "segment": True, "base": compacting},
-                fh,
-            )
-        os.replace(tmp, os.path.join(mdir, f"v{batch_id}"))
-        # reap superseded state AFTER the commit: a crash before this
-        # point replays as a no-op (entry committed) and the leftovers
-        # are unreferenced files, never a wrong read. df/N older than
-        # the parent are unreachable (readers take the newest version;
-        # a replayed batch's parent is the newest committed below it),
-        # so the live state is bounded: <= compact_every segments + two
-        # df/N generations, however long the stream runs.
+        fs.makedirs(fs.join(root, "manifest"), sess)
+        entry = json.dumps(
+            {"parent": parent, "segment": True, "base": compacting}
+        )
+        fs.put_text_exclusive(
+            fs.join(root, "manifest", f"v{batch_id}"), entry, sess
+        )
+        # reap stale df/N AFTER the commit: a crash before this point
+        # replays as a no-op (entry committed) and the leftovers are
+        # unreferenced files, never a wrong read — and any leak here is
+        # healed by the next compaction's sweep. df/N older than the
+        # parent are unreachable (readers take the newest version; a
+        # replayed batch's parent is the newest committed below it).
+        # Segments are NOT reaped here: a compaction's superseded chain
+        # survives as the grace generation until the next compacting
+        # batch sweeps it (see the factory docstring).
         for v in committed:
             if v < (parent if parent is not None else -1):
-                shutil.rmtree(
-                    os.path.join(root, f"df_v{v}"), ignore_errors=True
-                )
-                shutil.rmtree(
-                    os.path.join(root, f"n_v{v}"), ignore_errors=True
-                )
-        if compacting:
-            for v in _segment_chain(committed, parent):
-                shutil.rmtree(
-                    os.path.join(root, f"seg_v{v}"), ignore_errors=True
-                )
+                fs.delete_recursive(fs.join(root, f"df_v{v}"), sess)
+                fs.delete_recursive(fs.join(root, f"n_v{v}"), sess)
 
     return merge
 
@@ -1047,20 +1115,30 @@ def read_merged_index(spark: SparkSession, root: str) -> DataFrame:
     from an uncommitted crash are skipped by construction), read the
     current df/N, and reuse the batch scorer — the serving relation is
     a pure function of the maintained tables, exactly like the batch
-    promoted chain."""
-    import os
+    promoted chain.
 
+    Read contract on a LIVE stream: the returned DataFrame scans its
+    version's files lazily, and the merge reaps superseded state — but
+    only at compacting batches, and always one full compaction
+    generation late (the grace window in ``_sweep_index_root``). A
+    reader therefore stays valid until TWO compactions land after it
+    resolved; read after ``awaitTermination`` (as every in-repo caller
+    does) or re-resolve within that window."""
     from ..operators.tfidf import score_index
+    from ..sources import fs
 
-    committed = _index_manifest_versions(root)
-    assert committed, "no micro-batch committed an index version"
+    committed = _index_manifest_versions(root, spark)
+    if not committed:
+        raise RuntimeError(
+            f"no micro-batch committed an index version under {root!r}"
+        )
     cur = max(committed)
     segs = [
-        spark.read.parquet(os.path.join(root, f"seg_v{v}"))
+        spark.read.parquet(fs.join(root, f"seg_v{v}"))
         for v in _segment_chain(committed, cur)
     ]
-    dfx = spark.read.parquet(os.path.join(root, f"df_v{cur}"))
-    n = spark.read.parquet(os.path.join(root, f"n_v{cur}"))
+    dfx = spark.read.parquet(fs.join(root, f"df_v{cur}"))
+    n = spark.read.parquet(fs.join(root, f"n_v{cur}"))
     return score_index(segs, dfx, n)
 
 
