@@ -585,16 +585,26 @@ def test_compacted_chain_flat_plan_and_files(spark, sf_dir, model_dir_env):
 
     summary = compact_index(spark, sf_dir, upto_day=5, n_days=5, prune=True)
     assert summary["segments_before"] == 6
-    assert summary["ancestors_pruned"] >= 3 + 3 * 5  # base + 5 day triples
+    assert summary["ancestors_pruned"] == 3 * 5  # 5 day triples, base KEPT
     assert summary["files_after"] < summary["files_before"]
 
     state_c, segs_c = plan_scans(5, 5)
     assert segs_c == 1  # one clean bucketed table, day count invisible
     assert sorted(map(tuple, score_index(*state_c).collect())) == expected
-    # the postings family now holds ONLY the compacted artifact
+    # the postings family holds the compacted artifact AND the shared
+    # base (ADVICE r10: siblings like tfidf_incremental_persisted serve
+    # the base-key tables outside the chain — compact must not evict it)
+    from tf_idf_mapreduce_spark.sources.model_store import (
+        key_hash,
+        live_table_dir,
+    )
+
+    base_key = _index_store_key(spark, sf_dir)
     fam = os.path.join(model_dir_env, "tfidf_index_postings")
     live = [h for h in os.listdir(fam) if not h.startswith(".")]
-    assert len(live) == 1
+    assert len(live) == 2
+    assert key_hash(base_key) in live
+    assert live_table_dir("tfidf_index_postings", base_key, spark)
 
 
 def test_models_compact_cli(sf_dir, model_dir_env, monkeypatch, capsys):

@@ -209,7 +209,8 @@ def _models_main(argv: list[str]) -> int:
       cold-path clear, manually).
     - ``compact --sf-dir D [--days N]``: merge the promoted TF-IDF
       index chain's postings segments into one clean bucketed table and
-      prune the superseded ancestors (``operators.tfidf.compact_index``).
+      prune the superseded per-day chain artifacts; the shared base
+      index stays (siblings serve it) — ``operators.tfidf.compact_index``.
     - ``refit --sf-dir D``: evaluate the ANN drift report and, on a
       REFIT verdict, bump the quantizer generation — re-keying the
       centroids/codebooks/code-table/disposition cascade

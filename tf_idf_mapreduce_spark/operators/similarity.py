@@ -549,16 +549,17 @@ def quantizer_generation(spark: SparkSession, sf_dir: str) -> int:
     again — the same staleness-by-construction the hyperparameter-keyed
     store already guarantees, extended to index lifecycle."""
     import json
-    import os
 
+    from ..sources import fs
     from ..sources.model_store import model_dir
 
     g = _GEN_SESSION.get(sf_dir, 0)
     d = model_dir("ivf_generation", (sf_dir,), spark)
     if d is not None:
         try:
-            with open(os.path.join(d, "gen.json")) as f:
-                g = max(g, int(json.load(f)["generation"]))
+            text = fs.read_text(fs.join(d, "gen.json"), spark)
+            if text:
+                g = max(g, int(json.loads(text)["generation"]))
         except (OSError, ValueError, KeyError):
             pass
     return g
@@ -566,9 +567,8 @@ def quantizer_generation(spark: SparkSession, sf_dir: str) -> int:
 
 def _bump_quantizer_generation(spark: SparkSession, sf_dir: str) -> int:
     import json
-    import os
-    import uuid
 
+    from ..sources import fs
     from ..sources.model_store import _mark_root, model_dir, store_root
 
     new = quantizer_generation(spark, sf_dir) + 1
@@ -577,11 +577,12 @@ def _bump_quantizer_generation(spark: SparkSession, sf_dir: str) -> int:
     if d is not None:
         try:
             _mark_root(store_root(spark))
-            os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                json.dump({"generation": new}, f)
-            os.replace(tmp, os.path.join(d, "gen.json"))
+            fs.makedirs(d, spark)
+            # atomic single-file overwrite (scheme-dispatched: a plain
+            # PUT on object stores — sources.fs, round-10 verdict #1)
+            fs.put_text_atomic(
+                fs.join(d, "gen.json"), json.dumps({"generation": new}), spark
+            )
         except OSError:
             pass  # read-only store: the session fallback carries it
     return new

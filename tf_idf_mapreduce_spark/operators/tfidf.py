@@ -687,8 +687,10 @@ def compact_index(
     #7): rewrite the current version's postings segments (base + one per
     promoted day, each carrying its own small files) into ONE clean
     word-bucketed table, persist the derived df/N beside it, and —
-    optionally — prune every ancestor artifact the compacted state
-    supersedes. After compaction an N-day chain's serving plan scans ONE
+    optionally — prune the per-day CHAIN artifacts the compacted state
+    supersedes (the shared base-key tables are kept: sibling queries
+    serve from them outside the chain — see the prune block below).
+    After compaction an N-day chain's serving plan scans ONE
     postings table regardless of N, and the store's file count stays
     flat instead of accreting a segment per day. The compacted relation
     is provably identical: postings union is row-disjoint (each doc
@@ -731,13 +733,16 @@ def compact_index(
 
     pruned = 0
     if prune:
-        # ancestors the compacted state supersedes: the base tables and
-        # every per-day segment/df/N at or below the compaction point
-        victims = [
-            ("tfidf_index_postings", key),
-            ("tfidf_index_df", key),
-            ("tfidf_index_n", key),
-        ]
+        # ancestors the compacted state supersedes: every per-day
+        # segment/df/N at or below the compaction point. The BASE-key
+        # tables are NOT victims (ADVICE r10): they are not chain
+        # artifacts — persisted_index consumers (tfidf_incremental_
+        # persisted, the e2e queries) serve from them directly, and
+        # pruning them would silently push those siblings into a
+        # corpus-sized rebuild on their next cold run. The base ages
+        # out via `models prune` like any other artifact if its
+        # consumers really are gone.
+        victims = []
         for k in range(1, upto_day + 1):
             victims += [
                 ("tfidf_index_postings", key + ("chain", n_days, "day", k)),
