@@ -755,3 +755,103 @@ def test_crashed_probe_file_does_not_poison_artifact(spark, model_dir_env):
     assert o == "store" and t.count() == 25
     t2, o2 = load_or_compute_table("poison_table", key, spark, lambda: 1 / 0)
     assert o2 == "store" and t2.count() == 25
+
+
+def test_verify_store_reports_lifecycle_states(
+    spark, model_dir_env, monkeypatch, capsys
+):
+    """Round-10 verdict #6: `models verify` — a read-only audit over a
+    deliberately corrupted store copy must classify every artifact
+    state the lifecycle can produce (live / torn / orphaned / legacy /
+    empty) and list the reap-safe leftovers, without modifying a single
+    file."""
+    import json
+
+    from tf_idf_mapreduce_spark.cli import main
+    from tf_idf_mapreduce_spark.sources.model_store import (
+        CURRENT_MARKER,
+        load_or_compute_table,
+        load_or_fit_pdf,
+        verify_store,
+    )
+
+    def mk(name, n):
+        import pandas as pd
+
+        return load_or_fit_pdf(
+            name, (name, n), lambda: pd.DataFrame({"x": range(n)}), spark
+        )
+
+    # healthy artifacts: one pdf family, one Spark table family
+    mk("aud_pdf", 3)
+    load_or_compute_table(
+        "aud_tbl", ("t",), spark, lambda: spark.range(5).toDF("id")
+    )
+
+    root = model_dir_env
+    fams = {f for f in os.listdir(root) if not f.startswith(".")}
+    assert {"aud_pdf", "aud_tbl"} <= fams
+
+    def art_dir(fam):
+        (h,) = [x for x in os.listdir(os.path.join(root, fam))]
+        return os.path.join(root, fam, h)
+
+    # corruption 1: TORN — the marker names a version that is gone
+    mk("aud_torn", 2)
+    d = art_dir("aud_torn")
+    cur = open(os.path.join(d, CURRENT_MARKER)).read().strip()
+    os.remove(os.path.join(d, cur))
+    # corruption 2: ORPHANED — staged version, marker never landed
+    mk("aud_orphan", 2)
+    d = art_dir("aud_orphan")
+    os.remove(os.path.join(d, CURRENT_MARKER))
+    # corruption 3: stale staging beside a live marker (a loser whose
+    # cleanup failed) + a commit tmp leftover
+    d = art_dir("aud_pdf")
+    with open(os.path.join(d, "data-deadbeef.parquet"), "w") as f:
+        f.write("stale")
+    with open(os.path.join(d, ".tmp-abc"), "w") as f:
+        f.write("torn tmp")
+    # corruption 4: legacy pointer artifact + an empty dir
+    os.makedirs(os.path.join(root, "aud_legacy", "k1"))
+    with open(os.path.join(root, "aud_legacy", "k1", "gen.json"), "w") as f:
+        json.dump({"generation": 2}, f)
+    os.makedirs(os.path.join(root, "aud_empty", "k2"))
+
+    before = sorted(
+        (os.path.join(dp, f), os.stat(os.path.join(dp, f)).st_mtime_ns)
+        for dp, _dn, fns in os.walk(root)
+        for f in fns
+    )
+    rep = verify_store(spark)
+    by_fam = {a["family"]: a for a in rep["artifacts"]}
+    assert by_fam["aud_tbl"]["state"] == "live"
+    assert by_fam["aud_torn"]["state"] == "torn"
+    assert by_fam["aud_orphan"]["state"] == "orphaned"
+    assert by_fam["aud_legacy"]["state"] == "legacy"
+    assert by_fam["aud_empty"]["state"] == "empty"
+    assert by_fam["aud_pdf"]["state"] == "live"
+    assert by_fam["aud_pdf"]["n_staged_unreachable"] == 1
+    reap = set(rep["reap_candidates"])
+    assert os.path.join(art_dir("aud_pdf"), "data-deadbeef.parquet") in reap
+    assert os.path.join(art_dir("aud_pdf"), ".tmp-abc") in reap
+    # the live version is never a reap candidate
+    assert not any(p.endswith(by_fam["aud_pdf"]["live_version"] or "·") for p in reap)
+    # read-only: byte-for-byte nothing changed
+    after = sorted(
+        (os.path.join(dp, f), os.stat(os.path.join(dp, f)).st_mtime_ns)
+        for dp, _dn, fns in os.walk(root)
+        for f in fns
+    )
+    assert after == before
+
+    # the CLI verb renders the same report
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", root)
+    rc = main(["models", "verify"])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "TORN\taud_torn" in outp
+    assert "ORPHANED\taud_orphan" in outp
+    assert "LEGACY\taud_legacy" in outp
+    assert "EMPTY\taud_empty" in outp
+    assert "REAPABLE" in outp and "torn" in outp.splitlines()[-1]

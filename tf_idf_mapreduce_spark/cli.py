@@ -211,6 +211,10 @@ def _models_main(argv: list[str]) -> int:
       index chain's postings segments into one clean bucketed table and
       prune the superseded per-day chain artifacts; the shared base
       index stays (siblings serve it) — ``operators.tfidf.compact_index``.
+    - ``verify [--root R]``: read-only integrity audit — walk the root
+      and report each artifact's lifecycle state (live / torn /
+      orphaned-by-crash / legacy / empty) plus reap-safe leftovers
+      (``sources.model_store.verify_store``).
     - ``refit --sf-dir D``: evaluate the ANN drift report and, on a
       REFIT verdict, bump the quantizer generation — re-keying the
       centroids/codebooks/code-table/disposition cascade
@@ -234,7 +238,7 @@ def _models_main(argv: list[str]) -> int:
     )
     p.add_argument(
         "action",
-        choices=("ls", "prune", "drop", "compact", "refit", "promote"),
+        choices=("ls", "prune", "drop", "compact", "refit", "promote", "verify"),
     )
     p.add_argument("families", nargs="*", help="model families (drop)")
     p.add_argument(
@@ -331,6 +335,30 @@ def _models_main(argv: list[str]) -> int:
                 f"KEEP: no drifted cells past threshold (generation stays "
                 f"{s['old_generation']})"
             )
+        return 0
+    if args.action == "verify":
+        from .sources.model_store import verify_store
+
+        rep = verify_store(root=root)
+        c = rep["counts"]
+        for a in rep["artifacts"]:
+            if a["state"] != "live":
+                print(
+                    f"{a['state'].upper()}\t{a['family']}\t{a['key_hash']}"
+                    + (
+                        f"\t({a['n_staged_unreachable']} staged)"
+                        if a["n_staged_unreachable"]
+                        else ""
+                    )
+                )
+        for p_ in rep["reap_candidates"]:
+            print(f"REAPABLE\t{p_}")
+        print(
+            f"{sum(c.values())} artifact(s) under {rep['root']}: "
+            f"{c['live']} live, {c['legacy']} legacy, {c['torn']} torn, "
+            f"{c['orphaned']} orphaned, {c['empty']} empty; "
+            f"{len(rep['reap_candidates'])} reap candidate(s)"
+        )
         return 0
     if args.action == "prune":
         removed = prune_models(max_age_days=args.max_age_days)

@@ -497,3 +497,93 @@ def prune_models(max_age_days: float = 30.0, spark=None, *, now: float | None = 
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1
     return removed
+
+
+def verify_store(spark=None, root: str | None = None) -> dict:
+    """Read-only integrity audit of a store root — the ops-loop closer
+    for the lifecycle verbs (`models promote|compact|refit` create real
+    artifact states; this verb reports them without touching anything).
+
+    Every artifact directory (``<root>/<family>/<key_hash>``) is
+    classified into exactly one state:
+
+    - ``live``: ``_CURRENT`` resolves to an existing version — serving.
+    - ``torn``: ``_CURRENT`` exists but names a missing version (crash
+      mid-promote, manual damage). Healed by overwrite on the artifact's
+      next write; unservable until then.
+    - ``orphaned``: staged versions (``v-*`` dirs / ``data-*`` files)
+      with no ``_CURRENT`` — a writer crashed between staging and
+      promote. No reader ever resolves these; the next writer heals.
+    - ``legacy``: no ``_CURRENT`` but readable pre-manifest data (bare
+      ``data.parquet`` / parquet dir / pointer files like ``gen.json``)
+      — still served read-only.
+    - ``empty``: a directory with nothing servable or staged.
+
+    Independent of the state, ``reap_candidates`` collects versions and
+    leftovers nothing can reach: staged versions other than the live
+    one (a loser whose cleanup failed, or any staging beside a live
+    marker), ``.tmp-*`` commit leftovers and ``.probe-*`` writability
+    probes. Reaping them is always safe — the live version is named by
+    the manifest, never inferred.
+
+    Returns ``{"root", "artifacts": [...], "counts": {...},
+    "reap_candidates": [...]}``; the CLI verb ``models verify`` renders
+    it. Never writes, so it is safe against a production root."""
+    root = root if root is not None else store_root(spark)
+    report: dict = {
+        "root": root,
+        "artifacts": [],
+        "counts": {
+            "live": 0, "torn": 0, "orphaned": 0, "legacy": 0, "empty": 0,
+        },
+        "reap_candidates": [],
+    }
+    if root is None or not os.path.isdir(root):
+        return report
+    for fam in sorted(os.listdir(root)):
+        famdir = os.path.join(root, fam)
+        if not os.path.isdir(famdir):
+            continue  # the STORE_MARKER and any stray file
+        for h in sorted(os.listdir(famdir)):
+            d = os.path.join(famdir, h)
+            if not os.path.isdir(d):
+                continue
+            entries = os.listdir(d)
+            cur = _read_current(d)
+            staged = [
+                e for e in entries
+                if e.startswith(("v-", "data-")) and e != cur
+            ]
+            leftovers = [
+                e for e in entries
+                if e.startswith((".tmp-", ".probe-", "_CURRENT.tmp-"))
+            ]
+            if cur is not None:
+                state = "live" if os.path.exists(os.path.join(d, cur)) else "torn"
+                # beside a live/torn marker, every non-current staging
+                # is unreachable — reap-safe
+                report["reap_candidates"] += [
+                    os.path.join(d, e) for e in staged
+                ]
+            elif staged:
+                state = "orphaned"
+            elif any(
+                not e.startswith((".", "_")) for e in entries
+            ):
+                state = "legacy"
+            else:
+                state = "empty"
+            report["reap_candidates"] += [
+                os.path.join(d, e) for e in leftovers
+            ]
+            report["counts"][state] += 1
+            report["artifacts"].append(
+                {
+                    "family": fam,
+                    "key_hash": h,
+                    "state": state,
+                    "live_version": cur if state == "live" else None,
+                    "n_staged_unreachable": len(staged),
+                }
+            )
+    return report
