@@ -282,3 +282,34 @@ def test_models_promote_cli(sf_dir, tmp_path, monkeypatch, capsys):
     out2 = capsys.readouterr().out
     assert "4 postings segment(s) live, origin store" in out2
     assert len(os.listdir(os.path.join(root, "tfidf_index_postings"))) == 4
+
+
+def test_cli_query_register_sql_over_result_view(sf_dir, capsys, spark):
+    """Round-10 verdict #8: `query <name> --register --sql` gives SQL
+    users one documented path over the full surface — the query's
+    OUTPUT becomes a temp view beside the base fixture tables, and the
+    --sql statement composes them without touching the Python API."""
+    rc = main(
+        [
+            "query", "tfidf_full", "--sf-dir", sf_dir, "--register",
+            "--sql",
+            "SELECT d.source, count(*) AS n "
+            "FROM tfidf_full t JOIN documents d "
+            "ON t.doc = cast(d.doc_id AS string) "
+            "GROUP BY d.source ORDER BY n DESC LIMIT 3",
+        ]
+    )
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "source" in outp and "src" in outp
+    # the view persists in this process — spark.sql sees it directly
+    assert spark.sql("SELECT count(*) c FROM tfidf_full").head()["c"] > 1000
+
+    # --register without --sql just registers and says so
+    rc = main(["query", "tfidf_top30", "--sf-dir", sf_dir, "--register"])
+    assert rc == 0
+    assert "registered temp view 'tfidf_top30'" in capsys.readouterr().out
+    assert spark.sql("SELECT count(*) c FROM tfidf_top30").head()["c"] == 30
+
+    # --sql alone is a usage error
+    assert main(["query", "tfidf_full", "--sf-dir", sf_dir, "--sql", "SELECT 1"]) == 2

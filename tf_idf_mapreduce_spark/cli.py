@@ -165,6 +165,23 @@ def _query_main(argv: list[str]) -> int:
     )
     p.add_argument("--force", action="store_true", help="overwrite existing output")
     p.add_argument("--master", default=None, help="Spark master (default local[N])")
+    p.add_argument(
+        "--register",
+        action="store_true",
+        help=(
+            "register the result as a temp view named after the query "
+            "(plus the base fixture tables), then run --sql against it"
+        ),
+    )
+    p.add_argument(
+        "--sql",
+        default=None,
+        help=(
+            "with --register: an ANSI SQL statement to run over the "
+            "registered view, e.g. \"SELECT doc, sum(tfidf) s FROM "
+            "tfidf_full GROUP BY doc ORDER BY s DESC LIMIT 5\""
+        ),
+    )
     args = p.parse_args(argv[1:])
 
     # the registry lives at the repo root next to this package; make the
@@ -184,10 +201,35 @@ def _query_main(argv: list[str]) -> int:
         return 2
     if args.out and not _check_out(args.out, args.force):
         return 1
+    if args.sql and not args.register:
+        print("--sql requires --register", file=sys.stderr)
+        return 2
     spark = get_spark(app_name=f"query-{args.name}", master=args.master)
     df = qs[args.name](spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
+        return 0
+    if args.register:
+        # one documented spark.sql path over the whole surface (round-10
+        # verdict #8): the query's OUTPUT becomes a temp view named after
+        # it, beside the base fixture tables — so SQL users compose over
+        # served results (the promoted index, a dedup disposition)
+        # without knowing the Python API
+        from .sources.io import register_views
+
+        register_views(spark, args.sf_dir)
+        df.createOrReplaceTempView(args.name)
+        if args.sql:
+            res = spark.sql(args.sql)
+            if args.out:
+                res.write.mode("overwrite").parquet(args.out)
+            else:
+                res.show(args.limit, truncate=False)
+        else:
+            print(
+                f"registered temp view {args.name!r} plus the base tables"
+                " — pass --sql to query them in this process"
+            )
         return 0
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
