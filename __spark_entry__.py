@@ -6577,6 +6577,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # admitted slice -> PROMOTE into the store -> serve from
         # parquet (warm plan: zero documents AND zero screen scans)
         "tfidf_e2e_promoted": incremental_e2e_promoted,
+        # round 11: TIME TRAVEL over the streamed index — a
+        # non-compacting drain retains every committed version as a
+        # complete immutable state; the read pins version 2 and must
+        # reconstruct that past index exactly (plain-parquet VERSION
+        # AS OF)
+        "stream_tfidf_index_asof": st.q_stream_tfidf_index_asof,
     }
 
 
@@ -6757,4 +6763,12 @@ def oracle_sql() -> dict[str, str]:
     # the promoted day must land on the in-lineage e2e relation — the
     # store write-back is invisible in the rows
     out["tfidf_e2e_promoted"] = out["tfidf_incremental_e2e"]
+    # AS-OF (time-travel) read of the streamed index pinned at version
+    # 2 of a deterministic mod-4 drain: must equal the one-shot build
+    # over ONLY the docs of batches 0..2 — a past state reconstructed
+    # exactly from the manifest's parent pointers + per-version df/N
+    out["stream_tfidf_index_asof"] = _TOKENS_CTE.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 4 <= 2) AS documents",
+    ) + 'SELECT word, doc, "count", doc_total, df, tfidf FROM scored'
     return out

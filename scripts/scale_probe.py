@@ -2,7 +2,7 @@
 """Measured evidence for the 100 TB design claims (round-4 verdict #1,
 extended every round since).
 
-Fourteen probes, each 10-2000x the sf0.1 fixture's row counts, all
+Fifteen probes, each 10-2000x the sf0.1 fixture's row counts, all
 deterministic (hash-derived randomness — no RNG state, no seeds to
 coordinate). Results go to stdout and SCALE_PROBE.md.
 
@@ -20,6 +20,7 @@ P11 the flagship TF-IDF chain at 1-10M docs + range-sort sampling
 P12 durable-store amortization (index fold + screen table) at 0.3-3M docs
 P13 persisted fold's word-keyed joins under Zipf s=2 (bucketed SMJ vs broadcast)
 P14 promoted N-day chain vs in-lineage chain (+ compaction) at 0.3-1M docs
+P15 streaming index merge: per-batch cost + compaction amortization on a long drain
 
 Scratch parquet lives under /tmp and is removed at exit. Run the full
 set via scripts/scale_probe_all.sh (one fresh JVM per section).
@@ -1584,6 +1585,156 @@ def probe_promoted_chain(spark: SparkSession, quick: bool) -> None:
     emit()
 
 
+def probe_stream_merge(spark: SparkSession, quick: bool) -> None:
+    """P15 (round-11 verdict #7): the streaming index merge's cost curve,
+    measured instead of asserted. Claims under test: (a) a NON-compacting
+    micro-batch's merge cost is FLAT in stream length — each batch
+    tokenizes only its slice and full-outer-merges the vocabulary-sized
+    df against the parent's parquet, never re-reading old segments; (b)
+    the compaction spike is bounded by the folded chain (<= compact_every
+    segments) and amortizes over the cycle; (c) live state stays bounded
+    on a long drain: <= 2*compact_every segments (live + one grace
+    generation) and O(compact_every) manifest files, however many batches
+    ran. Timing is inside ``foreachBatch`` — the availableNow scheduling
+    floor (~1s/trigger) is the harness's, not the merge's.
+    """
+    import tempfile
+
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        _index_manifest_versions,
+        make_index_merge,
+        read_merged_index,
+    )
+
+    emit("## P15 — streaming index merge: per-batch cost on a long drain")
+    emit()
+    emit(
+        "| docs | batches | compact_every | merge s first-3 | merge s "
+        "last-3 | max spike s | spikes amortized s/batch | segs on disk "
+        "| manifest files | serve s |"
+    )
+    emit("|---|---|---|---|---|---|---|---|---|---|")
+    cases = [(600_000, 20, 4), (600_000, 20, 8)]
+    if quick:
+        cases = [(300_000, 12, 4)]
+    for n_docs, n_batches, ce in cases:
+        sf_tmp = tempfile.mkdtemp(prefix="p15_sf_")
+        root = tempfile.mkdtemp(prefix="p15_root_")
+        ckpt = tempfile.mkdtemp(prefix="p15_ckpt_")
+        for d in (sf_tmp, root, ckpt):
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+        wpd = 20
+        ids = spark.range(n_docs * wpd)
+        u = (
+            F.pmod(F.abs(F.xxhash64(F.col("id"), F.lit("w"))), F.lit(1_000_000))
+            / 1_000_000.0
+        )
+        rank = F.floor(F.pow(F.lit(50_000.0), u)).cast("long")
+        docs = (
+            ids.select(
+                (F.col("id") / wpd).cast("long").alias("doc_id"),
+                F.translate(
+                    rank.cast("string"), "0123456789", "abcdefghij"
+                ).alias("word"),
+            )
+            .groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.collect_list("word")).alias("text"))
+        )
+        split = os.path.join(sf_tmp, "split")
+        docs.repartitionByRange(n_batches, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(split)
+
+        # warm the JVM/codegen shapes the merge uses (tokenize + agg +
+        # parquet write) so batch 0 prices the MERGE, not first-use
+        # compilation — the same reason _timed's callers pre-warm inputs
+        from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+        from tf_idf_mapreduce_spark.operators.tfidf import (
+            doc_totals,
+            word_count,
+        )
+        from tf_idf_mapreduce_spark.sources.io import documents_as_corpus
+
+        warm_dir = os.path.join(sf_tmp, "warm")
+        doc_totals(
+            word_count(
+                tokenize(
+                    documents_as_corpus(
+                        spark.read.parquet(split).limit(5000)
+                    )
+                )
+            )
+        ).write.mode("overwrite").parquet(warm_dir)
+        spark.read.parquet(warm_dir).groupBy("word").agg(
+            F.count("*")
+        ).write.format("noop").mode("overwrite").save()
+
+        times: dict[int, float] = {}
+        inner = make_index_merge(root, compact_every=ce)
+
+        def merge(batch_df, batch_id, _inner=inner, _times=times):
+            t0 = time.time()
+            _inner(batch_df, batch_id)
+            _times[batch_id] = time.time() - t0
+
+        schema = spark.read.parquet(split).schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(split)
+        )
+        q = (
+            src.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        assert q.awaitTermination(1800)
+
+        def compacting(b: int) -> bool:
+            return b > 0 and b % ce == ce - 1
+
+        flat = [times[b] for b in sorted(times) if not compacting(b)]
+        spikes = [times[b] for b in sorted(times) if compacting(b)]
+        segs = len([x for x in os.listdir(root) if x.startswith("seg_v")])
+        mani = len(os.listdir(os.path.join(root, "manifest")))
+        t_serve = _timed(read_merged_index(spark, root))
+        committed = _index_manifest_versions(root)
+        assert max(committed) == n_batches - 1
+        emit(
+            f"| {n_docs:,} | {n_batches} | {ce} "
+            f"| {sum(flat[:3]) / 3:.2f} | {sum(flat[-3:]) / 3:.2f} "
+            f"| {max(spikes):.2f} | {sum(spikes) / n_batches:.2f} "
+            f"| {segs} (<= {2 * ce}) | {mani} | {t_serve:.2f} |"
+        )
+    emit()
+    emit(
+        "Reading: the non-compacting merge is FLAT in stream length — "
+        "the last-3 mean sits AT OR BELOW the first-3 mean (the "
+        "residual gap is batches 0-2 paying session warm-up on their "
+        "plan shapes; a growing cost curve would show the opposite "
+        "sign) because each batch's work is its own slice's tokenize + "
+        "a vocabulary-sized df full-outer merge against the parent's "
+        "PARQUET (df/N lineage never deepens: the parent state is "
+        "files, not plan). The "
+        "compaction spike scales with the folded chain — bounded by "
+        "compact_every — and amortized over the cycle it adds a "
+        "sub-linear constant per batch; larger compact_every trades a "
+        "rarer, taller spike for more live segments. State stays "
+        "bounded as designed: segments on disk never exceed "
+        "2*compact_every (live chain + one grace generation for "
+        "in-flight readers), the manifest holds O(compact_every) files "
+        "because entries below the newest base are pruned at each "
+        "compaction, and the serving read scans <= compact_every "
+        "segments + the current df/N whatever the stream length. The "
+        "same shape holds at 100 TB feed rates: per-batch cost is "
+        "|batch| + |vocab|, never |corpus|, and the only corpus-sized "
+        "work is the bounded compaction fold."
+    )
+    emit()
+
+
 PROBES = {
     "p1": probe_doc_freq,
     "p2": probe_lsh_buckets,
@@ -1599,6 +1750,7 @@ PROBES = {
     "p12": probe_store_amortization,
     "p13": probe_bucketed_fold_skew,
     "p14": probe_promoted_chain,
+    "p15": probe_stream_merge,
 }
 
 

@@ -883,3 +883,118 @@ def test_stream_index_merge_sweep_heals_orphans(spark, sf_dir, tmp_path):
     got = _rows(read_merged_index(spark, root), cols)
     want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
     assert got == want
+
+
+def test_index_asof_reads_reconstruct_each_version(spark, sf_dir, tmp_path):
+    """Time travel (round 11): on a non-compacting drain every committed
+    version stays readable, and ``read_merged_index(version=k)`` must
+    equal a batch TF-IDF build over exactly the docs of batches 0..k —
+    for EVERY k, not just the one the registry query pins. An unknown
+    version raises the explicit retention error."""
+    import pytest as _pytest
+
+    from tf_idf_mapreduce_spark.operators.tfidf import doc_freq, doc_totals, tfidf, word_count
+    from tf_idf_mapreduce_spark.functions.tokenize import tokenize
+    from tf_idf_mapreduce_spark.sources.io import documents_as_corpus
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        _corpus_split_mod4_dir,
+        make_index_merge,
+        read_merged_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = _corpus_split_mod4_dir(sf_dir, docs)
+    root = str(tmp_path / "asof_root")
+    ckpt = str(tmp_path / "ckpt_asof")
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split)
+    )
+    q = (
+        src.writeStream.foreachBatch(make_index_merge(root))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    cols = ["word", "doc", "count", "doc_total", "df", "tfidf"]
+    for k in range(4):
+        prefix = docs.where(F.pmod(F.col("doc_id"), F.lit(4)) <= k)
+        n = prefix.select(F.countDistinct("doc_id").alias("total_docs"))
+        scored = tfidf(
+            doc_freq(doc_totals(word_count(tokenize(
+                documents_as_corpus(prefix)
+            )))).crossJoin(F.broadcast(n)),
+            F.col("total_docs"),
+        ).select(
+            "word", "doc", "count", "doc_total", "df",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+        got = _rows(read_merged_index(spark, root, version=k), cols)
+        assert got == _rows(scored, cols), f"version {k} mismatch"
+    # newest == version 3 on this drain
+    assert _rows(read_merged_index(spark, root), cols) == got
+    with _pytest.raises(RuntimeError, match="not committed"):
+        read_merged_index(spark, root, version=99).collect()
+
+
+def test_verify_index_root_classifies_versions(tmp_path, capsys):
+    """The `models verify --index-root` audit over a hand-built root:
+    live chain members, retained (as-of readable) history, partial
+    versions (df/N reaped), and orphaned dirs with no manifest entry —
+    classified read-only from the manifest + directory listing alone."""
+    import json
+    import os
+
+    from tf_idf_mapreduce_spark.cli import main
+    from tf_idf_mapreduce_spark.streaming.queries import verify_index_root
+
+    root = str(tmp_path / "idx")
+    os.makedirs(os.path.join(root, "manifest"))
+
+    def commit(v, parent, base=False):
+        with open(os.path.join(root, "manifest", f"v{v}"), "w") as f:
+            json.dump({"parent": parent, "segment": True, "base": base}, f)
+
+    def plant(v, kinds):
+        for k in kinds:
+            os.makedirs(os.path.join(root, f"{k}_v{v}"), exist_ok=True)
+
+    # history: v0 (retained, fully present), v1 (partial: df/N reaped),
+    # base v2 + v3 = the live chain; v3 carries the current df/N
+    commit(0, None)
+    plant(0, ("seg", "df", "n"))
+    commit(1, 0)
+    plant(1, ("seg",))
+    commit(2, 1, base=True)
+    plant(2, ("seg",))
+    commit(3, 2)
+    plant(3, ("seg", "df", "n"))
+    # a crash orphan: data, no manifest entry
+    plant(7, ("seg", "df", "n"))
+
+    rep = verify_index_root(root)
+    assert rep["newest"] == 3
+    assert rep["versions"][0]["state"] == "retained"
+    assert rep["versions"][1]["state"] == "partial"
+    assert rep["versions"][2]["state"] == "live"  # chain member: seg is enough
+    assert rep["versions"][2]["base"] is True
+    assert rep["versions"][3]["state"] == "live"
+    assert rep["orphans"] == [7]
+    assert rep["counts"] == {"live": 2, "retained": 1, "partial": 1}
+
+    # the newest version missing its df is NOT servable -> partial
+    os.rmdir(os.path.join(root, "df_v3"))
+    assert verify_index_root(root)["versions"][3]["state"] == "partial"
+    os.makedirs(os.path.join(root, "df_v3"))
+
+    rc = main(["models", "verify", "--index-root", root])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "RETAINED\tv0" in outp
+    assert "PARTIAL\tv1" in outp
+    assert "ORPHANED\tv7" in outp
+    assert "newest v3" in outp and "2 live" in outp

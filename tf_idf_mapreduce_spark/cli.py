@@ -256,7 +256,10 @@ def _models_main(argv: list[str]) -> int:
     - ``verify [--root R]``: read-only integrity audit — walk the root
       and report each artifact's lifecycle state (live / torn /
       orphaned-by-crash / legacy / empty) plus reap-safe leftovers
-      (``sources.model_store.verify_store``).
+      (``sources.model_store.verify_store``). With ``--index-root D``
+      it audits a STREAMED-index root instead: per-version live /
+      retained (as-of readable) / partial / orphaned
+      (``streaming.queries.verify_index_root``).
     - ``refit --sf-dir D``: evaluate the ANN drift report and, on a
       REFIT verdict, bump the quantizer generation — re-keying the
       centroids/codebooks/code-table/disposition cascade
@@ -300,6 +303,13 @@ def _models_main(argv: list[str]) -> int:
     p.add_argument(
         "--max-age-days", type=float, default=30.0,
         help="prune artifacts whose newest file is older than this (default 30)",
+    )
+    p.add_argument(
+        "--index-root", default=None,
+        help=(
+            "verify: audit a STREAMED-index root (make_index_merge "
+            "state) instead of the model store"
+        ),
     )
     args = p.parse_args(argv[1:])
     if args.root is not None:
@@ -377,6 +387,27 @@ def _models_main(argv: list[str]) -> int:
                 f"KEEP: no drifted cells past threshold (generation stays "
                 f"{s['old_generation']})"
             )
+        return 0
+    if args.action == "verify" and args.index_root is not None:
+        from .streaming.queries import verify_index_root
+
+        rep = verify_index_root(args.index_root)
+        for v, meta in rep["versions"].items():
+            if meta["state"] != "live":
+                print(
+                    f"{meta['state'].upper()}\tv{v}\t"
+                    f"present={','.join(meta['present']) or '-'}"
+                    + ("\tbase" if meta["base"] else "")
+                )
+        for v in rep["orphans"]:
+            print(f"ORPHANED\tv{v} (no manifest entry — reap-safe)")
+        c = rep["counts"]
+        print(
+            f"index {rep['root']}: newest v{rep['newest']}, "
+            f"{c['live']} live, {c['retained']} retained (as-of "
+            f"readable), {c['partial']} partial, "
+            f"{len(rep['orphans'])} orphaned"
+        )
         return 0
     if args.action == "verify":
         from .sources.model_store import verify_store

@@ -1081,15 +1081,20 @@ def make_index_merge(root: str, compact_every: int | None = None):
         # replays as a no-op (entry committed) and the leftovers are
         # unreferenced files, never a wrong read — and any leak here is
         # healed by the next compaction's sweep. df/N older than the
-        # parent are unreachable (readers take the newest version; a
-        # replayed batch's parent is the newest committed below it).
-        # Segments are NOT reaped here: a compaction's superseded chain
-        # survives as the grace generation until the next compacting
-        # batch sweeps it (see the factory docstring).
-        for v in committed:
-            if v < (parent if parent is not None else -1):
-                fs.delete_recursive(fs.join(root, f"df_v{v}"), sess)
-                fs.delete_recursive(fs.join(root, f"n_v{v}"), sess)
+        # parent are unreachable to a NEWEST-version reader (a replayed
+        # batch's parent is the newest committed below it). The reap
+        # only runs in compacting mode: a non-compacting stream is the
+        # full-retention regime — every version stays a complete,
+        # immutable index state, so ``read_merged_index(version=...)``
+        # can time-travel to ANY batch. Segments are never reaped here
+        # in either mode: a compaction's superseded chain survives as
+        # the grace generation until the next compacting batch sweeps
+        # it (see the factory docstring).
+        if compact_every is not None:
+            for v in committed:
+                if v < (parent if parent is not None else -1):
+                    fs.delete_recursive(fs.join(root, f"df_v{v}"), sess)
+                    fs.delete_recursive(fs.join(root, f"n_v{v}"), sess)
 
     return merge
 
@@ -1109,13 +1114,25 @@ def _segment_chain(committed: dict, start) -> list:
     return out
 
 
-def read_merged_index(spark: SparkSession, root: str) -> DataFrame:
-    """Score the streamed index at its newest committed version: walk
-    the manifest's parent chain for the postings segments (orphan dirs
-    from an uncommitted crash are skipped by construction), read the
-    current df/N, and reuse the batch scorer — the serving relation is
-    a pure function of the maintained tables, exactly like the batch
-    promoted chain.
+def read_merged_index(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Score the streamed index at a committed version: walk the
+    manifest's parent chain for the postings segments (orphan dirs
+    from an uncommitted crash are skipped by construction), read that
+    version's df/N, and reuse the batch scorer — the serving relation
+    is a pure function of the maintained tables, exactly like the
+    batch promoted chain.
+
+    ``version=None`` serves the newest committed version. An explicit
+    ``version`` is an AS-OF (time-travel) read: the index exactly as
+    batch ``version`` left it — the manifest's parent pointers plus
+    append-only segments make every retained version a complete,
+    immutable index state. Retention bounds what "retained" means: a
+    non-compacting stream keeps every version forever (unbounded time
+    travel); with ``compact_every`` set, df/N generations below the
+    current parent and versions below the previous base are reaped, so
+    as-of reads reach roughly the last two compaction cycles.
 
     Read contract on a LIVE stream: the returned DataFrame scans its
     version's files lazily, and the merge reaps superseded state — but
@@ -1132,7 +1149,16 @@ def read_merged_index(spark: SparkSession, root: str) -> DataFrame:
         raise RuntimeError(
             f"no micro-batch committed an index version under {root!r}"
         )
-    cur = max(committed)
+    if version is None:
+        cur = max(committed)
+    elif version in committed:
+        cur = version
+    else:
+        raise RuntimeError(
+            f"version {version} is not committed under {root!r} (have "
+            f"{sorted(committed)}; older versions may have aged past "
+            f"the compaction retention window)"
+        )
     segs = [
         spark.read.parquet(fs.join(root, f"seg_v{v}"))
         for v in _segment_chain(committed, cur)
@@ -1181,3 +1207,156 @@ def q_stream_tfidf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return read_merged_index(spark, root)
+
+
+_MOD4_SPLIT_CACHE: dict[str, str] = {}
+
+
+def _corpus_split_mod4_dir(sf_dir: str, docs: DataFrame) -> str:
+    """A DETERMINISTIC 4-file corpus split for as-of oracles: file k
+    holds exactly the docs with ``doc_id % 4 == k`` (range splits
+    sample, so their membership isn't SQL-expressible), written with
+    strictly ascending mtimes so the file-stream source's
+    oldest-first pickup makes batch k == slice k on every run."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    cached = _MOD4_SPLIT_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    split_dir = tempfile.mkdtemp(prefix="stream_split_mod4_")
+    t0 = time.time() - 400
+    for b in range(4):
+        staging = tempfile.mkdtemp(prefix="mod4_stage_")
+        (
+            docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        dst = os.path.join(split_dir, f"b{b}.parquet")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (t0 + b * 60, t0 + b * 60))
+        shutil.rmtree(staging, ignore_errors=True)
+    if not _MOD4_SPLIT_CACHE:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _MOD4_SPLIT_CACHE.values()
+            ]
+        )
+    _MOD4_SPLIT_CACHE[sf_dir] = split_dir
+    return split_dir
+
+
+def q_stream_tfidf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the streamed index: the corpus drains in four
+    deterministic micro-batches (batch k = docs with doc_id % 4 == k)
+    into a NON-compacting merge — the full-retention regime, where every
+    committed version stays a complete immutable index state — and the
+    serving read pins ``version=2``: the index exactly as the third
+    micro-batch left it, ignoring everything batch 3 merged afterwards.
+
+    The oracle is the one-shot TF-IDF build over ONLY the docs of
+    batches 0..2 (``doc_id % 4 <= 2``) — so the as-of read is proven to
+    reconstruct a PAST state exactly, not approximately: parent-pointer
+    manifest + append-only segments + per-version df/N are a complete
+    snapshot history, the streaming twin of the batch store's versioned
+    promotion (and the plain-parquet analogue of Delta/Iceberg
+    ``VERSION AS OF``)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_dir = _corpus_split_mod4_dir(sf_dir, docs)
+    root = tempfile.mkdtemp(prefix="stream_tfidf_asof_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_idx_asof_")
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split_dir)
+    )
+    try:
+        query = (
+            src.writeStream.foreachBatch(make_index_merge(root))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        if not query.awaitTermination(300):
+            query.stop()
+            raise TimeoutError("stream_tfidf_index_asof still running after 300s")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return read_merged_index(spark, root, version=2)
+
+
+def verify_index_root(root: str, spark=None) -> dict:
+    """Read-only integrity audit of a streamed-index root — the
+    ``models verify`` twin for ``make_index_merge`` state (the store
+    audit walks artifact families; this walks one index's manifest +
+    version dirs). Classification:
+
+    - ``live``: versions on the newest committed version's chain plus
+      its df/N pair — what ``read_merged_index()`` serves.
+    - ``retained``: committed versions off the live chain that are
+      still fully present — as-of readable (the grace generation on a
+      compacting stream; all history on a non-compacting one).
+    - ``partial``: committed versions missing some of their data dirs
+      (df/N reaped by a later batch, or segments swept) — as-of reads
+      of these versions would fail; expected state on a compacting
+      stream, a damage signal on a non-compacting one.
+    - ``orphaned``: version dirs on disk whose id has NO manifest entry
+      (a crash between data write and commit, or a pruned entry whose
+      sweep was deferred) — reap-safe, healed by the next compaction's
+      sweep.
+
+    Never writes. Returns ``{"root", "versions": {...}, "counts",
+    "newest", "orphans": [...]}``."""
+    import re as _re
+
+    from ..sources import fs
+
+    committed = _index_manifest_versions(root, spark)
+    on_disk: dict[int, set] = {}
+    for name in fs.list_names(root, spark):
+        m = _re.match(r"^(seg|df|n)_v(\d+)$", name)
+        if m:
+            on_disk.setdefault(int(m.group(2)), set()).add(m.group(1))
+    out: dict = {
+        "root": root,
+        "newest": max(committed) if committed else None,
+        "versions": {},
+        "orphans": sorted(v for v in on_disk if v not in committed),
+        "counts": {"live": 0, "retained": 0, "partial": 0},
+    }
+    if not committed:
+        return out
+    cur = max(committed)
+    live = set(_segment_chain(committed, cur))
+    for v in sorted(committed):
+        have = on_disk.get(v, set())
+        if v == cur:
+            # the newest version serves its chain's segs + ITS df/N
+            state = "live" if {"seg", "df", "n"} <= have else "partial"
+        elif v in live:
+            # an older chain member: serving needs only its segment
+            state = "live" if "seg" in have else "partial"
+        else:
+            # off the live chain: as-of readable iff fully present
+            state = "retained" if {"seg", "df", "n"} <= have else "partial"
+        out["versions"][v] = {
+            "state": state,
+            "present": sorted(have),
+            "base": bool(committed[v].get("base")),
+        }
+        out["counts"][state] += 1
+    return out
