@@ -6583,6 +6583,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reconstruct that past index exactly (plain-parquet VERSION
         # AS OF)
         "stream_tfidf_index_asof": st.q_stream_tfidf_index_asof,
+        # ... and the VERSION DIFF over the same retained history:
+        # per-word df delta between versions 3 and 2 — two vocab-sized
+        # reads + one word join, no corpus scan (the merge-review
+        # relation an operator checks before promoting readers)
+        "stream_tfidf_index_diff": st.q_stream_tfidf_index_diff,
     }
 
 
@@ -6771,4 +6776,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents",
         "FROM (SELECT * FROM documents WHERE doc_id % 4 <= 2) AS documents",
     ) + 'SELECT word, doc, "count", doc_total, df, tfidf FROM scored'
+    # the version diff's df delta per word is exactly the batch-3
+    # slice's distinct-doc count — a pure aggregate over the tokens
+    out["stream_tfidf_index_diff"] = _TOKENS_CTE + """
+    , per_word AS (
+      SELECT word,
+        CAST(count(DISTINCT doc) AS BIGINT) AS df_new,
+        CAST(count(DISTINCT CASE WHEN CAST(doc AS BIGINT) % 4 <= 2
+                                 THEN doc END) AS BIGINT) AS df_old
+      FROM tokens GROUP BY word
+    )
+    SELECT word, df_new, df_old, df_new - df_old AS df_delta
+    FROM per_word WHERE df_new <> df_old
+    """
     return out

@@ -1254,29 +1254,27 @@ def _corpus_split_mod4_dir(sf_dir: str, docs: DataFrame) -> str:
     return split_dir
 
 
-def q_stream_tfidf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TIME TRAVEL over the streamed index: the corpus drains in four
-    deterministic micro-batches (batch k = docs with doc_id % 4 == k)
-    into a NON-compacting merge — the full-retention regime, where every
-    committed version stays a complete immutable index state — and the
-    serving read pins ``version=2``: the index exactly as the third
-    micro-batch left it, ignoring everything batch 3 merged afterwards.
+#: One fully-drained NON-compacting index root per (process, sf_dir):
+#: the as-of and version-diff queries read different versions of the
+#: SAME immutable history, so they share one drain (the _SPLIT_CACHE
+#: pattern — removed at interpreter exit).
+_ASOF_ROOT_CACHE: dict[str, str] = {}
 
-    The oracle is the one-shot TF-IDF build over ONLY the docs of
-    batches 0..2 (``doc_id % 4 <= 2``) — so the as-of read is proven to
-    reconstruct a PAST state exactly, not approximately: parent-pointer
-    manifest + append-only segments + per-version df/N are a complete
-    snapshot history, the streaming twin of the batch store's versioned
-    promotion (and the plain-parquet analogue of Delta/Iceberg
-    ``VERSION AS OF``)."""
+
+def _asof_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the deterministic mod-4 corpus split into a non-compacting
+    index merge once per process — every committed version is then a
+    complete immutable state for as-of reads and version diffs."""
     import atexit
     import shutil
     import tempfile
 
+    cached = _ASOF_ROOT_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     split_dir = _corpus_split_mod4_dir(sf_dir, docs)
     root = tempfile.mkdtemp(prefix="stream_tfidf_asof_")
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="spark_ckpt_idx_asof_")
     src = (
         spark.readStream.schema(docs.schema)
@@ -1293,10 +1291,77 @@ def q_stream_tfidf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not query.awaitTermination(300):
             query.stop()
-            raise TimeoutError("stream_tfidf_index_asof still running after 300s")
+            raise TimeoutError("asof index drain still running after 300s")
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return read_merged_index(spark, root, version=2)
+    if not _ASOF_ROOT_CACHE:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _ASOF_ROOT_CACHE.values()
+            ]
+        )
+    _ASOF_ROOT_CACHE[sf_dir] = root
+    return root
+
+
+def q_stream_tfidf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the streamed index: the corpus drains in four
+    deterministic micro-batches (batch k = docs with doc_id % 4 == k)
+    into a NON-compacting merge — the full-retention regime, where every
+    committed version stays a complete immutable index state — and the
+    serving read pins ``version=2``: the index exactly as the third
+    micro-batch left it, ignoring everything batch 3 merged afterwards.
+
+    The oracle is the one-shot TF-IDF build over ONLY the docs of
+    batches 0..2 (``doc_id % 4 <= 2``) — so the as-of read is proven to
+    reconstruct a PAST state exactly, not approximately: parent-pointer
+    manifest + append-only segments + per-version df/N are a complete
+    snapshot history, the streaming twin of the batch store's versioned
+    promotion (and the plain-parquet analogue of Delta/Iceberg
+    ``VERSION AS OF``)."""
+    return read_merged_index(spark, _asof_index_root(spark, sf_dir), version=2)
+
+
+def q_stream_tfidf_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION DIFF over the streamed index — "what did the last batch
+    change": per word, the document-frequency delta between version 3
+    (newest) and version 2 of the same retained history the as-of query
+    reads, plus each side's absolute df. A word only in the new version
+    reports its full df as the delta; version-2 words it didn't touch
+    drop out (delta 0 rows are suppressed — the diff is sparse, sized by
+    the BATCH's vocabulary, not the corpus's).
+
+    This is the index-maintenance review relation: at 100 TB cadences an
+    operator diffs versions to sanity-check a merge before promoting
+    readers to it, and the cost is two vocabulary-sized parquet reads +
+    one word-keyed full-outer join — no corpus scan, no segment read.
+    Oracle: the df delta is exactly the per-word DISTINCT-doc count of
+    the batch-3 slice (``doc_id % 4 == 3``), a pure SQL aggregate."""
+    from ..sources import fs
+
+    root = _asof_index_root(spark, sf_dir)
+    committed = _index_manifest_versions(root, spark)
+    if not {2, 3} <= set(committed):
+        raise RuntimeError(
+            f"diff needs versions 2 and 3 committed; have {sorted(committed)}"
+        )
+    new = spark.read.parquet(fs.join(root, "df_v3"))
+    old = spark.read.parquet(fs.join(root, "df_v2"))
+    return (
+        new.withColumnRenamed("dfx", "df_new")
+        .join(old.withColumnRenamed("dfx", "df_old"), "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("df_new", F.lit(0)).alias("df_new"),
+            F.coalesce("df_old", F.lit(0)).alias("df_old"),
+            (
+                F.coalesce("df_new", F.lit(0)) - F.coalesce("df_old", F.lit(0))
+            ).alias("df_delta"),
+        )
+        .where(F.col("df_delta") != 0)
+        .orderBy("word")
+    )
 
 
 def verify_index_root(root: str, spark=None) -> dict:
