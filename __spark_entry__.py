@@ -160,6 +160,45 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_search_promoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``tfidf_search`` SERVED FROM THE PROMOTED INDEX: the identical
+    relation (the fully-promoted chain hash-equals the one-shot build,
+    so the same oracle applies verbatim), a different execution — the
+    scored base reads the versioned store tables (postings segments +
+    stored df + N) instead of tokenizing documents, so the warm plan is
+    the production query-serving shape: bucketed index parquet +
+    broadcast vocab-sized df, ZERO documents scans (plan-pinned in
+    tests/test_plans.py). This is the end of the lifecycle story: build
+    → promote daily → compact → and now SEARCH against what was
+    promoted — the read path a query front-end actually runs at 100 TB,
+    where re-scoring the corpus per query is not an option."""
+    from tf_idf_mapreduce_spark.operators.tfidf import (
+        CHAIN_DAYS,
+        promoted_index,
+        score_index,
+    )
+
+    segments, dfx, n, _origin = promoted_index(spark, sf_dir, CHAIN_DAYS)
+    scored = score_index(segments, dfx, n)
+    terms = (
+        scored.groupBy("word")
+        .agg(F.sum("count").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(5)
+        .select("word")
+    )
+    return (
+        scored.join(F.broadcast(terms), "word")
+        .groupBy("doc")
+        .agg(
+            F.round(F.sum("tfidf"), 6).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(20)
+    )
+
+
 #: pseudo-relevance feedback: docs fed back and expansion terms added.
 PRF_FEEDBACK_DOCS = 5
 PRF_EXPANSION_TERMS = 5
@@ -6588,6 +6627,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reads + one word join, no corpus scan (the merge-review
         # relation an operator checks before promoting readers)
         "stream_tfidf_index_diff": st.q_stream_tfidf_index_diff,
+        # SEARCH against the promoted index: identical relation to
+        # tfidf_search, but the warm plan reads versioned store tables
+        # with zero documents scans — the production query path
+        "tfidf_search_promoted": q_tfidf_search_promoted,
     }
 
 
@@ -6789,4 +6832,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT word, df_new, df_old, df_new - df_old AS df_delta
     FROM per_word WHERE df_new <> df_old
     """
+    # search against the promoted index: the chain hash-equals the
+    # one-shot build, so the serving strategy is invisible in the rows
+    out["tfidf_search_promoted"] = out["tfidf_search"]
     return out

@@ -855,3 +855,87 @@ def test_verify_store_reports_lifecycle_states(
     assert "LEGACY\taud_legacy" in outp
     assert "EMPTY\taud_empty" in outp
     assert "REAPABLE" in outp and "torn" in outp.splitlines()[-1]
+
+
+def test_search_promoted_serves_from_index_zero_documents_scans(
+    spark, sf_dir, model_dir_env
+):
+    """Round 11: the promoted-index SEARCH path. With the chain warm,
+    tfidf_search_promoted's executed plan must read ONLY store tables —
+    zero documents scans anywhere (the production query path re-scoring
+    nothing) — and its rows must equal tfidf_search exactly (the
+    serving strategy is invisible in the relation)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    df = qs["tfidf_search_promoted"](spark, sf_dir)
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, qs["tfidf_search"](spark, sf_dir).collect()))
+    assert got == want and len(got) == 20
+
+    # warm plan: re-build the query now that the chain is promoted
+    plan = (
+        qs["tfidf_search_promoted"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"FileScan parquet.*documents", plan)) == 0
+    assert "tfidf_index_postings" in plan
+
+
+def test_reap_store_deletes_only_unreachable_state(
+    spark, model_dir_env, monkeypatch, capsys
+):
+    """`models reap` acts on the audit's reap candidates: stale stagings
+    beside a live manifest and commit tmp files go; the live version,
+    orphaned-state evidence, and legacy artifacts stay — and every live
+    artifact still LOADS bit-identically afterwards."""
+    import pandas as pd
+
+    from tf_idf_mapreduce_spark.cli import main
+    from tf_idf_mapreduce_spark.sources.model_store import (
+        CURRENT_MARKER,
+        load_or_fit_pdf,
+        reap_store,
+        verify_store,
+    )
+
+    fitted, _ = load_or_fit_pdf(
+        "reap_live", ("k",), lambda: pd.DataFrame({"x": [1, 2, 3]}), spark
+    )
+    root = model_dir_env
+    (h,) = os.listdir(os.path.join(root, "reap_live"))
+    d = os.path.join(root, "reap_live", h)
+    # stale staging + tmp leftover beside the live version
+    with open(os.path.join(d, "data-stale.parquet"), "w") as f:
+        f.write("x")
+    with open(os.path.join(d, ".tmp-leftover"), "w") as f:
+        f.write("y")
+    # an orphaned artifact (staging, no manifest) must SURVIVE the reap
+    od = os.path.join(root, "reap_orphan", "k2")
+    os.makedirs(od)
+    with open(os.path.join(od, "data-crashed.parquet"), "w") as f:
+        f.write("z")
+
+    deleted = reap_store(spark)
+    assert os.path.join(d, "data-stale.parquet") in deleted
+    assert os.path.join(d, ".tmp-leftover") in deleted
+    assert os.path.exists(os.path.join(od, "data-crashed.parquet"))
+    live = open(os.path.join(d, CURRENT_MARKER)).read().strip()
+    assert os.path.exists(os.path.join(d, live))
+
+    # post-reap: audit is clean and the artifact still loads the fit
+    rep = verify_store(spark)
+    assert rep["reap_candidates"] == []
+
+    def boom():
+        raise AssertionError("refit after reap of a LIVE artifact")
+
+    loaded, origin = load_or_fit_pdf("reap_live", ("k",), boom, spark)
+    assert origin == "store" and loaded.equals(fitted)
+
+    # CLI: nothing left to reap, exits 0
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", root)
+    assert main(["models", "reap"]) == 0
+    assert "reaped 0 " in capsys.readouterr().out

@@ -260,6 +260,10 @@ def _models_main(argv: list[str]) -> int:
       it audits a STREAMED-index root instead: per-version live /
       retained (as-of readable) / partial / orphaned
       (``streaming.queries.verify_index_root``).
+    - ``reap [--root R]``: delete the audit's reap-safe leftovers
+      (non-current stagings beside a live manifest, commit tmp files,
+      stale probes) — never a live version, never orphaned-state
+      evidence (``sources.model_store.reap_store``).
     - ``refit --sf-dir D``: evaluate the ANN drift report and, on a
       REFIT verdict, bump the quantizer generation — re-keying the
       centroids/codebooks/code-table/disposition cascade
@@ -283,7 +287,10 @@ def _models_main(argv: list[str]) -> int:
     )
     p.add_argument(
         "action",
-        choices=("ls", "prune", "drop", "compact", "refit", "promote", "verify"),
+        choices=(
+            "ls", "prune", "drop", "compact", "refit", "promote",
+            "verify", "reap",
+        ),
     )
     p.add_argument("families", nargs="*", help="model families (drop)")
     p.add_argument(
@@ -432,6 +439,14 @@ def _models_main(argv: list[str]) -> int:
             f"{c['orphaned']} orphaned, {c['empty']} empty; "
             f"{len(rep['reap_candidates'])} reap candidate(s)"
         )
+        return 0
+    if args.action == "reap":
+        from .sources.model_store import reap_store
+
+        deleted = reap_store(root=root)
+        for p_ in deleted:
+            print(f"reaped\t{p_}")
+        print(f"reaped {len(deleted)} unreachable file(s)/version(s) under {root}")
         return 0
     if args.action == "prune":
         removed = prune_models(max_age_days=args.max_age_days)

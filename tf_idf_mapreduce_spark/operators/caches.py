@@ -177,4 +177,8 @@ MODEL_CACHED_QUERIES: dict[str, Callable[[], None]] = {
     # round 10: the promoted day owns the same two durable layers plus
     # its own e2e-keyed segment/df/N (same three index families)
     "tfidf_e2e_promoted": _clear_e2e_index,
+    # round 11: search against the promoted index — cold prices the
+    # chain build + the search; warm is the production query path
+    # (index parquet + two broadcast-join aggregations, zero documents)
+    "tfidf_search_promoted": _clear_tfidf_index,
 }

@@ -587,3 +587,28 @@ def verify_store(spark=None, root: str | None = None) -> dict:
                 }
             )
     return report
+
+
+def reap_store(spark=None, root: str | None = None) -> list[str]:
+    """Act on :func:`verify_store`'s ``reap_candidates`` — delete the
+    state nothing can reach: staged versions beside a live manifest (a
+    loser whose cleanup failed), commit tmp files, stale writability
+    probes. NEVER touches a live version (reachability is read from
+    ``_CURRENT``, not inferred from age or name) and never touches
+    ORPHANED artifacts (staging with no manifest): those are equally
+    dead — the next writer stages fresh under a new uuid — but they are
+    the crash-diagnosis evidence, so they age out via ``models prune``
+    rather than being deleted by the hygiene verb. Returns the deleted
+    paths. Exposed as ``models reap``."""
+    rep = verify_store(spark, root=root)
+    deleted = []
+    for p in rep["reap_candidates"]:
+        try:
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
+            deleted.append(p)
+        except OSError:
+            pass  # a concurrent writer may have healed/claimed it
+    return deleted
