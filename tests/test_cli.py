@@ -311,5 +311,14 @@ def test_cli_query_register_sql_over_result_view(sf_dir, capsys, spark):
     assert "registered temp view 'tfidf_top30'" in capsys.readouterr().out
     assert spark.sql("SELECT count(*) c FROM tfidf_top30").head()["c"] == 30
 
-    # --sql alone is a usage error
+    # --sql alone is a usage error; so is --register --out without --sql
+    # (there would be no result to write — exit 0 with the promised
+    # parquet silently absent would break a scripted pipeline)
     assert main(["query", "tfidf_full", "--sf-dir", sf_dir, "--sql", "SELECT 1"]) == 2
+    assert (
+        main(
+            ["query", "tfidf_full", "--sf-dir", sf_dir, "--register",
+             "--out", "/tmp/never_written", "--force"]
+        )
+        == 2
+    )

@@ -116,3 +116,23 @@ def test_no_directory_renames_in_protocol(tmp_path, monkeypatch):
     assert fs.read_text(fs.join(root, "manifest", "v1")) == "b"
     fs.delete_recursive(root)
     assert not fs.exists(root)
+
+
+def test_verify_and_reap_reject_remote_roots(spark, tmp_path):
+    """A remote store root must RAISE from verify/reap, not audit as an
+    empty store (round-11 review finding): os.listdir on 'hdfs://...'
+    would silently report zero artifacts with exit 0. file:// roots are
+    local mounts and audit fine."""
+    import pytest as _pytest
+
+    from tf_idf_mapreduce_spark.sources.model_store import (
+        reap_store,
+        verify_store,
+    )
+
+    with _pytest.raises(ValueError, match="remote store root"):
+        verify_store(root="hdfs://nn/models")
+    with _pytest.raises(ValueError, match="remote store root"):
+        reap_store(root="s3a://bucket/models")
+    rep = verify_store(root=f"file://{tmp_path}")
+    assert rep["artifacts"] == []  # empty local dir, not an error

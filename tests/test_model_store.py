@@ -918,7 +918,13 @@ def test_reap_store_deletes_only_unreachable_state(
     with open(os.path.join(od, "data-crashed.parquet"), "w") as f:
         f.write("z")
 
-    deleted = reap_store(spark)
+    # default grace window: everything here is seconds old, so a reap
+    # with the 1h default deletes NOTHING — a candidate this young may
+    # be an in-flight heal staging its replacement beside the marker
+    assert reap_store(spark) == []
+    assert os.path.exists(os.path.join(d, "data-stale.parquet"))
+
+    deleted = reap_store(spark, min_age_sec=0)
     assert os.path.join(d, "data-stale.parquet") in deleted
     assert os.path.join(d, ".tmp-leftover") in deleted
     assert os.path.exists(os.path.join(od, "data-crashed.parquet"))

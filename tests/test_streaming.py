@@ -998,3 +998,59 @@ def test_verify_index_root_classifies_versions(tmp_path, capsys):
     assert "PARTIAL\tv1" in outp
     assert "ORPHANED\tv7" in outp
     assert "newest v3" in outp and "2 live" in outp
+
+
+def test_index_merge_heals_torn_manifest_commit(spark, sf_dir, tmp_path):
+    """A crash INSIDE the commit write (O_EXCL create + buffered write
+    is not crash-atomic locally) leaves an empty or truncated manifest
+    entry. The reader must treat it as NOT COMMITTED (torn JSON skipped,
+    never raised), and the batch's replay must HEAL it by overwrite —
+    the old failure mode was a version that could never commit, silently
+    dropping that batch's documents from every future df/N."""
+    import json
+    import os
+
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        _index_manifest_versions,
+        make_index_merge,
+        read_merged_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = str(tmp_path / "torn_split4")
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(split)
+    root = str(tmp_path / "torn_root")
+    # plant torn commit leftovers: v0 truncated JSON, v1 empty — as a
+    # crashed earlier attempt would leave them
+    os.makedirs(os.path.join(root, "manifest"))
+    with open(os.path.join(root, "manifest", "v0"), "w") as f:
+        f.write('{"par')
+    open(os.path.join(root, "manifest", "v1"), "w").close()
+    # the torn entries read as absent, not as an error
+    assert _index_manifest_versions(root) == {}
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split)
+    )
+    q = (
+        src.writeStream.foreachBatch(make_index_merge(root))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_torn"))
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    committed = _index_manifest_versions(root)
+    assert set(committed) == {0, 1, 2, 3}  # torn entries healed in place
+    for v in (0, 1):
+        meta = json.load(open(os.path.join(root, "manifest", f"v{v}")))
+        assert meta["segment"] is True
+    cols = ["word", "doc", "count", "doc_total", "df", "tfidf"]
+    import __spark_entry__ as entrymod
+
+    got = _rows(read_merged_index(spark, root), cols)
+    want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
+    assert got == want and len(got) > 1000

@@ -204,6 +204,12 @@ def _query_main(argv: list[str]) -> int:
     if args.sql and not args.register:
         print("--sql requires --register", file=sys.stderr)
         return 2
+    if args.register and args.out and not args.sql:
+        # --out names what to WRITE; with --register but no --sql there
+        # is no result to write — failing loudly beats exiting 0 with
+        # the promised parquet silently absent
+        print("--register with --out requires --sql", file=sys.stderr)
+        return 2
     spark = get_spark(app_name=f"query-{args.name}", master=args.master)
     df = qs[args.name](spark, args.sf_dir)
     if args.explain:

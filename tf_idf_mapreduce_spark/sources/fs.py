@@ -117,15 +117,49 @@ def put_text_exclusive(path: str, text: str, spark=None) -> bool:
 
 
 def put_text_atomic(path: str, text: str, spark=None) -> None:
-    """Atomically OVERWRITE ``path`` with ``text`` (tmp + ``os.replace``
-    of one FILE locally — never a directory; a plain PUT remotely)."""
+    """Atomically OVERWRITE ``path`` with ``text`` — readers see either
+    the old content or the new, never a truncated in-between.
+
+    Local: tmp + ``os.replace`` of one FILE (never a directory).
+    Remote: write a tmp object, then ``FileContext.rename(...,
+    OVERWRITE)`` — an atomic metadata swap on HDFS, and on object
+    stores a server-side copy whose destination object appears
+    atomically (objects are never visible partially written). A bare
+    ``create(path, overwrite=true)`` would NOT be safe on HDFS: it
+    truncates in place, and a concurrent reader between the truncate
+    and the write sees an empty marker. If the FileContext path is
+    unavailable on an exotic FS, fall back to create-overwrite
+    (documented best-effort, still atomic on object stores)."""
     if _is_remote(path):
-        fs, jpath, _ = _hadoop_fs(path, spark)
-        out = fs.create(jpath, True)
+        fs, jpath, jvm = _hadoop_fs(path, spark)
+        jtmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp-{uuid.uuid4().hex}")
+        out = fs.create(jtmp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = spark or SparkSession.getActiveSession()
+            gw = sess.sparkContext._gateway
+            Rename = jvm.org.apache.hadoop.fs.Options.Rename
+            opts = gw.new_array(Rename, 1)
+            opts[0] = Rename.OVERWRITE
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                jpath.toUri(), sess._jsc.hadoopConfiguration()
+            )
+            fc.rename(jtmp, jpath, opts)
+        except Exception:  # noqa: BLE001 — exotic FS without FileContext
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
+            try:
+                fs.delete(jtmp, False)
+            except Exception:  # noqa: BLE001
+                pass
         return
     path = _local(path)
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"

@@ -523,13 +523,29 @@ def verify_store(spark=None, root: str | None = None) -> dict:
     leftovers nothing can reach: staged versions other than the live
     one (a loser whose cleanup failed, or any staging beside a live
     marker), ``.tmp-*`` commit leftovers and ``.probe-*`` writability
-    probes. Reaping them is always safe — the live version is named by
-    the manifest, never inferred.
+    probes. The live version itself is never a candidate (it is named
+    by the manifest, never inferred) — but a YOUNG candidate may be an
+    in-flight heal mid-commit, which is why :func:`reap_store` applies
+    an age grace before acting on this list.
 
     Returns ``{"root", "artifacts": [...], "counts": {...},
     "reap_candidates": [...]}``; the CLI verb ``models verify`` renders
-    it. Never writes, so it is safe against a production root."""
+    it. Never writes, so it is safe against a production root.
+
+    Roots: local paths and ``file://`` URIs. A remote scheme
+    (``hdfs://``, ``s3a://``) RAISES rather than silently reporting an
+    empty store — the audit's file/dir classification walks ``os``
+    today; audit remote roots from a machine that mounts them."""
+    from . import fs
+
     root = root if root is not None else store_root(spark)
+    if root is not None:
+        root = fs._local(root)
+        if fs._is_remote(root):
+            raise ValueError(
+                f"verify/reap cannot audit remote store root {root!r} yet"
+                " — run from a host that mounts it (or a file:// path)"
+            )
     report: dict = {
         "root": root,
         "artifacts": [],
@@ -589,7 +605,9 @@ def verify_store(spark=None, root: str | None = None) -> dict:
     return report
 
 
-def reap_store(spark=None, root: str | None = None) -> list[str]:
+def reap_store(
+    spark=None, root: str | None = None, *, min_age_sec: float = 3600.0
+) -> list[str]:
     """Act on :func:`verify_store`'s ``reap_candidates`` — delete the
     state nothing can reach: staged versions beside a live manifest (a
     loser whose cleanup failed), commit tmp files, stale writability
@@ -598,12 +616,26 @@ def reap_store(spark=None, root: str | None = None) -> list[str]:
     ORPHANED artifacts (staging with no manifest): those are equally
     dead — the next writer stages fresh under a new uuid — but they are
     the crash-diagnosis evidence, so they age out via ``models prune``
-    rather than being deleted by the hygiene verb. Returns the deleted
-    paths. Exposed as ``models reap``."""
+    rather than being deleted by the hygiene verb.
+
+    ``min_age_sec`` (default 1 h) is the in-flight-writer grace: the
+    HEAL paths stage a new version BESIDE an existing ``_CURRENT``
+    before overwriting it (``load_or_fit_pdf``'s corrupt-live heal,
+    ``_promote``'s torn-marker heal), so a candidate younger than the
+    window may be a writer mid-commit, not garbage — reaping it would
+    leave the healed marker naming a deleted path. Age is the one
+    signal that separates the two without coordination: every commit
+    completes in seconds, so anything an hour old is provably
+    abandoned. Returns the deleted paths. Exposed as ``models reap``."""
+    import time as _time
+
     rep = verify_store(spark, root=root)
+    cutoff = _time.time() - min_age_sec
     deleted = []
     for p in rep["reap_candidates"]:
         try:
+            if os.stat(p).st_mtime > cutoff:
+                continue  # possibly an in-flight heal — next reap gets it
             if os.path.isdir(p):
                 shutil.rmtree(p)
             else:

@@ -77,25 +77,40 @@ def q_stream_incremental_wordcount(spark: SparkSession, sf_dir: str) -> DataFram
 _SPLIT_CACHE: dict[str, str] = {}
 
 
-def _corpus_split_dir(sf_dir: str, docs: DataFrame) -> str:
+def _cached_tmpdir(cache: dict, key: str, prefix: str, build) -> str:
+    """One temp artifact per (process, ``key``), built once by
+    ``build(dir)`` and removed at interpreter exit — the shared idiom
+    behind the corpus splits and the as-of index root (one atexit sweep
+    over the cache's values, registered on the FIRST insert so repeat
+    runs don't stack handlers)."""
     import atexit
     import shutil
     import tempfile
 
-    cached = _SPLIT_CACHE.get(sf_dir)
+    cached = cache.get(key)
     if cached is not None:
         return cached
-    split_dir = tempfile.mkdtemp(prefix="stream_split_wc_")
-    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(split_dir)
-    if not _SPLIT_CACHE:
+    d = tempfile.mkdtemp(prefix=prefix)
+    build(d)
+    if not cache:
         atexit.register(
             lambda: [
-                shutil.rmtree(p, ignore_errors=True)
-                for p in _SPLIT_CACHE.values()
+                shutil.rmtree(p, ignore_errors=True) for p in cache.values()
             ]
         )
-    _SPLIT_CACHE[sf_dir] = split_dir
-    return split_dir
+    cache[key] = d
+    return d
+
+
+def _corpus_split_dir(sf_dir: str, docs: DataFrame) -> str:
+    return _cached_tmpdir(
+        _SPLIT_CACHE,
+        sf_dir,
+        "stream_split_wc_",
+        lambda d: docs.repartitionByRange(4, "doc_id")
+        .write.mode("overwrite")
+        .parquet(d),
+    )
 
 
 def q_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,9 +885,17 @@ def _index_manifest_versions(root: str, spark=None) -> dict:
     object store) only after that version's data writes completed — so
     a version is either fully present or absent, never torn. Returns
     {batch_id: {"parent": int|None, "segment": bool, "base": bool}}.
-    A tmp file from the retired tmp+replace commit (or any non-``v<id>``
-    name) is ignored. All I/O goes through ``sources.fs``, so ``root``
-    may be a local dir, ``file://``, ``hdfs://``, or ``s3a://``."""
+
+    A TORN entry — empty or truncated JSON from a crash inside the
+    commit write itself (O_EXCL create + write is not crash-atomic on a
+    local FS) — reads as NOT COMMITTED: only batch N ever writes
+    ``v{N}`` (Structured Streaming runs one foreachBatch per checkpoint
+    and replays the failed batch before any later one), so the replay
+    recomputes the same deterministic state and ``merge`` HEALS the
+    leftover by atomic overwrite (see the commit site). Tmp files and
+    any non-``v<id>`` name are ignored. All I/O goes through
+    ``sources.fs``, so ``root`` may be a local dir, ``file://``,
+    ``hdfs://``, or ``s3a://``."""
     import json
 
     from ..sources import fs
@@ -882,7 +905,10 @@ def _index_manifest_versions(root: str, spark=None) -> dict:
         if name.startswith("v") and name[1:].isdigit():
             text = fs.read_text(fs.join(root, "manifest", name), spark)
             if text:
-                out[int(name[1:])] = json.loads(text)
+                try:
+                    out[int(name[1:])] = json.loads(text)
+                except ValueError:
+                    pass  # torn commit write — replay heals it
     return out
 
 
@@ -1074,9 +1100,15 @@ def make_index_merge(root: str, compact_every: int | None = None):
         entry = json.dumps(
             {"parent": parent, "segment": True, "base": compacting}
         )
-        fs.put_text_exclusive(
-            fs.join(root, "manifest", f"v{batch_id}"), entry, sess
-        )
+        entry_path = fs.join(root, "manifest", f"v{batch_id}")
+        if not fs.put_text_exclusive(entry_path, entry, sess):
+            # the path exists but this batch is NOT in `committed` (the
+            # replay-skip at the top would have returned) — a crash tore
+            # the previous attempt's commit write (empty/partial file).
+            # Only batch N ever writes v{N} and the recompute above is
+            # deterministic, so heal by atomic overwrite — the same
+            # torn-marker rule as the store's _promote.
+            fs.put_text_atomic(entry_path, entry, sess)
         # reap stale df/N AFTER the commit: a crash before this point
         # replays as a no-op (entry committed) and the leftovers are
         # unreferenced files, never a wrong read — and any leak here is
@@ -1130,17 +1162,22 @@ def read_merged_index(
     append-only segments make every retained version a complete,
     immutable index state. Retention bounds what "retained" means: a
     non-compacting stream keeps every version forever (unbounded time
-    travel); with ``compact_every`` set, df/N generations below the
-    current parent and versions below the previous base are reaped, so
-    as-of reads reach roughly the last two compaction cycles.
+    travel); with ``compact_every`` set, the per-batch reap keeps df/N
+    for only the newest version and its parent, so as-of reads there
+    reach exactly those two versions (older committed versions keep
+    their segments up to a compaction cycle longer, but not the df/N an
+    as-of read needs — ``verify_index_root`` reports which versions are
+    still fully readable as ``retained``).
 
     Read contract on a LIVE stream: the returned DataFrame scans its
-    version's files lazily, and the merge reaps superseded state — but
-    only at compacting batches, and always one full compaction
-    generation late (the grace window in ``_sweep_index_root``). A
-    reader therefore stays valid until TWO compactions land after it
-    resolved; read after ``awaitTermination`` (as every in-repo caller
-    does) or re-resolve within that window."""
+    version's files lazily. For the NEWEST version's SEGMENTS the merge
+    reaps one full compaction generation late (the grace window in
+    ``_sweep_index_root``), but the version's df/N tables are reaped as
+    soon as two newer batches commit — so a resolved reader is only
+    guaranteed valid until the SECOND subsequent micro-batch, not until
+    the next compaction. Read after ``awaitTermination`` (as every
+    in-repo caller does), or re-resolve per micro-batch on a live
+    stream."""
     from ..operators.tfidf import score_index
     from ..sources import fs
 
@@ -1218,40 +1255,31 @@ def _corpus_split_mod4_dir(sf_dir: str, docs: DataFrame) -> str:
     sample, so their membership isn't SQL-expressible), written with
     strictly ascending mtimes so the file-stream source's
     oldest-first pickup makes batch k == slice k on every run."""
-    import atexit
     import glob
     import os
     import shutil
     import tempfile
     import time
 
-    cached = _MOD4_SPLIT_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
-    split_dir = tempfile.mkdtemp(prefix="stream_split_mod4_")
-    t0 = time.time() - 400
-    for b in range(4):
-        staging = tempfile.mkdtemp(prefix="mod4_stage_")
-        (
-            docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == b)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
-        dst = os.path.join(split_dir, f"b{b}.parquet")
-        shutil.copyfile(part, dst)
-        os.utime(dst, (t0 + b * 60, t0 + b * 60))
-        shutil.rmtree(staging, ignore_errors=True)
-    if not _MOD4_SPLIT_CACHE:
-        atexit.register(
-            lambda: [
-                shutil.rmtree(p, ignore_errors=True)
-                for p in _MOD4_SPLIT_CACHE.values()
-            ]
-        )
-    _MOD4_SPLIT_CACHE[sf_dir] = split_dir
-    return split_dir
+    def build(split_dir: str) -> None:
+        t0 = time.time() - 400
+        for b in range(4):
+            staging = tempfile.mkdtemp(prefix="mod4_stage_")
+            (
+                docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+            dst = os.path.join(split_dir, f"b{b}.parquet")
+            shutil.copyfile(part, dst)
+            os.utime(dst, (t0 + b * 60, t0 + b * 60))
+            shutil.rmtree(staging, ignore_errors=True)
+
+    return _cached_tmpdir(
+        _MOD4_SPLIT_CACHE, sf_dir, "stream_split_mod4_", build
+    )
 
 
 #: One fully-drained NON-compacting index root per (process, sf_dir):
@@ -1265,44 +1293,35 @@ def _asof_index_root(spark: SparkSession, sf_dir: str) -> str:
     """Drain the deterministic mod-4 corpus split into a non-compacting
     index merge once per process — every committed version is then a
     complete immutable state for as-of reads and version diffs."""
-    import atexit
     import shutil
     import tempfile
 
-    cached = _ASOF_ROOT_CACHE.get(sf_dir)
-    if cached is not None:
-        return cached
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    split_dir = _corpus_split_mod4_dir(sf_dir, docs)
-    root = tempfile.mkdtemp(prefix="stream_tfidf_asof_")
-    ckpt = tempfile.mkdtemp(prefix="spark_ckpt_idx_asof_")
-    src = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(split_dir)
+    def build(root: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        split_dir = _corpus_split_mod4_dir(sf_dir, docs)
+        ckpt = tempfile.mkdtemp(prefix="spark_ckpt_idx_asof_")
+        src = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(split_dir)
+        )
+        try:
+            query = (
+                src.writeStream.foreachBatch(make_index_merge(root))
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            if not query.awaitTermination(300):
+                query.stop()
+                raise TimeoutError("asof index drain still running after 300s")
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    return _cached_tmpdir(
+        _ASOF_ROOT_CACHE, sf_dir, "stream_tfidf_asof_", build
     )
-    try:
-        query = (
-            src.writeStream.foreachBatch(make_index_merge(root))
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        if not query.awaitTermination(300):
-            query.stop()
-            raise TimeoutError("asof index drain still running after 300s")
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    if not _ASOF_ROOT_CACHE:
-        atexit.register(
-            lambda: [
-                shutil.rmtree(p, ignore_errors=True)
-                for p in _ASOF_ROOT_CACHE.values()
-            ]
-        )
-    _ASOF_ROOT_CACHE[sf_dir] = root
-    return root
 
 
 def q_stream_tfidf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
