@@ -1054,3 +1054,64 @@ def test_index_merge_heals_torn_manifest_commit(spark, sf_dir, tmp_path):
     got = _rows(read_merged_index(spark, root), cols)
     want = _rows(entrymod.queries()["tfidf_full"](spark, sf_dir), cols)
     assert got == want and len(got) > 1000
+
+
+def test_live_readers_during_drain_full_retention(spark, sf_dir, tmp_path):
+    """Readers polling read_merged_index WHILE the merge drains: on a
+    non-compacting (full-retention) root every resolved version is
+    immutable and never reaped, so a live reader must never hit a
+    missing file and every successful read returns a consistent
+    committed state (rows > 0, schema intact). Early polls before the
+    first commit raise the explicit no-version error, never an opaque
+    one."""
+    import threading
+    import time
+
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        make_index_merge,
+        read_merged_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = str(tmp_path / "live_split8")
+    docs.repartitionByRange(8, "doc_id").write.mode("overwrite").parquet(split)
+    root = str(tmp_path / "live_root")
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(split)
+    )
+    q = (
+        src.writeStream.foreachBatch(make_index_merge(root))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_live"))
+        .start()
+    )
+
+    reads, errors, stop = [], [], threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            try:
+                n = read_merged_index(spark, root).count()
+                reads.append(n)
+            except RuntimeError as exc:
+                # only the explicit pre-first-commit error is acceptable
+                if "no micro-batch committed" not in str(exc):
+                    errors.append(exc)
+            except Exception as exc:  # noqa: BLE001 — any other = fail
+                errors.append(exc)
+            time.sleep(0.05)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        assert q.awaitTermination(300)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors[:3]
+    assert reads and all(n > 0 for n in reads)
+    # reads grew (or stayed) as versions committed — never went backwards
+    assert all(b >= a for a, b in zip(reads, reads[1:])), reads
