@@ -124,6 +124,48 @@ def q_tfidf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: One gzip-JSONL landing copy of the corpus per (process, sf_dir).
+_JSONL_LAND_CACHE: dict[str, str] = {}
+
+
+def q_tfidf_full_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORMAT INDEPENDENCE of the flagship chain: the corpus round-trips
+    through a gzip JSON-lines landing directory — ``write_jsonl`` out,
+    ``read_jsonl_corpus`` back in with an EXPLICIT schema (no inference
+    pass; at 100 TB an inferred schema is a full extra scan) — and the
+    identical relation must come out, oracle shared verbatim with
+    ``tfidf_full``. JSONL is the format web-scale text dumps actually
+    arrive in; this proves the engine's S1/S2 contract is the (doc,
+    text) SHAPE, not the parquet fixture. The landing copy is built once
+    per process (the streaming splits' cache idiom)."""
+    from tf_idf_mapreduce_spark.sources.io import (
+        load_table,
+        read_jsonl_corpus,
+        write_jsonl,
+    )
+    from tf_idf_mapreduce_spark.streaming.queries import _cached_tmpdir
+
+    def build(d: str) -> None:
+        write_jsonl(
+            load_table(spark, sf_dir, "documents").select(
+                F.col("doc_id").cast("string").alias("doc_id"), "text"
+            ),
+            f"{d}/docs",
+            codec="gzip",
+        )
+
+    land = _cached_tmpdir(_JSONL_LAND_CACHE, sf_dir, "jsonl_land_", build)
+    corpus = read_jsonl_corpus(spark, f"{land}/docs")
+    return tfidf_pipeline(corpus).select(
+        "word",
+        "doc",
+        "count",
+        "doc_total",
+        "df",
+        F.round("tfidf", 6).alias("tfidf"),
+    )
+
+
 def q_tfidf_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4 extension: global top-30 by score (reference README's golden head
     shape, README.md:321-356), deterministic tiebreaks on rounded score."""
@@ -6631,6 +6673,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tfidf_search, but the warm plan reads versioned store tables
         # with zero documents scans — the production query path
         "tfidf_search_promoted": q_tfidf_search_promoted,
+        # format independence: the corpus round-trips through a gzip
+        # JSONL landing dir (explicit schema, no inference pass) and
+        # the flagship chain lands on the identical relation
+        "tfidf_full_jsonl": q_tfidf_full_jsonl,
     }
 
 
@@ -6835,4 +6881,6 @@ def oracle_sql() -> dict[str, str]:
     # search against the promoted index: the chain hash-equals the
     # one-shot build, so the serving strategy is invisible in the rows
     out["tfidf_search_promoted"] = out["tfidf_search"]
+    # the gzip-JSONL round trip is lossless: same relation, same oracle
+    out["tfidf_full_jsonl"] = out["tfidf_full"]
     return out

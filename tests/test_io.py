@@ -232,3 +232,25 @@ def test_csv_round_trip_with_quoting_and_corrupt_rows(spark, tmp_path):
     finally:
         again.unpersist()
     assert bad == 1 and ok5 == 1
+
+
+def test_write_jsonl_gzip_roundtrip(spark, tmp_path):
+    """write_jsonl -> read_jsonl_corpus is lossless through gzip: part
+    files carry the .gz extension (compression actually applied) and
+    the corpus relation round-trips exactly, nulls coalesced to ''."""
+    import glob
+
+    from tf_idf_mapreduce_spark.sources.io import (
+        read_jsonl_corpus,
+        write_jsonl,
+    )
+
+    rows = [("a", "alpha beta"), ("b", ""), ("c", 'quote " and \\ slash')]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = str(tmp_path / "jl")
+    write_jsonl(df, out, codec="gzip")
+    assert glob.glob(f"{out}/*.json.gz")  # compressed part files
+    got = sorted(
+        tuple(r) for r in read_jsonl_corpus(spark, out).collect()
+    )
+    assert got == sorted(rows)

@@ -1115,3 +1115,58 @@ def test_live_readers_during_drain_full_retention(spark, sf_dir, tmp_path):
     assert reads and all(n > 0 for n in reads)
     # reads grew (or stayed) as versions committed — never went backwards
     assert all(b >= a for a, b in zip(reads, reads[1:])), reads
+
+
+def test_gc_index_root_policies(tmp_path, capsys):
+    """Offline index GC (`models reap --index-root`): on a COMPACTING
+    root it applies the in-stream sweep (expired grace, orphans, stale
+    df/N, manifest pruning); on a FULL-RETENTION root it reaps ONLY
+    crash orphans — committed history stays as-of readable."""
+    import json
+    import os
+
+    from tf_idf_mapreduce_spark.cli import main
+    from tf_idf_mapreduce_spark.streaming.queries import gc_index_root
+
+    def commit(root, v, parent, base=False):
+        os.makedirs(os.path.join(root, "manifest"), exist_ok=True)
+        with open(os.path.join(root, "manifest", f"v{v}"), "w") as f:
+            json.dump({"parent": parent, "segment": True, "base": base}, f)
+
+    def plant(root, v, kinds=("seg", "df", "n")):
+        for k in kinds:
+            os.makedirs(os.path.join(root, f"{k}_v{v}"), exist_ok=True)
+
+    # full retention: 3 committed versions + one orphan
+    fr = str(tmp_path / "fr")
+    for v in range(3):
+        commit(fr, v, v - 1 if v else None)
+        plant(fr, v)
+    plant(fr, 9)  # orphan
+    rep = gc_index_root(fr)
+    assert rep["mode"] == "full-retention"
+    assert rep["reaped"] == ["df_v9", "n_v9", "seg_v9"]
+    assert {f"seg_v{v}" for v in range(3)} <= set(rep["after"])
+
+    # compacting: base at 2; grace (0, 1) expired offline, orphan gone,
+    # manifest pruned below the base
+    co = str(tmp_path / "co")
+    commit(co, 0, None)
+    plant(co, 0, ("seg",))
+    commit(co, 1, 0)
+    plant(co, 1, ("seg",))
+    commit(co, 2, 1, base=True)
+    plant(co, 2)
+    commit(co, 3, 2)
+    plant(co, 3)
+    plant(co, 7)  # orphan
+    rep = gc_index_root(co)
+    assert rep["mode"] == "compacting"
+    assert set(rep["after"]) == {
+        "seg_v2", "seg_v3", "df_v2", "df_v3", "n_v2", "n_v3",
+    }
+    assert sorted(os.listdir(os.path.join(co, "manifest"))) == ["v2", "v3"]
+
+    rc = main(["models", "reap", "--index-root", co])
+    assert rc == 0
+    assert "0 reaped" in capsys.readouterr().out  # idempotent second run

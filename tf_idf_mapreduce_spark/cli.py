@@ -269,7 +269,11 @@ def _models_main(argv: list[str]) -> int:
     - ``reap [--root R]``: delete the audit's reap-safe leftovers
       (non-current stagings beside a live manifest, commit tmp files,
       stale probes) — never a live version, never orphaned-state
-      evidence (``sources.model_store.reap_store``).
+      evidence (``sources.model_store.reap_store``). With
+      ``--index-root D``: offline GC of a streamed-index root — the
+      in-stream sweep for compacting roots, orphan-only for
+      full-retention roots (``streaming.queries.gc_index_root``); run
+      on a stopped stream.
     - ``refit --sf-dir D``: evaluate the ANN drift report and, on a
       REFIT verdict, bump the quantizer generation — re-keying the
       centroids/codebooks/code-table/disposition cascade
@@ -444,6 +448,18 @@ def _models_main(argv: list[str]) -> int:
             f"{c['live']} live, {c['legacy']} legacy, {c['torn']} torn, "
             f"{c['orphaned']} orphaned, {c['empty']} empty; "
             f"{len(rep['reap_candidates'])} reap candidate(s)"
+        )
+        return 0
+    if args.action == "reap" and args.index_root is not None:
+        from .streaming.queries import gc_index_root
+
+        rep = gc_index_root(args.index_root)
+        for name in rep["reaped"]:
+            print(f"reaped\t{name}")
+        print(
+            f"index {args.index_root} ({rep['mode']}): "
+            f"{len(rep['before'])} -> {len(rep['after'])} version dirs, "
+            f"{len(rep['reaped'])} reaped"
         )
         return 0
     if args.action == "reap":

@@ -220,6 +220,19 @@ def read_jsonl_corpus(
     )
 
 
+def write_jsonl(df: DataFrame, path: str, codec: str | None = None) -> None:
+    """JSON-lines sink — the other half of the JSONL interchange path
+    (``read_jsonl_corpus`` is the scan): one JSON object per row, the
+    format web-scale text dumps are exchanged in. ``codec`` (e.g.
+    ``"gzip"``, ``"zstd"`` where the cluster has it) compresses each
+    part file; readers decompress transparently from the extension.
+    Overwrite semantics, like every sink here (S6)."""
+    w = df.write.mode("overwrite")
+    if codec:
+        w = w.option("compression", codec)
+    w.json(path)
+
+
 def documents_as_corpus(documents: DataFrame) -> DataFrame:
     """Adapt the fixture ``documents`` table to the corpus shape (doc, text).
 

@@ -1444,3 +1444,66 @@ def verify_index_root(root: str, spark=None) -> dict:
         }
         out["counts"][state] += 1
     return out
+
+
+def gc_index_root(root: str, spark=None) -> dict:
+    """Offline garbage collection for a streamed-index root — the
+    ``models reap`` twin of :func:`verify_index_root` (the in-stream
+    sweep runs only at compacting batches, so a stopped stream can
+    leave expired grace segments, crash orphans, and prunable manifest
+    entries behind indefinitely; this closes that from the CLI).
+
+    Policy by retention regime, read from the manifest itself:
+
+    - a COMPACTING root (any ``base`` entry exists): apply exactly the
+      in-stream sweep as of a hypothetical next batch — expired-grace
+      segments, unreachable df/N generations, crash orphans, manifest
+      entries below the newest base. Run it only on a STOPPED stream
+      (it collapses the live-reader grace window by one generation).
+    - a FULL-RETENTION root (no base): every committed version is an
+      as-of-readable snapshot — only crash ORPHANS (data dirs whose id
+      has no manifest entry) are reaped; history is never touched.
+
+    Returns ``{"mode", "before", "after", "reaped"}`` with dir counts
+    and the deleted names."""
+    import re as _re
+
+    from ..sources import fs
+
+    committed = _index_manifest_versions(root, spark)
+
+    def _dirs():
+        return sorted(
+            n
+            for n in fs.list_names(root, spark)
+            if _re.match(r"^(seg|df|n)_v(\d+)$", n)
+        )
+
+    before = _dirs()
+    if not committed:
+        return {"mode": "empty", "before": before, "after": before, "reaped": []}
+    compacting = any(m.get("base") for m in committed.values())
+    if compacting:
+        # offline: no batch is in flight, so the sweep horizon covers
+        # every id on disk — including a crashed never-committed FINAL
+        # batch above max(committed), which the in-stream sweep would
+        # protect as its own in-flight write (a later resume's replay
+        # rewrites its data with mode=overwrite anyway)
+        on_disk = [
+            int(_re.match(r"^(?:seg|df|n)_v(\d+)$", n).group(1))
+            for n in before
+        ]
+        horizon = max([*on_disk, *committed]) + 1
+        _sweep_index_root(spark, root, committed, horizon)
+    else:
+        for name in before:
+            v = int(_re.match(r"^(?:seg|df|n)_v(\d+)$", name).group(1))
+            if v not in committed:
+                fs.delete_recursive(fs.join(root, name), spark)
+    after = _dirs()
+    return {
+        "mode": "compacting" if compacting else "full-retention",
+        "before": before,
+        "after": after,
+        "reaped": sorted(set(before) - set(after)),
+    }
