@@ -6677,6 +6677,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JSONL landing dir (explicit schema, no inference pass) and
         # the flagship chain lands on the identical relation
         "tfidf_full_jsonl": q_tfidf_full_jsonl,
+        # BM25 served from the promoted index: doc lengths ride the
+        # postings, avgdl/N are 1-row aggregates over index state —
+        # the production ranking path, zero documents scans warm
+        "tfidf_bm25_promoted": rtv.bm25_search_promoted,
     }
 
 
@@ -6883,4 +6887,6 @@ def oracle_sql() -> dict[str, str]:
     out["tfidf_search_promoted"] = out["tfidf_search"]
     # the gzip-JSONL round trip is lossless: same relation, same oracle
     out["tfidf_full_jsonl"] = out["tfidf_full"]
+    # BM25 from the promoted index: serving strategy invisible in rows
+    out["tfidf_bm25_promoted"] = out["tfidf_bm25"]
     return out

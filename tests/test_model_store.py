@@ -883,6 +883,18 @@ def test_search_promoted_serves_from_index_zero_documents_scans(
     assert len(re.findall(r"FileScan parquet.*documents", plan)) == 0
     assert "tfidf_index_postings" in plan
 
+    # BM25 over the same promoted state: identical rows to the in-plan
+    # bm25 and the same zero-documents warm plan (avgdl/N come from
+    # index state, not the corpus)
+    got = sorted(map(tuple, qs["tfidf_bm25_promoted"](spark, sf_dir).collect()))
+    want = sorted(map(tuple, qs["tfidf_bm25"](spark, sf_dir).collect()))
+    assert got == want and len(got) == 20
+    plan = (
+        qs["tfidf_bm25_promoted"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"FileScan parquet.*documents", plan)) == 0
+
 
 def test_reap_store_deletes_only_unreachable_state(
     spark, model_dir_env, monkeypatch, capsys

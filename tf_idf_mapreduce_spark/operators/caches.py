@@ -181,4 +181,6 @@ MODEL_CACHED_QUERIES: dict[str, Callable[[], None]] = {
     # chain build + the search; warm is the production query path
     # (index parquet + two broadcast-join aggregations, zero documents)
     "tfidf_search_promoted": _clear_tfidf_index,
+    # ... and BM25 over the same promoted state
+    "tfidf_bm25_promoted": _clear_tfidf_index,
 }

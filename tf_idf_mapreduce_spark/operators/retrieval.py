@@ -48,22 +48,20 @@ def _scored_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_freq(doc_totals(word_count(tokenize(docs))))
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 docs for the corpus's 5 most frequent terms (the same
-    self-contained query shape as ``tfidf_search``).
+def _bm25_rank(wtd: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """BM25 top-20 over a ``(word, doc, count, doc_total, df)`` relation
+    — the scorer shared by the in-plan and promoted-index serving paths
+    (the relation's PROVENANCE is the only difference between them).
 
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
     idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene/ATIRE form —
     always positive, so stopword-frequency terms can't flip sign).
 
-    N and avgdl are broadcast 1-row aggregates; per-term contributions are
-    rounded @6dp before the sum (cross-engine determinism, see
-    __spark_entry__ header).
-    """
-    wtd = _scored_terms(spark, sf_dir)
-    n_docs = load_table(spark, sf_dir, "documents").agg(
-        F.count("*").alias("n_docs")
-    )
+    N and avgdl are broadcast 1-row aggregates; avgdl averages each
+    doc's length ONCE (distinct (doc, doc_total) pairs — zero-word docs
+    appear in neither serving path's relation, identically). Per-term
+    contributions are rounded @6dp before the sum (cross-engine
+    determinism, see __spark_entry__ header)."""
     avgdl = (
         wtd.select("doc", "doc_total")
         .distinct()
@@ -97,6 +95,39 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc"))
         .limit(20)
     )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 docs for the corpus's 5 most frequent terms (the same
+    self-contained query shape as ``tfidf_search``) — ``_bm25_rank``
+    over the in-plan jobs-1-3 relation."""
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    return _bm25_rank(_scored_terms(spark, sf_dir), n_docs)
+
+
+def bm25_search_promoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bm25_search`` SERVED FROM THE PROMOTED INDEX — identical oracle
+    (the fully-promoted chain's postings⨝df relation equals the in-plan
+    jobs-1-3 relation row for row, and the index N counts corpus-side
+    docs exactly like count(*) over documents), different execution:
+    the warm plan reads versioned store tables with zero documents
+    scans. Everything BM25 needs beyond the postings is derivable from
+    the index state itself — doc lengths ride the postings rows, avgdl
+    is a 1-row aggregate over them, N is the index's 1-row table — so
+    the ranking function people actually serve runs entirely off what
+    promotion wrote."""
+    from functools import reduce
+
+    from .tfidf import CHAIN_DAYS, promoted_index
+
+    segments, dfx, n, _origin = promoted_index(spark, sf_dir, CHAIN_DAYS)
+    df = dfx.withColumnRenamed("dfx", "df")
+    wtd = reduce(
+        lambda a, b: a.unionByName(b), [seg.join(df, "word") for seg in segments]
+    )
+    return _bm25_rank(wtd, n.select(F.col("nx").alias("n_docs")))
 
 
 #: Hash-block count for ``doc_similarity``'s tiled pair computation:
