@@ -136,3 +136,239 @@ def test_verify_and_reap_reject_remote_roots(spark, tmp_path):
         reap_store(root="s3a://bucket/models")
     rep = verify_store(root=f"file://{tmp_path}")
     assert rep["artifacts"] == []  # empty local dir, not an error
+
+
+# ---------------------------------------------------------------------------
+# round-12: commit-primitive rigor (verdict #1/#2/#3)
+# ---------------------------------------------------------------------------
+
+
+class _FakeJavaClass:
+    def __init__(self, name):
+        self._name = name
+
+    def getName(self):
+        return self._name
+
+
+class _FakeJavaExc:
+    def __init__(self, name):
+        self._cls = _FakeJavaClass(name)
+
+    def getClass(self):
+        return self._cls
+
+    def getCause(self):
+        return None
+
+
+class _FakePy4JError(Exception):
+    """A py4j-shaped exception carrying a crafted java class name, so
+    the classification in fs._is_java_exc runs for real without a
+    cluster that can produce the remote failure."""
+
+    def __init__(self, java_class: str):
+        super().__init__(java_class)
+        self.java_exception = _FakeJavaExc(java_class)
+
+
+def _mp_exclusive_worker(path: str, text: str, ready, go, q) -> None:
+    """Spawned-process contender for the multi-process O_EXCL race —
+    module-level so the spawn context can pickle it. Imports the fs
+    module fresh in its own interpreter (no Spark, local branch)."""
+    from tf_idf_mapreduce_spark.sources import fs as _fs
+
+    ready.release()
+    go.acquire()  # all contenders released together by the parent
+    q.put((text, _fs.put_text_exclusive(path, text)))
+
+
+def test_exclusive_create_multiprocess_contention(tmp_path):
+    """The local branch's exactly-one-winner guarantee across real OS
+    PROCESSES (kernel O_EXCL arbitration, not thread scheduling): N
+    spawned interpreters race one commit marker; exactly one wins and
+    the file holds the winner's content."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    path = str(tmp_path / "marker")
+    n = 6
+    ready = ctx.Semaphore(0)
+    go = ctx.Semaphore(0)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_mp_exclusive_worker,
+            args=(path, f"writer-{i}", ready, go, q),
+        )
+        for i in range(n)
+    ]
+    for p in procs:
+        p.start()
+    for _ in range(n):
+        ready.acquire()
+    for _ in range(n):
+        go.release()
+    results = [q.get(timeout=60) for _ in range(n)]
+    for p in procs:
+        p.join(timeout=60)
+    winners = [t for t, ok in results if ok]
+    assert len(winners) == 1
+    assert fs.read_text(path) == winners[0]
+
+
+def test_exclusive_arbitration_survives_check_then_act(
+    spark, tmp_path, monkeypatch
+):
+    """Verdict #1: the remote branch's win must not depend on the FS
+    honoring create(overwrite=false) atomically — Hadoop's
+    LocalFileSystem (file://) and s3a:// without conditional create are
+    CHECK-THEN-ACT, so two racers can both "successfully" create.
+
+    This test substitutes the WORST possible claim — an unconditional
+    overwrite, i.e. every contender's create succeeds (the limit case
+    of every exists-probe racing ahead of every create) — and parks all
+    contenders at the arbitration hook until every write has landed.
+    Under the pre-round-12 code (claim == win) all six would return
+    True; with content read-back arbitration exactly one does, and the
+    committed content is that winner's."""
+    import threading
+
+    root = f"file://{tmp_path}/race"
+    fs.makedirs(root, spark)
+    path = fs.join(root, "marker")
+
+    def weakest_claim(p, text, sess=None):
+        f, jpath, _ = fs._hadoop_fs(p, sess)
+        out = f.create(jpath, True)  # no exists check at all
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    n = 6
+    barrier = threading.Barrier(n)
+    monkeypatch.setattr(fs, "_remote_claim_exclusive", weakest_claim)
+    monkeypatch.setattr(fs, "_arbitration_hook", barrier.wait)
+
+    results = []
+    lock = threading.Lock()
+
+    def attempt(i):
+        ok = fs.put_text_exclusive(path, f"writer-{i}", spark)
+        with lock:
+            results.append((f"writer-{i}", ok))
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    final = fs.read_text(path, spark)
+    winners = [t for t, ok in results if ok]
+    losers = [t for t, ok in results if not ok]
+    # deterministic here (all writes precede all read-backs): exactly
+    # one contender sees its own bytes committed
+    assert len(winners) == 1
+    assert final == winners[0]
+    # the invariant the store's _promote actually rides on: a loser's
+    # content is NEVER the committed one (no dangling marker after a
+    # loser deletes its staged version)
+    assert final not in losers
+
+
+def test_put_atomic_transient_rename_failure_raises(
+    spark, tmp_path, monkeypatch
+):
+    """Verdict #2: a TRANSIENT remote rename failure must surface, not
+    silently degrade to the truncate-in-place overwrite — and must not
+    leak its tmp file or clobber the committed content."""
+
+    def transient(jvm, jtmp, jpath, sess=None):
+        raise _FakePy4JError("java.io.IOException")
+
+    root = f"file://{tmp_path}/atomic"
+    fs.makedirs(root, spark)
+    path = fs.join(root, "marker")
+    fs.put_text_atomic(path, "committed", spark)
+
+    monkeypatch.setattr(fs, "_remote_rename_overwrite", transient)
+    with pytest.raises(_FakePy4JError):
+        fs.put_text_atomic(path, "new", spark)
+    assert fs.read_text(path, spark) == "committed"  # never truncated
+    leftovers = [n for n in fs.list_names(root, spark) if ".tmp-" in n]
+    assert leftovers == []  # tmp cleaned up on the raise path
+
+
+def test_put_atomic_capability_gap_degrades_with_warning(
+    spark, tmp_path, monkeypatch, caplog
+):
+    """The DOCUMENTED fallback case — an FS with no AbstractFileSystem
+    binding (UnsupportedFileSystemException, the common s3a:// state) —
+    still completes via create-overwrite, and says so in the log."""
+    import logging as _logging
+
+    def unsupported(jvm, jtmp, jpath, sess=None):
+        raise _FakePy4JError(
+            "org.apache.hadoop.fs.UnsupportedFileSystemException"
+        )
+
+    root = f"file://{tmp_path}/degrade"
+    fs.makedirs(root, spark)
+    path = fs.join(root, "marker")
+    monkeypatch.setattr(fs, "_remote_rename_overwrite", unsupported)
+    with caplog.at_level(_logging.WARNING, logger=fs.__name__):
+        fs.put_text_atomic(path, "via-fallback", spark)
+    assert fs.read_text(path, spark) == "via-fallback"
+    assert any("degrading to create-overwrite" in r.message for r in caplog.records)
+    leftovers = [n for n in fs.list_names(root, spark) if ".tmp-" in n]
+    assert leftovers == []
+
+
+def test_read_errors_are_not_absent(spark, tmp_path, monkeypatch):
+    """Verdict #3: only FileNotFound maps to None/[] — a permission or
+    RPC failure on a manifest read must RAISE, never read as 'no
+    committed version'."""
+
+    class _FakeFS:
+        def open(self, jpath):
+            raise _FakePy4JError(
+                "org.apache.hadoop.security.AccessControlException"
+            )
+
+        def listStatus(self, jpath):
+            raise _FakePy4JError(
+                "org.apache.hadoop.security.AccessControlException"
+            )
+
+    monkeypatch.setattr(
+        fs, "_hadoop_fs", lambda p, s=None: (_FakeFS(), None, None)
+    )
+    with pytest.raises(_FakePy4JError):
+        fs.read_text("hdfs://nn/root/manifest/v1", spark)
+    with pytest.raises(_FakePy4JError):
+        fs.list_names("hdfs://nn/root/manifest", spark)
+
+    class _AbsentFS:
+        def open(self, jpath):
+            raise _FakePy4JError("java.io.FileNotFoundException")
+
+        def listStatus(self, jpath):
+            raise _FakePy4JError("java.io.FileNotFoundException")
+
+    monkeypatch.setattr(
+        fs, "_hadoop_fs", lambda p, s=None: (_AbsentFS(), None, None)
+    )
+    assert fs.read_text("hdfs://nn/root/manifest/v1", spark) is None
+    assert fs.list_names("hdfs://nn/root/manifest", spark) == []
+
+
+def test_read_text_local_component_is_a_file(tmp_path):
+    """A path COMPONENT that is a file (NotADirectoryError) is 'absent',
+    same as a missing file — but nothing broader is swallowed."""
+    f = tmp_path / "not-a-dir"
+    f.write_text("x")
+    assert fs.read_text(str(f / "child")) is None
+    assert fs.list_names(str(f / "child")) == []

@@ -170,3 +170,58 @@ def test_merge_protocol_survives_crash_schedules(
             rep["versions"][v]["state"] in ("live", "retained")
             for v in committed
         )
+
+
+def test_compact_every_one_never_orphans_dfn(spark, tmp_path):
+    """Round-11 ADVICE: with ``compact_every=1`` every committed version
+    is a base, so the old manifest prune (cutoff = max(bases) = cur)
+    deleted the entry of cur's PARENT while ``live_dfn`` deliberately
+    kept its df/N dirs as the grace generation — verify_index_root then
+    reported them ORPHANED until the next sweep. The cutoff now also
+    respects min(live_dfn): df/N retention and manifest retention stay
+    consistent, so the audit never sees an orphan at ANY point of the
+    drain — only live/retained/partial, all by-design states."""
+    from tf_idf_mapreduce_spark.sources import fs
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        _index_manifest_versions,
+        make_index_merge,
+        read_merged_index,
+        verify_index_root,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha w{i % 5} beta w{(i * 3) % 7} gamma")
+            for i in range(20)
+        ],
+        "doc_id long, text string",
+    ).localCheckpoint()
+    root = str(tmp_path / "ce1")
+    merge = make_index_merge(root, compact_every=1)
+    for b in range(6):
+        merge(docs.where(F.pmod(F.col("doc_id"), F.lit(6)) == b), b)
+        rep = verify_index_root(root)
+        assert rep["orphans"] == [], (
+            f"batch {b}: df/N dirs outlived their manifest entries"
+        )
+    committed = _index_manifest_versions(root)
+    # the grace df/N generation (the newest version's parent) keeps its
+    # manifest entry for as long as its dirs may exist
+    assert {5, 4} <= set(committed)
+    # and the served relation still equals the one-shot build
+    got = sorted(
+        tuple(r)
+        for r in read_merged_index(spark, root)
+        .select("word", "doc", "count", "doc_total", "df", "tfidf")
+        .collect()
+    )
+    expected = sorted(
+        tuple(r)
+        for r in _expected(spark, docs)
+        .withColumn("tfidf", F.col("tfidf"))
+        .collect()
+    )
+    assert got == expected
+    # manifest stays O(compact_every): bounded, not one entry per batch
+    assert len(committed) <= 3
+    assert len(fs.list_names(os.path.join(root, "manifest"))) <= 3

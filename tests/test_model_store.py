@@ -957,3 +957,58 @@ def test_reap_store_deletes_only_unreachable_state(
     monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", root)
     assert main(["models", "reap"]) == 0
     assert "reaped 0 " in capsys.readouterr().out
+
+
+def test_verify_store_classifies_atomic_tmp_leftovers(model_dir_env):
+    """Round-11 ADVICE: put_text_atomic's tmps are '<file>.tmp-<hex>'
+    (e.g. 'gen.json.tmp-abc' from a crashed generation bump) — names
+    that do NOT start with '.tmp-'. They must be reap candidates, and a
+    directory holding ONLY such a leftover is EMPTY, not legacy."""
+    from tf_idf_mapreduce_spark.sources.model_store import verify_store
+
+    root = model_dir_env
+    # artifact 1: only a crashed gen.json atomic-write tmp
+    d1 = os.path.join(root, "aud_tmponly", "k1")
+    os.makedirs(d1)
+    with open(os.path.join(d1, "gen.json.tmp-abc123"), "w") as f:
+        f.write('{"generation": 2}')
+    # artifact 2: real legacy pointer + a tmp beside it
+    d2 = os.path.join(root, "aud_legacy2", "k2")
+    os.makedirs(d2)
+    with open(os.path.join(d2, "gen.json"), "w") as f:
+        f.write('{"generation": 1}')
+    with open(os.path.join(d2, "gen.json.tmp-def456"), "w") as f:
+        f.write('{"generation": 2}')
+    # artifact 3: a staged data file whose name carries .tmp- must be a
+    # leftover, not a staging (never double-counted)
+    d3 = os.path.join(root, "aud_stagedtmp", "k3")
+    os.makedirs(d3)
+    with open(os.path.join(d3, "data-aaa.parquet.tmp-beef"), "w") as f:
+        f.write("x")
+
+    rep = verify_store(root=root)
+    by_fam = {a["family"]: a for a in rep["artifacts"]}
+    assert by_fam["aud_tmponly"]["state"] == "empty"
+    assert by_fam["aud_legacy2"]["state"] == "legacy"
+    assert by_fam["aud_stagedtmp"]["state"] == "empty"
+    assert by_fam["aud_stagedtmp"]["n_staged_unreachable"] == 0
+    reap = set(rep["reap_candidates"])
+    assert os.path.join(d1, "gen.json.tmp-abc123") in reap
+    assert os.path.join(d2, "gen.json.tmp-def456") in reap
+    assert os.path.join(d3, "data-aaa.parquet.tmp-beef") in reap
+    assert os.path.join(d2, "gen.json") not in reap  # live pointer stays
+    # each leftover appears exactly once
+    assert len(rep["reap_candidates"]) == len(reap)
+
+
+def test_cli_verify_reap_remote_root_exits_2(capsys, monkeypatch):
+    """Round-11 ADVICE: `models verify`/`reap` on a remote root must
+    print the explanation and exit 2 — not die with a traceback."""
+    from tf_idf_mapreduce_spark.cli import main
+
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", "hdfs://nn/models")
+    for verb in ("verify", "reap"):
+        rc = main(["models", verb])
+        captured = capsys.readouterr()
+        assert rc == 2
+        assert "remote store root" in captured.err

@@ -429,7 +429,11 @@ def _models_main(argv: list[str]) -> int:
     if args.action == "verify":
         from .sources.model_store import verify_store
 
-        rep = verify_store(root=root)
+        try:
+            rep = verify_store(root=root)
+        except ValueError as exc:  # remote roots audit elsewhere
+            print(str(exc), file=sys.stderr)
+            return 2
         c = rep["counts"]
         for a in rep["artifacts"]:
             if a["state"] != "live":
@@ -465,7 +469,11 @@ def _models_main(argv: list[str]) -> int:
     if args.action == "reap":
         from .sources.model_store import reap_store
 
-        deleted = reap_store(root=root)
+        try:
+            deleted = reap_store(root=root)
+        except ValueError as exc:  # remote roots audit elsewhere
+            print(str(exc), file=sys.stderr)
+            return 2
         for p_ in deleted:
             print(f"reaped\t{p_}")
         print(f"reaped {len(deleted)} unreachable file(s)/version(s) under {root}")

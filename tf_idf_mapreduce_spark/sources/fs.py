@@ -5,10 +5,13 @@ parquet — manifest markers, version pointers, reap targets — needs
 exactly four filesystem operations, all of which exist natively on
 local disk, HDFS, AND object stores:
 
-- **create-exclusive** of one small file (``O_EXCL`` locally,
-  ``FileSystem.create(path, overwrite=false)`` on HDFS, a conditional
-  If-None-Match PUT on S3-style stores) — the only concurrency
-  primitive any commit protocol here relies on;
+- **create-exclusive** of one small file — the only concurrency
+  primitive any commit protocol here relies on. Truly atomic via
+  ``O_EXCL`` locally and namenode-arbitrated ``create(overwrite=
+  false)`` on HDFS; on check-then-act filesystems (Hadoop
+  ``LocalFileSystem``, ``s3a://`` without Hadoop >= 3.4.1 conditional
+  create) the win is arbitrated ABOVE the FS by content read-back —
+  see :func:`put_text_exclusive` for the exact per-branch guarantee;
 - **overwrite** of one small file (``os.replace`` via a tmp locally —
   invisible to readers — and a plain PUT remotely);
 - **list** the names under a prefix;
@@ -31,10 +34,13 @@ scheme.
 
 from __future__ import annotations
 
+import logging
 import os
 import re
 import shutil
 import uuid
+
+_log = logging.getLogger(__name__)
 
 # a real URI scheme is 2+ chars followed by "://" — "C:\..." and
 # "C:/..." (Windows drive letters) must stay on the local branch
@@ -88,24 +94,83 @@ def _is_java_exc(exc, *class_names: str) -> bool:
     return False
 
 
+def _remote_claim_exclusive(path: str, text: str, spark=None) -> bool:
+    """The CLAIM half of the remote commit: ``FileSystem.create(path,
+    overwrite=false)`` + write. True = this FS *believed* we created the
+    file; False = it already existed. How strong that belief is depends
+    on the filesystem — see :func:`put_text_exclusive`. Split out as a
+    seam so the race tests can substitute the weakest possible claim
+    (an unconditional overwrite, the check-then-act worst case) and
+    prove the arbitration below it still holds."""
+    fs, jpath, _ = _hadoop_fs(path, spark)
+    try:
+        out = fs.create(jpath, False)
+    except Exception as exc:  # noqa: BLE001 — py4j surface
+        if _is_java_exc(
+            exc, "FileAlreadyExistsException", "PathExistsException"
+        ):
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
+def _arbitration_hook() -> None:
+    """Test seam between a remote claim's write and its read-back —
+    race tests park every contender here so all writes land before any
+    contender arbitrates. A no-op in production."""
+
+
 def put_text_exclusive(path: str, text: str, spark=None) -> bool:
-    """Atomically CREATE ``path`` with ``text``; False if it already
-    exists. First-writer-wins — the commit primitive."""
+    """CREATE ``path`` with ``text``; the winner's commit. Returns True
+    only when, AFTER this call's own write completed, the committed
+    content was observed equal to ``text``.
+
+    The exact guarantee is per-branch — stated honestly:
+
+    - **bare local paths**: ``O_EXCL`` — kernel-arbitrated, atomic,
+      first-writer-wins across processes. The strong case.
+    - **hdfs://**: ``create(overwrite=false)`` is namenode-arbitrated —
+      atomic, first-writer-wins.
+    - **file:// / s3a:// (pre-Hadoop-3.4.1 or without
+      ``fs.s3a.create.conditional.enabled``) / unknown schemes**:
+      Hadoop's ``create(overwrite=false)`` is CHECK-THEN-ACT (an
+      exists probe, then an overwriting create/PUT), so two racers can
+      both "succeed" with last-write-wins. The claim alone cannot be
+      trusted, which is why this function arbitrates ABOVE the FS: after
+      writing, read the path back and return True only if the committed
+      bytes are ours.
+
+    What read-back arbitration guarantees on a check-then-act FS
+    (given each caller writes distinct content — the store's version
+    names are uuid-minted, and the streaming manifest is single-writer
+    per path, so both protocols qualify):
+
+    - **False is always safe**: a False-returner's content was observed
+      NOT committed after its own write finished, and nothing ever
+      writes that content again — so a loser may delete its staged
+      version without ever leaving the marker dangling.
+    - **The final content belongs to a True-returner**: the committed
+      state is always one some caller claimed.
+    - **Double-win is possible but benign**: A may observe its own
+      content and return True before a late racer B overwrites and also
+      returns True. Both keep their staged versions, the marker names
+      B's — the cost is one unreferenced staging (reap fodder,
+      ``models reap``), never a wrong read. Exactly-one-winner is only
+      promised where the FS primitive is real (local ``O_EXCL``, HDFS).
+
+    Callers that need strict exactly-once on an object store must
+    either run Hadoop >= 3.4.1 with conditional create enabled (the
+    claim becomes a real If-None-Match PUT and the read-back is just a
+    cheap verify) or enforce single-writer-per-root operationally."""
     if _is_remote(path):
-        fs, jpath, _ = _hadoop_fs(path, spark)
-        try:
-            out = fs.create(jpath, False)
-        except Exception as exc:  # noqa: BLE001 — py4j surface
-            if _is_java_exc(
-                exc, "FileAlreadyExistsException", "PathExistsException"
-            ):
-                return False
-            raise
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
-        return True
+        if not _remote_claim_exclusive(path, text, spark):
+            return False
+        _arbitration_hook()
+        return read_text(path, spark) == text
     path = _local(path)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -114,6 +179,24 @@ def put_text_exclusive(path: str, text: str, spark=None) -> bool:
     with os.fdopen(fd, "w") as f:
         f.write(text)
     return True
+
+
+def _remote_rename_overwrite(jvm, jtmp, jpath, spark=None) -> None:
+    """``FileContext.rename(tmp, path, OVERWRITE)`` — the atomic swap
+    half of the remote overwrite. Split out as a seam so tests can
+    inject the two failure classes :func:`put_text_atomic`
+    distinguishes (capability gap vs transient)."""
+    from pyspark.sql import SparkSession
+
+    sess = spark or SparkSession.getActiveSession()
+    gw = sess.sparkContext._gateway
+    Rename = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(Rename, 1)
+    opts[0] = Rename.OVERWRITE
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        jpath.toUri(), sess._jsc.hadoopConfiguration()
+    )
+    fc.rename(jtmp, jpath, opts)
 
 
 def put_text_atomic(path: str, text: str, spark=None) -> None:
@@ -127,9 +210,17 @@ def put_text_atomic(path: str, text: str, spark=None) -> None:
     atomically (objects are never visible partially written). A bare
     ``create(path, overwrite=true)`` would NOT be safe on HDFS: it
     truncates in place, and a concurrent reader between the truncate
-    and the write sees an empty marker. If the FileContext path is
-    unavailable on an exotic FS, fall back to create-overwrite
-    (documented best-effort, still atomic on object stores)."""
+    and the write sees an empty marker.
+
+    The create-overwrite fallback is taken ONLY when the FS genuinely
+    cannot do the FileContext rename (``UnsupportedFileSystemException``
+    — no ``AbstractFileSystem`` binding for the scheme, the common case
+    for ``s3a://`` roots, where a plain PUT is itself atomic — or
+    ``UnsupportedOperationException``), and the downgrade is logged. A
+    TRANSIENT rename failure (an HDFS IOException, a lease conflict)
+    RE-RAISES rather than silently degrading to the truncate-in-place
+    write whose hazard this docstring just explained (round-11 verdict
+    #2)."""
     if _is_remote(path):
         fs, jpath, jvm = _hadoop_fs(path, spark)
         jtmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp-{uuid.uuid4().hex}")
@@ -139,18 +230,27 @@ def put_text_atomic(path: str, text: str, spark=None) -> None:
         finally:
             out.close()
         try:
-            from pyspark.sql import SparkSession
-
-            sess = spark or SparkSession.getActiveSession()
-            gw = sess.sparkContext._gateway
-            Rename = jvm.org.apache.hadoop.fs.Options.Rename
-            opts = gw.new_array(Rename, 1)
-            opts[0] = Rename.OVERWRITE
-            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-                jpath.toUri(), sess._jsc.hadoopConfiguration()
+            _remote_rename_overwrite(jvm, jtmp, jpath, spark)
+        except Exception as exc:  # noqa: BLE001 — py4j surface
+            if not _is_java_exc(
+                exc,
+                "UnsupportedFileSystemException",
+                "UnsupportedOperationException",
+            ):
+                # transient failure, not a capability gap: surface it —
+                # never silently truncate-in-place — but don't leak tmp
+                try:
+                    fs.delete(jtmp, False)
+                except Exception:  # noqa: BLE001
+                    pass
+                raise
+            _log.warning(
+                "fs.put_text_atomic(%s): no FileContext rename on this "
+                "filesystem — degrading to create-overwrite (atomic on "
+                "object stores, NOT crash-atomic for concurrent readers "
+                "on a truncating FS)",
+                path,
             )
-            fc.rename(jtmp, jpath, opts)
-        except Exception:  # noqa: BLE001 — exotic FS without FileContext
             out = fs.create(jpath, True)
             try:
                 out.write(bytearray(text.encode("utf-8")))
@@ -169,15 +269,21 @@ def put_text_atomic(path: str, text: str, spark=None) -> None:
 
 
 def read_text(path: str, spark=None) -> str | None:
-    """The file's text, or None when absent (a torn/obstructed read on
-    the remote branch also reads as absent — callers treat a missing
-    manifest as 'no committed version', never as an error)."""
+    """The file's text, or None when ABSENT — and only when absent.
+    A permission error or transient RPC failure RAISES: mapping it to
+    None would make a misconfigured root read as "no committed
+    version" (an empty index served instead of an error — round-11
+    verdict #3)."""
     if _is_remote(path):
         fs, jpath, jvm = _hadoop_fs(path, spark)
         try:
             stream = fs.open(jpath)
-        except Exception:  # noqa: BLE001 — FileNotFound via py4j
-            return None
+        except Exception as exc:  # noqa: BLE001 — py4j surface
+            if _is_java_exc(
+                exc, "FileNotFoundException", "PathNotFoundException"
+            ):
+                return None
+            raise
         try:
             return jvm.org.apache.commons.io.IOUtils.toString(
                 stream, "UTF-8"
@@ -187,22 +293,29 @@ def read_text(path: str, spark=None) -> str | None:
     try:
         with open(_local(path)) as f:
             return f.read()
-    except OSError:
+    except (FileNotFoundError, NotADirectoryError):
+        # NotADirectoryError = a path COMPONENT is a file — the target
+        # is equally absent; anything else (permissions, I/O) raises
         return None
 
 
 def list_names(path: str, spark=None) -> list[str]:
-    """Child names under ``path`` ([] when absent) — a LIST on object
-    stores, ``os.listdir`` locally."""
+    """Child names under ``path`` ([] when absent — and only when
+    absent; permission/RPC failures raise, same rationale as
+    :func:`read_text`)."""
     if _is_remote(path):
         fs, jpath, _ = _hadoop_fs(path, spark)
         try:
             return [st.getPath().getName() for st in fs.listStatus(jpath)]
-        except Exception:  # noqa: BLE001 — FileNotFound via py4j
-            return []
+        except Exception as exc:  # noqa: BLE001 — py4j surface
+            if _is_java_exc(
+                exc, "FileNotFoundException", "PathNotFoundException"
+            ):
+                return []
+            raise
     try:
         return os.listdir(_local(path))
-    except OSError:
+    except (FileNotFoundError, NotADirectoryError):
         return []
 
 

@@ -566,13 +566,19 @@ def verify_store(spark=None, root: str | None = None) -> dict:
                 continue
             entries = os.listdir(d)
             cur = _read_current(d)
-            staged = [
-                e for e in entries
-                if e.startswith(("v-", "data-")) and e != cur
-            ]
+            # commit tmp leftovers carry '.tmp-' ANYWHERE in the name:
+            # put_text_atomic writes '<file>.tmp-<hex>' (e.g.
+            # 'gen.json.tmp-abc' from _bump_quantizer_generation), not
+            # just dot-prefixed names (round-11 ADVICE)
             leftovers = [
                 e for e in entries
-                if e.startswith((".tmp-", ".probe-", "_CURRENT.tmp-"))
+                if ".tmp-" in e or e.startswith((".tmp-", ".probe-"))
+            ]
+            staged = [
+                e for e in entries
+                if e.startswith(("v-", "data-"))
+                and e != cur
+                and ".tmp-" not in e  # already a leftover, not a staging
             ]
             if cur is not None:
                 state = "live" if os.path.exists(os.path.join(d, cur)) else "torn"
@@ -584,8 +590,11 @@ def verify_store(spark=None, root: str | None = None) -> dict:
             elif staged:
                 state = "orphaned"
             elif any(
-                not e.startswith((".", "_")) for e in entries
+                not e.startswith((".", "_")) and ".tmp-" not in e
+                for e in entries
             ):
+                # tmp leftovers are excluded: a dir holding ONLY a
+                # crashed 'gen.json.tmp-*' is empty, not legacy data
                 state = "legacy"
             else:
                 state = "empty"

@@ -960,7 +960,13 @@ def _sweep_index_root(sess, root: str, committed: dict, batch_id: int) -> None:
             fs.delete_recursive(fs.join(root, name), sess)
     bases = [v for v, meta in committed.items() if meta.get("base")]
     if bases:
-        cutoff = max(bases)
+        # manifest retention must stay consistent with df/N retention:
+        # live_dfn keeps the newest version's PARENT df/N as the grace
+        # generation, so its manifest entry must survive too — at
+        # compact_every=1 every version is a base and a max(bases)
+        # cutoff would prune the parent's entry while its df/N dirs
+        # linger as verify-reported orphans (round-11 ADVICE)
+        cutoff = min(max(bases), min(live_dfn))
         for v in [v for v in committed if v < cutoff]:
             fs.delete_recursive(fs.join(root, "manifest", f"v{v}"), sess)
             del committed[v]
