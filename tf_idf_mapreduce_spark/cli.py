@@ -259,21 +259,19 @@ def _models_main(argv: list[str]) -> int:
       index chain's postings segments into one clean bucketed table and
       prune the superseded per-day chain artifacts; the shared base
       index stays (siblings serve it) — ``operators.tfidf.compact_index``.
-    - ``verify [--root R]``: read-only integrity audit — walk the root
-      and report each artifact's lifecycle state (live / torn /
-      orphaned-by-crash / legacy / empty) plus reap-safe leftovers
-      (``sources.model_store.verify_store``). With ``--index-root D``
-      it audits a STREAMED-index root instead: per-version live /
-      retained (as-of readable) / partial / orphaned
-      (``streaming.queries.verify_index_root``).
-    - ``reap [--root R]``: delete the audit's reap-safe leftovers
-      (non-current stagings beside a live manifest, commit tmp files,
-      stale probes) — never a live version, never orphaned-state
-      evidence (``sources.model_store.reap_store``). With
-      ``--index-root D``: offline GC of a streamed-index root — the
-      in-stream sweep for compacting roots, orphan-only for
-      full-retention roots (``streaming.queries.gc_index_root``); run
-      on a stopped stream.
+    - ``verify [--root R]``: read-only integrity audit of ANY durable
+      root — the layout is detected from the root itself
+      (``sources.versioned.audit``). A model-store root reports each
+      artifact's lifecycle state (live / torn / orphaned-by-crash /
+      legacy / empty); a streamed-index root reports per-version live
+      / retained (as-of readable) / partial / orphaned. Both list the
+      exact reap candidates a ``reap`` would delete.
+    - ``reap [--root R]``: delete what the audit proved unreachable
+      (``sources.versioned.reap``) — never a live version, never
+      orphaned-state evidence on a store root; on a streamed-index
+      root this is offline GC via the SAME plan the in-stream sweep
+      runs (run it on a stopped stream). ``--index-root`` remains as a
+      deprecated alias for ``--root``.
     - ``refit --sf-dir D``: evaluate the ANN drift report and, on a
       REFIT verdict, bump the quantizer generation — re-keying the
       centroids/codebooks/code-table/disposition cascade
@@ -324,8 +322,9 @@ def _models_main(argv: list[str]) -> int:
     p.add_argument(
         "--index-root", default=None,
         help=(
-            "verify: audit a STREAMED-index root (make_index_merge "
-            "state) instead of the model store"
+            "DEPRECATED alias for --root: verify/reap detect the "
+            "layout (model store vs streamed-index root) from the "
+            "root's own contents"
         ),
     )
     args = p.parse_args(argv[1:])
@@ -405,35 +404,62 @@ def _models_main(argv: list[str]) -> int:
                 f"{s['old_generation']})"
             )
         return 0
-    if args.action == "verify" and args.index_root is not None:
-        from .streaming.queries import verify_index_root
+    if args.action in ("verify", "reap"):
+        # ONE code path for both durable-state layouts (round-11
+        # verdict #3): the kind is detected from the root itself —
+        # --index-root remains as a deprecated alias for --root
+        from .sources import versioned
 
-        rep = verify_index_root(args.index_root)
-        for v, meta in rep["versions"].items():
-            if meta["state"] != "live":
-                print(
-                    f"{meta['state'].upper()}\tv{v}\t"
-                    f"present={','.join(meta['present']) or '-'}"
-                    + ("\tbase" if meta["base"] else "")
-                )
-        for v in rep["orphans"]:
-            print(f"ORPHANED\tv{v} (no manifest entry — reap-safe)")
-        c = rep["counts"]
-        print(
-            f"index {rep['root']}: newest v{rep['newest']}, "
-            f"{c['live']} live, {c['retained']} retained (as-of "
-            f"readable), {c['partial']} partial, "
-            f"{len(rep['orphans'])} orphaned"
-        )
-        return 0
-    if args.action == "verify":
-        from .sources.model_store import verify_store
-
+        target = args.index_root if args.index_root is not None else root
+        kind = "index" if args.index_root is not None else None
         try:
-            rep = verify_store(root=root)
-        except ValueError as exc:  # remote roots audit elsewhere
-            print(str(exc), file=sys.stderr)
+            rep = (
+                versioned.audit(target, kind=kind)
+                if args.action == "verify"
+                else versioned.reap(target, kind=kind)
+            )
+        except Exception as exc:  # noqa: BLE001 — CLI boundary: an
+            # unreachable/unsupported root (remote store audit, dead
+            # namenode, missing s3a jars) reports and exits 2, never
+            # a traceback
+            print(str(exc) or type(exc).__name__, file=sys.stderr)
             return 2
+        if args.action == "reap":
+            for p_ in rep["reaped"]:
+                print(f"reaped\t{p_}")
+            if rep["kind"] == "index":
+                print(
+                    f"index {target} ({rep['mode']}): "
+                    f"{len(rep['before'])} -> {len(rep['after'])} version "
+                    f"dirs, {len(rep['reaped'])} reaped"
+                )
+            else:
+                print(
+                    f"reaped {len(rep['reaped'])} unreachable "
+                    f"file(s)/version(s) under {target}"
+                )
+            return 0
+        if rep["kind"] == "index":
+            for v, meta in rep["versions"].items():
+                if meta["state"] != "live":
+                    print(
+                        f"{meta['state'].upper()}\tv{v}\t"
+                        f"present={','.join(meta['present']) or '-'}"
+                        + ("\tbase" if meta["base"] else "")
+                    )
+            for v in rep["orphans"]:
+                print(f"ORPHANED\tv{v} (no manifest entry — reap-safe)")
+            for p_ in rep["reap_candidates"]:
+                print(f"REAPABLE\t{p_}")
+            c = rep["counts"]
+            print(
+                f"index {rep['root']}: newest v{rep['newest']}, "
+                f"{c['live']} live, {c['retained']} retained (as-of "
+                f"readable), {c['partial']} partial, "
+                f"{len(rep['orphans'])} orphaned; "
+                f"{len(rep['reap_candidates'])} reap candidate(s)"
+            )
+            return 0
         c = rep["counts"]
         for a in rep["artifacts"]:
             if a["state"] != "live":
@@ -453,30 +479,6 @@ def _models_main(argv: list[str]) -> int:
             f"{c['orphaned']} orphaned, {c['empty']} empty; "
             f"{len(rep['reap_candidates'])} reap candidate(s)"
         )
-        return 0
-    if args.action == "reap" and args.index_root is not None:
-        from .streaming.queries import gc_index_root
-
-        rep = gc_index_root(args.index_root)
-        for name in rep["reaped"]:
-            print(f"reaped\t{name}")
-        print(
-            f"index {args.index_root} ({rep['mode']}): "
-            f"{len(rep['before'])} -> {len(rep['after'])} version dirs, "
-            f"{len(rep['reaped'])} reaped"
-        )
-        return 0
-    if args.action == "reap":
-        from .sources.model_store import reap_store
-
-        try:
-            deleted = reap_store(root=root)
-        except ValueError as exc:  # remote roots audit elsewhere
-            print(str(exc), file=sys.stderr)
-            return 2
-        for p_ in deleted:
-            print(f"reaped\t{p_}")
-        print(f"reaped {len(deleted)} unreachable file(s)/version(s) under {root}")
         return 0
     if args.action == "prune":
         removed = prune_models(max_age_days=args.max_age_days)

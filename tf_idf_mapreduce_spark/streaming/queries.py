@@ -937,19 +937,42 @@ def _sweep_index_root(sess, root: str, committed: dict, batch_id: int) -> None:
 
     Versions at/above ``batch_id`` are never touched: an id equal to the
     current batch is this batch's own crashed earlier attempt, about to
-    be overwritten by its replay."""
-    import re as _re
+    be overwritten by its replay.
 
+    Split into PLAN (:func:`_sweep_index_plan`, read-only) and ACT so
+    the same decision code path backs the in-stream sweep, the
+    ``models verify`` reap-candidate report, and offline GC (round-11
+    verdict #3: one verify/reap code path)."""
     from ..sources import fs
 
+    names = fs.list_names(root, sess)
+    dirs, manifest_prunes = _sweep_index_plan(committed, names, batch_id)
+    for name in dirs:
+        fs.delete_recursive(fs.join(root, name), sess)
+    for v in manifest_prunes:
+        fs.delete_recursive(fs.join(root, "manifest", f"v{v}"), sess)
+        del committed[v]
+
+
+def _sweep_index_plan(
+    committed: dict, names: list, batch_id: int
+) -> tuple[list, list]:
+    """The sweep DECISION, with no I/O: given the committed manifest,
+    the root's child names, and the sweep horizon (the current batch
+    id, or ``max+1`` for an offline pass), return ``(dir_names_to_
+    delete, manifest_versions_to_prune)``. See :func:`_sweep_index_root`
+    for the retention rules each list encodes."""
+    import re as _re
+
     if not committed:
-        return
+        return [], []
     cur = max(committed)
     live_segs = set(_segment_chain(committed, cur))
     live_dfn = {cur}
     if committed[cur].get("parent") is not None:
         live_dfn.add(committed[cur]["parent"])
-    for name in fs.list_names(root, sess):
+    dirs = []
+    for name in names:
         m = _re.match(r"^(seg|df|n)_v(\d+)$", name)
         if not m:
             continue
@@ -957,7 +980,8 @@ def _sweep_index_root(sess, root: str, committed: dict, batch_id: int) -> None:
         if v >= batch_id:
             continue
         if v not in (live_segs if kind == "seg" else live_dfn):
-            fs.delete_recursive(fs.join(root, name), sess)
+            dirs.append(name)
+    manifest_prunes = []
     bases = [v for v, meta in committed.items() if meta.get("base")]
     if bases:
         # manifest retention must stay consistent with df/N retention:
@@ -967,9 +991,8 @@ def _sweep_index_root(sess, root: str, committed: dict, batch_id: int) -> None:
         # cutoff would prune the parent's entry while its df/N dirs
         # linger as verify-reported orphans (round-11 ADVICE)
         cutoff = min(max(bases), min(live_dfn))
-        for v in [v for v in committed if v < cutoff]:
-            fs.delete_recursive(fs.join(root, "manifest", f"v{v}"), sess)
-            del committed[v]
+        manifest_prunes = [v for v in committed if v < cutoff]
+    return sorted(dirs), sorted(manifest_prunes)
 
 
 def make_index_merge(root: str, compact_every: int | None = None):
@@ -1410,14 +1433,19 @@ def verify_index_root(root: str, spark=None) -> dict:
       sweep.
 
     Never writes. Returns ``{"root", "versions": {...}, "counts",
-    "newest", "orphans": [...]}``."""
+    "newest", "orphans": [...], "reap_candidates": [...]}`` —
+    ``reap_candidates`` are the root-relative names an offline
+    :func:`gc_index_root` pass would delete, decided by the SAME
+    ``_sweep_index_plan`` the in-stream sweep runs (one verify/reap
+    code path, round-11 verdict #3)."""
     import re as _re
 
     from ..sources import fs
 
     committed = _index_manifest_versions(root, spark)
+    names = fs.list_names(root, spark)
     on_disk: dict[int, set] = {}
-    for name in fs.list_names(root, spark):
+    for name in names:
         m = _re.match(r"^(seg|df|n)_v(\d+)$", name)
         if m:
             on_disk.setdefault(int(m.group(2)), set()).add(m.group(1))
@@ -1427,6 +1455,7 @@ def verify_index_root(root: str, spark=None) -> dict:
         "versions": {},
         "orphans": sorted(v for v in on_disk if v not in committed),
         "counts": {"live": 0, "retained": 0, "partial": 0},
+        "reap_candidates": _index_reap_candidates(committed, names),
     }
     if not committed:
         return out
@@ -1452,6 +1481,44 @@ def verify_index_root(root: str, spark=None) -> dict:
     return out
 
 
+def _index_reap_candidates(committed: dict, names: list) -> list:
+    """Root-relative names an offline GC pass deletes — the read-only
+    decision shared by ``verify_index_root`` (reporting) and
+    ``gc_index_root`` (acting). Policy by retention regime:
+
+    - COMPACTING (any ``base`` entry): exactly the in-stream sweep plan
+      with the horizon pushed past every id on disk — expired-grace
+      segments, unreachable df/N generations, crash orphans, and
+      manifest entries below the retention cutoff (as
+      ``manifest/v{N}`` names).
+    - FULL-RETENTION (no base): only crash orphans (data dirs whose id
+      has no manifest entry); history is never touched.
+    - EMPTY manifest: nothing — an uncommitted first batch's dirs are
+      in-flight state, not garbage."""
+    import re as _re
+
+    if not committed:
+        return []
+    compacting = any(m.get("base") for m in committed.values())
+    ids = [
+        int(m.group(2))
+        for m in (
+            _re.match(r"^(seg|df|n)_v(\d+)$", n) for n in names
+        )
+        if m
+    ]
+    if compacting:
+        horizon = max([*ids, *committed]) + 1
+        dirs, prunes = _sweep_index_plan(dict(committed), names, horizon)
+        return dirs + [f"manifest/v{v}" for v in prunes]
+    return sorted(
+        n
+        for n in names
+        if (m := _re.match(r"^(seg|df|n)_v(\d+)$", n))
+        and int(m.group(2)) not in committed
+    )
+
+
 def gc_index_root(root: str, spark=None) -> dict:
     """Offline garbage collection for a streamed-index root — the
     ``models reap`` twin of :func:`verify_index_root` (the in-stream
@@ -1471,7 +1538,14 @@ def gc_index_root(root: str, spark=None) -> dict:
       has no manifest entry) are reaped; history is never touched.
 
     Returns ``{"mode", "before", "after", "reaped"}`` with dir counts
-    and the deleted names."""
+    and the deleted names. The delete set is EXACTLY
+    ``verify_index_root``'s ``reap_candidates`` — the decision lives
+    once, in ``_sweep_index_plan`` / ``_index_reap_candidates``; for a
+    compacting root the offline horizon covers every id on disk,
+    including a crashed never-committed FINAL batch above
+    max(committed), which the in-stream sweep would protect as its own
+    in-flight write (a later resume's replay rewrites its data with
+    mode=overwrite anyway)."""
     import re as _re
 
     from ..sources import fs
@@ -1489,23 +1563,8 @@ def gc_index_root(root: str, spark=None) -> dict:
     if not committed:
         return {"mode": "empty", "before": before, "after": before, "reaped": []}
     compacting = any(m.get("base") for m in committed.values())
-    if compacting:
-        # offline: no batch is in flight, so the sweep horizon covers
-        # every id on disk — including a crashed never-committed FINAL
-        # batch above max(committed), which the in-stream sweep would
-        # protect as its own in-flight write (a later resume's replay
-        # rewrites its data with mode=overwrite anyway)
-        on_disk = [
-            int(_re.match(r"^(?:seg|df|n)_v(\d+)$", n).group(1))
-            for n in before
-        ]
-        horizon = max([*on_disk, *committed]) + 1
-        _sweep_index_root(spark, root, committed, horizon)
-    else:
-        for name in before:
-            v = int(_re.match(r"^(?:seg|df|n)_v(\d+)$", name).group(1))
-            if v not in committed:
-                fs.delete_recursive(fs.join(root, name), spark)
+    for rel in _index_reap_candidates(committed, fs.list_names(root, spark)):
+        fs.delete_recursive(fs.join(root, rel), spark)
     after = _dirs()
     return {
         "mode": "compacting" if compacting else "full-retention",
