@@ -131,8 +131,10 @@ def put_text_exclusive(path: str, text: str, spark=None) -> bool:
 
     The exact guarantee is per-branch — stated honestly:
 
-    - **bare local paths**: ``O_EXCL`` — kernel-arbitrated, atomic,
-      first-writer-wins across processes. The strong case.
+    - **bare local paths**: tmp write + ``link(2)`` — kernel-arbitrated
+      first-writer-wins across processes, AND the file appears with its
+      full content in one step (no empty-marker window for a concurrent
+      reader to misread as torn). The strong case.
     - **hdfs://**: ``create(overwrite=false)`` is namenode-arbitrated —
       atomic, first-writer-wins.
     - **file:// / s3a:// (pre-Hadoop-3.4.1 or without
@@ -171,13 +173,23 @@ def put_text_exclusive(path: str, text: str, spark=None) -> bool:
             return False
         _arbitration_hook()
         return read_text(path, spark) == text
+    # local: write the content to a tmp, then hardlink it into place —
+    # link(2) fails atomically if the path exists (the O_EXCL
+    # arbitration) AND the file appears WITH its content in one step.
+    # A bare O_EXCL create + write leaves a window where a concurrent
+    # reader sees an EMPTY marker and misreads an in-flight winner as a
+    # torn commit (_promote would then heal-overwrite a healthy
+    # in-progress promote — observed at P16 probe contention, round 12).
     path = _local(path)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
-        f.write(text)
+    finally:
+        os.unlink(tmp)
     return True
 
 
