@@ -34,6 +34,9 @@ def _mk_index_root(tmp_path) -> str:
     commit(3, 2)
     plant(3, ("seg", "df", "n"))
     plant(7, ("seg", "df", "n"))
+    # a crashed torn-commit heal: atomic-write tmp inside manifest/
+    with open(os.path.join(root, "manifest", "v1.tmp-dead"), "w") as f:
+        f.write("{}")
     return root
 
 
@@ -86,7 +89,8 @@ def test_audit_then_reap_index_is_what_you_saw(tmp_path):
     cands = set(rep["reap_candidates"])
     # history below the base, the expired grace segs, the crash orphan
     assert {"seg_v0", "seg_v1", "df_v0", "n_v0", "seg_v7", "df_v7",
-            "n_v7", "manifest/v0", "manifest/v1"} == cands
+            "n_v7", "manifest/v0", "manifest/v1",
+            "manifest/v1.tmp-dead"} == cands
     reaped = versioned.reap(root)
     assert reaped["kind"] == "index"
     data_cands = {c for c in cands if not c.startswith("manifest/")}

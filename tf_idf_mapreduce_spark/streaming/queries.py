@@ -1455,7 +1455,9 @@ def verify_index_root(root: str, spark=None) -> dict:
         "versions": {},
         "orphans": sorted(v for v in on_disk if v not in committed),
         "counts": {"live": 0, "retained": 0, "partial": 0},
-        "reap_candidates": _index_reap_candidates(committed, names),
+        "reap_candidates": _index_reap_candidates(
+            committed, names, fs.list_names(fs.join(root, "manifest"), spark)
+        ),
     }
     if not committed:
         return out
@@ -1481,7 +1483,9 @@ def verify_index_root(root: str, spark=None) -> dict:
     return out
 
 
-def _index_reap_candidates(committed: dict, names: list) -> list:
+def _index_reap_candidates(
+    committed: dict, names: list, manifest_names: list | None = None
+) -> list:
     """Root-relative names an offline GC pass deletes — the read-only
     decision shared by ``verify_index_root`` (reporting) and
     ``gc_index_root`` (acting). Policy by retention regime:
@@ -1494,11 +1498,19 @@ def _index_reap_candidates(committed: dict, names: list) -> list:
     - FULL-RETENTION (no base): only crash orphans (data dirs whose id
       has no manifest entry); history is never touched.
     - EMPTY manifest: nothing — an uncommitted first batch's dirs are
-      in-flight state, not garbage."""
+      in-flight state, not garbage.
+
+    In every regime, crashed atomic-write tmps inside ``manifest/``
+    (``v{N}.tmp-<hex>`` — a torn-commit heal that died mid-overwrite)
+    are leftovers: the manifest reader ignores non-``v{N}`` names, so
+    nothing else ever collects them."""
     import re as _re
 
+    tmps = [
+        f"manifest/{n}" for n in (manifest_names or []) if ".tmp-" in n
+    ]
     if not committed:
-        return []
+        return tmps
     compacting = any(m.get("base") for m in committed.values())
     ids = [
         int(m.group(2))
@@ -1510,13 +1522,13 @@ def _index_reap_candidates(committed: dict, names: list) -> list:
     if compacting:
         horizon = max([*ids, *committed]) + 1
         dirs, prunes = _sweep_index_plan(dict(committed), names, horizon)
-        return dirs + [f"manifest/v{v}" for v in prunes]
+        return dirs + [f"manifest/v{v}" for v in prunes] + tmps
     return sorted(
         n
         for n in names
         if (m := _re.match(r"^(seg|df|n)_v(\d+)$", n))
         and int(m.group(2)) not in committed
-    )
+    ) + tmps
 
 
 def gc_index_root(root: str, spark=None) -> dict:
@@ -1563,7 +1575,11 @@ def gc_index_root(root: str, spark=None) -> dict:
     if not committed:
         return {"mode": "empty", "before": before, "after": before, "reaped": []}
     compacting = any(m.get("base") for m in committed.values())
-    for rel in _index_reap_candidates(committed, fs.list_names(root, spark)):
+    for rel in _index_reap_candidates(
+        committed,
+        fs.list_names(root, spark),
+        fs.list_names(fs.join(root, "manifest"), spark),
+    ):
         fs.delete_recursive(fs.join(root, rel), spark)
     after = _dirs()
     return {
