@@ -6669,6 +6669,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reads + one word join, no corpus scan (the merge-review
         # relation an operator checks before promoting readers)
         "stream_tfidf_index_diff": st.q_stream_tfidf_index_diff,
+        # round 12: SHARDED index maintenance — two disjoint corpus
+        # shards, each drained by its own independent streaming merge
+        # into its own versioned root (heterogeneous compaction
+        # cadences), served by one scatter-gather read: segments
+        # union, per-word df sum, N sum. The 100 TB deployment shape;
+        # sharding must be invisible in the relation
+        "stream_tfidf_index_sharded": st.q_stream_tfidf_index_sharded,
         # SEARCH against the promoted index: identical relation to
         # tfidf_search, but the warm plan reads versioned store tables
         # with zero documents scans — the production query path
@@ -6858,6 +6865,10 @@ def oracle_sql() -> dict[str, str]:
     # ... and its STREAMING twin: per-micro-batch merge into versioned
     # index tables lands on the same relation
     out["stream_tfidf_index_merge"] = out["tfidf_full"]
+    # ... and the SHARDED federation of two independent streams over
+    # disjoint corpus halves: df/N are additive across disjoint shards,
+    # so scatter-gather serving lands on the same relation too
+    out["stream_tfidf_index_sharded"] = out["tfidf_full"]
     # the promoted day must land on the in-lineage e2e relation — the
     # store write-back is invisible in the rows
     out["tfidf_e2e_promoted"] = out["tfidf_incremental_e2e"]

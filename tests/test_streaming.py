@@ -1170,3 +1170,74 @@ def test_gc_index_root_policies(tmp_path, capsys):
     rc = main(["models", "reap", "--index-root", co])
     assert rc == 0
     assert "0 reaped" in capsys.readouterr().out  # idempotent second run
+
+
+def test_sharded_index_federation_equals_single_stream(
+    spark, sf_dir, tmp_path
+):
+    """Round 12: two DISJOINT corpus shards, each drained by its own
+    independent merge (shard 0 compacting every 2nd batch, shard 1
+    full-retention), must federate to EXACTLY the single-root relation
+    over the whole corpus — df/N are additive across disjoint shards,
+    so scatter-gather serving is invisible in the relation. Also pins
+    the degenerate cases: a 1-root federation equals read_merged_index,
+    and an empty root list / uncommitted root raise."""
+    import pytest as _pytest
+
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        make_index_merge,
+        read_merged_index,
+        read_sharded_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha w{i % 5} beta w{(i * 3) % 7} gamma")
+            for i in range(24)
+        ],
+        "doc_id long, text string",
+    ).localCheckpoint()
+
+    # one whole-corpus root (2 batches) = the reference relation
+    whole = str(tmp_path / "whole")
+    merge_whole = make_index_merge(whole)
+    for b in range(2):
+        merge_whole(
+            docs.where(F.pmod((F.col("doc_id") / 2).cast("long"), F.lit(2)) == b),
+            b,
+        )
+    expected = sorted(
+        tuple(r) for r in read_merged_index(spark, whole).collect()
+    )
+
+    # two shard roots, doc_id % 2, heterogeneous cadences, 2 batches each
+    roots = []
+    for shard in range(2):
+        root = str(tmp_path / f"shard{shard}")
+        roots.append(root)
+        merge = make_index_merge(
+            root, compact_every=2 if shard == 0 else None
+        )
+        part = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == shard)
+        for b in range(2):
+            merge(
+                part.where(
+                    F.pmod((F.col("doc_id") / 2).cast("long"), F.lit(2)) == b
+                ),
+                b,
+            )
+    got = sorted(
+        tuple(r) for r in read_sharded_index(spark, roots).collect()
+    )
+    assert got == expected
+
+    # 1-root federation degenerates to the single-root read
+    one = sorted(
+        tuple(r) for r in read_sharded_index(spark, [whole]).collect()
+    )
+    assert one == expected
+
+    with _pytest.raises(ValueError, match="at least one root"):
+        read_sharded_index(spark, [])
+    with _pytest.raises(RuntimeError, match="no micro-batch committed"):
+        read_sharded_index(spark, [whole, str(tmp_path / "nothing")])

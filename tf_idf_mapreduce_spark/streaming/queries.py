@@ -1412,6 +1412,162 @@ def q_stream_tfidf_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_sharded_index(
+    spark: SparkSession, roots: list
+) -> DataFrame:
+    """Scatter-gather serving over SHARDED index roots — the 100 TB
+    deployment shape of the streaming index: partition the corpus by a
+    stable doc key into S shards, run one independent
+    ``make_index_merge`` stream per shard (own root, own checkpoint,
+    own compaction cadence — no cross-shard coordination, no shared
+    commit path), and serve queries by federating the per-shard states.
+
+    Because shard corpora are DISJOINT by construction, the global
+    state is a pure sum of shard states: postings segments union (a
+    doc's postings live in exactly one shard), document frequency is
+    additive per word (``df_total = Σ df_shard`` — each shard counts
+    its own docs), and the corpus size is ``N = Σ N_shard``. So the
+    federated relation hash-equals the one-shot single-stream build —
+    sharding, like micro-batching and compaction below it, is an
+    execution strategy invisible in the relation.
+
+    Cost shape at scale: the only cross-shard work is the per-word df
+    sum — S vocabulary-sized tables through one hash aggregation —
+    and S broadcast-sized N scalars; the corpus-sized postings are
+    never reshuffled by federation itself (each segment meets the
+    global df in the same per-segment join ``score_index`` always
+    does). Each root resolves its own newest committed version
+    independently — a reader never blocks on a lagging shard's
+    in-flight batch, it reads that shard's last commit."""
+    from functools import reduce
+
+    from ..operators.tfidf import score_index
+    from ..sources import fs
+
+    if not roots:
+        raise ValueError("read_sharded_index needs at least one root")
+    all_segs, shard_dfs, shard_ns = [], [], []
+    for root in roots:
+        committed = _index_manifest_versions(root, spark)
+        if not committed:
+            raise RuntimeError(
+                f"no micro-batch committed an index version under {root!r}"
+            )
+        cur = max(committed)
+        all_segs += [
+            spark.read.parquet(fs.join(root, f"seg_v{v}"))
+            for v in _segment_chain(committed, cur)
+        ]
+        shard_dfs.append(spark.read.parquet(fs.join(root, f"df_v{cur}")))
+        shard_ns.append(spark.read.parquet(fs.join(root, f"n_v{cur}")))
+    dfx = (
+        reduce(lambda a, b: a.unionByName(b), shard_dfs)
+        .groupBy("word")
+        .agg(F.sum("dfx").alias("dfx"))
+    )
+    n = reduce(lambda a, b: a.unionByName(b), shard_ns).agg(
+        F.sum("nx").alias("nx")
+    )
+    return score_index(all_segs, dfx, n)
+
+
+#: One fully-drained PAIR of shard roots per (process, sf_dir) — the
+#: sharded query's drains, shared across repeat calls like the as-of
+#: root (removed at interpreter exit).
+_SHARD_ROOTS_CACHE: dict[str, str] = {}
+
+
+def _sharded_index_roots(spark: SparkSession, sf_dir: str) -> list:
+    """Drain the corpus as TWO independent shard streams (shard k =
+    docs with ``doc_id % 2 == k``, each arriving in two deterministic
+    micro-batches split by ``(doc_id // 2) % 2``) into two separate
+    index roots — one compacting every 2nd batch, one full-retention —
+    and return the roots. Deliberately heterogeneous cadences: the
+    federation must not care how each shard manages its own history."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    def build(base: str) -> None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for shard in range(2):
+            split_dir = os.path.join(base, f"split{shard}")
+            os.makedirs(split_dir)
+            t0 = time.time() - 400
+            for b in range(2):
+                staging = tempfile.mkdtemp(prefix="shard_stage_")
+                (
+                    docs.where(
+                        (F.pmod(F.col("doc_id"), F.lit(2)) == shard)
+                        & (
+                            F.pmod(
+                                (F.col("doc_id") / 2).cast("long"), F.lit(2)
+                            )
+                            == b
+                        )
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(staging)
+                )
+                (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+                dst = os.path.join(split_dir, f"b{b}.parquet")
+                shutil.copyfile(part, dst)
+                os.utime(dst, (t0 + b * 60, t0 + b * 60))
+                shutil.rmtree(staging, ignore_errors=True)
+            root = os.path.join(base, f"shard{shard}")
+            ckpt = tempfile.mkdtemp(prefix=f"spark_ckpt_shard{shard}_")
+            src = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(split_dir)
+            )
+            try:
+                query = (
+                    src.writeStream.foreachBatch(
+                        make_index_merge(
+                            root, compact_every=2 if shard == 0 else None
+                        )
+                    )
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+                if not query.awaitTermination(300):
+                    query.stop()
+                    raise TimeoutError(
+                        f"shard {shard} drain still running after 300s"
+                    )
+            finally:
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+    base = _cached_tmpdir(
+        _SHARD_ROOTS_CACHE, sf_dir, "stream_tfidf_shards_", build
+    )
+    import os
+
+    return [os.path.join(base, "shard0"), os.path.join(base, "shard1")]
+
+
+def q_stream_tfidf_index_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHARDED live index maintenance end to end: the corpus is
+    partitioned into two disjoint shards (``doc_id % 2``), each drained
+    by its OWN independent streaming merge into its OWN versioned root
+    — different compaction cadences, zero cross-shard coordination —
+    and served by one scatter-gather read (``read_sharded_index``:
+    segments union, per-word df sum, N sum). Must hash-match the batch
+    ``tfidf_full`` oracle: horizontal sharding is an execution
+    strategy, invisible in the relation — the property that lets the
+    100 TB deployment run one stream per corpus partition and still
+    serve one global index."""
+    return read_sharded_index(spark, _sharded_index_roots(spark, sf_dir))
+
+
 def verify_index_root(root: str, spark=None) -> dict:
     """Read-only integrity audit of a streamed-index root — the
     ``models verify`` twin for ``make_index_merge`` state (the store
