@@ -6676,6 +6676,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # union, per-word df sum, N sum. The 100 TB deployment shape;
         # sharding must be invisible in the relation
         "stream_tfidf_index_sharded": st.q_stream_tfidf_index_sharded,
+        # ... and the VERSION-VECTOR as-of over the same federation:
+        # shard 0 rewound to its version 0, shard 1 at newest — the
+        # one-shard-rollback ops move; rides the sharded drains
+        "stream_tfidf_index_sharded_asof": (
+            st.q_stream_tfidf_index_sharded_asof
+        ),
         # SEARCH against the promoted index: identical relation to
         # tfidf_search, but the warm plan reads versioned store tables
         # with zero documents scans — the production query path
@@ -6879,6 +6885,14 @@ def oracle_sql() -> dict[str, str]:
     out["stream_tfidf_index_asof"] = _TOKENS_CTE.replace(
         "FROM documents",
         "FROM (SELECT * FROM documents WHERE doc_id % 4 <= 2) AS documents",
+    ) + 'SELECT word, doc, "count", doc_total, df, tfidf FROM scored'
+    # VERSION-VECTOR as-of over the sharded federation: shard 0
+    # (doc_id % 2 = 0) rewound to its first batch ((doc_id // 2) even),
+    # shard 1 at newest — the one-shot build over exactly those docs
+    out["stream_tfidf_index_sharded_asof"] = _TOKENS_CTE.replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 2 = 1 "
+        "OR (doc_id // 2) % 2 = 0) AS documents",
     ) + 'SELECT word, doc, "count", doc_total, df, tfidf FROM scored'
     # the version diff's df delta per word is exactly the batch-3
     # slice's distinct-doc count — a pure aggregate over the tokens

@@ -1241,3 +1241,29 @@ def test_sharded_index_federation_equals_single_stream(
         read_sharded_index(spark, [])
     with _pytest.raises(RuntimeError, match="no micro-batch committed"):
         read_sharded_index(spark, [whole, str(tmp_path / "nothing")])
+
+    # VERSION VECTOR: rewind shard 0 to its version 0 (first batch
+    # only), shard 1 stays newest — equals the one-shot build over
+    # exactly those docs (disjoint shards: any per-shard vector of
+    # committed states is a consistent global state)
+    asof_docs = docs.where(
+        (F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        | (F.pmod((F.col("doc_id") / 2).cast("long"), F.lit(2)) == 0)
+    )
+    asof_whole = str(tmp_path / "asof_whole")
+    merge_asof = make_index_merge(asof_whole)
+    merge_asof(asof_docs, 0)
+    vec_expected = sorted(
+        tuple(r) for r in read_merged_index(spark, asof_whole).collect()
+    )
+    vec_got = sorted(
+        tuple(r)
+        for r in read_sharded_index(
+            spark, roots, versions=[0, None]
+        ).collect()
+    )
+    assert vec_got == vec_expected
+    with _pytest.raises(ValueError, match="must align"):
+        read_sharded_index(spark, roots, versions=[0])
+    with _pytest.raises(RuntimeError, match="not committed"):
+        read_sharded_index(spark, roots, versions=[99, None])

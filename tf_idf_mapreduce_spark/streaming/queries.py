@@ -1413,7 +1413,7 @@ def q_stream_tfidf_index_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_sharded_index(
-    spark: SparkSession, roots: list
+    spark: SparkSession, roots: list, versions: list | None = None
 ) -> DataFrame:
     """Scatter-gather serving over SHARDED index roots — the 100 TB
     deployment shape of the streaming index: partition the corpus by a
@@ -1438,7 +1438,16 @@ def read_sharded_index(
     global df in the same per-segment join ``score_index`` always
     does). Each root resolves its own newest committed version
     independently — a reader never blocks on a lagging shard's
-    in-flight batch, it reads that shard's last commit."""
+    in-flight batch, it reads that shard's last commit.
+
+    ``versions`` (optional, aligned with ``roots``; ``None`` entries
+    mean newest) pins a per-shard VERSION VECTOR — the ops move when
+    one shard's merge goes bad: rewind THAT shard to its last good
+    version while every other shard stays current. Shards are
+    disjoint, so any vector of per-shard committed states is a
+    consistent global state (there is no cross-shard transaction to
+    tear); retention per root decides which versions are reachable,
+    exactly as in ``read_merged_index``."""
     from functools import reduce
 
     from ..operators.tfidf import score_index
@@ -1446,14 +1455,28 @@ def read_sharded_index(
 
     if not roots:
         raise ValueError("read_sharded_index needs at least one root")
+    if versions is not None and len(versions) != len(roots):
+        raise ValueError(
+            f"versions vector ({len(versions)}) must align with roots "
+            f"({len(roots)})"
+        )
     all_segs, shard_dfs, shard_ns = [], [], []
-    for root in roots:
+    for i, root in enumerate(roots):
         committed = _index_manifest_versions(root, spark)
         if not committed:
             raise RuntimeError(
                 f"no micro-batch committed an index version under {root!r}"
             )
-        cur = max(committed)
+        want = versions[i] if versions is not None else None
+        if want is None:
+            cur = max(committed)
+        elif want in committed:
+            cur = want
+        else:
+            raise RuntimeError(
+                f"version {want} is not committed under {root!r} (have "
+                f"{sorted(committed)})"
+            )
         all_segs += [
             spark.read.parquet(fs.join(root, f"seg_v{v}"))
             for v in _segment_chain(committed, cur)
@@ -1566,6 +1589,23 @@ def q_stream_tfidf_index_sharded(
     100 TB deployment run one stream per corpus partition and still
     serve one global index."""
     return read_sharded_index(spark, _sharded_index_roots(spark, sf_dir))
+
+
+def q_stream_tfidf_index_sharded_asof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERSION-VECTOR as-of over the sharded federation — the ops move
+    when ONE shard's merge goes bad: rewind shard 0 to its version 0
+    (its state before its second micro-batch) while shard 1 keeps
+    serving its newest. Shards are disjoint, so any vector of
+    per-shard committed versions is a consistent global state; the
+    oracle is the one-shot build over exactly the docs those pinned
+    states contain (all of shard 1, plus shard 0's first batch:
+    ``doc_id % 2 = 1 OR (doc_id // 2) % 2 = 0``). Rides the sharded
+    query's cached drains — the serve is the only new work."""
+    return read_sharded_index(
+        spark, _sharded_index_roots(spark, sf_dir), versions=[0, None]
+    )
 
 
 def verify_index_root(root: str, spark=None) -> dict:
