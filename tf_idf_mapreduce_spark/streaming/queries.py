@@ -1488,6 +1488,13 @@ def read_sharded_index(
         .groupBy("word")
         .agg(F.sum("dfx").alias("dfx"))
     )
+    # the summed df is vocab-sized and meets EVERY segment in
+    # score_index's per-segment joins — broadcast it once instead of
+    # letting each join re-plan the union+agg (measured at P17: the
+    # unhinted plan re-executed the df sum per segment, pushing the
+    # federated serve to ~4x the single-root serve; hinted, the agg
+    # runs once and ships to all joins)
+    dfx = F.broadcast(dfx)
     n = reduce(lambda a, b: a.unionByName(b), shard_ns).agg(
         F.sum("nx").alias("nx")
     )
