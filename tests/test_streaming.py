@@ -1237,6 +1237,21 @@ def test_sharded_index_federation_equals_single_stream(
     )
     assert one == expected
 
+    # PLAN PIN for the federated serve (plan_audit skips stream_*
+    # entries, so the evidence lives here): the vocab-sized summed df
+    # broadcasts to every per-segment join — the corpus-sized postings
+    # are never hash-exchanged by federation — and no cartesians
+    fed = read_sharded_index(spark, roots)
+    fed.collect()
+    plan = fed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    n_segs = plan.count("BroadcastHashJoin")
+    # shard0 compacted to 1 segment + its grace segment may or may not
+    # be in the chain; shard1 keeps 2 — at least one broadcast join per
+    # LIVE segment, and every segment join is a broadcast one
+    assert n_segs >= 3
+    assert "SortMergeJoin" not in plan
+
     with _pytest.raises(ValueError, match="at least one root"):
         read_sharded_index(spark, [])
     with _pytest.raises(RuntimeError, match="no micro-batch committed"):
