@@ -372,3 +372,78 @@ def test_read_text_local_component_is_a_file(tmp_path):
     f.write_text("x")
     assert fs.read_text(str(f / "child")) is None
     assert fs.list_names(str(f / "child")) == []
+
+
+def test_exclusive_arbitration_property_random_interleavings(
+    spark, tmp_path, monkeypatch
+):
+    """Property check of the read-back arbitration under RANDOMIZED
+    interleavings (the barrier test pins the deterministic worst case;
+    this drives many schedules): with the weakest possible claim
+    (every create 'succeeds', check-then-act limit) and random delays
+    between write and read-back, the invariants the store's _promote
+    rides on must hold on every schedule:
+
+    - at least one contender returns True;
+    - the final committed content belongs to a True-returner;
+    - no False-returner's content is final (a loser deleting its stage
+      can never dangle the marker).
+
+    Deterministic pseudo-randomness (hash-derived, per-round seeds) —
+    no RNG state, same schedule set every run."""
+    import hashlib
+    import threading
+    import time as _time
+
+    def weakest_claim(p, text, sess=None):
+        f, jpath, _ = fs._hadoop_fs(p, sess)
+        out = f.create(jpath, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    monkeypatch.setattr(fs, "_remote_claim_exclusive", weakest_claim)
+    # the REAL put_text_exclusive runs; the test seam only injects a
+    # hash-derived 0-80ms delay between a contender's write and its
+    # read-back, keyed by thread name
+    delays: dict[str, float] = {}
+    monkeypatch.setattr(
+        fs,
+        "_arbitration_hook",
+        lambda: _time.sleep(delays.get(threading.current_thread().name, 0)),
+    )
+
+    for rnd in range(8):
+        base = tmp_path / f"race{rnd}"
+        base.mkdir()
+        path = f"file://{base}/marker"
+        n = 5
+        results = []
+        lock = threading.Lock()
+
+        def attempt(i, rnd=rnd):
+            text = f"w{i}-r{rnd}"
+            ok = fs.put_text_exclusive(path, text, spark)
+            with lock:
+                results.append((text, ok))
+
+        threads = []
+        for i in range(n):
+            name = f"racer-{rnd}-{i}"
+            h = hashlib.md5(f"{rnd}-{i}".encode()).digest()
+            delays[name] = (h[0] / 255.0) * 0.08
+            threads.append(
+                threading.Thread(target=attempt, args=(i,), name=name)
+            )
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        final = fs.read_text(path, spark)
+        winners = [t for t, ok in results if ok]
+        losers = [t for t, ok in results if not ok]
+        assert len(winners) >= 1, f"round {rnd}: no winner"
+        assert final in winners, f"round {rnd}: final {final} not a winner"
+        assert final not in losers, f"round {rnd}: loser content committed"
