@@ -176,13 +176,13 @@ def q_tfidf_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relevance search on the scored relation: take the corpus's 5 most
-    frequent words as the query, score each doc by the sum of their tfidf,
-    return the top 20 docs. The term list is data-derived (deterministic
-    tiebreaks), so the query is self-contained; the terms side is tiny and
-    broadcast."""
-    scored = q_tfidf_full(spark, sf_dir)
+def _search_top20(scored: DataFrame) -> DataFrame:
+    """The shared search head: corpus's 5 most frequent words as the
+    query (data-derived, deterministic tiebreaks — self-contained),
+    each doc scored by the sum of their tfidf, top 20. The terms side
+    is tiny and broadcast. Used over the one-shot build, the promoted
+    store, and the sharded federation — identical relation, three
+    execution strategies."""
     terms = (
         scored.groupBy("word")
         .agg(F.sum("count").alias("n"))
@@ -200,6 +200,13 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc"))
         .limit(20)
     )
+
+
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance search on the scored relation: take the corpus's 5 most
+    frequent words as the query, score each doc by the sum of their tfidf,
+    return the top 20 docs (``_search_top20``)."""
+    return _search_top20(q_tfidf_full(spark, sf_dir))
 
 
 def q_tfidf_search_promoted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,23 +228,27 @@ def q_tfidf_search_promoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     segments, dfx, n, _origin = promoted_index(spark, sf_dir, CHAIN_DAYS)
-    scored = score_index(segments, dfx, n)
-    terms = (
-        scored.groupBy("word")
-        .agg(F.sum("count").alias("n"))
-        .orderBy(F.desc("n"), F.asc("word"))
-        .limit(5)
-        .select("word")
+    return _search_top20(score_index(segments, dfx, n))
+
+
+def q_stream_tfidf_search_sharded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``tfidf_search`` SERVED FROM THE SHARDED FEDERATION — the
+    query-front-end read at 100 TB when the index is maintained by one
+    stream per corpus shard: the scored base is the scatter-gather
+    federation (segments union, broadcast summed df, summed N), and the
+    search head is the shared ``_search_top20``. Identical relation to
+    ``tfidf_search`` (federation hash-equals the one-shot build), a
+    third execution strategy. Rides the sharded query's cached
+    drains — serving is the only new work."""
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        _sharded_index_roots,
+        read_sharded_index,
     )
-    return (
-        scored.join(F.broadcast(terms), "word")
-        .groupBy("doc")
-        .agg(
-            F.round(F.sum("tfidf"), 6).alias("score"),
-            F.count("*").alias("n_terms"),
-        )
-        .orderBy(F.desc("score"), F.asc("doc"))
-        .limit(20)
+
+    return _search_top20(
+        read_sharded_index(spark, _sharded_index_roots(spark, sf_dir))
     )
 
 
@@ -6682,6 +6693,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_tfidf_index_sharded_asof": (
             st.q_stream_tfidf_index_sharded_asof
         ),
+        # ... and SEARCH served from the federation — the query
+        # front-end's read when the index is shard-maintained; rides
+        # the same cached drains
+        "stream_tfidf_search_sharded": q_stream_tfidf_search_sharded,
         # SEARCH against the promoted index: identical relation to
         # tfidf_search, but the warm plan reads versioned store tables
         # with zero documents scans — the production query path
@@ -6910,6 +6925,9 @@ def oracle_sql() -> dict[str, str]:
     # search against the promoted index: the chain hash-equals the
     # one-shot build, so the serving strategy is invisible in the rows
     out["tfidf_search_promoted"] = out["tfidf_search"]
+    # ... and from the sharded federation: same relation, third
+    # execution strategy (federation hash-equals the one-shot build)
+    out["stream_tfidf_search_sharded"] = out["tfidf_search"]
     # the gzip-JSONL round trip is lossless: same relation, same oracle
     out["tfidf_full_jsonl"] = out["tfidf_full"]
     # BM25 from the promoted index: serving strategy invisible in rows
