@@ -136,3 +136,52 @@ def test_cli_autodetects_layout(tmp_path, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert rc == 0
     assert "artifact(s) under" in out and "1 live" in out
+
+
+def test_shard_parent_detection_and_ops(tmp_path, capsys, monkeypatch):
+    """A PARENT dir of index roots (the sharded-federation layout) must
+    not misclassify as a model store: detect as 'index-shards', audit
+    every shard, and reap across all of them — one verb pair for the
+    whole deployment."""
+    from tf_idf_mapreduce_spark.cli import main
+
+    monkeypatch.setenv(
+        "SPARK_GRAFT_MODEL_DIR",
+        os.environ.get("SPARK_GRAFT_MODEL_DIR", ""),
+    )
+    parent = str(tmp_path / "fleet")
+    os.makedirs(parent)
+    # shard0: the sweepable hand-built root; shard1: clean minimal root
+    shard0 = _mk_index_root(tmp_path)
+    os.rename(shard0, os.path.join(parent, "shard0"))
+    s1 = os.path.join(parent, "shard1")
+    os.makedirs(os.path.join(s1, "manifest"))
+    with open(os.path.join(s1, "manifest", "v0"), "w") as f:
+        json.dump({"parent": None, "segment": True, "base": False}, f)
+    for k in ("seg", "df", "n"):
+        os.makedirs(os.path.join(s1, f"{k}_v0"))
+    # a non-index child must be left alone
+    with open(os.path.join(parent, "NOTES.txt"), "w") as f:
+        f.write("ops notes")
+
+    assert versioned.detect_kind(parent) == "index-shards"
+    rep = versioned.audit(parent)
+    assert rep["kind"] == "index-shards"
+    assert set(rep["shards"]) == {"shard0", "shard1"}
+    assert rep["shards"]["shard1"]["reap_candidates"] == []
+    assert any(c.startswith("shard0/") for c in rep["reap_candidates"])
+
+    reaped = versioned.reap(parent)
+    assert reaped["kind"] == "index-shards"
+    assert any(r.startswith("shard0/") for r in reaped["reaped"])
+    assert os.path.exists(os.path.join(parent, "NOTES.txt"))
+    assert os.path.exists(os.path.join(s1, "seg_v0"))
+    # post-reap the whole fleet audits clean
+    assert versioned.audit(parent)["reap_candidates"] == []
+
+    rc = main(["models", "verify", "--root", parent])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "shard shard0: newest v3" in out
+    assert "shard shard1: newest v0" in out
+    assert "2 shard root(s)" in out

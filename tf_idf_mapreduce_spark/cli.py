@@ -433,11 +433,33 @@ def _models_main(argv: list[str]) -> int:
                     f"{len(rep['before'])} -> {len(rep['after'])} version "
                     f"dirs, {len(rep['reaped'])} reaped"
                 )
+            elif rep["kind"] == "index-shards":
+                print(
+                    f"sharded index {target}: {len(rep['shards'])} "
+                    f"shard root(s), {len(rep['reaped'])} reaped"
+                )
             else:
                 print(
                     f"reaped {len(rep['reaped'])} unreachable "
                     f"file(s)/version(s) under {target}"
                 )
+            return 0
+        if rep["kind"] == "index-shards":
+            for name, srep in rep["shards"].items():
+                c = srep["counts"]
+                print(
+                    f"shard {name}: newest v{srep['newest']}, "
+                    f"{c['live']} live, {c['retained']} retained, "
+                    f"{c['partial']} partial, "
+                    f"{len(srep['orphans'])} orphaned"
+                )
+            for p_ in rep["reap_candidates"]:
+                print(f"REAPABLE\t{p_}")
+            print(
+                f"sharded index {rep['root']}: {len(rep['shards'])} "
+                f"shard root(s); "
+                f"{len(rep['reap_candidates'])} reap candidate(s)"
+            )
             return 0
         if rep["kind"] == "index":
             for v, meta in rep["versions"].items():

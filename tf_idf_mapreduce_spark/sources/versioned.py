@@ -34,8 +34,12 @@ _INDEX_DIR_RE = re.compile(r"^(seg|df|n)_v\d+$")
 
 def detect_kind(root: str, spark=None) -> str:
     """``"index"`` when the root holds streamed-index state (a
-    ``manifest/`` dir or any ``seg_v*/df_v*/n_v*`` child), else
-    ``"store"`` — an empty or missing root audits as an empty store."""
+    ``manifest/`` dir or any ``seg_v*/df_v*/n_v*`` child);
+    ``"index-shards"`` when the root is a PARENT of index roots (the
+    sharded-federation deployment: one ``make_index_merge`` root per
+    corpus shard under a common dir) — detected by any child dir that
+    is itself an index root; else ``"store"`` — an empty or missing
+    root audits as an empty store."""
     from . import fs
 
     try:
@@ -50,7 +54,26 @@ def detect_kind(root: str, spark=None) -> str:
         ) from exc
     if "manifest" in names or any(_INDEX_DIR_RE.match(n) for n in names):
         return "index"
+    for n in names:
+        child = fs.list_names(fs.join(root, n), spark)
+        if "manifest" in child or any(_INDEX_DIR_RE.match(c) for c in child):
+            return "index-shards"
     return "store"
+
+
+def _shard_roots(root: str, spark=None) -> list:
+    """The child names of an ``index-shards`` root that are index
+    roots themselves, sorted — the federation's per-shard audit/reap
+    targets. Non-index children (a README, a _checkpoints dir) are
+    left alone."""
+    from . import fs
+
+    out = []
+    for n in sorted(fs.list_names(root, spark)):
+        child = fs.list_names(fs.join(root, n), spark)
+        if "manifest" in child or any(_INDEX_DIR_RE.match(c) for c in child):
+            out.append(n)
+    return out
 
 
 def audit(root: str, spark=None, *, kind: str | None = None) -> dict:
@@ -59,11 +82,29 @@ def audit(root: str, spark=None, *, kind: str | None = None) -> dict:
     both layouts expose ``reap_candidates``: the paths/names a
     :func:`reap` on the same root would delete, so audit-then-reap is
     always what-you-saw-is-what-you-get."""
+    from . import fs
+
     kind = kind or detect_kind(root, spark)
     if kind == "index":
         from ..streaming.queries import verify_index_root
 
         rep = verify_index_root(root, spark)
+    elif kind == "index-shards":
+        from ..streaming.queries import verify_index_root
+
+        shards = {
+            name: verify_index_root(fs.join(root, name), spark)
+            for name in _shard_roots(root, spark)
+        }
+        rep = {
+            "root": root,
+            "shards": shards,
+            "reap_candidates": [
+                f"{name}/{c}"
+                for name, srep in shards.items()
+                for c in srep["reap_candidates"]
+            ],
+        }
     else:
         from .model_store import verify_store
 
@@ -82,11 +123,29 @@ def reap(root: str, spark=None, *, kind: str | None = None) -> dict:
     root needs none (its candidates are manifest-unreachable by the
     commit ordering — no in-flight writer ever references them — and
     offline GC runs on a stopped stream by contract)."""
+    from . import fs
+
     kind = kind or detect_kind(root, spark)
     if kind == "index":
         from ..streaming.queries import gc_index_root
 
         rep = gc_index_root(root, spark)
+    elif kind == "index-shards":
+        from ..streaming.queries import gc_index_root
+
+        shards = {
+            name: gc_index_root(fs.join(root, name), spark)
+            for name in _shard_roots(root, spark)
+        }
+        rep = {
+            "root": root,
+            "shards": shards,
+            "reaped": [
+                f"{name}/{r}"
+                for name, srep in shards.items()
+                for r in srep["reaped"]
+            ],
+        }
     else:
         from .model_store import reap_store
 
