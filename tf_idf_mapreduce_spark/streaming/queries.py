@@ -1577,8 +1577,6 @@ def _sharded_index_roots(spark: SparkSession, sf_dir: str) -> list:
     base = _cached_tmpdir(
         _SHARD_ROOTS_CACHE, sf_dir, "stream_tfidf_shards_", build
     )
-    import os
-
     return [os.path.join(base, "shard0"), os.path.join(base, "shard1")]
 
 
