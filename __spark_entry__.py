@@ -6697,6 +6697,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # front-end's read when the index is shard-maintained; rides
         # the same cached drains
         "stream_tfidf_search_sharded": q_stream_tfidf_search_sharded,
+        # TAKEDOWN (right-to-be-forgotten) over the streamed index: a
+        # tombstone ledger names every 13th doc; the serve drops their
+        # postings AND re-derives df/N — deletion is total in the
+        # relation (idf shifts for surviving docs), proven against the
+        # one-shot build over the corpus without them. Read-time
+        # overlay: safe on a live stream, composes with compaction
+        "stream_tfidf_index_takedown": st.q_stream_tfidf_index_takedown,
         # SEARCH against the promoted index: identical relation to
         # tfidf_search, but the warm plan reads versioned store tables
         # with zero documents scans — the production query path
@@ -6890,6 +6897,14 @@ def oracle_sql() -> dict[str, str]:
     # disjoint corpus halves: df/N are additive across disjoint shards,
     # so scatter-gather serving lands on the same relation too
     out["stream_tfidf_index_sharded"] = out["tfidf_full"]
+    # TAKEDOWN: the tombstoned serve must equal the one-shot build over
+    # the corpus WITHOUT every 13th doc — df/N re-derived, not merely
+    # rows hidden (fixtures have no zero-token docs, so the corpus-side
+    # N and the postings-side N agree; see add_tombstones' contract)
+    out["stream_tfidf_index_takedown"] = out["tfidf_full"].replace(
+        "FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id % 13 <> 0) AS documents",
+    )
     # the promoted day must land on the in-lineage e2e relation — the
     # store write-back is invisible in the rows
     out["tfidf_e2e_promoted"] = out["tfidf_incremental_e2e"]

@@ -1282,3 +1282,71 @@ def test_sharded_index_federation_equals_single_stream(
         read_sharded_index(spark, roots, versions=[0])
     with _pytest.raises(RuntimeError, match="not committed"):
         read_sharded_index(spark, roots, versions=[99, None])
+
+
+def test_index_takedown_overlay(spark, tmp_path):
+    """Round 12 takedown ledger: tombstoned docs vanish TOTALLY from
+    the serve (postings dropped, df decremented, N decremented — idf
+    shifts for every surviving doc), the overlay composes with
+    compaction (folded segments may still carry the rows; the read
+    keeps filtering), unknown keys are no-ops, torn ledger entries are
+    ignored, and honor_tombstones=False is the audit escape hatch."""
+    import json
+    import os
+
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        add_tombstones,
+        make_index_merge,
+        read_merged_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha w{i % 5} beta w{(i * 3) % 7} gamma")
+            for i in range(24)
+        ],
+        "doc_id long, text string",
+    ).localCheckpoint()
+
+    def drain(root, compact_every=None):
+        merge = make_index_merge(root, compact_every=compact_every)
+        for b in range(3):
+            merge(
+                docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == b), b
+            )
+
+    # reference: rebuild over the corpus without docs 5 and 17
+    ref_root = str(tmp_path / "ref")
+    kept = docs.where(~F.col("doc_id").isin(5, 17))
+    merge_ref = make_index_merge(ref_root)
+    merge_ref(kept, 0)
+    expected = sorted(
+        tuple(r) for r in read_merged_index(spark, ref_root).collect()
+    )
+
+    for ce in (None, 2):  # full retention AND compacting
+        root = str(tmp_path / f"take_ce{ce}")
+        drain(root, compact_every=ce)
+        before = read_merged_index(spark, root).count()
+        add_tombstones(spark, root, ["5", "17"])
+        add_tombstones(spark, root, ["no-such-doc"])  # no-op entry
+        # a torn ledger entry (crash inside the commit write)
+        open(os.path.join(root, "tombstones", "t-torn"), "w").close()
+        got = sorted(
+            tuple(r) for r in read_merged_index(spark, root).collect()
+        )
+        assert got == expected, f"compact_every={ce}"
+        # escape hatch: the raw (pre-takedown) relation is still there
+        assert read_merged_index(
+            spark, root, honor_tombstones=False
+        ).count() == before
+
+    # the ledger entry itself is committed JSON
+    root = str(tmp_path / "take_ceNone")
+    (entry,) = [
+        n
+        for n in os.listdir(os.path.join(root, "tombstones"))
+        if n.startswith("t-") and n != "t-torn"
+    ][:1]
+    with open(os.path.join(root, "tombstones", entry)) as f:
+        assert "docs" in json.load(f)

@@ -1175,8 +1175,74 @@ def _segment_chain(committed: dict, start) -> list:
     return out
 
 
+def add_tombstones(spark: SparkSession, root: str, docs: list) -> str:
+    """TAKEDOWN for the streamed index: record that ``docs`` (doc keys,
+    the index's ``doc`` column values) must no longer be served — the
+    right-to-be-forgotten verb a training-corpus index needs.
+
+    Design: a READ-TIME OVERLAY LEDGER, not a chain version. Each call
+    commits one immutable entry ``tombstones/t-<uuid>`` (JSON doc list,
+    ``fs.put_text_exclusive`` — uuid names make contention structurally
+    absent) and every ``read_merged_index`` serve anti-joins the chain's
+    postings against the ledger union and re-derives df/N (see there).
+    Because no version id is minted, the verb is SAFE ON A LIVE STREAM:
+    it cannot collide with Structured Streaming's checkpointed batch
+    ids (an offline writer sharing the version namespace could make a
+    resumed batch replay-skip itself), and it composes with compaction
+    with zero protocol changes — a fold that copies tombstoned rows is
+    harmless, the overlay keeps filtering them.
+
+    Contract: entries assert the docs EXISTED (the takedown request
+    knows); unknown keys are no-ops. A document that tokenized to ZERO
+    words has no postings, so its only trace is the corpus count N —
+    the overlay cannot see it and N stays; takedowns of zero-word docs
+    are metadata-only everywhere (they never served content).
+
+    Scale posture: ledgers are takedown-request-sized (KBs), read once
+    per serve and broadcast; a corpus-scale purge belongs in a
+    compaction rewrite, not a ledger. Returns the committed entry
+    path."""
+    import json as _json
+    import uuid as _uuid
+
+    from ..sources import fs
+
+    fs.makedirs(fs.join(root, "tombstones"), spark)
+    path = fs.join(root, "tombstones", f"t-{_uuid.uuid4().hex}")
+    if not fs.put_text_exclusive(
+        path, _json.dumps({"docs": sorted(str(d) for d in docs)}), spark
+    ):
+        raise RuntimeError(f"tombstone entry collision at {path!r}")
+    return path
+
+
+def _tombstone_docs(root: str, spark=None) -> list:
+    """The ledger union: every doc key any committed tombstone entry
+    names (sorted, deduplicated). Torn entries (a crash inside the
+    commit write) parse as absent — the writer retries with a fresh
+    uuid, nothing references the torn name."""
+    import json as _json
+
+    from ..sources import fs
+
+    out = set()
+    for name in fs.list_names(fs.join(root, "tombstones"), spark):
+        if not name.startswith("t-"):
+            continue
+        text = fs.read_text(fs.join(root, "tombstones", name), spark)
+        if text:
+            try:
+                out.update(_json.loads(text)["docs"])
+            except (ValueError, KeyError, TypeError):
+                pass  # torn commit write — never referenced
+    return sorted(out)
+
+
 def read_merged_index(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    honor_tombstones: bool = True,
 ) -> DataFrame:
     """Score the streamed index at a committed version: walk the
     manifest's parent chain for the postings segments (orphan dirs
@@ -1231,6 +1297,40 @@ def read_merged_index(
     ]
     dfx = spark.read.parquet(fs.join(root, f"df_v{cur}"))
     n = spark.read.parquet(fs.join(root, f"n_v{cur}"))
+    ts = _tombstone_docs(root, spark) if honor_tombstones else []
+    if ts:
+        # takedown overlay (see add_tombstones): drop the tombstoned
+        # docs' postings from every segment, then re-derive df (minus
+        # each word's count of removed docs — postings are one row per
+        # (word, doc), so a plain per-word count) and N (minus the
+        # removed docs actually present in the postings). The ledger is
+        # request-sized: one broadcast, vocab-sized adjustments.
+        from functools import reduce
+
+        tsdf = F.broadcast(
+            spark.createDataFrame([(d,) for d in ts], "doc string")
+        )
+        removed = reduce(
+            lambda a, b: a.unionByName(b),
+            [seg.join(tsdf, "doc", "leftsemi") for seg in segs],
+        )
+        adj = removed.groupBy("word").agg(F.count("*").alias("ts_n"))
+        dfx = (
+            dfx.join(adj, "word", "left")
+            .select(
+                "word",
+                (F.col("dfx") - F.coalesce("ts_n", F.lit(0))).alias("dfx"),
+            )
+            .where(F.col("dfx") > 0)
+        )
+        n_removed = removed.agg(
+            F.countDistinct("doc").alias("ts_docs")
+        )
+        n = (
+            n.crossJoin(F.broadcast(n_removed))
+            .select((F.col("nx") - F.col("ts_docs")).alias("nx"))
+        )
+        segs = [seg.join(tsdf, "doc", "left_anti") for seg in segs]
     return score_index(segs, dfx, n)
 
 
@@ -1578,6 +1678,52 @@ def _sharded_index_roots(spark: SparkSession, sf_dir: str) -> list:
         _SHARD_ROOTS_CACHE, sf_dir, "stream_tfidf_shards_", build
     )
     return [os.path.join(base, "shard0"), os.path.join(base, "shard1")]
+
+
+#: One tombstoned COPY of the as-of root per (process, sf_dir): the
+#: takedown query must not write its ledger into the shared as-of root
+#: (the asof/diff queries' oracles read that history un-tombstoned).
+_TAKEDOWN_ROOT_CACHE: dict[str, str] = {}
+
+
+def _takedown_root(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the fully-drained as-of root and commit a takedown ledger
+    over the copy: every 13th document (by doc_id). The copy is cheap
+    (version-sized parquet) and keeps the shared as-of history
+    byte-identical for its own queries."""
+    import shutil
+
+    def build(dest: str) -> None:
+        src = _asof_index_root(spark, sf_dir)
+        shutil.copytree(src, dest, dirs_exist_ok=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        takedown = [
+            str(r.doc_id)
+            for r in docs.where(F.pmod(F.col("doc_id"), F.lit(13)) == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        add_tombstones(spark, dest, takedown)
+
+    return _cached_tmpdir(
+        _TAKEDOWN_ROOT_CACHE, sf_dir, "stream_tfidf_takedown_", build
+    )
+
+
+def q_stream_tfidf_index_takedown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TAKEDOWN end to end — the right-to-be-forgotten read: the fully
+    drained index gets a tombstone ledger naming every 13th document,
+    and the serve must hash-match the one-shot TF-IDF build over the
+    corpus WITHOUT those documents: postings dropped, per-word df
+    decremented, N decremented — deletion is total in the relation,
+    not a display filter (df/idf shift for every surviving doc that
+    shares a word with a deleted one). Implemented as a read-time
+    overlay (``add_tombstones``), so it is safe on a live stream and
+    composes with compaction; rides the as-of drain via a copied
+    root."""
+    return read_merged_index(spark, _takedown_root(spark, sf_dir))
 
 
 def q_stream_tfidf_index_sharded(
