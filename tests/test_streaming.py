@@ -1350,3 +1350,29 @@ def test_index_takedown_overlay(spark, tmp_path):
     ][:1]
     with open(os.path.join(root, "tombstones", entry)) as f:
         assert "docs" in json.load(f)
+
+    # ...and the overlay composes with the SHARDED federation: doc 5
+    # lives in shard 1 (5 % 2), doc 17 in shard 1 too — tombstone each
+    # shard's own docs, federated read equals the same reference
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        read_sharded_index,
+    )
+
+    roots = []
+    for shard in range(2):
+        sroot = str(tmp_path / f"take_shard{shard}")
+        roots.append(sroot)
+        merge = make_index_merge(sroot)
+        part = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == shard)
+        for b in range(2):
+            merge(
+                part.where(
+                    F.pmod((F.col("doc_id") / 2).cast("long"), F.lit(2)) == b
+                ),
+                b,
+            )
+    add_tombstones(spark, roots[1], ["5", "17"])  # both odd -> shard 1
+    fed = sorted(
+        tuple(r) for r in read_sharded_index(spark, roots).collect()
+    )
+    assert fed == expected

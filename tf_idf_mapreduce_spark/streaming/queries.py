@@ -1297,41 +1297,49 @@ def read_merged_index(
     ]
     dfx = spark.read.parquet(fs.join(root, f"df_v{cur}"))
     n = spark.read.parquet(fs.join(root, f"n_v{cur}"))
-    ts = _tombstone_docs(root, spark) if honor_tombstones else []
-    if ts:
-        # takedown overlay (see add_tombstones): drop the tombstoned
-        # docs' postings from every segment, then re-derive df (minus
-        # each word's count of removed docs — postings are one row per
-        # (word, doc), so a plain per-word count) and N (minus the
-        # removed docs actually present in the postings). The ledger is
-        # request-sized: one broadcast, vocab-sized adjustments.
-        from functools import reduce
-
-        tsdf = F.broadcast(
-            spark.createDataFrame([(d,) for d in ts], "doc string")
-        )
-        removed = reduce(
-            lambda a, b: a.unionByName(b),
-            [seg.join(tsdf, "doc", "leftsemi") for seg in segs],
-        )
-        adj = removed.groupBy("word").agg(F.count("*").alias("ts_n"))
-        dfx = (
-            dfx.join(adj, "word", "left")
-            .select(
-                "word",
-                (F.col("dfx") - F.coalesce("ts_n", F.lit(0))).alias("dfx"),
-            )
-            .where(F.col("dfx") > 0)
-        )
-        n_removed = removed.agg(
-            F.countDistinct("doc").alias("ts_docs")
-        )
-        n = (
-            n.crossJoin(F.broadcast(n_removed))
-            .select((F.col("nx") - F.col("ts_docs")).alias("nx"))
-        )
-        segs = [seg.join(tsdf, "doc", "left_anti") for seg in segs]
+    if honor_tombstones:
+        segs, dfx, n = _apply_tombstone_overlay(spark, root, segs, dfx, n)
     return score_index(segs, dfx, n)
+
+
+def _apply_tombstone_overlay(spark, root: str, segs, dfx, n):
+    """The takedown overlay (see :func:`add_tombstones`) applied to one
+    root's (segments, df, N) state: drop the tombstoned docs' postings
+    from every segment, then re-derive df (minus each word's count of
+    removed docs — postings are one row per (word, doc), so a plain
+    per-word count) and N (minus the removed docs actually present in
+    the postings). The ledger is request-sized: one broadcast,
+    vocab-sized adjustments. A no-op (state returned unchanged) when
+    the root has no ledger. Shared by the single-root read and the
+    sharded federation (each shard's ledger adjusts ITS state before
+    the cross-shard sums)."""
+    from functools import reduce
+
+    ts = _tombstone_docs(root, spark)
+    if not ts:
+        return segs, dfx, n
+    tsdf = F.broadcast(
+        spark.createDataFrame([(d,) for d in ts], "doc string")
+    )
+    removed = reduce(
+        lambda a, b: a.unionByName(b),
+        [seg.join(tsdf, "doc", "leftsemi") for seg in segs],
+    )
+    adj = removed.groupBy("word").agg(F.count("*").alias("ts_n"))
+    dfx = (
+        dfx.join(adj, "word", "left")
+        .select(
+            "word",
+            (F.col("dfx") - F.coalesce("ts_n", F.lit(0))).alias("dfx"),
+        )
+        .where(F.col("dfx") > 0)
+    )
+    n_removed = removed.agg(F.countDistinct("doc").alias("ts_docs"))
+    n = (
+        n.crossJoin(F.broadcast(n_removed))
+        .select((F.col("nx") - F.col("ts_docs")).alias("nx"))
+    )
+    return [seg.join(tsdf, "doc", "left_anti") for seg in segs], dfx, n
 
 
 def q_stream_tfidf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1577,12 +1585,19 @@ def read_sharded_index(
                 f"version {want} is not committed under {root!r} (have "
                 f"{sorted(committed)})"
             )
-        all_segs += [
+        segs = [
             spark.read.parquet(fs.join(root, f"seg_v{v}"))
             for v in _segment_chain(committed, cur)
         ]
-        shard_dfs.append(spark.read.parquet(fs.join(root, f"df_v{cur}")))
-        shard_ns.append(spark.read.parquet(fs.join(root, f"n_v{cur}")))
+        dfx = spark.read.parquet(fs.join(root, f"df_v{cur}"))
+        n = spark.read.parquet(fs.join(root, f"n_v{cur}"))
+        # each shard's takedown ledger adjusts ITS OWN state before the
+        # cross-shard sums — shards are disjoint, so per-shard overlays
+        # compose exactly (a doc's postings/df/N live in one shard)
+        segs, dfx, n = _apply_tombstone_overlay(spark, root, segs, dfx, n)
+        all_segs += segs
+        shard_dfs.append(dfx)
+        shard_ns.append(n)
     dfx = (
         reduce(lambda a, b: a.unionByName(b), shard_dfs)
         .groupBy("word")
