@@ -1351,6 +1351,29 @@ def test_index_takedown_overlay(spark, tmp_path):
     with open(os.path.join(root, "tombstones", entry)) as f:
         assert "docs" in json.load(f)
 
+    # the audit SEES the ledger (doc count) and lists the torn entry
+    # and crashed staging files as reap candidates; gc deletes them
+    # while committed entries survive
+    from tf_idf_mapreduce_spark.streaming.queries import (
+        gc_index_root,
+        verify_index_root,
+    )
+
+    open(
+        os.path.join(root, "tombstones", "t-crashed.tmp-dead"), "w"
+    ).write('{"docs": ["99"]}')
+    rep = verify_index_root(root)
+    assert rep["tombstoned_docs"] == 3  # 5, 17, no-such-doc
+    assert "tombstones/t-torn" in rep["reap_candidates"]
+    assert "tombstones/t-crashed.tmp-dead" in rep["reap_candidates"]
+    # the uncommitted staging's docs are NOT applied
+    got_pre = read_merged_index(spark, root).count()
+    gc_index_root(root)
+    assert not os.path.exists(os.path.join(root, "tombstones", "t-torn"))
+    assert os.path.exists(os.path.join(root, "tombstones", entry))
+    assert read_merged_index(spark, root).count() == got_pre
+    assert verify_index_root(root)["reap_candidates"] == []
+
     # ...and the overlay composes with the SHARDED federation: doc 5
     # lives in shard 1 (5 % 2), doc 17 in shard 1 too — tombstone each
     # shard's own docs, federated read equals the same reference

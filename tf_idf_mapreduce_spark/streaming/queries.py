@@ -1227,7 +1227,11 @@ def _tombstone_docs(root: str, spark=None) -> list:
 
     out = set()
     for name in fs.list_names(fs.join(root, "tombstones"), spark):
-        if not name.startswith("t-"):
+        if not name.startswith("t-") or ".tmp-" in name:
+            # '.tmp-': a crashed local exclusive-create's staging file
+            # (content may be complete JSON, but the commit never
+            # landed — the writer retried under a fresh uuid); treated
+            # as uncommitted, reported by tombstone_leftovers
             continue
         text = fs.read_text(fs.join(root, "tombstones", name), spark)
         if text:
@@ -1235,6 +1239,31 @@ def _tombstone_docs(root: str, spark=None) -> list:
                 out.update(_json.loads(text)["docs"])
             except (ValueError, KeyError, TypeError):
                 pass  # torn commit write — never referenced
+    return sorted(out)
+
+
+def tombstone_leftovers(root: str, spark=None) -> list:
+    """Root-relative names of UNCOMMITTED tombstone-ledger debris —
+    crashed staging files (``.tmp-`` anywhere) and torn entries (empty
+    or unparseable JSON). Nothing reads them (``_tombstone_docs`` skips
+    both), so they are reap-safe; surfaced through
+    ``verify_index_root``/``gc_index_root``."""
+    import json as _json
+
+    from ..sources import fs
+
+    out = []
+    for name in fs.list_names(fs.join(root, "tombstones"), spark):
+        if ".tmp-" in name:
+            out.append(f"tombstones/{name}")
+            continue
+        if not name.startswith("t-"):
+            continue
+        text = fs.read_text(fs.join(root, "tombstones", name), spark)
+        try:
+            _json.loads(text or "")["docs"]
+        except (ValueError, KeyError, TypeError):
+            out.append(f"tombstones/{name}")
     return sorted(out)
 
 
@@ -1819,7 +1848,9 @@ def verify_index_root(root: str, spark=None) -> dict:
         "counts": {"live": 0, "retained": 0, "partial": 0},
         "reap_candidates": _index_reap_candidates(
             committed, names, fs.list_names(fs.join(root, "manifest"), spark)
-        ),
+        )
+        + tombstone_leftovers(root, spark),
+        "tombstoned_docs": len(_tombstone_docs(root, spark)),
     }
     if not committed:
         return out
@@ -1865,7 +1896,10 @@ def _index_reap_candidates(
     In every regime, crashed atomic-write tmps inside ``manifest/``
     (``v{N}.tmp-<hex>`` — a torn-commit heal that died mid-overwrite)
     are leftovers: the manifest reader ignores non-``v{N}`` names, so
-    nothing else ever collects them."""
+    nothing else ever collects them. Torn TOMBSTONE ledger entries
+    (empty/unparseable — a crash inside ``add_tombstones``'s commit
+    write; the writer retried under a fresh uuid) are collected the
+    same way via ``tombstone_leftovers``, folded in by the callers."""
     import re as _re
 
     tmps = [
@@ -1941,7 +1975,7 @@ def gc_index_root(root: str, spark=None) -> dict:
         committed,
         fs.list_names(root, spark),
         fs.list_names(fs.join(root, "manifest"), spark),
-    ):
+    ) + tombstone_leftovers(root, spark):
         fs.delete_recursive(fs.join(root, rel), spark)
     after = _dirs()
     return {
