@@ -162,7 +162,8 @@ def put_text_exclusive(path: str, text: str, spark=None) -> bool:
       returns True. Both keep their staged versions, the marker names
       B's — the cost is one unreferenced staging (reap fodder,
       ``models reap``), never a wrong read. Exactly-one-winner is only
-      promised where the FS primitive is real (local ``O_EXCL``, HDFS).
+      promised where the FS primitive is real (local ``link(2)``,
+      HDFS's namenode-arbitrated create).
 
     Callers that need strict exactly-once on an object store must
     either run Hadoop >= 3.4.1 with conditional create enabled (the
