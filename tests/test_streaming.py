@@ -1351,6 +1351,31 @@ def test_index_takedown_overlay(spark, tmp_path):
     with open(os.path.join(root, "tombstones", entry)) as f:
         assert "docs" in json.load(f)
 
+    # takedowns are RETROACTIVE: an as-of (history) read of the
+    # full-retention root honors the ledger too — a deleted doc is
+    # gone from every servable version, not just the newest (and a
+    # ledger doc absent from the pinned prefix is a no-op there)
+    add_tombstones(spark, str(tmp_path / "take_ceNone"), ["4"])
+    prefix_ref = str(tmp_path / "prefix_ref")
+    merge_pref = make_index_merge(prefix_ref)
+    merge_pref(
+        docs.where(
+            (F.pmod(F.col("doc_id"), F.lit(3)) <= 1)
+            & ~F.col("doc_id").isin(4, 5, 17)
+        ),
+        0,
+    )
+    asof_expected = sorted(
+        tuple(r) for r in read_merged_index(spark, prefix_ref).collect()
+    )
+    asof_got = sorted(
+        tuple(r)
+        for r in read_merged_index(
+            spark, str(tmp_path / "take_ceNone"), version=1
+        ).collect()
+    )
+    assert asof_got == asof_expected
+
     # the audit SEES the ledger (doc count) and lists the torn entry
     # and crashed staging files as reap candidates; gc deletes them
     # while committed entries survive
@@ -1363,7 +1388,7 @@ def test_index_takedown_overlay(spark, tmp_path):
         os.path.join(root, "tombstones", "t-crashed.tmp-dead"), "w"
     ).write('{"docs": ["99"]}')
     rep = verify_index_root(root)
-    assert rep["tombstoned_docs"] == 3  # 5, 17, no-such-doc
+    assert rep["tombstoned_docs"] == 4  # 4, 5, 17, no-such-doc
     assert "tombstones/t-torn" in rep["reap_candidates"]
     assert "tombstones/t-crashed.tmp-dead" in rep["reap_candidates"]
     # the uncommitted staging's docs are NOT applied

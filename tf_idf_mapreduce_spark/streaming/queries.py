@@ -1192,6 +1192,16 @@ def add_tombstones(spark: SparkSession, root: str, docs: list) -> str:
     with zero protocol changes — a fold that copies tombstoned rows is
     harmless, the overlay keeps filtering them.
 
+    INVARIANT — the fold must NOT pre-filter tombstoned rows: the
+    overlay derives its df/N adjustments from SEGMENT CONTENT (the
+    semi-join in ``_apply_tombstone_overlay``), while the chain's df/N
+    lineage is additive from the original batches. Physically dropping
+    rows at a fold without rewriting the whole df lineage would leave
+    df overcounting with nothing for the overlay to subtract. Physical
+    erasure of the bytes (strict right-to-be-forgotten) is therefore a
+    separate offline rewrite of segments AND df/N together — not this
+    ledger, and not a fold-time filter.
+
     Contract: entries assert the docs EXISTED (the takedown request
     knows); unknown keys are no-ops. A document that tokenized to ZERO
     words has no postings, so its only trace is the corpus count N —
