@@ -1351,6 +1351,21 @@ def test_index_takedown_overlay(spark, tmp_path):
     with open(os.path.join(root, "tombstones", entry)) as f:
         assert "docs" in json.load(f)
 
+    # PRE-EMPTIVE blocklist: a tombstone written BEFORE the doc ever
+    # arrives (empty root, nothing to resolve at write time) must
+    # still delete it once it lands — the unresolved content-scan
+    # fallback path
+    pre_root = str(tmp_path / "preemptive")
+    import os as _os
+
+    _os.makedirs(pre_root)
+    add_tombstones(spark, pre_root, ["5", "17"])
+    drain(pre_root)
+    pre_got = sorted(
+        tuple(r) for r in read_merged_index(spark, pre_root).collect()
+    )
+    assert pre_got == expected
+
     # takedowns are RETROACTIVE: an as-of (history) read of the
     # full-retention root honors the ledger too — a deleted doc is
     # gone from every servable version, not just the newest (and a

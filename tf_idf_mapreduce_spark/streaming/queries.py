@@ -1211,16 +1211,46 @@ def add_tombstones(spark: SparkSession, root: str, docs: list) -> str:
     Scale posture: ledgers are takedown-request-sized (KBs), read once
     per serve and broadcast; a corpus-scale purge belongs in a
     compaction rewrite, not a ledger. Returns the committed entry
-    path."""
+    path.
+
+    The entry also stores the docs' RESOLVED POSTINGS — their (word,
+    doc) rows plus the segment version each doc sits in, found by one
+    IN-filtered chain scan at write time. That makes the SERVE
+    scan-free (P18: deriving df/N adjustments from segment content at
+    read time cost ~2.4x the plain serve even for a 10-doc ledger;
+    stored rows make the overlay a driver-side dict + broadcast
+    literals). Version membership at read time is ``stored seg_version
+    <= read version``: on a full-retention root the stored version IS
+    the doc's arrival batch (exact for every as-of read); on a
+    compacting root the stored version is a fold id <= the newest base
+    <= every reachable as-of version, so the test stays correct. Docs
+    NOT found in the chain at write time (a pre-emptive blocklist of
+    content that may arrive later) stay unresolved in the entry; reads
+    fall back to the content scan for exactly those."""
     import json as _json
     import uuid as _uuid
 
     from ..sources import fs
 
+    doc_list = sorted({str(d) for d in docs})
+    postings: list = []
+    committed = _index_manifest_versions(root, spark)
+    if committed and doc_list:
+        cur = max(committed)
+        for v in _segment_chain(committed, cur):
+            seg = spark.read.parquet(fs.join(root, f"seg_v{v}"))
+            for r in (
+                seg.where(F.col("doc").isin(doc_list))
+                .select("word", "doc")
+                .collect()
+            ):
+                postings.append([r["word"], r["doc"], v])
     fs.makedirs(fs.join(root, "tombstones"), spark)
     path = fs.join(root, "tombstones", f"t-{_uuid.uuid4().hex}")
     if not fs.put_text_exclusive(
-        path, _json.dumps({"docs": sorted(str(d) for d in docs)}), spark
+        path,
+        _json.dumps({"docs": doc_list, "postings": postings}),
+        spark,
     ):
         raise RuntimeError(f"tombstone entry collision at {path!r}")
     return path
@@ -1235,8 +1265,25 @@ def _tombstone_docs(root: str, spark=None) -> list:
 
     from ..sources import fs
 
-    out = set()
-    for name in fs.list_names(fs.join(root, "tombstones"), spark):
+    return _tombstone_ledger(root, spark)[0]
+
+
+def _tombstone_ledger(root: str, spark=None) -> tuple:
+    """``(docs, resolved)``: every committed ledger doc, plus the
+    stored write-time resolution ``{doc: (seg_version, [words])}`` for
+    docs whose postings were found when their entry was written (see
+    :func:`add_tombstones`). A doc named by several entries keeps its
+    FIRST resolution (postings are immutable — later copies would be
+    identical; first-wins prevents double-counting). Docs with no
+    resolution anywhere are the pre-emptive-blocklist case — the read
+    overlay content-scans for exactly those."""
+    import json as _json
+
+    from ..sources import fs
+
+    docs: set = set()
+    resolved: dict = {}
+    for name in sorted(fs.list_names(fs.join(root, "tombstones"), spark)):
         if not name.startswith("t-") or ".tmp-" in name:
             # '.tmp-': a crashed local exclusive-create's staging file
             # (content may be complete JSON, but the commit never
@@ -1244,12 +1291,22 @@ def _tombstone_docs(root: str, spark=None) -> list:
             # as uncommitted, reported by tombstone_leftovers
             continue
         text = fs.read_text(fs.join(root, "tombstones", name), spark)
-        if text:
-            try:
-                out.update(_json.loads(text)["docs"])
-            except (ValueError, KeyError, TypeError):
-                pass  # torn commit write — never referenced
-    return sorted(out)
+        if not text:
+            continue
+        try:
+            entry = _json.loads(text)
+            entry_docs = entry["docs"]
+        except (ValueError, KeyError, TypeError):
+            continue  # torn commit write — never referenced
+        docs.update(entry_docs)
+        entry_resolved: dict = {}
+        for word, doc, seg_v in entry.get("postings", []):
+            # a doc lives in exactly one segment, so all its rows
+            # share one seg_version
+            entry_resolved.setdefault(doc, (seg_v, []))[1].append(word)
+        for doc, res in entry_resolved.items():
+            resolved.setdefault(doc, res)  # first entry wins
+    return sorted(docs), resolved
 
 
 def tombstone_leftovers(root: str, spark=None) -> list:
@@ -1337,48 +1394,92 @@ def read_merged_index(
     dfx = spark.read.parquet(fs.join(root, f"df_v{cur}"))
     n = spark.read.parquet(fs.join(root, f"n_v{cur}"))
     if honor_tombstones:
-        segs, dfx, n = _apply_tombstone_overlay(spark, root, segs, dfx, n)
+        segs, dfx, n = _apply_tombstone_overlay(
+            spark, root, segs, dfx, n, cur
+        )
     return score_index(segs, dfx, n)
 
 
-def _apply_tombstone_overlay(spark, root: str, segs, dfx, n):
+def _apply_tombstone_overlay(spark, root: str, segs, dfx, n, version):
     """The takedown overlay (see :func:`add_tombstones`) applied to one
-    root's (segments, df, N) state: drop the tombstoned docs' postings
-    from every segment, then re-derive df (minus each word's count of
-    removed docs — postings are one row per (word, doc), so a plain
-    per-word count) and N (minus the removed docs actually present in
-    the postings). The ledger is request-sized: one broadcast,
-    vocab-sized adjustments. A no-op (state returned unchanged) when
-    the root has no ledger. Shared by the single-root read and the
-    sharded federation (each shard's ledger adjusts ITS state before
-    the cross-shard sums)."""
+    root's (segments, df, N) state at ``version``: drop the tombstoned
+    docs' postings from every segment, then re-derive df (minus each
+    word's count of removed docs) and N (minus the removed docs present
+    in the chain).
+
+    SCAN-FREE on the common path: the adjustments come from the
+    resolutions stored in the ledger entries at write time — a
+    driver-side dict fold gated by ``seg_version <= version`` (exact
+    for as-of reads; see :func:`add_tombstones`) — so the serve adds
+    only broadcast literals and an anti-filter over the segments it was
+    already scanning (P18: content-derived adjustments cost ~2.4x the
+    plain serve even for a 10-doc ledger). Docs with no stored
+    resolution (pre-emptive blocklist entries written before the doc
+    arrived) fall back to one IN-filtered content scan for exactly
+    those docs. A no-op (state returned unchanged) when the root has no
+    ledger. Shared by the single-root read and the sharded federation
+    (each shard's ledger adjusts ITS state, at ITS version, before the
+    cross-shard sums)."""
+    from collections import Counter
     from functools import reduce
 
-    ts = _tombstone_docs(root, spark)
+    ts, resolved = _tombstone_ledger(root, spark)
     if not ts:
         return segs, dfx, n
-    tsdf = F.broadcast(
-        spark.createDataFrame([(d,) for d in ts], "doc string")
+    adj_counts: Counter = Counter()
+    n_removed = 0
+    for doc, (seg_v, words) in resolved.items():
+        if seg_v <= version:
+            n_removed += 1
+            for w in set(words):
+                adj_counts[w] += 1
+    unresolved = [d for d in ts if d not in resolved]
+    if unresolved:
+        # the rare fallback: content-scan ONLY the unresolved docs
+        # (request-sized collect — the same size class as the entry
+        # resolution would have been)
+        hit = F.col("doc").isin(unresolved)
+        rows = (
+            reduce(
+                lambda a, b: a.unionByName(b),
+                [seg.where(hit) for seg in segs],
+            )
+            .select("word", "doc")
+            .collect()
+        )
+        for doc in {r["doc"] for r in rows}:
+            n_removed += 1
+        for r in rows:
+            adj_counts[r["word"]] += 1
+    if n_removed == 0:
+        # nothing in this version's chain — serving filter is a no-op
+        # too, so return the state untouched (keeps the plain plan)
+        return segs, dfx, n
+    adj_df = spark.createDataFrame(
+        [(w, int(c)) for w, c in adj_counts.items()], "word string, ts_n long"
     )
-    removed = reduce(
-        lambda a, b: a.unionByName(b),
-        [seg.join(tsdf, "doc", "leftsemi") for seg in segs],
-    )
-    adj = removed.groupBy("word").agg(F.count("*").alias("ts_n"))
-    dfx = (
-        dfx.join(adj, "word", "left")
+    # broadcast the adjusted df explicitly: it is still vocab-sized,
+    # but the join+filter hides the parquet size estimate and the
+    # per-segment joins in score_index would fall back to SMJ with a
+    # corpus-side exchange (the P17 federation lesson, same shape)
+    dfx = F.broadcast(
+        dfx.join(F.broadcast(adj_df), "word", "left")
         .select(
             "word",
             (F.col("dfx") - F.coalesce("ts_n", F.lit(0))).alias("dfx"),
         )
         .where(F.col("dfx") > 0)
     )
-    n_removed = removed.agg(F.countDistinct("doc").alias("ts_docs"))
-    n = (
-        n.crossJoin(F.broadcast(n_removed))
-        .select((F.col("nx") - F.col("ts_docs")).alias("nx"))
-    )
-    return [seg.join(tsdf, "doc", "left_anti") for seg in segs], dfx, n
+    n = n.select((F.col("nx") - F.lit(n_removed)).alias("nx"))
+    if len(ts) <= 1000:
+        # literal anti-filter: zero join nodes, stays in codegen
+        kept = [seg.where(~F.col("doc").isin(ts)) for seg in segs]
+    else:
+        tsdf = F.broadcast(
+            spark.createDataFrame([(d,) for d in ts], "doc string")
+        )
+        kept = [seg.join(tsdf, "doc", "left_anti") for seg in segs]
+    return kept, dfx, n
 
 
 def q_stream_tfidf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1633,7 +1734,9 @@ def read_sharded_index(
         # each shard's takedown ledger adjusts ITS OWN state before the
         # cross-shard sums — shards are disjoint, so per-shard overlays
         # compose exactly (a doc's postings/df/N live in one shard)
-        segs, dfx, n = _apply_tombstone_overlay(spark, root, segs, dfx, n)
+        segs, dfx, n = _apply_tombstone_overlay(
+            spark, root, segs, dfx, n, cur
+        )
         all_segs += segs
         shard_dfs.append(dfx)
         shard_ns.append(n)
