@@ -1351,6 +1351,29 @@ def test_index_takedown_overlay(spark, tmp_path):
     with open(os.path.join(root, "tombstones", entry)) as f:
         assert "docs" in json.load(f)
 
+    # LIVE-STREAM interleaving: a tombstone committed BETWEEN
+    # micro-batches (the verb's whole design point — no version id is
+    # minted, so it cannot collide with the stream's checkpointed
+    # batch ids) applies to already-arrived docs AND the final state
+    live_root = str(tmp_path / "live_interleave")
+    merge_live = make_index_merge(live_root)
+    merge_live(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0), 0)
+    merge_live(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 1), 1)
+    # doc 4 already arrived (batch 1, resolved at write time); doc 5
+    # arrives only in batch 2 (unresolved -> content-scan fallback)
+    add_tombstones(spark, live_root, ["4", "5"])  # mid-drain
+    merge_live(docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 2), 2)
+    ref45 = str(tmp_path / "ref45")
+    merge_ref45 = make_index_merge(ref45)
+    merge_ref45(docs.where(~F.col("doc_id").isin(4, 5)), 0)
+    expected45 = sorted(
+        tuple(r) for r in read_merged_index(spark, ref45).collect()
+    )
+    live_got = sorted(
+        tuple(r) for r in read_merged_index(spark, live_root).collect()
+    )
+    assert live_got == expected45
+
     # PRE-EMPTIVE blocklist: a tombstone written BEFORE the doc ever
     # arrives (empty root, nothing to resolve at write time) must
     # still delete it once it lands — the unresolved content-scan
