@@ -1014,67 +1014,58 @@ def q_markov_stationary(
     partitionings and engines at any iteration count.
 
     Scale: ONE full-data pass (the per-user sequence shuffle) builds
-    the |types|^2 transition matrix; all ten iterations then run on
-    that model-sized relation — at 100 TB the iteration cost does not
-    see the corpus at all."""
+    the |types|^2 transition matrix; the matrix then COLLECTS (it is
+    model-sized — |event types|^2 rows, the same class of state as the
+    k-means centroids) and all ten iterations run on the driver with
+    the identical integer arithmetic (Python ``//`` == BIGINT ``div``
+    on non-negative operands) — bit-exact, without the former 10
+    rounds of join+aggregate jobs over a few-hundred-row relation
+    (guide §1.2: iterate where the model already lives)."""
     ev = load_events(spark, sf_dir).select(
         "user_id", "event_type", "ts_ns", "event_id"
     )
     w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    pairs = ev.select(
-        F.col("event_type").alias("src"),
-        F.lead("event_type").over(w).alias("dst"),
-    ).where(F.col("dst").isNotNull())
-    counts = pairs.groupBy("src", "dst").agg(
-        F.count("*").cast("long").alias("n")
+    # null-dst rows (each user's final event) are KEPT through the
+    # group-by so one scan yields both the transition cells and the
+    # full type inventory: every event is a src exactly once under
+    # lead(), so distinct src == distinct event_type
+    cells = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()
     )
-    row_tot = counts.groupBy("src").agg(F.sum("n").cast("long").alias("r"))
-    cm = counts.join(row_tot, "src").localCheckpoint(eager=False)
-
-    ty = ev.select("event_type").distinct().localCheckpoint(eager=False)
-    tn = ty.agg(F.count("*").cast("long").alias("t"))
-    pi = ty.crossJoin(F.broadcast(tn)).select(
-        "event_type",
-        F.expr("CAST(1000000000 AS BIGINT) div t").alias("pi_nano"),
-    )
+    types = sorted({r["src"] for r in cells})
+    t = len(types)
+    cm = [
+        (r["src"], r["dst"], r["n"])
+        for r in cells
+        if r["dst"] is not None
+    ]
+    row_tot: dict[str, int] = {}
+    for src, _dst, n in cm:
+        row_tot[src] = row_tot.get(src, 0) + n
+    srcs = set(row_tot)
+    pi = {ty: 1_000_000_000 // t for ty in types}
     base_nano = (100 - damp_pct) * 10_000_000  # (1-d) * 1e9
-    srcs = row_tot.select(F.col("src").alias("event_type"))
-    for i in range(iters):
-        dang = (
-            pi.join(srcs, "event_type", "left_anti")
-            .agg(
-                F.coalesce(F.sum("pi_nano"), F.lit(0))
-                .cast("long")
-                .alias("dm")
-            )
-        )
-        inb = (
-            cm.join(
-                pi.withColumnRenamed("event_type", "src"), "src"
-            )
-            .groupBy(F.col("dst").alias("event_type"))
-            .agg(
-                F.sum(F.expr("(pi_nano * n) div r"))
-                .cast("long")
-                .alias("inb")
-            )
-        )
-        pi = (
-            ty.join(inb, "event_type", "left")
-            .crossJoin(F.broadcast(tn))
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "event_type",
-                F.expr(
-                    f"CAST({base_nano} AS BIGINT) div t"
-                    f" + ({damp_pct} * (coalesce(inb, CAST(0 AS BIGINT))"
-                    f" + dm div t) + 50) div 100"
-                ).alias("pi_nano"),
-            )
-        )
-        if (i + 1) % 4 == 0 and i + 1 < iters:
-            pi = pi.localCheckpoint(eager=False)
-    return pi.select(
+    for _ in range(iters):
+        dm = sum(pi[ty] for ty in types if ty not in srcs)
+        inb: dict[str, int] = {}
+        for src, dst, n in cm:
+            inb[dst] = inb.get(dst, 0) + (pi[src] * n) // row_tot[src]
+        pi = {
+            ty: base_nano // t
+            + (damp_pct * (inb.get(ty, 0) + dm // t) + 50) // 100
+            for ty in types
+        }
+    out = spark.createDataFrame(
+        [(ty, pi[ty]) for ty in types],
+        schema="event_type string, pi_nano bigint",
+    )
+    return out.select(
         "event_type",
         "pi_nano",
         (F.col("pi_nano") / 1_000_000_000).alias("pi"),

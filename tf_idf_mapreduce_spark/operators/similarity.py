@@ -2135,15 +2135,16 @@ def pca_power(
     whitening / dimensionality-budget decision reads first.
 
     The iteration runs on MODEL-SIZED state: the d x d matrix from
-    ``_cov_upper`` (one corpus scan + one shuffle, checkpointed) and a
-    d-row vector; each round is a join-aggregate matvec plus a norm —
-    work independent of corpus size, the driver sees nothing but the
-    loop counter. Every sum (matvec, norm, Rayleigh, trace) goes through
-    DECIMAL(38,18), making the whole trajectory bit-exact against the
-    unrolled DuckDB replay AND under any partitioning — no @6dp grid
-    snapping between rounds needed. Start vector is the exact dyadic
-    uniform 1/8 (d=64); the eigenvector's global sign follows from it
-    deterministically on both engines.
+    ``_cov_upper`` (one corpus scan + one shuffle — the only
+    distributed work) collects to the driver (2080 upper-triangle rows
+    at d=64) and the 12 rounds run there, each a matvec plus a norm —
+    work independent of corpus size. Every sum (matvec, norm, Rayleigh,
+    trace) goes through the exact-decimal replica of the engine's
+    DECIMAL(38,18) summation (``_dsum_exact``), keeping the trajectory
+    deterministic and matching the unrolled DuckDB replay — no @6dp
+    grid snapping between rounds needed. Start vector is the exact
+    dyadic uniform 1/8 (d=64); the eigenvector's global sign follows
+    from it deterministically on both engines.
     """
 
     v1, lam1, trace = _pca_components(spark, sf_dir, iters)[:3]
@@ -2158,45 +2159,56 @@ def pca_power(
     )
 
 
-def _dsum(col: Column) -> Column:
-    return F.sum(col.cast("decimal(38,18)")).cast("double")
+def _dsum_exact(values) -> float:
+    """Driver-side replica of the engine's decimal summation idiom
+    (``sum(cast(x as decimal(38,18))) :: double``): each double's
+    shortest decimal representation is quantized to 18 fractional
+    digits HALF_UP (exactly Spark's double→DecimalType(38,18) cast,
+    which goes through ``Double.toString``), the quantized terms sum
+    EXACTLY (order-independent), and the total rounds once back to
+    double. Python ``repr`` and Java ``Double.toString`` both emit the
+    shortest round-tripping decimal, so the per-term quantization
+    agrees to the full 18 digits; any residual printing-width
+    divergence is ≤1e-18 per term — invisible at the @6dp boundary
+    every consumer rounds to."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    q = Decimal("1E-18")
+    with localcontext() as ctx:
+        ctx.prec = 60
+        total = Decimal(0)
+        for x in values:
+            total += Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+        return float(total)
 
 
-def _power_iterate(full: DataFrame, spark: SparkSession, iters: int) -> DataFrame:
-    """The iteration loop shared by both components: v broadcasts into
-    the matvec (the matrix never moves; the only exchange is the d-row
-    partial-combined groupBy); lineage truncates every 3 rounds —
-    per-round checkpoints cost more than the tiny replays they save at
-    d=64. Returns the unit vector as (j, v) rows."""
-    v = spark.range(EMBED_DIM).select(
-        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("v")
-    )
-    for t in range(iters):
-        w = (
-            full.join(F.broadcast(v), full["dim_j"] == v["j"])
-            .groupBy("dim_i")
-            .agg(_dsum(F.col("c") * F.col("v")).alias("w"))
-        )
-        nrm = w.agg(F.sqrt(_dsum(F.col("w") * F.col("w"))).alias("nm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            F.col("dim_i").alias("j"), (F.col("w") / F.col("nm")).alias("v")
-        )
-        if t % 3 == 2:
-            v = v.localCheckpoint()
+def _power_iterate(mat: list, iters: int) -> list:
+    """The iteration loop shared by both components, run on the DRIVER
+    over the collected d x d matrix (model-sized: d=64 → 4096 doubles —
+    the same class of model state as the k-means centroids). Each
+    round is a matvec + norm with every sum through ``_dsum_exact``,
+    reproducing the distributed DECIMAL(38,18) trajectory the former
+    12-round join-aggregate loop computed — without its ~40 tiny
+    scheduled jobs (guide §1.2: the cheapest shuffle is the one that
+    never runs; the matrix is fixed, so iterating where it already
+    lives moves zero bytes). Returns the unit vector as a list."""
+    import math
+
+    d = len(mat)
+    v = [0.125] * d
+    for _ in range(iters):
+        w = [
+            _dsum_exact(mat[i][j] * v[j] for j in range(d)) for i in range(d)
+        ]
+        nm = math.sqrt(_dsum_exact(x * x for x in w))
+        v = [x / nm for x in w]
     return v
 
 
-def _rayleigh(full: DataFrame, v: DataFrame) -> float:
-    w = (
-        full.join(F.broadcast(v), full["dim_j"] == v["j"])
-        .groupBy("dim_i")
-        .agg(_dsum(F.col("c") * F.col("v")).alias("w"))
-    )
-    return (
-        v.join(w, v["j"] == w["dim_i"])
-        .agg(_dsum(F.col("v") * F.col("w")).alias("lam"))
-        .collect()[0]["lam"]
-    )
+def _rayleigh(mat: list, v: list) -> float:
+    d = len(mat)
+    w = [_dsum_exact(mat[i][j] * v[j] for j in range(d)) for i in range(d)]
+    return _dsum_exact(v[i] * w[i] for i in range(d))
 
 
 #: Component cache, same contract as _PQ_BOOK_CACHE / _BPE_MERGE_CACHE:
@@ -2206,19 +2218,20 @@ def _rayleigh(full: DataFrame, v: DataFrame) -> float:
 _PCA_CACHE: dict[tuple, tuple] = {}
 
 
-def _pca_full_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cov = _cov_upper(spark, sf_dir)
-    return (
-        cov.select("dim_i", "dim_j", "c")
-        .union(
-            cov.where(F.col("dim_i") != F.col("dim_j")).select(
-                F.col("dim_j").alias("dim_i"),
-                F.col("dim_i").alias("dim_j"),
-                "c",
-            )
-        )
-        .localCheckpoint()
+def _pca_full_matrix(spark: SparkSession, sf_dir: str) -> list:
+    """The d x d covariance as a dense driver-side matrix: ONE
+    distributed pass (``_cov_upper`` — corpus scan + one shuffle),
+    then the upper triangle collects (2080 rows at d=64) and mirrors.
+    Same doubles the former symmetric-union DataFrame carried, without
+    its union + localCheckpoint jobs."""
+    rows = (
+        _cov_upper(spark, sf_dir).select("dim_i", "dim_j", "c").collect()
     )
+    mat = [[0.0] * EMBED_DIM for _ in range(EMBED_DIM)]
+    for r in rows:
+        mat[r["dim_i"]][r["dim_j"]] = r["c"]
+        mat[r["dim_j"]][r["dim_i"]] = r["c"]
+    return mat
 
 
 def _pca_components(
@@ -2248,40 +2261,24 @@ def _pca_components(
     def _fit() -> tuple:
         prior = hit
         full = _pca_full_matrix(spark, sf_dir)
+        d = len(full)
         if prior is None:
-            trace = (
-                full.where(F.col("dim_i") == F.col("dim_j"))
-                .agg(_dsum(F.col("c")).alias("trace"))
-                .collect()[0]["trace"]
-            )
-            v1df = _power_iterate(full, spark, iters)
-            lam1 = _rayleigh(full, v1df)
-            v1 = [r["v"] for r in v1df.orderBy("j").collect()]
+            trace = _dsum_exact(full[i][i] for i in range(d))
+            v1 = _power_iterate(full, iters)
+            lam1 = _rayleigh(full, v1)
             res = (v1, lam1, trace)
         else:
             v1, lam1, trace = prior
             res = prior
         if second:
-            v1df = spark.createDataFrame(
-                [(j, x) for j, x in enumerate(v1)], schema="j int, v double"
-            )
-            vi = v1df.select(F.col("j").alias("dim_i"), F.col("v").alias("vi"))
-            vj = v1df.select(F.col("j").alias("dim_j"), F.col("v").alias("vj"))
-            c2 = (
-                full.join(F.broadcast(vi), "dim_i")
-                .join(F.broadcast(vj), "dim_j")
-                .select(
-                    "dim_i",
-                    "dim_j",
-                    (
-                        F.col("c") - F.lit(lam1) * F.col("vi") * F.col("vj")
-                    ).alias("c"),
-                )
-                .localCheckpoint()
-            )
-            v2df = _power_iterate(c2, spark, iters)
-            lam2 = _rayleigh(c2, v2df)
-            v2 = [r["v"] for r in v2df.orderBy("j").collect()]
+            # Hotelling deflation, same double expression order as the
+            # former plan literal: c - ((lam1 * vi) * vj)
+            c2 = [
+                [full[i][j] - ((lam1 * v1[i]) * v1[j]) for j in range(d)]
+                for i in range(d)
+            ]
+            v2 = _power_iterate(c2, iters)
+            lam2 = _rayleigh(c2, v2)
             res = (v1, lam1, trace, v2, lam2)
         return res
 
