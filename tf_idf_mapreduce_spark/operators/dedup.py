@@ -1078,35 +1078,56 @@ def _semantic_keep_compute(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..functions.vectors import cosine
     from .similarity import _nearest_centroid_udf, ivf_centroids
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = ivf_centroids(e, cache_key=sf_dir)
-    # consumed by both sides of the pair join — materialize the (tiny)
-    # assignment once instead of re-running the cell UDF per side
+    # consumed by the cell-tile kernel and the final labeling —
+    # materialize the (tiny) assignment once
     assigned = e.select(
         "vec_id",
         "embedding",
         _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
     ).localCheckpoint()
-    a = assigned.select(
-        "cid", F.col("vec_id").alias("doc_a"), F.col("embedding").alias("ea")
-    )
-    b = assigned.select(
-        "cid", F.col("vec_id").alias("doc_b"), F.col("embedding").alias("eb")
-    )
-    # the repo-wide 6dp grid convention (floor(x*1e6+0.5), exact for
-    # negatives too, unlike round()) — the oracle replays it verbatim
-    cos6 = (
-        F.floor(cosine(F.col("ea"), F.col("eb")) * 1_000_000 + F.lit(0.5))
-        / 1_000_000
-    )
+    # within-cell edges via the bucket-as-tile numpy kernel
+    # (``lsh_bucket_pairs``): each IVF cell gathers its members once and
+    # one matmul scores every within-cell pair — the cid self-join +
+    # per-pair JVM cosine fold this replaced spent its time on join
+    # machinery, not FLOPs (guide §4.2). Dot UNNORMALIZED with the norm
+    # outer-product divide and the repo-wide half-up 1e-6 grid
+    # (floor(x*1e6+0.5), exact for negatives too) — the oracle replays
+    # the same sequence op for op.
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    thr = float(SEMDEDUP_COSINE)
+
+    def cell_edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cell in pdf["vecs"]:
+                if len(cell) < 2:
+                    continue
+                ids = np.array([v["vec_id"] for v in cell], dtype="int64")
+                mat = np.stack([v["embedding"] for v in cell]).astype("float64")
+                nrm = np.linalg.norm(mat, axis=1)
+                sims = (
+                    np.floor((mat @ mat.T) / np.outer(nrm, nrm) * 1e6 + 0.5)
+                    / 1e6
+                )
+                ia, ib = np.nonzero(
+                    (ids[:, None] < ids[None, :]) & (sims >= thr)
+                )
+                if len(ia):
+                    yield pd.DataFrame(
+                        {"doc_a": ids[ia], "doc_b": ids[ib]}
+                    )
+
     edges = (
-        a.join(b, "cid")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .where(cos6 >= SEMDEDUP_COSINE)
-        .select("doc_a", "doc_b")
+        assigned.groupBy("cid")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+        .mapInPandas(cell_edges, "doc_a long, doc_b long")
         .localCheckpoint()
     )
     conn_nodes = (
@@ -1353,11 +1374,11 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Band join is BATCH x CORPUS on (band_idx, band_val) — the corpus
     signature side is the persisted ANN index at 100 TB — and the
-    verify cosine runs only on bucket-collision candidates (per-pair JVM
-    fold here; at production candidate volumes reuse
-    ``lsh_bucket_pairs``' bucket-tile numpy kernel, which is the same
-    math batched). Rounding mirrors the lsh-pairs convention:
-    floor(cos*1e6+0.5)/1e6, threshold applied to the rounded value.
+    verify cosine runs only on bucket-collision candidates, scored per
+    bucket with ``lsh_bucket_pairs``' bucket-as-tile numpy kernel (one
+    matmul per bucket over the batch x corpus members). Rounding
+    mirrors the lsh-pairs convention: floor(cos*1e6+0.5)/1e6,
+    threshold applied to the rounded value.
     """
     from .curation import SAMPLE_BUCKET_MAX
     from .similarity import BAND_BITS, N_BANDS
@@ -1372,36 +1393,77 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_semantic_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     from .curation import SAMPLE_BUCKET_MAX, _sample_bucket
     from .similarity import NEARDUP_MIN_COSINE, _band_rows, lsh_signatures
 
     tag = _docs(spark, sf_dir).select(
         "doc_id", (_sample_bucket() <= SAMPLE_BUCKET_MAX).alias("is_batch")
     )
-    bands = _band_rows(lsh_signatures(spark, sf_dir)).join(
-        tag, F.col("vec_id") == F.col("doc_id")
-    )
-    bb = bands.where(F.col("is_batch")).select(
-        F.col("vec_id").alias("b_vec"), "band_idx", "band_val"
-    )
-    cb = bands.where(~F.col("is_batch")).select(
-        F.col("vec_id").alias("c_vec"), "band_idx", "band_val"
-    )
-    cand = bb.join(cb, ["band_idx", "band_val"]).select("b_vec", "c_vec").distinct()
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cos6 = (
-        F.floor(
-            cosine(F.col("ea"), F.col("eb")) * 1_000_000 + F.lit(0.5)
+    bands = (
+        _band_rows(lsh_signatures(spark, sf_dir))
+        .join(tag, F.col("vec_id") == F.col("doc_id"))
+        .join(e, "vec_id")
+    )
+    # candidates are scored per BUCKET with the repo's bucket-as-tile
+    # numpy kernel (``lsh_bucket_pairs``): each (band_idx, band_val)
+    # group gathers its members once and one matmul scores every
+    # batch x corpus pair inside it — the per-pair equi-join + per-row
+    # JVM fold this replaced spent ~5s at sf0.1 on join machinery for
+    # the same FLOPs (guide §4.2). A pair colliding in several bands
+    # is recomputed bit-identically (same two vectors, same kernel),
+    # so the cross-band ``distinct`` dedupes exactly; dot is
+    # UNNORMALIZED with the norm outer-product divide, the oracle's
+    # dot/(|a|·|b|) sequence op for op, and the half-up 1e-6 grid is
+    # applied inside the kernel exactly as the SQL replay does.
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(
+            F.collect_list(
+                F.struct("vec_id", "is_batch", "embedding")
+            ).alias("vecs")
         )
-        / 1_000_000
+        .where(F.size("vecs") >= 2)
     )
-    scored = (
-        cand.join(e.select(F.col("vec_id").alias("b_vec"), F.col("embedding").alias("ea")), "b_vec")
-        .join(e.select(F.col("vec_id").alias("c_vec"), F.col("embedding").alias("eb")), "c_vec")
-        .select("b_vec", "c_vec", cos6.alias("cos_sim"))
-        .where(F.col("cos_sim") >= NEARDUP_MIN_COSINE)
-    )
+    thr = float(NEARDUP_MIN_COSINE)
+
+    def bucket_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cell in pdf["vecs"]:
+                isb = np.array([v["is_batch"] for v in cell], dtype=bool)
+                if isb.all() or not isb.any():
+                    continue
+                ids = np.array([v["vec_id"] for v in cell], dtype="int64")
+                mat = np.stack([v["embedding"] for v in cell]).astype("float64")
+                nrm = np.linalg.norm(mat, axis=1)
+                bi, ci = np.nonzero(isb)[0], np.nonzero(~isb)[0]
+                sims = (
+                    np.floor(
+                        (mat[bi] @ mat[ci].T)
+                        / np.outer(nrm[bi], nrm[ci])
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                )
+                ia, ib = np.nonzero(sims >= thr)
+                if len(ia):
+                    yield pd.DataFrame(
+                        {
+                            "b_vec": ids[bi][ia],
+                            "c_vec": ids[ci][ib],
+                            "cos_sim": sims[ia, ib],
+                        }
+                    )
+
+    scored = buckets.mapInPandas(
+        bucket_pairs, "b_vec long, c_vec long, cos_sim double"
+    ).distinct()
     per_batch = scored.groupBy("b_vec").agg(
         F.min("c_vec").alias("match_doc_id"),
         F.count("*").cast("long").alias("n_matches"),
