@@ -1375,15 +1375,25 @@ def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:
             return cached
 
     def _fit_pdf():
-        rows = []
-        for m in range(PQ_M):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fit_sub(m: int):
             sub = e.select(
                 "vec_id",
                 F.slice(
                     "embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM
                 ).alias("embedding"),
             )
-            book = kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS)
+            return kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS)
+
+        # the M subspace fits are INDEPENDENT jobs over disjoint slices;
+        # overlapping them from driver threads back-fills the executor
+        # slots each small fit leaves idle (guide §2.6) — per-subspace
+        # results are computed by the same code and identical
+        with ThreadPoolExecutor(max_workers=PQ_M) as pool:
+            books = list(pool.map(fit_sub, range(PQ_M)))
+        rows = []
+        for m, book in enumerate(books):
             rows.extend(
                 (m, c, d, v)
                 for c, cw in enumerate(book)
@@ -1431,8 +1441,15 @@ def pq_code_table(
 
     if e is None:
         e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = ivf_centroids(e, cache_key=sf_dir)
-    books = _pq_codebooks(e, cache_key=sf_dir)
+    # the coarse and product quantizer fits are independent (different
+    # store families, different state) — overlap them on day zero
+    # (guide §2.6); each is the same deterministic fit either way
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fc = _pool.submit(ivf_centroids, e, sf_dir)
+        _fb = _pool.submit(_pq_codebooks, e, sf_dir)
+        cents, books = _fc.result(), _fb.result()
     cmat = np.asarray(cents, dtype="float64")
     cn2 = (cmat**2).sum(axis=1)
     key = (
