@@ -70,6 +70,8 @@ def test_exclusive_create_races_single_winner(spark, tmp_path, branch):
     wins — the store/stream commit protocols' only concurrency bet."""
     import threading
 
+    from pyspark import InheritableThread
+
     root = dict(_roots(tmp_path, spark))[branch]
     p = fs.join(root, "winner")
     results = []
@@ -79,7 +81,7 @@ def test_exclusive_create_races_single_winner(spark, tmp_path, branch):
         barrier.wait()
         results.append((i, fs.put_text_exclusive(p, f"writer-{i}", spark)))
 
-    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(6)]
+    threads = [InheritableThread(target=attempt, args=(i,)) for i in range(6)]
     for t in threads:
         t.start()
     for t in threads:
@@ -234,6 +236,8 @@ def test_exclusive_arbitration_survives_check_then_act(
     committed content is that winner's."""
     import threading
 
+    from pyspark import InheritableThread
+
     root = f"file://{tmp_path}/race"
     fs.makedirs(root, spark)
     path = fs.join(root, "marker")
@@ -260,7 +264,7 @@ def test_exclusive_arbitration_survives_check_then_act(
         with lock:
             results.append((f"writer-{i}", ok))
 
-    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(n)]
+    threads = [InheritableThread(target=attempt, args=(i,)) for i in range(n)]
     for t in threads:
         t.start()
     for t in threads:
@@ -390,21 +394,40 @@ def test_exclusive_arbitration_property_random_interleavings(
       can never dangle the marker).
 
     Deterministic pseudo-randomness (hash-derived, per-round seeds) —
-    no RNG state, same schedule set every run."""
+    no RNG state, same schedule set every run.
+
+    Gateway traffic is SERIALIZED through one lock: the schedules under
+    test live entirely in the delay between a contender's write and its
+    read-back (the `_arbitration_hook` sleep, taken OUTSIDE the lock),
+    so serializing the py4j calls themselves loses no interleaving —
+    and it keeps a loaded box from killing a pinned-thread
+    ClientServerConnection mid-read (the round-12 driver-verify flake)."""
     import hashlib
     import threading
     import time as _time
 
+    from pyspark import InheritableThread
+
+    gw_lock = threading.Lock()
+
     def weakest_claim(p, text, sess=None):
-        f, jpath, _ = fs._hadoop_fs(p, sess)
-        out = f.create(jpath, True)
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
+        with gw_lock:
+            f, jpath, _ = fs._hadoop_fs(p, sess)
+            out = f.create(jpath, True)
+            try:
+                out.write(bytearray(text.encode("utf-8")))
+            finally:
+                out.close()
         return True
 
+    real_read_text = fs.read_text
+
+    def locked_read_text(p, sess=None):
+        with gw_lock:
+            return real_read_text(p, sess)
+
     monkeypatch.setattr(fs, "_remote_claim_exclusive", weakest_claim)
+    monkeypatch.setattr(fs, "read_text", locked_read_text)
     # the REAL put_text_exclusive runs; the test seam only injects a
     # hash-derived 0-80ms delay between a contender's write and its
     # read-back, keyed by thread name
@@ -435,7 +458,11 @@ def test_exclusive_arbitration_property_random_interleavings(
             h = hashlib.md5(f"{rnd}-{i}".encode()).digest()
             delays[name] = (h[0] / 255.0) * 0.08
             threads.append(
-                threading.Thread(target=attempt, args=(i,), name=name)
+                # InheritableThread: under py4j pinned-thread mode each
+                # Python thread owns a JVM connection; this wrapper is
+                # the documented way to have it torn down cleanly at
+                # thread exit instead of by GC mid-suite
+                InheritableThread(target=attempt, args=(i,), name=name)
             )
         for t in threads:
             t.start()

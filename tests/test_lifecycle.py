@@ -204,7 +204,9 @@ def test_concurrent_promoters_one_version_serves(
         except Exception as exc:  # noqa: BLE001 — surfaced below
             errors.append(exc)
 
-    threads = [threading.Thread(target=promote) for _ in range(2)]
+    from pyspark import InheritableThread
+
+    threads = [InheritableThread(target=promote) for _ in range(2)]
     for t in threads:
         t.start()
     for t in threads:

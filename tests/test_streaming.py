@@ -1104,7 +1104,9 @@ def test_live_readers_during_drain_full_retention(spark, sf_dir, tmp_path):
                 errors.append(exc)
             time.sleep(0.05)
 
-    t = threading.Thread(target=poll)
+    from pyspark import InheritableThread
+
+    t = InheritableThread(target=poll)
     t.start()
     try:
         assert q.awaitTermination(300)
