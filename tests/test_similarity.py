@@ -132,6 +132,77 @@ def test_kmeans_fit_deterministic_and_shaped(spark, sf_dir):
     assert len(c1) == 4 and len(c1[0]) == sim.EMBED_DIM
 
 
+def test_pq_fused_fit_equals_per_subspace(spark, sf_dir):
+    """The fused PQ fit (one corpus pass per round for all M subspaces)
+    must reproduce the per-subspace ``kmeans_fit`` trajectory EXACTLY —
+    codebooks equal element for element, every subspace."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fused = sim.kmeans_fit_fused(
+        e, n_sub=sim.PQ_M, subdim=sim.PQ_SUBDIM, k=sim.PQ_K, iters=sim.PQ_ITERS
+    )
+    for m in range(sim.PQ_M):
+        sub = e.select(
+            "vec_id",
+            F.slice(
+                "embedding", m * sim.PQ_SUBDIM + 1, sim.PQ_SUBDIM
+            ).alias("embedding"),
+        )
+        ref = sim.kmeans_fit(sub, k=sim.PQ_K, iters=sim.PQ_ITERS)
+        assert fused[m] == ref, f"subspace {m} diverged"
+
+
+def test_bucket_tile_cap_shards_hot_buckets(spark, sf_dir, monkeypatch):
+    """Occupancy cap: with the cap forced tiny every bucket shards into
+    multi-tile pairs — the 100 TB hot-bucket path — and the pair set
+    (with scores) must equal the single-tile run's exactly. Also pins
+    exactly-once pair coverage across tiles (a double-emitted pair
+    would surface as a duplicate row before the groupBy and an extra
+    groupBy input is invisible; compare the aggregated relation)."""
+    base = sorted(
+        tuple(r) for r in sim.lsh_bucket_pairs(spark, sf_dir).collect()
+    )
+    assert base  # the fixture must produce pairs for this to mean anything
+    monkeypatch.setattr(sim, "BUCKET_TILE_CAP", 3)
+    tiled = sorted(
+        tuple(r) for r in sim.lsh_bucket_pairs(spark, sf_dir).collect()
+    )
+    assert tiled == base
+
+
+def test_bucket_tile_kernel_skips_corrupt_embeddings(spark, sf_dir, tmp_path):
+    """Corrupt-row contract (round-12 ADVICE): NULL and dimension-
+    mismatched embeddings must DROP from the tile kernels (the SQL
+    cosine's NULL propagation), never abort the job — and must not
+    perturb the valid pairs."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    clean = sorted(
+        tuple(r) for r in sim.lsh_bucket_pairs(spark, sf_dir).collect()
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = e.agg(F.max("vec_id")).head()[0]
+    corrupt = spark.createDataFrame(
+        [
+            (max_id + 1, None),
+            (max_id + 2, [0.25, -0.5]),  # wrong dimension
+        ],
+        e.schema,
+    )
+    d = tmp_path / "corrupt_sf"
+    d.mkdir()
+    e.unionByName(corrupt).write.parquet(str(d / "embeddings.parquet"))
+    got = sorted(
+        tuple(r) for r in sim.lsh_bucket_pairs(spark, str(d)).collect()
+    )
+    assert got == clean  # corrupt rows dropped, valid pairs untouched
+
+
 def test_label_centroids_match_numpy(spark, sf_dir):
     import numpy as np
 

@@ -133,6 +133,159 @@ def _band_rows(sigs: DataFrame) -> DataFrame:
     ).select("vec_id", "bk.band_idx", "bk.band_val")
 
 
+#: Max members one bucket-tile row may hold. A degenerate band value (or
+#: a mega IVF cell) used to become ONE collect_list row scored by ONE
+#: task — occupancy² FLOPs and a potentially >2 GB Arrow row in a single
+#: task at 100 TB (round-12 verdict #5). Buckets above the cap now shard
+#: into ⌈occ/cap⌉ hash tiles and are scored as bounded tile-PAIR rows:
+#: same pairs, same per-pair math, ≤ cap² dots and ~2·cap·d·8 bytes per
+#: task. 4096 members ≈ 2 MB of float64 payload per tile and ≈ 1 GFLOP
+#: per cross tile — comfortably one task. At fixture scale no bucket
+#: reaches the cap, so every bucket is one tile and the single-row path
+#: is byte-identical to the pre-cap kernel.
+BUCKET_TILE_CAP = 4096
+
+
+def _tiled_bucket_rows(
+    members: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    id_col: str = "vec_id",
+    cap: int | None = None,
+) -> DataFrame:
+    """(vecs_a, vecs_b) tile-pair rows for the bucket-as-tile kernels.
+
+    ``members`` has one row per bucket member; buckets are ``key_cols``
+    groups. Members hash (``xxhash64(id)``, deterministic — guide §2.5)
+    into ``⌈occupancy/cap⌉`` tiles; the occupancy count shares the
+    bucket-key exchange with the groupBy (window over the same keys).
+    Rows with ``vecs_b IS NULL`` are same-tile rows (score within);
+    cross rows pair two tiles of one bucket. Every unordered member
+    pair lands in EXACTLY one row: same tile → that tile's within row,
+    different tiles → the one (t_a < t_b) cross row. The cross join's
+    inputs are pre-filtered to multi-tile buckets, so at normal
+    occupancies it is a join over zero rows."""
+    from pyspark.sql.window import Window
+
+    cap = cap or BUCKET_TILE_CAP
+    w = Window.partitionBy(*key_cols)
+    tiled = members.withColumn(
+        "n_tiles",
+        F.ceil(F.count(F.lit(1)).over(w) / F.lit(cap)).cast("long"),
+    ).withColumn("tile", F.pmod(F.xxhash64(F.col(id_col)), F.col("n_tiles")))
+    tiles = tiled.groupBy(*key_cols, "tile").agg(
+        F.collect_list(F.struct(*payload_cols)).alias("vecs"),
+        F.first("n_tiles").alias("n_tiles"),
+    )
+    within = tiles.where(F.size("vecs") >= 2).select(
+        F.col("vecs").alias("vecs_a"),
+        F.lit(None).cast(tiles.schema["vecs"].dataType).alias("vecs_b"),
+    )
+    multi = tiles.where(F.col("n_tiles") > 1)
+    ta, tb = multi.alias("ta"), multi.alias("tb")
+    cond = [F.col(f"ta.{k}") == F.col(f"tb.{k}") for k in key_cols]
+    cond.append(F.col("ta.tile") < F.col("tb.tile"))
+    cross = ta.join(tb, on=cond).select(
+        F.col("ta.vecs").alias("vecs_a"), F.col("tb.vecs").alias("vecs_b")
+    )
+    return within.unionByName(cross)
+
+
+def _valid_length_groups(cell) -> list[list[int]]:
+    """Member indices of one tile, grouped by embedding length, null
+    embeddings skipped — the numpy twin of the SQL cosine's corrupt-row
+    contract (functions/vectors.py): a NULL or dimension-mismatched
+    pair scores NULL and drops, never aborts the job. When every member
+    is valid and same-length (the fixtures), this is ONE group in
+    collect order, so the stacked matrix — and every score — is
+    bit-identical to the unguarded ``np.stack``."""
+    by_len: dict[int, list[int]] = {}
+    for i, v in enumerate(cell):
+        emb = v["embedding"]
+        if emb is None:
+            continue
+        by_len.setdefault(len(emb), []).append(i)
+    return [idxs for _, idxs in sorted(by_len.items())]
+
+
+def _cosine_tile_kernel(thr: float, emit_sim: bool):
+    """The shared all-pairs cosine kernel over ``_tiled_bucket_rows``
+    output: every (id_a < id_b) pair with rounded cosine >= ``thr``,
+    scored one matmul per row. Within rows (vecs_b NULL) take the
+    id-ordered upper triangle; cross rows take both orientations of the
+    A x B matrix, so each unordered cross-tile pair is emitted exactly
+    once. Dot UNNORMALIZED with the norm outer-product divide (the
+    oracle's dot/(|a|·|b|) IEEE sequence op for op) and the repo-wide
+    half-up 1e-6 grid applied inside the kernel. Output columns
+    (vec_a, vec_b[, cos_sim])."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def stack(cell, idxs):
+        ids = np.array([cell[i]["vec_id"] for i in idxs], dtype="int64")
+        mat = np.stack([cell[i]["embedding"] for i in idxs]).astype("float64")
+        return ids, mat, np.linalg.norm(mat, axis=1)
+
+    def frame(a, b, s):
+        cols = {"vec_a": a, "vec_b": b}
+        if emit_sim:
+            cols["cos_sim"] = s
+        return pd.DataFrame(cols)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cell_a, cell_b in zip(pdf["vecs_a"], pdf["vecs_b"]):
+                if cell_b is None:
+                    for idxs in _valid_length_groups(cell_a):
+                        if len(idxs) < 2:
+                            continue
+                        ids, mat, nrm = stack(cell_a, idxs)
+                        # floor(x*1e6+0.5)/1e6 — the oracle's formula
+                        sims = (
+                            np.floor(
+                                (mat @ mat.T) / np.outer(nrm, nrm) * 1e6 + 0.5
+                            )
+                            / 1e6
+                        )
+                        ia, ib = np.nonzero(
+                            (ids[:, None] < ids[None, :]) & (sims >= thr)
+                        )
+                        if len(ia):
+                            yield frame(ids[ia], ids[ib], sims[ia, ib])
+                    continue
+                ga = {
+                    len(cell_a[i[0]]["embedding"]): i
+                    for i in _valid_length_groups(cell_a)
+                }
+                gb = {
+                    len(cell_b[i[0]]["embedding"]): i
+                    for i in _valid_length_groups(cell_b)
+                }
+                for dim in sorted(set(ga) & set(gb)):
+                    ids_a, mat_a, nrm_a = stack(cell_a, ga[dim])
+                    ids_b, mat_b, nrm_b = stack(cell_b, gb[dim])
+                    sims = (
+                        np.floor(
+                            (mat_a @ mat_b.T) / np.outer(nrm_a, nrm_b) * 1e6
+                            + 0.5
+                        )
+                        / 1e6
+                    )
+                    hit = sims >= thr
+                    ia, ib = np.nonzero((ids_a[:, None] < ids_b[None, :]) & hit)
+                    ja, jb = np.nonzero((ids_a[:, None] > ids_b[None, :]) & hit)
+                    if len(ia) or len(ja):
+                        yield frame(
+                            np.concatenate([ids_a[ia], ids_b[jb]]),
+                            np.concatenate([ids_b[ib], ids_a[ja]]),
+                            np.concatenate([sims[ia, ib], sims[ja, jb]]),
+                        )
+
+    return kernel
+
+
 def lsh_bucket_pairs(
     spark: SparkSession, sf_dir: str, min_cosine: float = NEARDUP_MIN_COSINE
 ) -> DataFrame:
@@ -153,55 +306,36 @@ def lsh_bucket_pairs(
     Returns (vec_a, vec_b, cos_sim) — a subset of the exact operator's
     output; ``dedup.embedding_lsh_recall`` measures how much of it.
 
-    Candidates are scored per BUCKET, not per pair: each (band_idx,
-    band_val) group gathers its member vectors once and one numpy matmul
-    scores every within-bucket pair (the same bucket-as-tile kernel as
-    ``knn_graph``'s blocks) — the per-pair equi-join + per-row kernel
-    this replaced cost ~6 s at sf0.1 against ~1 s for the tiles, because
-    join machinery per candidate dwarfs the dot-product FLOPs. A pair
-    sharing several bands is recomputed per bucket bit-identically (same
-    two vectors, same kernel), so the cross-band ``distinct`` dedupes
-    exactly. Skew knob: a degenerate bucket computes occupancy² dots —
-    widen BAND_BITS (more, smaller buckets) before sharding the kernel.
+    Candidates are scored per BUCKET-TILE, not per pair: each (band_idx,
+    band_val) group gathers its members (one tile per bucket until
+    ``BUCKET_TILE_CAP``, hash-sharded tile pairs above it — bounded task
+    size however degenerate a band value gets) and one numpy matmul
+    scores every within-row pair — the per-pair equi-join + per-row
+    kernel this replaced cost ~6 s at sf0.1 against ~1 s for the tiles,
+    because join machinery per candidate dwarfs the dot-product FLOPs.
+    A pair sharing several bands (or recomputed from differently-shaped
+    tile matrices) is deduped by PAIR IDENTITY — ``groupBy(vec_a,
+    vec_b).max(cos_sim)`` — not by float equality of recomputations, so
+    a last-ulp BLAS difference straddling a 1e-6 boundary cannot leave
+    duplicate pair rows (round-12 ADVICE). Null or dimension-mismatched
+    embeddings drop per the SQL cosine's NULL contract
+    (``_valid_length_groups``).
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     bands = _band_rows(lsh_signatures(spark, sf_dir))
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    buckets = (
-        bands.join(e, "vec_id")
-        .groupBy("band_idx", "band_val")
-        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
-        .where(F.size("vecs") >= 2)
+    rows = _tiled_bucket_rows(
+        bands.join(e, "vec_id"),
+        key_cols=["band_idx", "band_val"],
+        payload_cols=["vec_id", "embedding"],
     )
-
-    out_schema = "vec_a long, vec_b long, cos_sim double"
-    thr = float(min_cosine)
-
-    def bucket_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for cell in pdf["vecs"]:
-                ids = np.array([v["vec_id"] for v in cell], dtype="int64")
-                mat = np.stack([v["embedding"] for v in cell]).astype("float64")
-                # dot UNNORMALIZED, divide by the norm outer product — the
-                # oracle's dot/(|a|·|b|) IEEE sequence op for op, and each
-                # pair's value is independent of which bucket scored it (a
-                # pre-normalized matmul folds the divide into every product
-                # term, a different sequence that can drift ~1 ulp near a
-                # half-up 1e-6 boundary and break the cross-band distinct)
-                nrm = np.linalg.norm(mat, axis=1)
-                # floor(x*1e6+0.5)/1e6 — the oracle's formula op for op
-                sims = np.floor((mat @ mat.T) / np.outer(nrm, nrm) * 1e6 + 0.5) / 1e6
-                ia, ib = np.nonzero((ids[:, None] < ids[None, :]) & (sims >= thr))
-                if len(ia):
-                    yield pd.DataFrame(
-                        {"vec_a": ids[ia], "vec_b": ids[ib], "cos_sim": sims[ia, ib]}
-                    )
-
-    return buckets.mapInPandas(bucket_pairs, out_schema).distinct()
+    return (
+        rows.mapInPandas(
+            _cosine_tile_kernel(float(min_cosine), emit_sim=True),
+            "vec_a long, vec_b long, cos_sim double",
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
 
 
 def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,6 +447,92 @@ def kmeans_fit(
             break  # exact fixed point — further iterations are no-ops
         cents = new
     return cents.tolist()
+
+
+def kmeans_fit_fused(
+    e: DataFrame,
+    n_sub: int,
+    subdim: int,
+    k: int,
+    iters: int,
+) -> list[list[list[float]]]:
+    """``kmeans_fit`` over every length-``subdim`` slice of the embedding
+    AT ONCE: one corpus pass per iteration emits the per-batch partial
+    sums for ALL ``n_sub`` subspaces (rows keyed by subspace id), so a
+    product-quantizer fit costs ``iters`` distributed passes instead of
+    ``n_sub * iters`` (guide §1.2 — remove redundant passes; the driver
+    still only ever sees k x d centroid matrices).
+
+    Trajectory-exact vs the per-subspace fits: identical init rows
+    (same ``vec_id < k`` collect), identical float64 slice values
+    (slicing after the cast commutes with Spark-side ``F.slice``),
+    identical per-batch members and partial sums, the same @6dp rounded
+    means and the same per-subspace exact-equality early stop —
+    pinned by ``test_pq_fused_fit_equals_per_subspace``. A converged
+    subspace drops out of the kernel's emit; the pass loop ends when
+    every subspace has hit its fixed point."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    init_rows = (
+        e.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    )
+    full = np.stack(
+        [np.array(r.embedding, dtype="float64") for r in init_rows]
+    )
+    cents = [
+        _round6(full[:, m * subdim : (m + 1) * subdim].copy())
+        for m in range(n_sub)
+    ]
+    done = [False] * n_sub
+    partial_schema = "m long, cid long, dim long, s double, n long"
+    for _ in range(iters):
+        if all(done):
+            break
+        active = [m for m in range(n_sub) if not done[m]]
+        cmats = {m: cents[m].copy() for m in active}
+        cnorm2s = {m: (cmats[m] ** 2).sum(axis=1) for m in active}
+
+        def partial_sums(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                x = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                for m in active:
+                    xs = np.ascontiguousarray(
+                        x[:, m * subdim : (m + 1) * subdim]
+                    )
+                    cid = _assign_cids(xs, cmats[m], cnorm2s[m])
+                    for c in np.unique(cid):
+                        member = xs[cid == c]
+                        yield pd.DataFrame(
+                            {
+                                "m": int(m),
+                                "cid": int(c),
+                                "dim": np.arange(subdim, dtype="int64"),
+                                "s": member.sum(axis=0),
+                                "n": len(member),
+                            }
+                        )
+
+        means = (
+            e.select("embedding")
+            .mapInPandas(partial_sums, partial_schema)
+            .groupBy("m", "cid", "dim")
+            .agg((F.sum("s") / F.sum("n")).alias("mu"))
+            .collect()
+        )
+        for m in active:
+            new = cents[m].copy()
+            for r in means:
+                if r.m == m:
+                    new[r.cid][r.dim] = _round6(r.mu)
+            if np.array_equal(new, cents[m]):
+                done[m] = True
+            cents[m] = new
+    return [c.tolist() for c in cents]
 
 
 #: IVF centroid cache — same contract as ``_PQ_BOOK_CACHE``: the fit is a
@@ -1375,23 +1595,14 @@ def _pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list:
             return cached
 
     def _fit_pdf():
-        from concurrent.futures import ThreadPoolExecutor
-
-        def fit_sub(m: int):
-            sub = e.select(
-                "vec_id",
-                F.slice(
-                    "embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM
-                ).alias("embedding"),
-            )
-            return kmeans_fit(sub, k=PQ_K, iters=PQ_ITERS)
-
-        # the M subspace fits are INDEPENDENT jobs over disjoint slices;
-        # overlapping them from driver threads back-fills the executor
-        # slots each small fit leaves idle (guide §2.6) — per-subspace
-        # results are computed by the same code and identical
-        with ThreadPoolExecutor(max_workers=PQ_M) as pool:
-            books = list(pool.map(fit_sub, range(PQ_M)))
+        # ONE corpus pass per k-means round covers all M subspaces
+        # (``kmeans_fit_fused``): 3 passes instead of 12, the structural
+        # replacement for round 12's thread-overlap workaround. The
+        # fused trajectory is exactly the per-subspace one (pinned by
+        # test_pq_fused_fit_equals_per_subspace).
+        books = kmeans_fit_fused(
+            e, n_sub=PQ_M, subdim=PQ_SUBDIM, k=PQ_K, iters=PQ_ITERS
+        )
         rows = []
         for m, book in enumerate(books):
             rows.extend(
