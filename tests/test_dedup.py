@@ -747,3 +747,33 @@ def test_connected_components_doubling_matches_plain_on_fixture_graph(spark, sf_
     a = sorted(map(tuple, connected_components(nodes, edges).collect()))
     b = sorted(map(tuple, connected_components_doubling(nodes, edges).collect()))
     assert a == b
+
+
+def test_dedup_tile_cap_preserves_screen_results(spark, sf_dir, monkeypatch):
+    """The two dedup bucket-tile kernels under a forced-tiny occupancy
+    cap (every bucket/cell multi-tile — the hot-key path) must produce
+    exactly the single-tile results: same incremental-semantic screen
+    rows, same SemDeDup disposition. Drives the compute functions
+    directly so the model store can't serve the first run's artifact to
+    the second."""
+    from tf_idf_mapreduce_spark.operators import similarity as sim
+    from tf_idf_mapreduce_spark.operators.dedup import (
+        _incremental_semantic_compute,
+        _semantic_keep_compute,
+    )
+
+    inc_base = sorted(
+        tuple(r) for r in _incremental_semantic_compute(spark, sf_dir).collect()
+    )
+    keep_base = sorted(
+        tuple(r) for r in _semantic_keep_compute(spark, sf_dir, 20).collect()
+    )
+    monkeypatch.setattr(sim, "BUCKET_TILE_CAP", 3)
+    inc_tiled = sorted(
+        tuple(r) for r in _incremental_semantic_compute(spark, sf_dir).collect()
+    )
+    keep_tiled = sorted(
+        tuple(r) for r in _semantic_keep_compute(spark, sf_dir, 20).collect()
+    )
+    assert inc_tiled == inc_base
+    assert keep_tiled == keep_base

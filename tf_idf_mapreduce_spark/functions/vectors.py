@@ -61,14 +61,36 @@ def fold_dot_matrix_udf(planes: list[list[float]]):
     pmat = np.asarray(planes, dtype="float64")  # (n_planes, dim)
     weights = (1 << np.arange(pmat.shape[0], dtype="int64"))
 
-    @pandas_udf(LongType())
-    def sig(emb):
-        x = np.stack(emb.to_numpy()).astype("float64")  # (n, dim)
+    def _fold(x):
         acc = np.zeros((x.shape[0], pmat.shape[0]), dtype="float64")
         for d in range(pmat.shape[1]):
             # exact fold order: acc_p <- round(acc_p + x_d * p_{p,d})
             acc += x[:, d : d + 1] * pmat[None, :, d]
-        return pd.Series(((acc >= 0) @ weights).astype("int64"))
+        return ((acc >= 0) @ weights).astype("int64")
+
+    @pandas_udf(LongType())
+    def sig(emb):
+        arrs = emb.to_numpy()
+        try:
+            x = np.stack(arrs).astype("float64")  # (n, dim)
+            if x.ndim == 2 and x.shape[1] == pmat.shape[1]:
+                return pd.Series(_fold(x))
+        except (ValueError, TypeError):
+            pass
+        # corrupt-row contract, matching the SQL twin exactly: a NULL or
+        # dimension-mismatched embedding nulls every plane dot under
+        # ``zip_with``+``aggregate``, so each ``when(dot >= 0, 1<<p)``
+        # takes its otherwise(0) branch — signature 0, never a crash
+        out = np.zeros(len(arrs), dtype="int64")
+        valid = [
+            i
+            for i, a in enumerate(arrs)
+            if a is not None and len(a) == pmat.shape[1]
+        ]
+        if valid:
+            x = np.stack([arrs[i] for i in valid]).astype("float64")
+            out[valid] = _fold(x)
+        return pd.Series(out)
 
     return sig
 

@@ -1089,45 +1089,33 @@ def _semantic_keep_compute(
         "embedding",
         _nearest_centroid_udf(cents)(F.col("embedding")).alias("cid"),
     ).localCheckpoint()
-    # within-cell edges via the bucket-as-tile numpy kernel
-    # (``lsh_bucket_pairs``): each IVF cell gathers its members once and
-    # one matmul scores every within-cell pair — the cid self-join +
-    # per-pair JVM cosine fold this replaced spent its time on join
-    # machinery, not FLOPs (guide §4.2). Dot UNNORMALIZED with the norm
-    # outer-product divide and the repo-wide half-up 1e-6 grid
-    # (floor(x*1e6+0.5), exact for negatives too) — the oracle replays
-    # the same sequence op for op.
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    thr = float(SEMDEDUP_COSINE)
-
-    def cell_edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for cell in pdf["vecs"]:
-                if len(cell) < 2:
-                    continue
-                ids = np.array([v["vec_id"] for v in cell], dtype="int64")
-                mat = np.stack([v["embedding"] for v in cell]).astype("float64")
-                nrm = np.linalg.norm(mat, axis=1)
-                sims = (
-                    np.floor((mat @ mat.T) / np.outer(nrm, nrm) * 1e6 + 0.5)
-                    / 1e6
-                )
-                ia, ib = np.nonzero(
-                    (ids[:, None] < ids[None, :]) & (sims >= thr)
-                )
-                if len(ia):
-                    yield pd.DataFrame(
-                        {"doc_a": ids[ia], "doc_b": ids[ib]}
-                    )
+    # within-cell edges via the shared bucket-tile machinery
+    # (``similarity._tiled_bucket_rows`` + ``_cosine_tile_kernel``):
+    # each IVF cell gathers its members (one tile per cell until the
+    # occupancy cap, hash-sharded tile pairs above it — a mega-cell can
+    # no longer become one occupancy²-FLOP task or a >2 GB Arrow row,
+    # round-12 ADVICE) and one matmul scores every within-row pair —
+    # the cid self-join + per-pair JVM cosine fold this replaced spent
+    # its time on join machinery, not FLOPs (guide §4.2). Dot
+    # UNNORMALIZED with the norm outer-product divide and the repo-wide
+    # half-up 1e-6 grid — the oracle replays the same sequence op for
+    # op. Tiles partition the cell, so every unordered pair is emitted
+    # exactly once (no dedup step, same as the single-row kernel);
+    # null/dimension-mismatched embeddings drop per the SQL cosine's
+    # NULL contract.
+    from .similarity import _cosine_tile_kernel, _tiled_bucket_rows
 
     edges = (
-        assigned.groupBy("cid")
-        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
-        .mapInPandas(cell_edges, "doc_a long, doc_b long")
+        _tiled_bucket_rows(
+            assigned,
+            key_cols=["cid"],
+            payload_cols=["vec_id", "embedding"],
+        )
+        .mapInPandas(
+            _cosine_tile_kernel(float(SEMDEDUP_COSINE), emit_sim=False),
+            "vec_a long, vec_b long",
+        )
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
         .localCheckpoint()
     )
     conn_nodes = (
@@ -1410,60 +1398,115 @@ def _incremental_semantic_compute(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(tag, F.col("vec_id") == F.col("doc_id"))
         .join(e, "vec_id")
     )
-    # candidates are scored per BUCKET with the repo's bucket-as-tile
-    # numpy kernel (``lsh_bucket_pairs``): each (band_idx, band_val)
-    # group gathers its members once and one matmul scores every
-    # batch x corpus pair inside it — the per-pair equi-join + per-row
-    # JVM fold this replaced spent ~5s at sf0.1 on join machinery for
-    # the same FLOPs (guide §4.2). A pair colliding in several bands
-    # is recomputed bit-identically (same two vectors, same kernel),
-    # so the cross-band ``distinct`` dedupes exactly; dot is
-    # UNNORMALIZED with the norm outer-product divide, the oracle's
-    # dot/(|a|·|b|) sequence op for op, and the half-up 1e-6 grid is
-    # applied inside the kernel exactly as the SQL replay does.
-    buckets = (
-        bands.groupBy("band_idx", "band_val")
-        .agg(
-            F.collect_list(
-                F.struct("vec_id", "is_batch", "embedding")
-            ).alias("vecs")
-        )
-        .where(F.size("vecs") >= 2)
+    # candidates are scored per BUCKET-TILE with the repo's tile
+    # machinery (``similarity._tiled_bucket_rows``): each (band_idx,
+    # band_val) group gathers its members (one tile per bucket until
+    # the occupancy cap, hash-sharded tile pairs above it — bounded
+    # task size at any skew) and one matmul scores every batch x corpus
+    # pair per row — the per-pair equi-join + per-row JVM fold this
+    # replaced spent ~5s at sf0.1 on join machinery for the same FLOPs
+    # (guide §4.2). A pair colliding in several bands is deduped by
+    # PAIR IDENTITY (groupBy + max), not by float equality of
+    # recomputations; dot is UNNORMALIZED with the norm outer-product
+    # divide, the oracle's dot/(|a|·|b|) sequence op for op, and the
+    # half-up 1e-6 grid is applied inside the kernel exactly as the
+    # SQL replay does. Null/dimension-mismatched embeddings drop per
+    # the SQL cosine's NULL contract (``_valid_length_groups``).
+    from .similarity import _tiled_bucket_rows, _valid_length_groups
+
+    rows = _tiled_bucket_rows(
+        bands,
+        key_cols=["band_idx", "band_val"],
+        payload_cols=["vec_id", "is_batch", "embedding"],
     )
     thr = float(NEARDUP_MIN_COSINE)
 
     def bucket_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for cell in pdf["vecs"]:
-                isb = np.array([v["is_batch"] for v in cell], dtype=bool)
-                if isb.all() or not isb.any():
-                    continue
-                ids = np.array([v["vec_id"] for v in cell], dtype="int64")
-                mat = np.stack([v["embedding"] for v in cell]).astype("float64")
-                nrm = np.linalg.norm(mat, axis=1)
-                bi, ci = np.nonzero(isb)[0], np.nonzero(~isb)[0]
-                sims = (
-                    np.floor(
-                        (mat[bi] @ mat[ci].T)
-                        / np.outer(nrm[bi], nrm[ci])
-                        * 1e6
-                        + 0.5
-                    )
-                    / 1e6
-                )
-                ia, ib = np.nonzero(sims >= thr)
-                if len(ia):
-                    yield pd.DataFrame(
-                        {
-                            "b_vec": ids[bi][ia],
-                            "c_vec": ids[ci][ib],
-                            "cos_sim": sims[ia, ib],
-                        }
-                    )
+        def stack(cell, idxs):
+            ids = np.array([cell[i]["vec_id"] for i in idxs], dtype="int64")
+            isb = np.array([cell[i]["is_batch"] for i in idxs], dtype=bool)
+            mat = np.stack([cell[i]["embedding"] for i in idxs]).astype(
+                "float64"
+            )
+            return ids, isb, mat, np.linalg.norm(mat, axis=1)
 
-    scored = buckets.mapInPandas(
-        bucket_pairs, "b_vec long, c_vec long, cos_sim double"
-    ).distinct()
+        def emit(ids_a, mat_a, nrm_a, ids_b, mat_b, nrm_b):
+            # batch rows (a) x corpus rows (b) — callers pass the slices
+            sims = (
+                np.floor(
+                    (mat_a @ mat_b.T) / np.outer(nrm_a, nrm_b) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            ia, ib = np.nonzero(sims >= thr)
+            if len(ia):
+                return pd.DataFrame(
+                    {
+                        "b_vec": ids_a[ia],
+                        "c_vec": ids_b[ib],
+                        "cos_sim": sims[ia, ib],
+                    }
+                )
+            return None
+
+        for pdf in batches:
+            for cell_a, cell_b in zip(pdf["vecs_a"], pdf["vecs_b"]):
+                if cell_b is None:
+                    for idxs in _valid_length_groups(cell_a):
+                        ids, isb, mat, nrm = stack(cell_a, idxs)
+                        if isb.all() or not isb.any():
+                            continue
+                        bi, ci = np.nonzero(isb)[0], np.nonzero(~isb)[0]
+                        out = emit(
+                            ids[bi], mat[bi], nrm[bi], ids[ci], mat[ci], nrm[ci]
+                        )
+                        if out is not None:
+                            yield out
+                    continue
+                ga = {
+                    len(cell_a[i[0]]["embedding"]): i
+                    for i in _valid_length_groups(cell_a)
+                }
+                gb = {
+                    len(cell_b[i[0]]["embedding"]): i
+                    for i in _valid_length_groups(cell_b)
+                }
+                for dim in sorted(set(ga) & set(gb)):
+                    ids_a, isb_a, mat_a, nrm_a = stack(cell_a, ga[dim])
+                    ids_b, isb_b, mat_b, nrm_b = stack(cell_b, gb[dim])
+                    # batch side from A x corpus side from B, then the
+                    # reverse orientation — together they cover every
+                    # cross-tile batch x corpus pair exactly once
+                    bi_a, ci_b = np.nonzero(isb_a)[0], np.nonzero(~isb_b)[0]
+                    if len(bi_a) and len(ci_b):
+                        out = emit(
+                            ids_a[bi_a],
+                            mat_a[bi_a],
+                            nrm_a[bi_a],
+                            ids_b[ci_b],
+                            mat_b[ci_b],
+                            nrm_b[ci_b],
+                        )
+                        if out is not None:
+                            yield out
+                    bi_b, ci_a = np.nonzero(isb_b)[0], np.nonzero(~isb_a)[0]
+                    if len(bi_b) and len(ci_a):
+                        out = emit(
+                            ids_b[bi_b],
+                            mat_b[bi_b],
+                            nrm_b[bi_b],
+                            ids_a[ci_a],
+                            mat_a[ci_a],
+                            nrm_a[ci_a],
+                        )
+                        if out is not None:
+                            yield out
+
+    scored = (
+        rows.mapInPandas(bucket_pairs, "b_vec long, c_vec long, cos_sim double")
+        .groupBy("b_vec", "c_vec")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
     per_batch = scored.groupBy("b_vec").agg(
         F.min("c_vec").alias("match_doc_id"),
         F.count("*").cast("long").alias("n_matches"),
