@@ -1015,20 +1015,40 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PHASH_PAIRS_CACHE.get(cache_key)
     if cached is not None:
         return cached
-    h = media_phash(spark, sf_dir).select("doc_id", "phash_bits").localCheckpoint()
+    # pack the 63-bit '0'/'1' hash into ONE long before the self-join:
+    # the candidate shuffle then carries 8-byte keys instead of two
+    # 63-char strings per pair (guide §2.3 — narrower types through the
+    # exchange), band values extract with shift/mask instead of
+    # substring, and the Hamming verify is one xor + bit_count over the
+    # packed longs instead of nine substring+conv+xor+bit_count chains —
+    # bit-for-bit the same value (per-band popcounts of disjoint 7-bit
+    # chunks sum to the full-word popcount). The packing is injective,
+    # so grouping by the packed hashes groups exactly as the strings
+    # did; a NULL hash (corrupt image) nulls its band values and drops
+    # from the equi-join, exactly as the NULL substring did.
     chunk = 63 // PHASH_BANDS
+    h = (
+        media_phash(spark, sf_dir)
+        .select(
+            "doc_id", F.conv("phash_bits", 2, 10).cast("long").alias("h63")
+        )
+        .localCheckpoint()
+    )
     bands = h.select(
         "doc_id",
-        "phash_bits",
+        "h63",
         F.explode(F.array(*[F.lit(b) for b in range(PHASH_BANDS)])).alias(
             "band_id"
         ),
     ).select(
         "doc_id",
-        "phash_bits",
+        "h63",
         "band_id",
+        # band 0 is the LEFTMOST (most significant) 7-bit chunk, matching
+        # substring(phash_bits, band_id*7+1, 7)
         F.expr(
-            f"substring(phash_bits, band_id * {chunk} + 1, {chunk})"
+            f"shiftright(h63, cast(({PHASH_BANDS - 1} - band_id) * {chunk}"
+            f" as int)) & {(1 << chunk) - 1}"
         ).alias("band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -1044,23 +1064,12 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.phash_bits").alias("bits_a"),
-            F.col("b.phash_bits").alias("bits_b"),
+            F.col("a.h63").alias("h_a"),
+            F.col("b.h63").alias("h_b"),
         )
         .agg(F.count("*").cast("long").alias("n_bands_shared"))
     )
-    ham = sum(
-        F.bit_count(
-            F.conv(F.expr(f"substring(bits_a, {i * chunk + 1}, {chunk})"), 2, 10)
-            .cast("long")
-            .bitwiseXOR(
-                F.conv(
-                    F.expr(f"substring(bits_b, {i * chunk + 1}, {chunk})"), 2, 10
-                ).cast("long")
-            )
-        )
-        for i in range(PHASH_BANDS)
-    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     result = cand.select(
         "doc_a",
         "doc_b",
