@@ -203,6 +203,64 @@ def test_bucket_tile_kernel_skips_corrupt_embeddings(spark, sf_dir, tmp_path):
     assert got == clean  # corrupt rows dropped, valid pairs untouched
 
 
+def test_dsum_exact_matches_engine_decimal_sum_on_adversarial_doubles(spark):
+    """_dsum_exact's load-bearing bet (round-12 verdict #4): driver-side
+    ``Decimal(repr(x))`` quantized @1e-18 HALF_UP must equal the
+    engine's ``sum(cast(x as decimal(38,18)))::double`` for EVERY
+    input, because the PCA trajectory replays through it. Checked here
+    on adversarial doubles: subnormals, 17-significant-digit values,
+    negative zero, cancellation pairs, huge magnitudes that overflow
+    the 18-fractional-digit grid's precision, dyadic fractions, and a
+    seeded random mix — plus prefix sums so intermediate totals are
+    exercised, not just one total."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    rng = random.Random(421)
+    vals = [
+        5e-324,  # min subnormal
+        -5e-324,
+        2.2250738585072014e-308,  # min normal
+        1.7976931348623157e308 * 0,  # zero via multiply
+        -0.0,
+        0.1,
+        -0.1,
+        1 / 3,
+        0.30000000000000004,
+        1.2345678901234567,  # 17 significant digits
+        -9.007199254740993e15,  # 2^53 + 1 territory
+        # NB: |x| >= 1e20 overflows DECIMAL(38,18) and RAISES under
+        # Spark 4's ANSI default — outside _dsum_exact's domain (its
+        # callers sum covariance/matvec terms the engine itself must
+        # also be able to cast), so the property is checked inside it
+        9.87654321e18,
+        -9.87654321e18,  # exact cancellation near the grid's top
+        1e-18,
+        5e-19,  # rounds HALF_UP at the grid boundary
+        -5e-19,
+        math.pi,
+        -math.e,
+        2.0**-60,
+        1.5,
+    ] + [rng.uniform(-1e6, 1e6) for _ in range(40)] + [
+        rng.gauss(0, 1e-12) for _ in range(20)
+    ]
+    schema = StructType([StructField("x", DoubleType())])
+    for k in (1, 3, 7, len(vals)):
+        prefix = vals[:k]
+        got = sim._dsum_exact(prefix)
+        df = spark.createDataFrame([(v,) for v in prefix], schema)
+        want = df.agg(
+            F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+        ).head()[0]
+        assert got == want or (
+            math.isnan(got) and math.isnan(want)
+        ), f"prefix {k}: {got!r} != {want!r}"
+
+
 def test_label_centroids_match_numpy(spark, sf_dir):
     import numpy as np
 

@@ -2398,7 +2398,21 @@ def _dsum_exact(values) -> float:
     shortest round-tripping decimal, so the per-term quantization
     agrees to the full 18 digits; any residual printing-width
     divergence is ≤1e-18 per term — invisible at the @6dp boundary
-    every consumer rounds to."""
+    every consumer rounds to.
+
+    Assumption pinned by test (round-12 ADVICE): ``Double.toString``
+    is only GUARANTEED shortest from JDK 19 (JDK-4511638); earlier
+    JVMs can print a different (non-shortest) decimal for some
+    doubles, which would shift a term's @1e-18 quantization. The
+    deployment JVM (JDK 17 here) is checked empirically against the
+    engine's decimal sum on adversarial doubles — subnormals,
+    17-significant-digit values, grid-boundary 5e-19, cancellation at
+    the DECIMAL(38,18) ceiling — by
+    ``test_dsum_exact_matches_engine_decimal_sum_on_adversarial_doubles``;
+    a JVM whose printer diverges fails that test, not a query hash.
+    Domain note: |x| >= 1e20 overflows DECIMAL(38,18) and raises under
+    ANSI in the engine itself, so such terms are outside the replica's
+    contract too."""
     from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     q = Decimal("1E-18")
