@@ -777,3 +777,34 @@ def test_dedup_tile_cap_preserves_screen_results(spark, sf_dir, monkeypatch):
     )
     assert inc_tiled == inc_base
     assert keep_tiled == keep_base
+
+
+def test_minhash_signature_udf_matches_column_form(spark, sf_dir):
+    """The Arrow minhash twin must equal the interpreted column
+    formulation element-for-element on the fixture corpus (exact
+    integer math both sides), including the empty-array sentinel."""
+    from tf_idf_mapreduce_spark.functions.hashing import (
+        MINHASH_K,
+        MINHASH_P,
+        minhash_signature,
+        minhash_signature_udf,
+        norm_words,
+        shingle_hashes,
+        shingles,
+    )
+    from tf_idf_mapreduce_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = shingle_hashes(shingles(norm_words(F.col("text"))))
+    both = d.select(
+        "doc_id",
+        minhash_signature(hashes).alias("ref"),
+        minhash_signature_udf()(hashes).alias("got"),
+    ).collect()
+    assert both
+    for r in both:
+        assert list(r.got) == list(r.ref), f"doc {r.doc_id}"
+    empty = spark.createDataFrame([([],)], "h array<long>").select(
+        minhash_signature_udf()(F.col("h")).alias("got")
+    ).head()
+    assert list(empty.got) == [MINHASH_P] * MINHASH_K

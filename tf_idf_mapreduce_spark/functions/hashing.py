@@ -126,6 +126,42 @@ def minhash_signature(hash_arr: Column, k: int = MINHASH_K) -> Column:
     return F.array(*[one_perm(i) for i in range(k)])
 
 
+def minhash_signature_udf(k: int = MINHASH_K):
+    """Arrow-batched twin of :func:`minhash_signature` — the SAME
+    ``min over shingles of (a_i*h + b_i) mod P`` in one numpy pass per
+    batch instead of k interpreted ``transform``+``array_min`` folds
+    per row. Pure int64 arithmetic (multipliers < 2^30, hashes < 2^33,
+    so a*h+b < 2^63 — the same no-overflow bound the SQL form rides),
+    so the twin is bit-identical BY CONSTRUCTION, and additionally
+    pinned by ``test_minhash_signature_udf_matches_column_form``.
+    Empty/NULL hash arrays take the column form's sentinel [P]*k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    av = np.array([a for a, _ in MINHASH_PERMS[:k]], dtype="int64")
+    bv = np.array([b for _, b in MINHASH_PERMS[:k]], dtype="int64")
+    sentinel = [MINHASH_P] * k
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(hash_arr):
+        out = []
+        for h in hash_arr.to_numpy():
+            if h is None or len(h) == 0:
+                out.append(sentinel)
+                continue
+            hv = np.asarray(h, dtype="int64")
+            out.append(
+                ((hv[None, :] * av[:, None] + bv[:, None]) % MINHASH_P)
+                .min(axis=1)
+                .tolist()
+            )
+        return pd.Series(out)
+
+    return sig
+
+
 def band_keys(signature: Column, r: int = MINHASH_R, b: int = MINHASH_B) -> Column:
     """LSH banding: b keys, each md5 over r consecutive signature entries
     (rendered as '|'-joined decimal strings — engine-portable).

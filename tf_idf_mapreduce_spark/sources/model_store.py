@@ -383,7 +383,16 @@ def load_or_compute_bucketed_table(
             # this session is already correct — skip the schema-
             # inference read + DROP/CREATE the full path pays (~0.15s
             # per load; the persisted index alone is re-loaded by
-            # dozens of queries per bench session)
+            # dozens of queries per bench session).
+            # Coherence contract (round-12 ADVICE): this function is
+            # the ONLY writer of `{family}_{keyhash}` catalog names in
+            # the session — every DROP/CREATE of such a name happens
+            # right below, under this same lock, and updates the memo
+            # in the same critical section. The fast path therefore
+            # only needs to detect an outright external DROP (the
+            # except branch); a hostile re-CREATE of the same
+            # hash-derived name at a different location is outside the
+            # single-writer contract and is not defended against.
             ck = (spark.sparkContext.applicationId, tbl)
             if _REGISTERED_AT.get(ck) == loc:
                 try:

@@ -639,10 +639,11 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     STATELESS here (an agg-built signature would chain three stateful
     operators, which Structured Streaming rejects without event-time
     watermarks), so the stream side uses the column-level formulation
-    (``minhash_signature`` over array HOFs — pinned equal to the
-    row-level one by ``test_groupby_formulation_matches_column_
-    formulation``); that interpreted fold is the price of statelessness
-    and is fine at arrival rates (at 100 TB/day you'd precompute
+    (pinned equal to the row-level one by
+    ``test_groupby_formulation_matches_column_formulation``), with the
+    k permutation folds in ``minhash_signature_udf`` — the Arrow twin,
+    bit-identical integer math, one numpy pass per batch instead of k
+    interpreted HOF folds per row (at 100 TB/day you'd precompute
     signatures in the ingest mapper anyway). The band join is
     stream-static LEFT OUTER (keep-docs must surface too), the static
     index re-plans per micro-batch — in production it is a persisted
@@ -653,7 +654,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import (
         MINHASH_K,
         band_keys,
-        minhash_signature,
+        minhash_signature_udf,
         shingle_hashes,
         shingles,
     )
@@ -671,7 +672,12 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from every run after the first).
     static_bands = corpus_band_index(spark, sf_dir)
 
-    sig = minhash_signature(shingle_hashes(shingles(norm_words(F.col("text")))))
+    # the k permutation folds run in the Arrow twin (one numpy pass per
+    # batch — guide §4.2) instead of k interpreted transform+array_min
+    # HOFs per row; shingling + the one md5 per shingle stay JVM-side
+    sig = minhash_signature_udf()(
+        shingle_hashes(shingles(norm_words(F.col("text"))))
+    )
     batch = (
         stream_documents(spark, sf_dir)
         .where(is_batch)
