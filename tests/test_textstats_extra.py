@@ -678,3 +678,46 @@ def test_pmi_collocations_planted(spark, tmp_path_factory):
     assert ("rare", "pair") not in pairs  # support 2 < 5
     by = {(r.w1, r.w2): r.pmi for r in rows}
     assert by[("new", "york")] > by.get(("the", "cat"), float("-inf"))
+
+
+def test_bpe_apply_chain_udf_matches_fold(spark, sf_dir):
+    """The Arrow merge-chain twin must equal K chained
+    ``_bpe_apply_merge`` folds symbol-for-symbol — on the fixture
+    vocabulary under the actually-learned merges AND on adversarial
+    words (overlapping runs, the freshly-merged-symbol case)."""
+    from pyspark.sql import functions as F
+
+    from tf_idf_mapreduce_spark.operators.textstats import (
+        BPE_TRAIN_MERGES,
+        _bpe_apply_chain_udf,
+        _bpe_apply_merge,
+        _bpe_learn_merges,
+        _bpe_word_counts,
+    )
+
+    merges = _bpe_learn_merges(spark, str(sf_dir), BPE_TRAIN_MERGES)
+    rules = [(left, right, merged) for _, left, right, merged, _n in merges]
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    folded = chars
+    for left, right, merged in rules:
+        folded = _bpe_apply_merge(folded, left, right, merged)
+    words = _bpe_word_counts(spark, str(sf_dir)).select("word")
+    adversarial = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("ababab",), ("a",), (rules[0][0] + rules[0][1] if rules else "xy",)],
+        "word string",
+    )
+    both = (
+        words.union(adversarial)
+        .select(
+            "word",
+            folded.alias("ref"),
+            _bpe_apply_chain_udf(rules)(chars).alias("got"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert list(r.got) == list(r.ref), f"word {r.word!r}"

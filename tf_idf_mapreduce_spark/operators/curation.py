@@ -1984,7 +1984,7 @@ def bpe_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textstats import (
         BPE_ISH_PATTERN,
         BPE_TRAIN_MERGES,
-        _bpe_apply_merge,
+        _bpe_apply_chain_udf,
         _bpe_learn_merges,
     )
 
@@ -1996,12 +1996,13 @@ def bpe_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
         ).alias("word"),
     )
-    syms = F.transform(
+    chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    for _, left, right, merged, _n in merges:
-        syms = _bpe_apply_merge(syms, left, right, merged)
+    syms = _bpe_apply_chain_udf(
+        [(left, right, merged) for _, left, right, merged, _n in merges]
+    )(chars)
     sizes = toks.select("word").distinct().select(
         "word", F.size(syms).cast("long").alias("n_syms")
     )

@@ -824,6 +824,44 @@ def _bpe_apply_merge(syms: Column, left: str, right: str, merged: str) -> Column
     )
 
 
+def _bpe_apply_chain_udf(merge_rules: list[tuple[str, str, str]]):
+    """Arrow-batched twin of CHAINED ``_bpe_apply_merge`` folds: apply
+    the rules in order, each with the same greedy left-to-right
+    non-overlapping scan, one Python pass per symbol array instead of K
+    nested interpreted ``aggregate`` folds that rebuild the accumulator
+    array per element (O(K·len) vs O(K·len²) allocations, and Arrow
+    batches instead of per-element expression interpretation — guide
+    §4.2). Pure string equality/concat — exact by construction; pinned
+    against the fold by ``test_bpe_apply_chain_udf_matches_fold``. The
+    per-word symbol SPLIT stays JVM-side (``substr`` semantics are the
+    engine's own), so this twin only replaces the merge scan."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    rules = [(left, right, merged) for left, right, merged in merge_rules]
+
+    @pandas_udf(ArrayType(StringType()))
+    def apply_chain(syms_col):
+        out = []
+        for syms in syms_col.to_numpy():
+            s = list(syms)
+            for left, right, merged in rules:
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                s = res
+            out.append(s)
+        return pd.Series(out)
+
+    return apply_chain
+
+
 def _bpe_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(word, n) over the BPE-ish pre-tokens — the ONE corpus scan the
     trainer ever does; every merge round after it runs on this vocab."""
@@ -1044,10 +1082,12 @@ def _bpe_learn_merges(
                 merges.append(
                     (len(merges) + 1, left, right, left + right, n_pair)
                 )
-            syms = F.col("syms")
-            for left, right, n_pair in chain:
-                syms = _bpe_apply_merge(syms, left, right, left + right)
-            vocab = vocab.select("n", syms.alias("syms")).localCheckpoint()
+            apply_chain = _bpe_apply_chain_udf(
+                [(left, right, left + right) for left, right, _n in chain]
+            )
+            vocab = vocab.select(
+                "n", apply_chain(F.col("syms")).alias("syms")
+            ).localCheckpoint()
             _BPE_TRAIN_STATS["rounds"] += 1
             _BPE_TRAIN_STATS["chain_lengths"].append(len(chain))
         return pd.DataFrame(
@@ -1118,12 +1158,13 @@ def bpe_encode_stats(
             ).alias("word"),
         )
     )
-    syms = F.transform(
+    chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    for _, left, right, merged, _n in merges:
-        syms = _bpe_apply_merge(syms, left, right, merged)
+    syms = _bpe_apply_chain_udf(
+        [(left, right, merged) for _, left, right, merged, _n in merges]
+    )(chars)
     vocab_sizes = toks.select("word").distinct().select(
         "word",
         F.length("word").alias("n_chars"),
@@ -1161,12 +1202,13 @@ def bpe_vocab(
     merges = _bpe_learn_merges(spark, sf_dir, n_merges)
     learned = [m[3] for m in merges]
     words = _bpe_word_counts(spark, sf_dir)
-    syms = F.transform(
+    chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    for _, left, right, merged, _n in merges:
-        syms = _bpe_apply_merge(syms, left, right, merged)
+    syms = _bpe_apply_chain_udf(
+        [(left, right, merged) for _, left, right, merged, _n in merges]
+    )(chars)
     exploded = words.select(
         "n", F.explode(syms).alias("token")
     )
