@@ -1100,9 +1100,13 @@ def _semantic_keep_compute(
     # UNNORMALIZED with the norm outer-product divide and the repo-wide
     # half-up 1e-6 grid — the oracle replays the same sequence op for
     # op. Tiles partition the cell, so every unordered pair is emitted
-    # exactly once (no dedup step, same as the single-row kernel);
-    # null/dimension-mismatched embeddings drop per the SQL cosine's
-    # NULL contract.
+    # exactly once (no dedup step, same as the single-row kernel).
+    # Corrupt-row scope: the tile kernel itself drops null/mismatched
+    # embeddings per the SQL cosine's NULL contract, but THIS pipeline
+    # is still fail-fast overall — the quantizer assignment upstream
+    # (_nearest_centroid_udf, kmeans partial sums) np.stack's the raw
+    # column, the pre-existing posture (corrupt embeddings are an
+    # ingest-screen problem for the fit path).
     from .similarity import _cosine_tile_kernel, _tiled_bucket_rows
 
     edges = (
@@ -1421,6 +1425,10 @@ def _incremental_semantic_compute(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     thr = float(NEARDUP_MIN_COSINE)
 
+    # NB: keep this kernel in lockstep with similarity._cosine_tile_kernel
+    # (same stacking, rounding grid, corrupt-row grouping, tile-pair
+    # orientation rules) — it differs only in the batch x corpus masking
+    # and the (b_vec, c_vec) output orientation
     def bucket_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def stack(cell, idxs):
             ids = np.array([cell[i]["vec_id"] for i in idxs], dtype="int64")

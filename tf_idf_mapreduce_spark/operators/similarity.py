@@ -183,7 +183,11 @@ def _tiled_bucket_rows(
     )
     multi = tiles.where(F.col("n_tiles") > 1)
     ta, tb = multi.alias("ta"), multi.alias("tb")
-    cond = [F.col(f"ta.{k}") == F.col(f"tb.{k}") for k in key_cols]
+    # eqNullSafe: the window/groupBy above treat a NULL bucket key as
+    # one bucket, so the tile-pair join must too — plain equality would
+    # silently drop every cross-tile pair of a hot NULL-keyed bucket,
+    # exactly the path the cap exists for
+    cond = [F.col(f"ta.{k}").eqNullSafe(F.col(f"tb.{k}")) for k in key_cols]
     cond.append(F.col("ta.tile") < F.col("tb.tile"))
     cross = ta.join(tb, on=cond).select(
         F.col("ta.vecs").alias("vecs_a"), F.col("tb.vecs").alias("vecs_b")

@@ -22,6 +22,7 @@ Plus loaders for the driver's parquet fixture tables (TESTDATA.md).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,7 +93,12 @@ def ensure_worker_imports(spark: SparkSession) -> None:
 #: for free); NOTHING row-level is cached — every action still computes
 #: from the parquet files. The fingerprint keys out in-place fixture
 #: rebuilds; the applicationId keys entries to the live context.
+#: Guarded by ``_RELATION_LOCK``: query builders run from driver
+#: threads (concurrent stream drains, the overlapped quantizer fits),
+#: and an unguarded evict-while-insert would race.
 _RELATION_CACHE: dict[tuple, DataFrame] = {}
+
+_RELATION_LOCK = threading.Lock()
 
 
 def load_table(
@@ -122,19 +128,18 @@ def load_table(
         ignore_corrupt_files,
         table_fingerprint(sf_dir, name),
     )
-    df = _RELATION_CACHE.get(key)
-    if df is None:
-        reader = spark.read
-        if ignore_corrupt_files:
-            reader = reader.option("ignoreCorruptFiles", "true")
-        df = reader.parquet(f"{sf_dir}/{name}.parquet")
-        # one live entry per (app, dir, table, flag): a changed
-        # fingerprint evicts the stale relation rather than pinning it
-        for k in [
-            k for k in _RELATION_CACHE if k[:4] == key[:4] and k != key
-        ]:
-            del _RELATION_CACHE[k]
-        _RELATION_CACHE[key] = df
+    with _RELATION_LOCK:
+        df = _RELATION_CACHE.get(key)
+        if df is None:
+            from ..operators.caches import insert_evicting
+
+            reader = spark.read
+            if ignore_corrupt_files:
+                reader = reader.option("ignoreCorruptFiles", "true")
+            df = reader.parquet(f"{sf_dir}/{name}.parquet")
+            # one live entry per (app, dir, table, flag): a changed
+            # fingerprint evicts the stale relation rather than pinning it
+            insert_evicting(_RELATION_CACHE, key, df, prefix=4)
     return df
 
 
